@@ -1,0 +1,438 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregation").
+
+Reference behavior: aggregation SQL inside a model reaches DuckDB verbatim
+(reference: src/node.rs:176); the shipped example exercises a group-by
+count (reference: examples/basic/orders_per_product.sql:1-3). Here each
+aggregate capability is a first-class Spark query with a DuckDB oracle.
+
+Scale notes: every groupBy below is a hash aggregate with map-side
+partial aggregation (one shuffle of the *aggregated* partials, not raw
+rows). Group-key cardinality is low (flags, priorities, nations), so the
+shuffle volume is O(groups × partitions) — safe at 100 TB. AQE coalesces
+the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arnab_spark.queries import DEC, davg, dsum, query
+from arnab_spark.spark_utils import load_table
+
+_PRICING_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(23,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True, tags=("agg",))
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: groupBy two low-cardinality keys,
+    eight aggregates. Partial aggregation makes the shuffle tiny."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 5
+""",
+    tags=("agg",),
+)
+def agg_having(spark, sf_dir):
+    """GROUP BY + HAVING — post-aggregation filter (Catalyst pushes
+    nothing through an agg, same semantics as SQL HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@query(
+    "agg_count_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_count_distinct_multi(spark, sf_dir):
+    """Multiple COUNT(DISTINCT) in one aggregate — Catalyst expands to
+    an Expand + two-phase aggregate (single pass over the input)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (Expand-based, still one shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over two dimensions."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS + GROUPING() marker columns.
+
+    DuckDB's GROUPING() returns BIGINT while Spark's returns BYTE; both
+    sides cast to INT for schema parity... Spark side casts, oracle's
+    BIGINT is cast by DuckDB only if asked — we cast in SQL too.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_filter_clause(spark, sf_dir):
+    """FILTER (WHERE ...) clause on individual aggregates."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_count_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++). No oracle: DuckDB's HLL
+    sketch differs by construction; the driver records a rows-only check.
+    At 100 TB this is THE way to count distincts — no giant shuffle of
+    distinct values, just mergeable sketches."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+@query("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
+def agg_percentile_approx(spark, sf_dir):
+    """percentile_approx / approx quantiles (KLL-style sketch) — mergeable,
+    single-pass, the 100 TB-safe quantile. Rows-only check (sketches
+    differ across engines)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("p25_75"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM (SELECT * FROM customer WHERE c_custkey <= 40) t
+GROUP BY c_mktsegment
+""",
+    tags=("agg",),
+)
+def agg_string_agg(spark, sf_dir):
+    """string_agg / listagg: collect_list sorted deterministically then
+    concat — the order-insensitive-safe spelling of string aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 40)
+        .groupBy("c_mktsegment")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("names"))
+    )
+
+
+@query(
+    "agg_collect_set_array",
+    oracle="""
+SELECT l_returnflag,
+       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_collect_set_array(spark, sf_dir):
+    """collect_set → sorted array (DuckDB: list_distinct + list_sort)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_qty,
+       (sxx - sx * sx / n) / n AS var_pop_qty,
+       sqrt((sxx - sx * sx / n) / n) AS stddev_pop_qty
+FROM s
+""",
+    tags=("agg", "stats"),
+)
+def agg_stats_exact(spark, sf_dir):
+    """Variance/stddev via exact decimal moment sums (sum, sum-of-squares)
+    so the result is bit-identical across engines. The native F.stddev /
+    F.var_pop are also exposed (see agg_stats_native) but are
+    order-dependent in IEEE float, so the compared query uses moments.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var_pop = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_qty"),
+        var_pop.alias("var_pop_qty"),
+        F.sqrt(var_pop).alias("stddev_pop_qty"),
+    )
+
+
+@query("agg_stats_native", oracle=None, tags=("agg", "stats"))
+def agg_stats_native(spark, sf_dir):
+    """Native statistical aggregates (stddev/var/corr/covar/skew/kurtosis).
+    Rows-only check: float summation order differs across engines; the
+    exact-moment variant above is the hash-compared one."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.stddev("l_quantity").alias("sd_qty"),
+        F.var_samp("l_extendedprice").alias("var_price"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_pop("l_quantity", "l_discount").alias("covar_qty_disc"),
+        F.skewness("l_quantity").alias("skew_qty"),
+        F.kurtosis("l_quantity").alias("kurt_qty"),
+    )
+
+
+@query(
+    "agg_arg_minmax",
+    oracle="""
+SELECT l_returnflag,
+       arg_min(l_orderkey, l_shipdate) AS first_order,
+       arg_max(l_orderkey, l_shipdate) AS last_order,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_arg_minmax(spark, sf_dir):
+    """min_by/max_by (DuckDB arg_min/arg_max). Ties broken identically
+    only if the extremum is unique — l_shipdate has ms granularity over
+    years, but to be deterministic we pick the extremum of a composite
+    that is unique per (flag, shipdate) via struct ordering.
+
+    NOTE: if shipdate ties exist, min_by is nondeterministic in BOTH
+    engines; we therefore min over a struct to force total order.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               MIN(struct(l_shipdate, l_orderkey)).l_orderkey AS first_order,
+               MAX(struct(l_shipdate, l_orderkey)).l_orderkey AS last_order,
+               MIN(l_shipdate) AS min_ship,
+               MAX(l_shipdate) AS max_ship
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark, sf_dir):
+    """PIVOT: groupBy().pivot() with explicit value list (never let Spark
+    scan for distinct pivot values at 100 TB — pass them)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT p_partkey, kind, val FROM (
+  SELECT p_partkey, 'retail' AS kind, p_retailprice AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'size' AS kind, CAST(p_size AS DOUBLE) AS val FROM part
+) t
+""",
+    tags=("agg", "pivot"),
+)
+def agg_unpivot(spark, sf_dir):
+    """UNPIVOT via stack() — wide→long without a shuffle at all."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (kind, val)",
+    )
+
+
+@query(
+    "agg_count_star_zeroarg",
+    oracle="SELECT count(*) AS item_count FROM orders",
+    tags=("agg", "dialect"),
+)
+def agg_count_star_zeroarg(spark, sf_dir):
+    """DuckDB allows zero-arg count() (used by the reference's example
+    model, reference: examples/basic/orders_per_product.sql:2). Spark
+    requires count(*) — the dialect shim maps count() → count(*)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.count(F.lit(1)).alias("item_count"))
+
+
+@query(
+    "agg_orders_per_product",
+    oracle="""
+SELECT p_name AS product_name, count(*) AS item_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_name
+""",
+    tags=("agg", "reference-example"),
+)
+def agg_orders_per_product(spark, sf_dir):
+    """The reference demo pipeline's analytical model
+    (reference: examples/basic/orders_per_product.sql:1-3): items per
+    product name. part is small → broadcast join, no shuffle of lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_name").alias("product_name"))
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )

@@ -1,0 +1,257 @@
+"""Join operators (SURVEY.md §2.B "Joins").
+
+The reference delegates all joins to DuckDB (its dep-extractor only walks
+JOIN lists for referenced names, reference: src/node.rs:245-255). Here
+each join type is a first-class Spark query.
+
+Scale notes: Catalyst+AQE picks broadcast-hash / shuffled-hash /
+sort-merge physically. We hint `broadcast()` for the provably-tiny dims
+(region=5, nation=25 rows at every SF — dimension tables grow far slower
+than facts) and let AQE decide for mid-size sides; skewed fact keys are
+handled by `spark.sql.adaptive.skewJoin`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arnab_spark.queries import DEC, dsum, query
+from arnab_spark.spark_utils import load_table, register_views
+
+_STAR_ORACLE = """
+SELECT n_name, r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+@query("join_star_revenue", oracle=_STAR_ORACLE, headline=True, tags=("join",))
+def join_star_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped star join: fact → orders → customer → nation →
+    region with revenue rollup. nation/region broadcast (constant-size
+    dims); lineitem⋈orders is the only big shuffle and both sides hash
+    on the same key so AQE can co-locate and skew-split."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(23,6))), 0) AS DOUBLE) AS spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    tags=("join",),
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER join preserving customers with zero orders
+    (COUNT(col) skips the null-extended rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+SELECT o_orderkey, c_name
+FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey <= 500
+""",
+    tags=("join",),
+)
+def join_right_outer(spark, sf_dir):
+    """RIGHT OUTER join (kept rare in practice; Catalyst flips it to a
+    left join with sides swapped)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+WITH sup AS (SELECT s_nationkey AS nk, COUNT(*) AS n_sup FROM supplier GROUP BY s_nationkey),
+     cus AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cus FROM customer GROUP BY c_nationkey)
+SELECT COALESCE(sup.nk, cus.nk) AS nationkey, n_sup, n_cus
+FROM sup FULL OUTER JOIN cus ON sup.nk = cus.nk
+""",
+    tags=("join",),
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join of two aggregated sides (nations having only
+    suppliers, only customers, or both)."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cus"))
+    )
+    return s.join(c, s.nk == c.nk_c, "full").select(
+        F.coalesce(s.nk, c.nk_c).alias("nationkey"), "n_sup", "n_cus"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+""",
+    tags=("join",),
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join ≡ WHERE EXISTS. Semi joins never duplicate the left
+    side, so output ≤ input — cheaper than inner+distinct at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("join",),
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join ≡ WHERE NOT EXISTS (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    """CROSS JOIN — only ever sane when at least one side is tiny
+    (here 5 × 25); Spark requires the explicit crossJoin call."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT s_suppkey, COUNT(*) AS n_richer_customers
+FROM supplier JOIN customer ON s_acctbal > c_acctbal
+GROUP BY s_suppkey
+""",
+    tags=("join",),
+)
+def join_theta_range(spark, sf_dir):
+    """Theta (non-equi) join: inequality-only predicate → broadcast
+    nested-loop join. Physical rule at scale: ALWAYS broadcast the small
+    side; an un-broadcast BNLJ is O(n·m) across the cluster."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(s)
+        .join(c, s.s_acctbal > c.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+@query(
+    "join_using",
+    oracle="""
+SELECT nationkey, n.n_name, s.n_sup
+FROM (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_sup FROM supplier GROUP BY s_nationkey) s
+USING (nationkey)
+""",
+    tags=("join",),
+)
+def join_using(spark, sf_dir):
+    """USING-style join on a shared column name — Spark's list-of-columns
+    join form, which also dedupes the join column in the output."""
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+    )
+    return n.join(s, ["nationkey"]).select("nationkey", "n_name", "n_sup")
+
+
+@query(
+    "join_lateral",
+    oracle="""
+SELECT n_name, o_orderkey, o_totalprice
+FROM nation,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey = n_nationkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+""",
+    tags=("join", "lateral"),
+)
+def join_lateral(spark, sf_dir):
+    """LATERAL correlated subquery in FROM (top-2 orders per nation).
+    Spark 3.2+ supports lateral subqueries in SQL; Catalyst decorrelates
+    to a window + filter, which is also the scalable hand-written form."""
+    register_views(spark, sf_dir, ("nation", "orders", "customer"))
+    return spark.sql(
+        """
+        SELECT n_name, o_orderkey, o_totalprice
+        FROM nation,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey = n_nationkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )

@@ -1,0 +1,87 @@
+"""Spark session + test-table helpers shared by the query corpus, tests
+and bench.
+
+Scale notes (100 TB design stance)
+----------------------------------
+Everything here is declarative DataFrame/SQL: Catalyst gets the whole
+plan, so predicate pushdown, column pruning and partition pruning reach
+the Parquet scans for free. The knobs below are the ones that matter when
+the same code runs on a real cluster:
+
+- ``spark.sql.adaptive.enabled`` (+ coalesce/skew-join): runtime re-plan;
+  converts sort-merge joins to broadcast when a side turns out small and
+  splits skewed partitions.
+- ``spark.sql.shuffle.partitions``: sized to cores locally; on a cluster
+  this should be ~2-3x total executor cores (or left to AQE coalescing).
+- Session timezone pinned to UTC so timestamp semantics match the
+  UTC-naive timestamps of the Parquet fixtures (and the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every fixture table the driver materializes (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "arnab_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the test scale.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("ARNAB_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs needed for oracle parity on a session we did
+    not create (the driver hands us its own session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain ``spark.read.parquet`` so column
+    pruning / predicate pushdown apply (check via ``.explain``:
+    ``PushedFilters`` / ``ReadSchema``)."""
+    configure(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each fixture table as a temp view so corpus queries can
+    be written in SQL. Views are lazy plans — zero data movement."""
+    configure(spark)
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,37 @@
+"""Differential tests: every corpus query with an oracle must match the
+DuckDB oracle EXACTLY (row count + schema + order-insensitive values) —
+the same gate the driver applies at sf0.01.
+
+Runs at sf0.001 by default for speed; set ARNAB_TEST_SF_DIR to override
+(e.g. /root/testdata/sf0.01 for the driver-equivalent check).
+"""
+
+import os
+
+import pytest
+
+from arnab_spark.oracle import run_compare
+from arnab_spark.queries import all_queries
+
+TEST_SF_DIR = os.environ.get("ARNAB_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_REGISTRY = all_queries()
+_WITH_ORACLE = sorted(name for name, q in _REGISTRY.items() if q.oracle)
+_NO_ORACLE = sorted(name for name, q in _REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_match(spark, name):
+    q = _REGISTRY[name]
+    result = run_compare(spark, name, q.fn, q.oracle, TEST_SF_DIR)
+    assert result.ok, str(result)
+
+
+@pytest.mark.parametrize("name", _NO_ORACLE)
+def test_runs_and_returns_rows(spark, name):
+    """Queries without an oracle (approx sketches, sampling, mapInPandas
+    plumbing) still must run and produce a stable schema."""
+    q = _REGISTRY[name]
+    df = q.fn(spark, TEST_SF_DIR)
+    assert df.columns, f"{name}: no columns"
+    assert df.count() >= 0
