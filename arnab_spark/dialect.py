@@ -1,0 +1,43 @@
+"""DuckDB → Spark SQL dialect shim.
+
+The reference passes model SQL verbatim to DuckDB (reference:
+node.rs:176), so reference-style models are written in DuckDB's dialect.
+Spark SQL covers almost all of it natively (SURVEY.md §2.B); this module
+rewrites the handful of purely syntactic gaps so those models run
+unchanged. Semantic gaps (ASOF JOIN, DISTINCT ON, QUALIFY, EXCLUDE) have
+documented DataFrame rewrites in the query corpus instead — rewriting
+arbitrary SQL for those would require a full parser, which we refuse on
+correctness grounds (a wrong silent rewrite is worse than a clear error).
+"""
+
+from __future__ import annotations
+
+import re
+
+# DuckDB allows zero-argument count() (used by the reference's example
+# model, reference: examples/basic/orders_per_product.sql:2).
+_COUNT_ZERO_ARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+
+# read_parquet('path') / read_csv_auto('path') / read_json_auto('path')
+# → Spark's direct-file-query syntax: parquet.`path` / csv.`path` / ...
+_READ_FUNC = re.compile(
+    r"\bread_(parquet|csv|csv_auto|json|json_auto)\s*\(\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+_FORMAT_MAP = {
+    "parquet": "parquet",
+    "csv": "csv",
+    "csv_auto": "csv",
+    "json": "json",
+    "json_auto": "json",
+}
+
+
+def transpile_statement(sql: str) -> str:
+    """Apply the syntactic DuckDB→Spark rewrites to one statement."""
+    sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
+    sql = _READ_FUNC.sub(
+        lambda m: f"{_FORMAT_MAP[m.group(1).lower()]}.`{m.group(2)}`", sql
+    )
+    return sql

@@ -1,0 +1,234 @@
+"""Model node: source rendering, dependency population, statement
+execution (reference: src/node.rs).
+
+A node is one ``.sql`` model file. Life cycle (reference: node.rs:62-107
+``render_and_populate_refs`` then node.rs:125-207
+``execute_sql_statements``):
+
+1. strip comments → 2. concat macros + source and Jinja-render with an
+EMPTY context (only ``{% macro %}`` definitions and their calls expand —
+no vars, no ``ref()``; reference: node.rs:100-106) → 3. extract
+referenced relations and intersect with known model ids → 4. at run
+time: split statements, validate exactly one record-returning statement,
+wrap it in the materialization DDL, execute via ``spark.sql``.
+
+The Spark materialization mapping (reference: node.rs:156-174):
+
+- ``view``  → ``CREATE OR REPLACE TEMP VIEW {id} AS (...)`` — a lazy
+  plan; chained views collapse into one Catalyst plan, so filters cross
+  model boundaries (the reference gets this via DuckDB view inlining).
+- ``table`` → execute the SELECT and write Parquet under
+  ``{db_path}/{id}`` (overwrite), then register a view over the Parquet.
+  This persists across sessions like the reference's file-backed DuckDB
+  catalog (reference: main.rs:126-132), and at scale gives downstream
+  models a pruned columnar scan instead of a recomputation.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+
+from arnab_spark.depparse import get_sql_references
+from arnab_spark.dialect import transpile_statement
+from arnab_spark.errors import ArnabError, StatementExecutionError
+
+_BLOCK_COMMENT = re.compile(r"/\*[\s\S]*?\*/")
+
+
+class NodeKind(Enum):
+    """Reference: node.rs:17-22 — only Sql is implemented there; PYTHON
+    was commented out pending "how to pass data to-from python", a
+    blocker that evaporates on PySpark (a Python model is a function
+    returning a DataFrame)."""
+
+    SQL = "sql"
+    PYTHON = "python"
+
+
+@dataclass
+class NodeExecutionResult:
+    """Reference: node.rs:24-26 ``NodeExecutionResult::Sql{n_rows}``."""
+
+    n_rows: int | None = None  # None for views (no action executed)
+    materialize: str = "view"
+
+
+@dataclass
+class Node:
+    """Reference: node.rs:29-38."""
+
+    path: str
+    id: str
+    raw_src: str
+    rendered_src: str = ""
+    prevs: set[str] = field(default_factory=set)
+    nexts: set[str] = field(default_factory=set)
+    kind: NodeKind = NodeKind.SQL
+    materialize: str = "view"
+    python_fn: object | None = None  # PYTHON models: (spark) -> DataFrame
+
+    # -- rendering ---------------------------------------------------
+
+    @staticmethod
+    def strip_comments(src: str) -> str:
+        """Drop ``--`` line comments and ``/* ... */`` blocks
+        (reference: node.rs:68-77)."""
+        lines = [ln for ln in src.splitlines() if not ln.lstrip().startswith("--")]
+        return _BLOCK_COMMENT.sub("", "\n".join(lines))
+
+    def render(self, macro_sources: dict[str, str], known_ids: set[str]) -> None:
+        """Render macros and populate ``prevs``
+        (reference: node.rs:62-107 ``render_and_populate_refs``)."""
+        cleaned = self.strip_comments(self.raw_src)
+        combined = "\n".join(list(macro_sources.values()) + [cleaned])
+        try:
+            import jinja2
+
+            env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+            rendered = env.from_string(combined).render()  # empty context
+        except ImportError:  # pragma: no cover - jinja2 is available here
+            rendered = combined
+        except Exception as exc:
+            raise ArnabError(f"macro rendering failed for {self.path}: {exc}") from exc
+        self.rendered_src = rendered
+        self.prevs = get_sql_references(rendered) & known_ids
+
+    # -- execution ---------------------------------------------------
+
+    @staticmethod
+    def split_statements(src: str) -> list[str]:
+        """Split on ``;`` outside string literals (improves on the
+        reference's naive split, node.rs:127-131, which breaks on ';'
+        inside strings — SURVEY.md §7 risk register)."""
+        stmts, buf, in_str = [], [], False
+        i, n = 0, len(src)
+        while i < n:
+            ch = src[i]
+            if in_str:
+                buf.append(ch)
+                if ch == "'":
+                    if i + 1 < n and src[i + 1] == "'":
+                        buf.append(src[i + 1])
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+                buf.append(ch)
+            elif ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            i += 1
+        stmts.append("".join(buf))
+        return [s.strip() for s in stmts if s.strip()]
+
+    @staticmethod
+    def will_produce_records(stmt: str) -> bool:
+        """First 50 chars, uppercased, starts with SELECT or WITH
+        (reference: node.rs:112-123)."""
+        head = stmt[:50].upper().lstrip()
+        return head.startswith("SELECT") or head.startswith("WITH")
+
+    def materialization_sql(self, select_stmt: str, db_path: str | None) -> tuple[str, str | None]:
+        """Wrap the record-returning statement per the materialization
+        (reference: node.rs:156-174). Returns (ddl_or_select, parquet_path):
+        for views, a CREATE TEMP VIEW DDL; for tables, the bare SELECT
+        plus the Parquet destination the caller writes to."""
+        if self.materialize == "view":
+            return f"CREATE OR REPLACE TEMPORARY VIEW {self.id} AS ({select_stmt})", None
+        if self.materialize == "table":
+            if not db_path:
+                raise ArnabError(
+                    f"model {self.id}: materialize=table requires db_path (warehouse dir)"
+                )
+            return select_stmt, f"{db_path}/{self.id}"
+        raise ArnabError(
+            f"unknown materialization '{self.materialize}' for model {self.id}"
+        )  # reference: node.rs:170-173
+
+    def execute(self, spark, db_path: str | None) -> NodeExecutionResult:
+        """Run the model (reference: node.rs:125-207). Non-record
+        statements (SET etc.) run first; the single record-returning
+        statement is materialized."""
+        if self.kind is NodeKind.PYTHON:
+            return self._execute_python(spark, db_path)
+        statements = self.split_statements(self.rendered_src)
+        record_stmts = [s for s in statements if self.will_produce_records(s)]
+        if len(record_stmts) != 1:  # reference: node.rs:133-144
+            raise ArnabError(
+                f"model {self.id} must contain exactly one record-returning "
+                f"statement, found {len(record_stmts)}"
+            )
+        for stmt in statements:
+            stmt = transpile_statement(stmt)
+            if stmt in ("", ";"):
+                continue  # reference skips "No statement to prepare" (node.rs:193-198)
+            try:
+                if self.will_produce_records(stmt):
+                    wrapped, parquet_path = self.materialization_sql(stmt, db_path)
+                    if parquet_path is None:
+                        spark.sql(wrapped)
+                    else:
+                        df = spark.sql(stmt)
+                        df.write.mode("overwrite").parquet(parquet_path)
+                        spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
+                else:
+                    spark.sql(stmt)
+            except ArnabError:
+                raise
+            except Exception as exc:
+                raise StatementExecutionError(str(exc), stmt, self.path) from exc
+        if self.materialize == "table":
+            # row-count readback (reference: node.rs:179-189)
+            return NodeExecutionResult(spark.table(self.id).count(), "table")
+        return NodeExecutionResult(None, "view")
+
+    def _execute_python(self, spark, db_path: str | None) -> NodeExecutionResult:
+        """PYTHON model kind: the function returns a DataFrame which is
+        materialized exactly like a SQL model's SELECT (unblocks the
+        reference's abandoned plan, node.rs:19-20)."""
+        if self.python_fn is None:
+            raise ArnabError(f"python model {self.id} has no callable")
+        try:
+            df = self.python_fn(spark)
+        except Exception as exc:
+            raise StatementExecutionError(str(exc), f"<python:{self.id}>", self.path) from exc
+        if self.materialize == "table":
+            if not db_path:
+                raise ArnabError(
+                    f"model {self.id}: materialize=table requires db_path (warehouse dir)"
+                )
+            dest = f"{db_path}/{self.id}"
+            df.write.mode("overwrite").parquet(dest)
+            spark.read.parquet(dest).createOrReplaceTempView(self.id)
+            return NodeExecutionResult(spark.table(self.id).count(), "table")
+        df.createOrReplaceTempView(self.id)
+        return NodeExecutionResult(None, "view")
+
+
+def format_elapsed(seconds: float) -> str:
+    """Human elapsed-time formatter (reference: session.rs:294-316)."""
+    if seconds < 1:
+        return f"{seconds * 1000:.0f}ms"
+    if seconds < 60:
+        return f"{seconds:.2f}s"
+    mins, secs = divmod(seconds, 60)
+    return f"{int(mins)}m{secs:.0f}s"
+
+
+class Timer:
+    """Tiny context timer for per-node status lines
+    (reference: session.rs:234-253)."""
+
+    def __enter__(self):
+        self.start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.start
+        return False

@@ -1,0 +1,217 @@
+"""End-to-end pipeline tests: the reference's demo project shape
+(reference: examples/basic/) run against local fixtures, plus graph
+semantics (toposort, cycles, duplicate ids, unknown refs, macros,
+python models, run-file, viz).
+"""
+
+import os
+import textwrap
+
+import duckdb
+import pytest
+
+from arnab_spark.config import Config, load_config
+from arnab_spark.errors import ArnabError, CyclicDependencyError, UnknownModelType
+from arnab_spark.session import Session
+from arnab_spark.viz import save_visualization
+
+SF = "/root/testdata/sf0.001"
+
+
+def write(root, rel, content):
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(textwrap.dedent(content))
+    return path
+
+
+@pytest.fixture()
+def project(tmp_path):
+    """The reference demo pipeline (examples/basic/config.yaml:1-8):
+    source model materialized as table, analytic model as view — ported
+    to local parquet via the read_parquet dialect rewrite."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/source_orders.sql",
+        f"""\
+        -- scan model (reference: examples/basic/source_orders.sql)
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM read_parquet('{SF}/lineitem.parquet')
+        """,
+    )
+    write(
+        root,
+        "models/orders_per_part.sql",
+        """\
+        SELECT l_partkey, count() AS item_count
+        FROM source_orders
+        GROUP BY l_partkey
+        """,
+    )
+    write(
+        root,
+        "config.yaml",
+        """\
+        models_dir: models
+        db_path: warehouse
+        models:
+          source_orders:
+            materialize: table
+        """,
+    )
+    return root
+
+
+def test_demo_pipeline_end_to_end(spark, project):
+    cfg = load_config(project)
+    report = Session(cfg, spark).run(quiet=True)
+    assert report.ok, report.errors
+    assert report.executed == ["source_orders", "orders_per_part"]  # topo order
+    # table materialized + row count readback (reference: node.rs:179-189)
+    assert report.results["source_orders"].n_rows == spark.table("source_orders").count()
+    assert report.results["orders_per_part"].n_rows is None  # view: lazy
+    # parquet persisted under db_path (reference: db_path persistence)
+    assert os.path.isdir(os.path.join(project, "warehouse", "source_orders"))
+    # differential check vs duckdb on the same inputs
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT l_partkey, count(*) FROM "
+        f"read_parquet('{SF}/lineitem.parquet') GROUP BY l_partkey)"
+    ).fetchone()[0]
+    assert spark.table("orders_per_part").count() == expected
+
+
+def test_macro_rendering(spark, tmp_path):
+    root = str(tmp_path)
+    write(
+        root,
+        "macros/m.sql",
+        """\
+        {% macro price_bucket(col) %}
+        CASE WHEN {{ col }} > 100000 THEN 'big' ELSE 'small' END
+        {% endmacro %}
+        """,
+    )
+    write(
+        root,
+        "models/buckets.sql",
+        f"""\
+        SELECT o_orderkey, {{{{ price_bucket('o_totalprice') }}}} AS bucket
+        FROM read_parquet('{SF}/orders.parquet')
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\nmacro_path: macros\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    assert spark.table("buckets").select("bucket").distinct().count() == 2
+
+
+def test_python_model_kind(spark, tmp_path):
+    """PYTHON model kind — the reference's abandoned roadmap item
+    (node.rs:19-20), natural on PySpark."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/base.sql",
+        f"SELECT * FROM read_parquet('{SF}/nation.parquet')",
+    )
+    write(
+        root,
+        "models/enriched.py",
+        """\
+        DEPENDS = ["base"]
+
+        def model(spark):
+            from pyspark.sql import functions as F
+            return spark.table("base").withColumn("n_upper", F.upper("n_name"))
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    assert report.executed == ["base", "enriched"]
+    assert spark.table("enriched").filter("n_upper != n_name").count() >= 0
+    assert "n_upper" in spark.table("enriched").columns
+
+
+def test_cycle_detection(spark, tmp_path):
+    root = str(tmp_path)
+    write(root, "models/a.sql", "SELECT * FROM b")
+    write(root, "models/b.sql", "SELECT * FROM a")
+    with pytest.raises(CyclicDependencyError):
+        Session(load_config(root), spark).run(quiet=True)
+
+
+def test_duplicate_model_id_rejected(spark, tmp_path):
+    root = str(tmp_path)
+    write(root, "models/x/foo.sql", "SELECT 1")
+    write(root, "models/y/foo.sql", "SELECT 2")
+    with pytest.raises(ArnabError, match="duplicate model id"):
+        Session(load_config(root), spark).build_graph()
+
+
+def test_unknown_model_type_rejected(spark, tmp_path):
+    root = str(tmp_path)
+    write(root, "models/readme.txt", "not sql")
+    with pytest.raises(UnknownModelType):
+        Session(load_config(root), spark).build_graph()
+
+
+def test_unknown_reference_is_not_a_dep(spark, tmp_path):
+    """References to non-model relations are excluded from the graph
+    (reference: session.rs:146-153 warns and continues)."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/solo.sql",
+        f"SELECT * FROM read_parquet('{SF}/region.parquet') JOIN nonexistent_thing USING (x)",
+    )
+    session = Session(load_config(root), spark)
+    order = session.build_graph()
+    assert order == ["solo"] and session.nodes["solo"].prevs == set()
+
+
+def test_errors_collected_not_fatal(spark, tmp_path):
+    """Execution errors don't abort the run and the process reports them
+    (reference: session.rs:258-278 returns Ok after printing)."""
+    root = str(tmp_path)
+    write(root, "models/good.sql", "SELECT 1 AS x")
+    write(root, "models/bad.sql", "SELECT * FROM this_table_does_not_exist_anywhere")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert "good" in report.executed
+    assert "bad" in report.errors and not report.ok
+
+
+def test_one_select_validation(spark, tmp_path):
+    root = str(tmp_path)
+    write(root, "models/two.sql", "SELECT 1; SELECT 2")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert "two" in report.errors
+    assert "exactly one record-returning" in str(report.errors["two"])
+
+
+def test_engine_settings_applied(spark, tmp_path):
+    root = str(tmp_path)
+    write(root, "models/one.sql", "SELECT 1 AS x")
+    write(
+        root,
+        "config.yaml",
+        "models_dir: models\nspark_settings:\n  spark.sql.shuffle.partitions: '17'\n",
+    )
+    Session(load_config(root), spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+    spark.conf.set("spark.sql.shuffle.partitions", "32")  # restore
+
+
+def test_viz_svg(tmp_path):
+    root = str(tmp_path)
+    write(root, "models/a.sql", "SELECT 1 AS x")
+    write(root, "models/b.sql", "SELECT * FROM a")
+    session = Session(Config(models_dir=os.path.join(root, "models")))
+    out = save_visualization(session, os.path.join(root, "dag"))
+    assert out.endswith(".svg") and os.path.exists(out)
+    svg = open(out).read()
+    assert "<svg" in svg and ">a<" in svg and ">b<" in svg and "<line" in svg
+    dot = session.to_dot()
+    assert "digraph LR {" in dot and "a -> b;" in dot  # reference: graphviz.rs:31

@@ -1,0 +1,125 @@
+"""Unit tests for the orchestrator core, mirroring and extending the
+reference's own tests (reference: src/node.rs:274-295) per SURVEY.md §5.
+"""
+
+import pytest
+
+from arnab_spark.depparse import get_sql_references
+from arnab_spark.dialect import transpile_statement
+from arnab_spark.errors import ArnabError
+from arnab_spark.node import Node, format_elapsed
+
+
+# --- dependency extraction (reference tests node.rs:280-294) ---------
+
+def test_get_ref():
+    # reference: node.rs:280-284 `get_ref`
+    assert get_sql_references("SELECT * FROM abc") == {"abc"}
+
+
+def test_get_ref_subtable():
+    # reference: node.rs:286-294 `get_ref_subtable` — derived subquery +
+    # comma join
+    sql = "SELECT * FROM (SELECT a, b FROM my_sub_table), my_table"
+    assert get_sql_references(sql) == {"my_sub_table", "my_table"}
+
+
+def test_get_ref_joins_and_ctes():
+    sql = """
+    WITH cte1 AS (SELECT * FROM base_model)
+    SELECT * FROM cte1
+    JOIN other_model ON cte1.id = other_model.id
+    LEFT JOIN third ON third.id = cte1.id
+    """
+    refs = get_sql_references(sql)
+    assert {"base_model", "other_model", "third", "cte1"} <= refs
+    # intersect-with-known-models is what filters out the CTE name
+    assert refs & {"base_model", "other_model"} == {"base_model", "other_model"}
+
+
+def test_get_ref_ignores_strings():
+    assert get_sql_references("SELECT * FROM t WHERE x = 'FROM fake'") == {"t"}
+
+
+def test_get_ref_alias_not_collected():
+    refs = get_sql_references("SELECT * FROM real_table rt, second s")
+    assert refs == {"real_table", "second"}
+
+
+# --- comment stripping (reference: node.rs:68-77) --------------------
+
+def test_strip_comments():
+    src = "-- line comment\nSELECT 1 /* block\ncomment */ AS x\n  -- another"
+    out = Node.strip_comments(src)
+    assert "line comment" not in out and "block" not in out
+    assert "SELECT 1" in out and "AS x" in out
+
+
+# --- statement splitting (reference: node.rs:127-131, improved) ------
+
+def test_split_statements_quote_aware():
+    stmts = Node.split_statements("SELECT 'a;b' AS x; SELECT 2;")
+    assert stmts == ["SELECT 'a;b' AS x", "SELECT 2"]
+
+
+def test_split_statements_drops_empty():
+    assert Node.split_statements(";;SELECT 1;;") == ["SELECT 1"]
+
+
+# --- record classifier (reference: node.rs:112-123) ------------------
+
+def test_will_produce_records():
+    assert Node.will_produce_records("  select 1")
+    assert Node.will_produce_records("WITH t AS (SELECT 1) SELECT * FROM t")
+    assert not Node.will_produce_records("SET x = 1")
+
+
+# --- materialization rewrite (reference: node.rs:156-174) ------------
+
+def test_materialization_view():
+    n = Node(path="m.sql", id="m", raw_src="", materialize="view")
+    ddl, pq = n.materialization_sql("SELECT 1", None)
+    assert ddl == "CREATE OR REPLACE TEMPORARY VIEW m AS (SELECT 1)" and pq is None
+
+
+def test_materialization_table_requires_db_path():
+    n = Node(path="m.sql", id="m", raw_src="", materialize="table")
+    with pytest.raises(ArnabError):
+        n.materialization_sql("SELECT 1", None)
+    sql, pq = n.materialization_sql("SELECT 1", "/tmp/wh")
+    assert sql == "SELECT 1" and pq == "/tmp/wh/m"
+
+
+def test_materialization_unknown_kind():
+    n = Node(path="m.sql", id="m", raw_src="", materialize="incremental")
+    with pytest.raises(ArnabError):  # reference: node.rs:170-173
+        n.materialization_sql("SELECT 1", "/tmp/wh")
+
+
+# --- dialect shim ----------------------------------------------------
+
+def test_transpile_count_zero_arg():
+    # reference example model uses count() (examples/basic/orders_per_product.sql:2)
+    assert (
+        transpile_statement("SELECT product_name, count() AS c FROM t GROUP BY 1")
+        == "SELECT product_name, count(*) AS c FROM t GROUP BY 1"
+    )
+
+
+def test_transpile_read_parquet():
+    assert (
+        transpile_statement("SELECT * FROM read_parquet('/data/cart.parquet')")
+        == "SELECT * FROM parquet.`/data/cart.parquet`"
+    )
+    assert (
+        transpile_statement("SELECT * FROM read_csv_auto('/d/x.csv')")
+        == "SELECT * FROM csv.`/d/x.csv`"
+    )
+
+
+# --- misc ------------------------------------------------------------
+
+def test_format_elapsed():
+    assert format_elapsed(0.05).endswith("ms")
+    assert format_elapsed(5.2) == "5.20s"
+    assert format_elapsed(75) == "1m15s"
