@@ -1,1 +1,300 @@
-"""Placeholder — populated in a later milestone."""
+"""Time-series operators: AS-OF join, sessionization, time-bucketed
+windows (SURVEY.md §2.B "Joins" ASOF row; FIXTURES.md events corpus).
+
+The reference itself has no time-series operators — but its DuckDB
+dialect exposes ASOF JOIN (new in DuckDB 0.10, the pinned version), so
+the capability is reachable from a model file and belongs in the corpus.
+Spark has no native as-of join; two scalable strategies are implemented:
+
+1. union + last(ignorenulls) carry-forward window — ONE shuffle on
+   (key, ts), no row explosion; the 100 TB default.
+2. per-key ``applyInPandas`` + ``pd.merge_asof`` — Arrow-batched; wins
+   when the per-key series fits memory and the interpolation logic gets
+   more complex than carry-forward.
+
+Both are oracle-checked against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arnab_spark.queries import query
+from arnab_spark.spark_utils import load_table
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_id, s.signup_ts
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
+def _asof_inputs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    return purchases, signups
+
+
+@query("asof_join", oracle=_ASOF_ORACLE, headline=True, tags=("timeseries", "asof"))
+def asof_join(spark, sf_dir):
+    """AS-OF join via union + carry-forward: tag both sides, sort within
+    each key partition by (ts, side-priority), carry the last signup
+    forward with last(ignorenulls), keep purchase rows.
+
+    Scale: one shuffle on user_id, per-partition sort — no range
+    explosion, no broadcast requirement, skew handled by AQE. This is
+    the plan a range-bucketized join would approximate with more code.
+    """
+    purchases, signups = _asof_inputs(spark, sf_dir)
+    tagged = purchases.withColumn("_is_p", F.lit(1)).unionByName(
+        signups.select(
+            F.col("signup_id").alias("event_id"),
+            "user_id",
+            F.col("signup_ts").alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+        ).withColumn("_is_p", F.lit(0)),
+        allowMissingColumns=False,
+    )
+    # signup rows sort before purchase rows at equal ts → `>=` inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "*",
+        F.last(F.when(F.col("_is_p") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("signup_id"),
+        F.last(F.when(F.col("_is_p") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("signup_ts"),
+    )
+    return carried.filter(F.col("_is_p") == 1).select(
+        "event_id", "user_id", "ts", "value", "signup_id", "signup_ts"
+    )
+
+
+@query("asof_join_pandas", oracle=_ASOF_ORACLE, tags=("timeseries", "asof", "pandas-udf"))
+def asof_join_pandas(spark, sf_dir):
+    """AS-OF join via per-key ``applyInPandas`` + ``pd.merge_asof`` —
+    the Arrow-batched strategy (SURVEY.md §2.B ASOF row, option b).
+    Each user's series must fit in one task's memory; fine for
+    bounded-per-key series even at 100 TB total."""
+    import pandas as pd
+
+    purchases, signups = _asof_inputs(spark, sf_dir)
+    joined_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, value double, "
+        "signup_id bigint, signup_ts timestamp"
+    )
+    p_tag = purchases.withColumn("_side", F.lit("p"))
+    s_tag = signups.select(
+        F.col("signup_id").alias("event_id"),
+        "user_id",
+        F.col("signup_ts").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+    ).withColumn("_side", F.lit("s"))
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = (
+            pdf[pdf["_side"] == "p"][["event_id", "user_id", "ts", "value"]]
+            .sort_values(["ts", "event_id"])
+        )
+        right = (
+            pdf[pdf["_side"] == "s"][["event_id", "ts"]]
+            .rename(columns={"event_id": "signup_id", "ts": "signup_ts"})
+            .sort_values(["signup_ts", "signup_id"])
+        )
+        if left.empty:
+            return left.assign(signup_id=pd.Series(dtype="int64"),
+                               signup_ts=pd.Series(dtype="datetime64[us]"))
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="signup_ts", direction="backward"
+        )
+        return out
+
+    return (
+        p_tag.unionByName(s_tag)
+        .groupBy("user_id")
+        .applyInPandas(merge, schema=joined_schema)
+    )
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_gaps", oracle=_SESSION_ORACLE, headline=True, tags=("timeseries",))
+def sessionize_gaps(spark, sf_dir):
+    """Sessionization via gaps-and-islands: lag → gap flag → running sum
+    = session id → aggregate. One shuffle on user_id; the batch
+    equivalent of a stateful streaming session window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap > 1800, 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("session_value"),
+    )
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+       time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("timeseries", "window"),
+)
+def tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windows via F.window — identical bucketing to a
+    Structured Streaming job over the same source (arnab_spark.streaming
+    reuses this aggregation); DuckDB oracle via time_bucket."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+         - u.off * INTERVAL 30 MINUTE AS w_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS total_value
+FROM events, (SELECT unnest([0, 1]) AS off) u
+GROUP BY 1
+""",
+    tags=("timeseries", "window"),
+)
+def sliding_window(spark, sf_dir):
+    """Sliding windows (1 h length, 30 min slide): each event belongs to
+    2 windows. F.window does the replication natively; the oracle
+    replicates via an offset cross join."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "total_value")
+    )
+
+
+@query(
+    "session_window_native",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS w_start,
+       MAX(ts) + INTERVAL 15 MINUTE AS w_end,
+       COUNT(*) AS n
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("timeseries", "window"),
+)
+def session_window_native(spark, sf_dir):
+    """Spark's native session_window (15-min gap) in batch mode — window
+    end = last event + gap; oracle reconstructs with gaps-and-islands."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+        )
+    )

@@ -68,15 +68,32 @@ def configure(spark: SparkSession) -> SparkSession:
     not create (the driver hands us its own session)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects outright; read as raw int64 nanos instead (converted
+    # back to a microsecond timestamp in load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so column
     pruning / predicate pushdown apply (check via ``.explain``:
-    ``PushedFilters`` / ``ReadSchema``)."""
+    ``PushedFilters`` / ``ReadSchema``).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture Parquet; Spark has
+    no nanos timestamp type, so it is read as int64 nanos and floor-
+    divided to microseconds — bit-identical to DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` (µs) on the same file.
+    """
     configure(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        # integer `div`, NOT `/`: double division loses precision at
+        # ~1.7e18 ns and lands 1µs off the oracle.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
