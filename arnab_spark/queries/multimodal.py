@@ -1,1 +1,146 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal column plumbing (beyond-reference corpus, SURVEY.md §7
+M4): treat image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` operators.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(``decode_image``/``decode_audio`` raise NotImplementedError) behind a
+deterministic fake decoder — but the Spark-side plumbing is real and
+oracle-checked end to end: binary column construction, schema, Arrow
+batch iteration, per-batch feature extraction, partition-preserving
+output. Swapping the fake for PIL/ffmpeg changes ONE function.
+
+Scale notes: mapInPandas streams Arrow batches — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob
+sizes; decode cost parallelizes per partition with zero shuffle. Keep
+blobs out of shuffles: extract features first, shuffle the features.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import functions as F
+
+from arnab_spark.queries import query
+from arnab_spark.spark_utils import load_table
+
+N_FEATURES = 8
+
+
+def decode_image(data: bytes) -> "object":
+    """Real image decode — requires an imaging library not present in
+    this container. The plumbing around it (see fake_decode_features)
+    is fully tested; drop PIL in and delete the raise."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def decode_audio(data: bytes) -> "object":
+    """Real audio decode — same stub contract as decode_image."""
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def fake_decode_features(data: bytes) -> list[int]:
+    """Deterministic stand-in for decode→feature-extract: md5 the bytes
+    and expose the first N hex digits' code points as 'features'. Exists
+    so the mapInPandas pipeline has verifiable, engine-portable output."""
+    digest = hashlib.md5(data).hexdigest()
+    return [ord(digest[j]) for j in range(N_FEATURES)]
+
+
+_FEATURES_ORACLE = f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       [{", ".join(f"CAST(ascii(substr(md5(text), {j + 1}, 1)) AS BIGINT)" for j in range(N_FEATURES))}] AS features
+FROM documents
+"""
+
+
+@query("multimodal_decode_features", oracle=_FEATURES_ORACLE, tags=("multimodal", "pandas-udf"))
+def multimodal_decode_features(spark, sf_dir):
+    """Binary decode → feature extraction via mapInPandas: documents'
+    text is encoded to a binary 'blob' column (stand-in for image
+    bytes), then an Arrow-batched Python operator emits per-blob feature
+    vectors. The oracle recomputes the same features in SQL, so even the
+    Python batch path is exact-checked."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "features": blobs.map(fake_decode_features),
+                }
+            )
+
+    return d.mapInPandas(extract, schema="doc_id bigint, n_bytes bigint, features array<bigint>")
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'application/x-fake' AS mime,
+       CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+       CAST(n_chars % 48 + 1 AS BIGINT) AS height,
+       CAST(floor(octet_length(encode(text)) / (n_chars % 64 + 1)) AS BIGINT) AS stride
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark, sf_dir):
+    """Typed metadata columns alongside the opaque blob: mime, synthetic
+    width/height, derived stride — pure column expressions, no Python.
+    The pattern: metadata lives in ordinary columns so pruning/filtering
+    happens WITHOUT touching blob bytes (Parquet column projection skips
+    the blob pages entirely)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    width = (F.col("n_chars") % 64 + 1).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.lit("application/x-fake").alias("mime"),
+        width.alias("width"),
+        (F.col("n_chars") % 48 + 1).cast("bigint").alias("height"),
+        # floor() on both sides: bare CAST(a/b AS BIGINT) truncates in
+        # Spark but rounds half-even in DuckDB
+        F.floor(F.octet_length(blob).cast("bigint") / width).cast("bigint").alias("stride"),
+    )
+
+
+@query("multimodal_frame_sample", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_frame_sample(spark, sf_dir):
+    """'Video' frame sampling plumbing: treat the blob as a frame
+    container and emit every k-th chunk as a row (doc_id, frame_idx,
+    frame_bytes). Rows-only check (binary output); the row-explosion
+    shape — one blob in, few frames out, schema'd binary chunks — is the
+    real contract."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+
+    def sample_frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        chunk, stride = 32, 4  # take a 32-byte "frame" every 4 chunks
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for idx, start in enumerate(range(0, len(blob), chunk * stride)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(bytes(blob[start : start + chunk]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample_frames, schema="doc_id bigint, frame_idx int, frame_bytes binary"
+    )

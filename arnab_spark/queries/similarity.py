@@ -1,1 +1,202 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (beyond-reference
+corpus, SURVEY.md §7 M4): brute-force cosine top-k as the correctness
+baseline, and a random-hyperplane-LSH bucketed variant as the scale
+path.
+
+Exactness contract shared with :mod:`arnab_spark.queries.dedup`:
+embeddings quantize to integers (floor(x·1e7)) so every dot product and
+norm is an exact bigint sum; cosine is then a handful of IEEE-exact
+scalar ops. Ranking ties break on vec_id, so top-k is total-ordered and
+bit-identical across engines.
+
+Scale notes (100 TB):
+- brute force is O(|queries|·N): fine when the query set is small and
+  broadcastable — Catalyst turns the equi-false join into
+  broadcast-nested-loop with the tiny query side broadcast.
+- the LSH variant buckets both sides by hyperplane sign bits; the join
+  becomes an equi-join on the bucket id (shuffle on short keys), cutting
+  candidates by ~2^bits. More tables/probes trade recall for cost —
+  the plan shape stays one equi-join either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from arnab_spark.queries import query
+from arnab_spark.spark_utils import register_views
+
+DIM = 64
+_Q = 10_000_000
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_PLANES = 4  # sign bits per hash table (16 buckets)
+N_TABLES = 2  # independent hash tables (multi-probe recall boost)
+
+
+def _quant_cte(dialect: str) -> str:
+    """Shared quantize+norm CTE per dialect."""
+    if dialect == "spark":
+        return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         transform(sequence(1, {DIM}),
+           i -> CAST(floor(CAST(element_at(embedding, i) AS DOUBLE) * {_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, iv,
+         aggregate(transform(sequence(1, {DIM}), i -> element_at(iv, i) * element_at(iv, i)),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS nrm2
+  FROM q
+)
+"""
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(range(1, {DIM + 1}),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_Q}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, iv,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> iv[i] * iv[i])) AS BIGINT) AS nrm2
+  FROM q
+)
+"""
+
+
+def _dot(dialect: str, a: str, b: str) -> str:
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+    return f"CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> {a}[i] * {b}[i])) AS BIGINT)"
+
+
+def _knn_sql(dialect: str) -> str:
+    dot = _dot(dialect, "qs.iv", "c.iv")
+    return (
+        _quant_cte(dialect)
+        + f"""
+, queries AS (SELECT * FROM normed WHERE vec_id < {N_QUERIES}),
+corpus AS (SELECT * FROM normed),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({dot} AS DOUBLE)
+           / (sqrt(CAST(qs.nrm2 AS DOUBLE)) * sqrt(CAST(c.nrm2 AS DOUBLE))) AS cosine
+  FROM queries qs JOIN corpus c ON qs.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+@query("knn_cosine_brute", oracle=_knn_sql("duck"), headline=True, tags=("similarity",))
+def knn_cosine_brute(spark, sf_dir):
+    """Brute-force cosine top-k: tiny query side × full corpus →
+    broadcast nested-loop join, then a per-query top-k window (one
+    shuffle on query_id). The exact-answer baseline every ANN variant
+    is measured against."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_knn_sql("spark"))
+
+
+def _planes(table: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible
+    everywhere, no RNG, embedded as literals in BOTH dialects."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for i in range(DIM):
+            h = hashlib.md5(f"t{table}_plane{p}_dim{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) >= 8 else -1)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(dialect: str, table: int, iv: str) -> str:
+    """LSH bucket id for one hash table: bit p = sign of ⟨plane_p, iv⟩
+    (exact int sums). Plane signs are inlined as literal arrays."""
+    terms = []
+    for p, row in enumerate(_planes(table)):
+        lit = (
+            "array(" + ", ".join(map(str, row)) + ")"
+            if dialect == "spark"
+            else "[" + ", ".join(map(str, row)) + "]"
+        )
+        if dialect == "spark":
+            proj = (
+                f"aggregate(zip_with({lit}, {iv}, (s, x) -> s * x), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        else:
+            proj = (
+                f"CAST(list_sum(list_transform(range(1, {DIM + 1}), "
+                f"i -> ({lit})[i] * {iv}[i])) AS BIGINT)"
+            )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _ann_sql(dialect: str) -> str:
+    dot = _dot(dialect, "qs.iv", "c.iv")
+    # one (vec, table, bucket) row per hash table — candidates share a
+    # bucket in ANY table, but the join stays a pure equi-join on
+    # (table_id, bucket) (an OR of buckets would be a nested loop)
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, iv, nrm2, {t} AS table_id, "
+        f"{_bucket_expr(dialect, t, 'n.iv')} AS bucket FROM normed n"
+        for t in range(N_TABLES)
+    )
+    return (
+        _quant_cte(dialect)
+        + f"""
+, bucketed AS (
+{per_table}
+),
+queries AS (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}),
+cands AS (
+  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM queries qs JOIN bucketed c
+    ON qs.table_id = c.table_id AND qs.bucket = c.bucket AND qs.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST({dot} AS DOUBLE)
+           / (sqrt(CAST(qs.nrm2 AS DOUBLE)) * sqrt(CAST(c.nrm2 AS DOUBLE))) AS cosine
+  FROM cands cd
+  JOIN normed qs ON cd.query_id = qs.vec_id
+  JOIN normed c ON cd.neighbor_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+@query("ann_lsh_bucketed", oracle=_ann_sql("duck"), tags=("similarity", "lsh"))
+def ann_lsh_bucketed(spark, sf_dir):
+    """Approximate nearest neighbors: multi-table random-hyperplane LSH
+    (2 tables × 4 sign bits), candidates = vectors sharing a bucket in
+    ANY table — kept as a pure equi-join on (table_id, bucket), then
+    exact cosine + top-k on candidates only. The all-pairs scan becomes
+    a shuffle on short keys — the structure that survives a
+    1000-executor scale-up. Recall tunes via tables/bits, never by
+    changing the plan shape (measured recall@5 asserted in tests)."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_ann_sql("spark"))
