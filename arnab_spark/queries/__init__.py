@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: decimal type wide enough for sums over ~1e9 rows of money-sized values
-DEC = "decimal(23,6)"
+DEC = "decimal(18,6)"
 
 
 @dataclass(frozen=True)

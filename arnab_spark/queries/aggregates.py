@@ -23,13 +23,13 @@ _PRICING_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(23,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -64,7 +64,7 @@ def agg_pricing_summary(spark, sf_dir):
     "agg_having",
     oracle="""
 SELECT o_custkey, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6))) AS DOUBLE) AS total_spend
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING COUNT(*) >= 5
@@ -111,7 +111,7 @@ def agg_count_distinct_multi(spark, sf_dir):
     "agg_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -178,7 +178,7 @@ def agg_grouping_sets(spark, sf_dir):
 SELECT l_returnflag,
        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
        COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -192,7 +192,7 @@ def agg_filter_clause(spark, sf_dir):
         SELECT l_returnflag,
                COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
                COUNT(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(23,6))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS taxed_price
         FROM lineitem
         GROUP BY l_returnflag
         """
@@ -271,8 +271,8 @@ def agg_collect_set_array(spark, sf_dir):
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -293,7 +293,7 @@ def agg_stats_exact(spark, sf_dir):
     s = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)"))
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)"))
         .cast("double")
         .alias("sxx"),
     )
@@ -363,8 +363,8 @@ def agg_arg_minmax(spark, sf_dir):
     "agg_pivot",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
 FROM lineitem
 GROUP BY l_returnflag
 """,

@@ -20,7 +20,7 @@ from arnab_spark.spark_utils import load_table, register_views
 
 _STAR_ORACLE = """
 SELECT n_name, r_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -57,7 +57,7 @@ def join_star_revenue(spark, sf_dir):
     "join_left_outer",
     oracle="""
 SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(23,6))), 0) AS DOUBLE) AS spend
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS spend
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """,

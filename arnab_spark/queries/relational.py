@@ -341,7 +341,7 @@ def cte_chain(spark, sf_dir):
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c
 WHERE c_acctbal > (
-  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
 )
 """,
@@ -357,7 +357,7 @@ def scalar_subquery_correlated(spark, sf_dir):
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
         WHERE c_acctbal > (
-          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(23,6))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
         )
         """

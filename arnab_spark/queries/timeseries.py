@@ -155,7 +155,7 @@ numbered AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS session_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -192,7 +192,7 @@ def sessionize_gaps(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("session_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
     )
 
 
@@ -203,7 +203,7 @@ SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
        time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
        event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """,
@@ -219,7 +219,7 @@ def tumbling_window(spark, sf_dir):
         e.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),
@@ -237,7 +237,7 @@ def tumbling_window(spark, sf_dir):
 SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
          - u.off * INTERVAL 30 MINUTE AS w_start,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(23,6))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events, (SELECT unnest([0, 1]) AS off) u
 GROUP BY 1
 """,
@@ -253,7 +253,7 @@ def sliding_window(spark, sf_dir):
         e.groupBy(win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(23,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("w_start"), "n", "total_value")
     )

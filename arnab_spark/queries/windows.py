@@ -91,10 +91,10 @@ def window_navigation(spark, sf_dir):
     "window_running_frame",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_spend,
        COUNT(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
@@ -107,7 +107,7 @@ def window_running_frame(spark, sf_dir):
     plus an unordered full-partition count. Decimal accumulation keeps the
     running double sums bit-identical to the oracle."""
     o = load_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(23,6)")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
@@ -124,7 +124,7 @@ def window_running_frame(spark, sf_dir):
     "window_range_frame",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(23,6)))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
             OVER (PARTITION BY l_suppkey ORDER BY l_quantity
                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_band_sum
 FROM lineitem
@@ -146,7 +146,7 @@ def window_range_frame(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.sum(F.col("l_quantity").cast("decimal(23,6)")).over(w).cast("double").alias(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double").alias(
             "qty_band_sum"
         ),
     )

@@ -1,0 +1,17 @@
+"""Structured Streaming extensions (SURVEY.md §7 M5).
+
+The reference is strictly batch (single-shot run loop, reference:
+session.rs:203-256; no streaming concept anywhere) — this module is a
+pure extension. Design rule: every streaming aggregation REUSES the
+batch corpus logic (same bucketing as queries/timeseries.py), so batch
+backfill and streaming tail produce byte-identical results — the
+lambda-architecture guarantee for free.
+"""
+
+from arnab_spark.streaming.jobs import (
+    run_stream_to_memory,
+    stream_sessionized,
+    stream_tumbling_counts,
+)
+
+__all__ = ["stream_tumbling_counts", "stream_sessionized", "run_stream_to_memory"]

@@ -1,0 +1,103 @@
+"""Streaming jobs over the events table.
+
+Local smoke path: parquet source dir → readStream → windowed agg →
+memory sink, driven to completion with processAllAvailable() (the
+pattern from the public Spark docs for deterministic tests). In
+production the source line changes to Kafka and the sink to a
+Delta/parquet writer — the transformation graph is identical.
+
+Scale notes: watermarks bound state (late rows beyond 10 min are
+dropped instead of growing the state store); windowed aggs shuffle on
+(window, key) like their batch twins; session windows use Spark's
+native session_window state merging.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arnab_spark.spark_utils import configure
+
+# events.parquet stores TIMESTAMP(NANOS) (see spark_utils.load_table);
+# the stream reader gets the same int64-nanos treatment.
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file stream source requires a *directory* to monitor; the
+    fixtures are read-only single files, so stage a symlink dir (this is
+    exactly the drop-zone layout a production file stream would watch)."""
+    configure(spark)
+    stage = os.path.join(
+        "/tmp", "arnab_stream_src", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stage)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows with a 10-minute watermark — the
+    streaming twin of queries/timeseries.py::tumbling_window (same
+    window fn → same buckets as the batch/oracle-checked query)."""
+    events = _read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (15-min gap) over the stream — the
+    streaming twin of queries/timeseries.py::session_window_native."""
+    events = _read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming frame to completion against the in-memory sink
+    and return the materialized result as a batch DataFrame."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

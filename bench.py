@@ -1,0 +1,67 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the headline corpus queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on one long-lived local[$SPARK_GRAFT_CPUS]
+session, timing each query end-to-end (plan + execute + materialize via
+the no-op sink, which forces full computation without driver collect).
+
+Settings follow BASELINE.md: AQE on, shuffle partitions sized to cores,
+session reused across queries so JVM/codegen warmup is paid once —
+mirroring how both the reference (one DuckDB connection per run,
+reference: main.rs:126-132) and a production deployment amortize setup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from arnab_spark.queries import all_queries
+    from arnab_spark.spark_utils import get_spark
+
+    registry = all_queries()
+    names = sorted(name for name, q in registry.items() if q.headline)
+
+    spark = get_spark("arnab_spark_bench")
+    # warm the JVM + parquet footer caches with a trivial action so the
+    # first measured query isn't charged for session warmup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Per query: run 1 warms codegen/broadcast caches (cold time kept for
+    # transparency), run 2 is the reported steady-state — the number that
+    # models a long-lived cluster where plan compilation is amortized.
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name in names:
+        q = registry[name]
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - start, 4)
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock_steady",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "cold_total": round(sum(cold.values()), 4),
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
