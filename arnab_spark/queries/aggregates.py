@@ -436,3 +436,36 @@ def agg_orders_per_product(spark, sf_dir):
         .groupBy(F.col("p_name").alias("product_name"))
         .agg(F.count(F.lit(1)).alias("item_count"))
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       median(l_quantity) AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact percentiles + median (DuckDB quantile_cont). Both engines
+    use the same linear-interpolation definition and the arithmetic is a
+    couple of IEEE ops on sorted exact values — verified bit-identical.
+    (At 100 TB prefer agg_percentile_approx: exact percentile must
+    materialize per-group sorted values.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile(l_extendedprice, 0.5) AS p50,
+               percentile(l_extendedprice, 0.25) AS p25,
+               percentile(l_extendedprice, 0.75) AS p75,
+               median(l_quantity) AS med_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
