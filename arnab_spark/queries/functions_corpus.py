@@ -393,3 +393,28 @@ def fn_hash(spark, sf_dir):
         F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
         F.octet_length("c_name").cast("bigint").alias("byte_len"),
     )
+
+
+@query("fn_nondeterministic", oracle=None, tags=("functions", "approx"))
+def fn_nondeterministic(spark, sf_dir):
+    """Nondeterministic / context functions — uuid, random, current
+    timestamp/date, monotonically_increasing_id, plus to_json round-trip
+    and make_timestamp. Rows-only check by nature (values differ per
+    invocation/engine); the deterministic families live in the oracled
+    queries."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("uuid()").alias("row_uuid"),
+        F.rand(7).alias("rnd"),
+        F.randn(7).alias("rnd_gauss"),
+        F.current_timestamp().alias("now_ts"),
+        F.current_date().alias("today"),
+        F.monotonically_increasing_id().alias("mono_id"),
+        F.spark_partition_id().alias("part_id"),
+        F.to_json(F.struct("c_custkey", "c_mktsegment")).alias("as_json"),
+        F.expr("make_timestamp(2024, 6, 1, 12, 30, 0)").alias("made_ts"),
+        F.hash("c_name").alias("spark_hash"),
+        F.xxhash64("c_name").alias("xx64"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+    )

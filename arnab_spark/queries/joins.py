@@ -255,3 +255,36 @@ def join_lateral(spark, sf_dir):
         ) t
         """
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark, sf_dir):
+    """Salting for skewed keys: aggregate on (key, salt) first — 16-way
+    fan-out of each hot key — then merge the partials per key. The
+    oracle is the plain one-level group-by, proving the two-level plan
+    is a pure re-association (decimal sums make it exact). At 100 TB
+    this caps any single reducer at 1/16th of the hottest key; the same
+    trick pre-splits a skewed join side before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = (
+        o.withColumn("_salt", (F.col("o_orderkey") % 16).cast("int"))
+        .groupBy("o_orderpriority", "_salt")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+    )
+    return salted.groupBy("o_orderpriority").agg(
+        F.sum("rev_part").cast("double").alias("revenue"),
+        F.sum("n_part").alias("n"),
+    )
