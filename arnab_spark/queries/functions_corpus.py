@@ -418,3 +418,77 @@ def fn_nondeterministic(spark, sf_dir):
         F.xxhash64("c_name").alias("xx64"),
         F.crc32(F.col("c_name").cast("binary")).alias("crc"),
     )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       len(list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)) > 0 AS has_even,
+       len(list_filter(range(1, l_linenumber + 1), x -> x > 0)) = l_linenumber AS all_pos,
+       list_transform(range(1, 4), i -> l_linenumber) AS repeated,
+       list_filter(range(1, l_linenumber + 1), x -> x <> 2) AS removed2,
+       list_filter(range(1, l_linenumber + 1), x -> NOT list_contains([2, 4, 6], x)) AS except_evens,
+       list_transform(range(1, l_linenumber + 1), x -> x + l_suppkey) AS shifted,
+       CAST(list_sum(list_transform(range(1, l_linenumber + 1),
+            x -> CASE WHEN x % 2 = 0 THEN x ELSE 0 END)) AS BIGINT) AS even_sum
+FROM lineitem
+WHERE l_orderkey <= 200
+""",
+    tags=("functions", "array"),
+)
+def fn_array_higher_order(spark, sf_dir):
+    """Higher-order array functions: exists/forall predicates,
+    array_repeat, array_remove, array_except, lambda capture of outer
+    columns (x + l_suppkey), conditional reduce. DuckDB oracle spells
+    each via list_filter/list_transform — the portable core is the
+    lambda, which both engines codegen without any UDF."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               exists(sequence(1, l_linenumber), x -> x % 2 = 0) AS has_even,
+               forall(sequence(1, l_linenumber), x -> x > 0) AS all_pos,
+               array_repeat(l_linenumber, 3) AS repeated,
+               array_remove(sequence(1, l_linenumber), 2) AS removed2,
+               array_except(sequence(1, l_linenumber), array(2, 4, 6)) AS except_evens,
+               transform(sequence(1, l_linenumber), x -> x + l_suppkey) AS shifted,
+               aggregate(sequence(1, l_linenumber), CAST(0 AS BIGINT),
+                         (acc, x) -> acc + CASE WHEN x % 2 = 0 THEN x ELSE 0 END) AS even_sum
+        FROM lineitem
+        WHERE l_orderkey <= 200
+        """
+    )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+SELECT c_custkey,
+       c_acctbal * 2 AS doubled_bal,
+       2 AS n_entries,
+       c_nationkey AS nation_val,
+       TRUE AS has_nation_key
+FROM customer
+""",
+    tags=("functions", "struct"),
+)
+def fn_map_higher_order(spark, sf_dir):
+    """Map higher-order functions: transform_values, map_entries,
+    map_concat, map_contains_key. Spark builds and manipulates real
+    maps; the oracle states the expected scalar outcomes (DuckDB's map
+    subscript returns LIST — documented dialect gap, same policy as
+    fn_struct_map)."""
+    c = load_table(spark, sf_dir, "customer")
+    m = F.map_from_arrays(
+        F.array(F.lit("bal"), F.lit("nation")),
+        F.array(F.col("c_acctbal"), F.col("c_nationkey").cast("double")),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return c.select(
+        "c_custkey",
+        F.element_at(doubled, "bal").alias("doubled_bal"),
+        F.size(F.map_entries(m)).alias("n_entries"),
+        F.element_at(m, "nation").cast("int").alias("nation_val"),
+        F.map_contains_key(m, "nation").alias("has_nation_key"),
+    )

@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the engine's pure components —
+a testing layer the reference lacks entirely (SURVEY.md §5)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arnab_spark.depparse import get_sql_references
+from arnab_spark.node import Node, format_elapsed
+
+ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,15}", fullmatch=True).filter(
+    lambda s: s.lower() not in {"from", "join", "select", "where", "as", "on", "values"}
+)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_depparse_never_crashes(sql):
+    refs = get_sql_references(sql)
+    assert isinstance(refs, set)
+
+
+@given(ident)
+@settings(max_examples=100, deadline=None)
+def test_depparse_finds_simple_from(table):
+    assert table in get_sql_references(f"SELECT * FROM {table}")
+
+
+@given(ident, ident)
+@settings(max_examples=100, deadline=None)
+def test_depparse_finds_join_pair(a, b):
+    refs = get_sql_references(f"SELECT * FROM {a} JOIN {b} ON {a}.x = {b}.x")
+    assert {a, b} <= refs
+
+
+@given(ident)
+@settings(max_examples=50, deadline=None)
+def test_depparse_ignores_names_inside_strings(table):
+    refs = get_sql_references(f"SELECT * FROM real_t WHERE c = 'FROM {table}'")
+    assert refs == {"real_t"} or table == "real_t"
+
+
+@given(st.lists(st.text(alphabet=st.characters(exclude_characters=";'"), max_size=30), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_statements_roundtrip(parts):
+    """Joining statements with ';' and re-splitting yields the non-empty
+    trimmed originals, regardless of content (quotes excluded here;
+    quote-handling has its own unit tests)."""
+    joined = ";".join(parts)
+    expected = [p.strip() for p in parts if p.strip()]
+    assert Node.split_statements(joined) == expected
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_split_statements_preserves_quoted_semicolons(payload):
+    payload = payload.replace("'", "")
+    stmt = f"SELECT '{payload};{payload}' AS x"
+    assert Node.split_statements(stmt) == [stmt]
+
+
+@given(st.floats(min_value=0, max_value=86400, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_format_elapsed_total(seconds):
+    out = format_elapsed(seconds)
+    assert out and any(out.endswith(u) for u in ("ms", "s")) and "-" not in out
