@@ -1,0 +1,30 @@
+"""Reusable DataFrame operators — the public API behind the query
+corpus.
+
+Every non-trivial algorithm the corpus demonstrates is exposed here as
+a plain ``DataFrame -> DataFrame`` function so users can apply it to
+their own tables, not just the fixtures. The corpus queries call these
+(so the DuckDB differential suite continuously verifies them), and each
+docstring states the plan shape it produces at scale.
+"""
+
+from arnab_spark.operators.relational import distinct_on, top_k_per_group
+from arnab_spark.operators.similarity import (
+    cosine_knn,
+    lsh_bucket_ids,
+    quantize_embeddings,
+)
+from arnab_spark.operators.texttools import minhash_signatures, shingle_ngrams
+from arnab_spark.operators.timeops import asof_join, sessionize
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "top_k_per_group",
+    "distinct_on",
+    "quantize_embeddings",
+    "lsh_bucket_ids",
+    "cosine_knn",
+    "shingle_ngrams",
+    "minhash_signatures",
+]

@@ -1,0 +1,130 @@
+"""Embedding similarity operators: exact-integer quantization, LSH
+bucketing, cosine top-k.
+
+The quantization trick (see queries/dedup.py docstring): elements map to
+``floor(x·1e7)`` int64, so dot products and norms are exact integer sums
+— associative in any order, bit-identical under any partitioning or AQE
+re-plan, and immune to float summation-order divergence. Quantization
+error ~1e-7/element is far below any similarity threshold in use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Q_SCALE = 10_000_000
+
+
+def quantize_embeddings(df: DataFrame, col: str, dim: int, out: str = "iv") -> DataFrame:
+    """Add ``out`` = int64-quantized embedding and ``{out}_nrm2`` = its
+    exact squared norm. Pure projection — no shuffle."""
+    iv = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.floor(F.element_at(F.col(col), i).cast("double") * Q_SCALE).cast(
+            "bigint"
+        ),
+    )
+    with_iv = df.withColumn(out, iv)
+    nrm2 = F.aggregate(
+        F.transform(F.col(out), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return with_iv.withColumn(f"{out}_nrm2", nrm2)
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_from_int(dot: Column, nrm2_a: Column, nrm2_b: Column) -> Column:
+    """Cosine from exact integer parts — two IEEE-exact sqrts, one
+    multiply, one divide: deterministic."""
+    return dot.cast("double") / (
+        F.sqrt(nrm2_a.cast("double")) * F.sqrt(nrm2_b.cast("double"))
+    )
+
+
+def _hyperplanes(table: int, n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity — no RNG, identical
+    on every engine/run."""
+    return [
+        [
+            1 if int(hashlib.md5(f"t{table}_plane{p}_dim{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_ids(
+    df: DataFrame, iv_col: str, dim: int, n_planes: int = 4, n_tables: int = 2
+) -> DataFrame:
+    """Explode each row into ``n_tables`` (table_id, bucket) rows where
+    bucket packs the sign bits of random-hyperplane projections (exact
+    integer sums). Downstream candidate generation is then a pure
+    equi-join on (table_id, bucket)."""
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p, plane in enumerate(_hyperplanes(t, n_planes, dim)):
+            lit = F.array(*[F.lit(s) for s in plane])
+            proj = F.aggregate(
+                F.zip_with(lit, F.col(iv_col), lambda s, x: s * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        tables.append(df.withColumn("table_id", F.lit(t)).withColumn("bucket", bucket))
+    out = tables[0]
+    for other in tables[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def cosine_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    iv_col: str = "iv",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row over
+    pre-quantized vectors (see quantize_embeddings). Broadcast the query
+    side when it is small — Catalyst then plans a broadcast nested loop
+    + per-query top-k window (one shuffle on query id)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(iv_col).alias("_qiv"),
+        F.col(f"{iv_col}_nrm2").alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(iv_col).alias("_civ"),
+        F.col(f"{iv_col}_nrm2").alias("_cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("_qid") != F.col("_cid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            cosine_from_int(
+                int_dot(F.col("_qiv"), F.col("_civ")), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,105 @@
+"""Time-ordered operators: as-of join, sessionization.
+
+Extracted from the corpus (queries/timeseries.py) as generic functions;
+that module's DuckDB oracles double as their differential tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None = None,
+    by: str | None = None,
+    suffix: str = "_right",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the latest right
+    row with ``right[right_on] <= left[on]``, matching ``by`` keys when
+    given — DuckDB ``ASOF LEFT JOIN`` semantics (inclusive).
+
+    Output: all left columns + each right column (except ``by``)
+    suffixed with ``suffix`` (``right_on`` included, as the matched
+    timestamp).
+
+    Plan shape at scale: union both sides, ONE shuffle on ``by``,
+    per-partition sort on (time, side-priority), carry right values
+    forward with last(ignorenulls) — no range explosion, no broadcast
+    requirement; AQE handles skewed ``by`` keys.
+    """
+    right_on = right_on or on
+    l_cols = left.columns
+    r_carry = [c for c in right.columns if c != by]
+
+    tagged_l = left.withColumn("_t", F.col(on)).withColumn("_side", F.lit(1))
+    for c in r_carry:
+        tagged_l = tagged_l.withColumn(
+            f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType)
+        )
+
+    tagged_r = right.withColumn("_t", F.col(right_on)).withColumn("_side", F.lit(0))
+    for c in r_carry:
+        tagged_r = tagged_r.withColumnRenamed(c, f"{c}{suffix}")
+    for c in l_cols:
+        if c != by:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = tagged_l.select(*tagged_l.columns).unionByName(
+        tagged_r.select(*tagged_l.columns)
+    )
+
+    # right rows sort before left rows at equal time → inclusive `<=`;
+    # `tiebreak` names a column present on both sides that orders rows
+    # sharing (by, time, side) deterministically
+    order = ["_t", "_side"] + ([tiebreak] if tiebreak else [])
+    w = (
+        (Window.partitionBy(by) if by else Window.partitionBy(F.lit(1)))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(f"{c}{suffix}")), ignorenulls=True)
+            .over(w)
+            .alias(f"_f_{c}")
+            for c in r_carry
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *l_cols, *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in r_carry]
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the previous event of the same ``key`` exceeds ``gap_seconds``.
+    Adds a ``session_id`` column (0-based per key).
+
+    Plan shape: one shuffle on ``key`` + per-partition sort — linear in
+    input, the batch twin of a session_window streaming aggregation.
+    """
+    order_cols = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w))
+    flagged = df.withColumn("_new_session", F.when(gap > gap_seconds, 1).otherwise(0))
+    return flagged.withColumn(
+        "session_id",
+        F.sum("_new_session")
+        .over(
+            Window.partitionBy(key)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint"),
+    ).drop("_new_session")

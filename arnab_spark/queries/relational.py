@@ -162,16 +162,14 @@ ORDER BY o_custkey, o_totalprice DESC, o_orderkey
 def distinct_on(spark, sf_dir):
     """DuckDB's DISTINCT ON → the classic Spark rewrite:
     row_number() over (partition by key order by ...) = 1.
-    One shuffle on the key; at scale this beats a self-join-on-max."""
+    One shuffle on the key; at scale this beats a self-join-on-max.
+    Implemented by the reusable :func:`arnab_spark.operators.distinct_on`."""
+    from arnab_spark.operators import distinct_on as distinct_on_op
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-    )
+    return distinct_on_op(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
 
 
 @query(

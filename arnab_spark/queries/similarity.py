@@ -105,9 +105,21 @@ def knn_cosine_brute(spark, sf_dir):
     """Brute-force cosine top-k: tiny query side × full corpus →
     broadcast nested-loop join, then a per-query top-k window (one
     shuffle on query_id). The exact-answer baseline every ANN variant
-    is measured against."""
-    register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(_knn_sql("spark"))
+    is measured against. Implemented by the reusable
+    :func:`arnab_spark.operators.cosine_knn` over
+    :func:`arnab_spark.operators.quantize_embeddings`."""
+    from pyspark.sql import functions as F
+
+    from arnab_spark.operators import cosine_knn, quantize_embeddings
+
+    from arnab_spark.spark_utils import load_table
+
+    e = quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings"), "embedding", DIM
+    )
+    return cosine_knn(
+        e.filter(F.col("vec_id") < N_QUERIES), e, "vec_id", "vec_id", k=TOP_K
+    )
 
 
 def _planes(table: int) -> list[list[int]]:

@@ -61,35 +61,14 @@ def asof_join(spark, sf_dir):
     Scale: one shuffle on user_id, per-partition sort — no range
     explosion, no broadcast requirement, skew handled by AQE. This is
     the plan a range-bucketized join would approximate with more code.
+    Implemented by the reusable :func:`arnab_spark.operators.asof_join`.
     """
+    from arnab_spark.operators import asof_join as asof_op
+
     purchases, signups = _asof_inputs(spark, sf_dir)
-    tagged = purchases.withColumn("_is_p", F.lit(1)).unionByName(
-        signups.select(
-            F.col("signup_id").alias("event_id"),
-            "user_id",
-            F.col("signup_ts").alias("ts"),
-            F.lit(None).cast("double").alias("value"),
-        ).withColumn("_is_p", F.lit(0)),
-        allowMissingColumns=False,
-    )
-    # signup rows sort before purchase rows at equal ts → `>=` inclusive
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "_is_p", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = tagged.select(
-        "*",
-        F.last(F.when(F.col("_is_p") == 0, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("signup_id"),
-        F.last(F.when(F.col("_is_p") == 0, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("signup_ts"),
-    )
-    return carried.filter(F.col("_is_p") == 1).select(
-        "event_id", "user_id", "ts", "value", "signup_id", "signup_ts"
-    )
+    return asof_op(
+        purchases, signups, on="ts", right_on="signup_ts", by="user_id", suffix=""
+    ).select("event_id", "user_id", "ts", "value", "signup_id", "signup_ts")
 
 
 @query("asof_join_pandas", oracle=_ASOF_ORACLE, tags=("timeseries", "asof", "pandas-udf"))
@@ -165,28 +144,17 @@ GROUP BY user_id, session_id
 def sessionize_gaps(spark, sf_dir):
     """Sessionization via gaps-and-islands: lag → gap flag → running sum
     = session id → aggregate. One shuffle on user_id; the batch
-    equivalent of a stateful streaming session window."""
+    equivalent of a stateful streaming session window. Implemented by
+    the reusable :func:`arnab_spark.operators.sessionize`."""
+    from arnab_spark.operators import sessionize
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (
-        F.unix_timestamp("ts")
-        - F.unix_timestamp(F.lag("ts").over(w))
-    )
-    flagged = e.select(
-        "user_id",
-        "ts",
-        "value",
-        F.when(gap > 1800, 1).otherwise(0).alias("new_session"),
-    )
-    numbered = flagged.withColumn(
-        "session_id",
-        F.sum("new_session")
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        .cast("bigint"),
+    numbered = sessionize(
+        e.select("user_id", "ts", "value", "event_id"),
+        key="user_id",
+        ts="ts",
+        gap_seconds=1800,
+        order_tiebreak="event_id",
     )
     return numbered.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),

@@ -1,0 +1,91 @@
+"""Differential tests for the public operators API (arnab_spark.operators)
+on their own — the corpus queries already route through most of them;
+these cover the remaining surface and generic-parameter behavior."""
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from arnab_spark.operators import (
+    asof_join,
+    minhash_signatures,
+    sessionize,
+    shingle_ngrams,
+    top_k_per_group,
+)
+from arnab_spark.oracle import compare_frames
+from arnab_spark.spark_utils import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_without_by_key(spark):
+    """Global (un-keyed) as-of: every lineitem gets the latest order on
+    or before its shipdate — checked against DuckDB's ASOF JOIN."""
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("last_ok"), F.col("o_orderdate").alias("od")
+    )
+    # make the right side's (time -> row) mapping unique so the as-of
+    # result is well-defined: keep the max orderkey per orderdate
+    o1 = top_k_per_group(o, ["od"], [F.col("last_ok").desc()], 1)
+    got = asof_join(l, o1, on="l_shipdate", right_on="od", suffix="").toPandas()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH o1 AS (
+          SELECT max(o_orderkey) AS last_ok, o_orderdate AS od
+          FROM read_parquet('{SF}/orders.parquet') GROUP BY o_orderdate
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o1.last_ok, o1.od
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        ASOF LEFT JOIN o1 ON l.l_shipdate >= o1.od
+    """).fetchdf()
+    cmp = compare_frames("asof_no_by", got, want)
+    assert cmp.ok, str(cmp)
+
+
+def test_sessionize_session_count_matches_oracle(spark):
+    e = load_table(spark, SF, "events")
+    got = (
+        sessionize(e, "user_id", "ts", 3600, order_tiebreak="event_id")
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS ns
+          FROM read_parquet('{SF}/events.parquet')
+        )
+        SELECT user_id, CAST(SUM(ns) + 1 AS BIGINT) AS n_sessions
+        FROM flagged GROUP BY user_id
+    """).fetchdf()
+    cmp = compare_frames("sessionize_counts", got, want)
+    assert cmp.ok, str(cmp)
+
+
+def test_shingle_minhash_operator_matches_corpus_sql(spark):
+    """operators.shingle_ngrams + minhash_signatures must reproduce the
+    corpus SQL signature table exactly."""
+    from arnab_spark.queries.dedup import _MINHASH_SPARK
+
+    d = load_table(spark, SF, "documents")
+    got = minhash_signatures(shingle_ngrams(d, "doc_id", "text", 3), "doc_id").toPandas()
+    d.createOrReplaceTempView("documents")
+    want = spark.sql(_MINHASH_SPARK + "SELECT doc_id, band, sig FROM sigs").toPandas()
+    cmp = compare_frames("minhash_op_vs_sql", got, want)
+    assert cmp.ok, str(cmp)
+
+
+def test_top_k_per_group_bound(spark):
+    c = load_table(spark, SF, "customer")
+    top2 = top_k_per_group(
+        c, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 2
+    )
+    sizes = top2.groupBy("c_nationkey").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 2
+    assert set(top2.columns) == set(c.columns)  # helper column dropped
