@@ -327,8 +327,8 @@ def agg_stats_native(spark, sf_dir):
     "agg_arg_minmax",
     oracle="""
 SELECT l_returnflag,
-       arg_min(l_orderkey, l_shipdate) AS first_order,
-       arg_max(l_orderkey, l_shipdate) AS last_order,
+       min(struct_pack(a := l_shipdate, b := l_orderkey)).b AS first_order,
+       max(struct_pack(a := l_shipdate, b := l_orderkey)).b AS last_order,
        MIN(l_shipdate) AS min_ship,
        MAX(l_shipdate) AS max_ship
 FROM lineitem
@@ -337,14 +337,11 @@ GROUP BY l_returnflag
     tags=("agg",),
 )
 def agg_arg_minmax(spark, sf_dir):
-    """min_by/max_by (DuckDB arg_min/arg_max). Ties broken identically
-    only if the extremum is unique — l_shipdate has ms granularity over
-    years, but to be deterministic we pick the extremum of a composite
-    that is unique per (flag, shipdate) via struct ordering.
-
-    NOTE: if shipdate ties exist, min_by is nondeterministic in BOTH
-    engines; we therefore min over a struct to force total order.
-    """
+    """arg_min/arg_max ≡ min_by/max_by via lexicographic struct min —
+    BOTH sides order by (shipdate, orderkey) so ties are broken
+    identically. (A bare arg_min(l_orderkey, l_shipdate) is
+    nondeterministic under shipdate ties in either engine — caught by
+    the sf0.01 differential run, where ties exist.)"""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
