@@ -68,6 +68,7 @@ class Node:
     nexts: set[str] = field(default_factory=set)
     kind: NodeKind = NodeKind.SQL
     materialize: str = "view"
+    unique_key: str | None = None  # incremental merge key(s), comma-separated
     python_fn: object | None = None  # PYTHON models: (spark) -> DataFrame
 
     # -- rendering ---------------------------------------------------
@@ -141,15 +142,52 @@ class Node:
         plus the Parquet destination the caller writes to."""
         if self.materialize == "view":
             return f"CREATE OR REPLACE TEMPORARY VIEW {self.id} AS ({select_stmt})", None
-        if self.materialize == "table":
+        if self.materialize in ("table", "incremental"):
             if not db_path:
                 raise ArnabError(
-                    f"model {self.id}: materialize=table requires db_path (warehouse dir)"
+                    f"model {self.id}: materialize={self.materialize} requires "
+                    f"db_path (warehouse dir)"
                 )
             return select_stmt, f"{db_path}/{self.id}"
         raise ArnabError(
             f"unknown materialization '{self.materialize}' for model {self.id}"
         )  # reference: node.rs:170-173
+
+    def _write_incremental(self, spark, df, dest: str) -> None:
+        """Incremental materialization — the reference's explicitly
+        deferred roadmap item (reference: README.md:54-58), essential at
+        100 TB where full recomputation is unaffordable.
+
+        Semantics: first run writes the full result. Later runs merge
+        into the existing Parquet: with ``unique_key``, new rows win per
+        key and untouched keys are preserved (delete+insert upsert);
+        without it, the run's rows are appended. The merge writes to a
+        staging dir then swaps, so a crashed run never truncates the
+        previous materialization. At warehouse scale the same merge runs
+        per partition (or via MERGE INTO on a lakehouse table format).
+        """
+        import os
+        import shutil
+
+        if not os.path.isdir(dest):
+            df.write.mode("overwrite").parquet(dest)
+            return
+        existing = spark.read.parquet(dest)
+        if self.unique_key:
+            keys = [k.strip() for k in self.unique_key.split(",")]
+            missing = [k for k in keys if k not in df.columns]
+            if missing:
+                raise ArnabError(
+                    f"model {self.id}: unique_key column(s) {missing} not in output"
+                )
+            survivors = existing.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+            merged = df.unionByName(survivors)
+        else:
+            merged = existing.unionByName(df)
+        staging = f"{dest}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(dest)
+        os.rename(staging, dest)
 
     def execute(self, spark, db_path: str | None) -> NodeExecutionResult:
         """Run the model (reference: node.rs:125-207). Non-record
@@ -173,6 +211,9 @@ class Node:
                     wrapped, parquet_path = self.materialization_sql(stmt, db_path)
                     if parquet_path is None:
                         spark.sql(wrapped)
+                    elif self.materialize == "incremental":
+                        self._write_incremental(spark, spark.sql(stmt), parquet_path)
+                        spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
                     else:
                         df = spark.sql(stmt)
                         df.write.mode("overwrite").parquet(parquet_path)
@@ -183,9 +224,9 @@ class Node:
                 raise
             except Exception as exc:
                 raise StatementExecutionError(str(exc), stmt, self.path) from exc
-        if self.materialize == "table":
+        if self.materialize in ("table", "incremental"):
             # row-count readback (reference: node.rs:179-189)
-            return NodeExecutionResult(spark.table(self.id).count(), "table")
+            return NodeExecutionResult(spark.table(self.id).count(), self.materialize)
         return NodeExecutionResult(None, "view")
 
     def _execute_python(self, spark, db_path: str | None) -> NodeExecutionResult:
@@ -198,15 +239,19 @@ class Node:
             df = self.python_fn(spark)
         except Exception as exc:
             raise StatementExecutionError(str(exc), f"<python:{self.id}>", self.path) from exc
-        if self.materialize == "table":
+        if self.materialize in ("table", "incremental"):
             if not db_path:
                 raise ArnabError(
-                    f"model {self.id}: materialize=table requires db_path (warehouse dir)"
+                    f"model {self.id}: materialize={self.materialize} requires "
+                    f"db_path (warehouse dir)"
                 )
             dest = f"{db_path}/{self.id}"
-            df.write.mode("overwrite").parquet(dest)
+            if self.materialize == "incremental":
+                self._write_incremental(spark, df, dest)
+            else:
+                df.write.mode("overwrite").parquet(dest)
             spark.read.parquet(dest).createOrReplaceTempView(self.id)
-            return NodeExecutionResult(spark.table(self.id).count(), "table")
+            return NodeExecutionResult(spark.table(self.id).count(), self.materialize)
         df.createOrReplaceTempView(self.id)
         return NodeExecutionResult(None, "view")
 

@@ -86,6 +86,7 @@ class Session:
                 raw_src=src,
                 kind=kind,
                 materialize=self.config.materialization_for(stem),
+                unique_key=(self.config.models.get(stem) or {}).get("unique_key"),
             )
         return nodes
 

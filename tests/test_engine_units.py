@@ -91,7 +91,9 @@ def test_materialization_table_requires_db_path():
 
 
 def test_materialization_unknown_kind():
-    n = Node(path="m.sql", id="m", raw_src="", materialize="incremental")
+    # (incremental, rejected by the reference, IS supported here —
+    # tests/test_incremental.py)
+    n = Node(path="m.sql", id="m", raw_src="", materialize="ephemeral")
     with pytest.raises(ArnabError):  # reference: node.rs:170-173
         n.materialization_sql("SELECT 1", "/tmp/wh")
 
