@@ -126,5 +126,5 @@ def cosine_knn(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(F.col("rnk") <= k)
     )

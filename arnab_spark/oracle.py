@@ -77,14 +77,19 @@ def _canon_cell(v) -> str:
 
 
 def canonicalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
-    """(sorted column names, sorted row tuples of canonical strings)."""
+    """(sorted column names, sorted row tuples of canonical strings).
+
+    Canonicalizes column-by-column (``df[c].tolist()``), NOT via
+    ``iterrows()``: row-wise iteration upcasts all-numeric rows to a
+    common float dtype, which would silently mask int-vs-float
+    divergence between the engines (e.g. DuckDB ceiling(double)→DOUBLE
+    vs Spark→BIGINT would stringify equal after upcast)."""
     cols = sorted(pdf.columns)
-    rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
-    ]
-    rows.sort()
-    return cols, rows
+    col_values = [[_canon_cell(v) for v in pdf[c].tolist()] for c in cols]
+    rows = sorted(zip(*col_values)) if col_values and col_values[0] else (
+        [] if len(pdf) == 0 else [()]
+    )
+    return cols, list(rows)
 
 
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:

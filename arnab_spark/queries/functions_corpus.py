@@ -69,13 +69,13 @@ def fn_string(spark, sf_dir):
                replace(c_name, '#', '-') AS replaced,
                c_name || '/' || c_mktsegment AS joined,
                concat_ws(':', c_name, c_mktsegment) AS joined_ws,
-               length(c_name) AS name_len,
+               CAST(length(c_name) AS BIGINT) AS name_len,
                lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
                rpad(c_mktsegment, 12, '.') AS rpadded,
                startswith(c_name, 'Customer') AS is_cust,
                endswith(c_mktsegment, 'ING') AS seg_ing,
                contains(c_name, '#') AS has_hash,
-               instr(c_name, '#') AS hash_pos,
+               CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
                left(c_name, 4) AS l4, right(c_name, 3) AS r3,
                reverse(c_mktsegment) AS seg_rev,
                repeat('ab', 3) AS reps,
@@ -83,7 +83,7 @@ def fn_string(spark, sf_dir):
                split_part(c_name, '#', 2) AS after_hash,
                ascii(c_mktsegment) AS first_code,
                chr(65 + c_custkey % 26) AS letter,
-               levenshtein(c_mktsegment, 'MACHINERY') AS lev
+               CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS lev
         FROM customer
         """
     )
@@ -125,7 +125,7 @@ SELECT o_orderkey,
        isodow(o_orderdate) AS iso_dow,
        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS spark_dow,
        hour(o_orderdate) AS h, minute(o_orderdate) AS mi, second(o_orderdate) AS s,
-       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        date_trunc('hour', o_orderdate) AS hour_start,
        strftime(o_orderdate, '%Y-%m-%d %H:%M') AS fmt,
        CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
@@ -147,12 +147,14 @@ def fn_datetime(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderkey,
-               year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
-               quarter(o_orderdate) AS q,
-               dayofyear(o_orderdate) AS doy,
+               CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(day(o_orderdate) AS BIGINT) AS d,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
                CAST(((dayofweek(o_orderdate) + 5) % 7) + 1 AS BIGINT) AS iso_dow,
                dayofweek(o_orderdate) AS spark_dow,
-               hour(o_orderdate) AS h, minute(o_orderdate) AS mi, second(o_orderdate) AS s,
+               CAST(hour(o_orderdate) AS BIGINT) AS h, CAST(minute(o_orderdate) AS BIGINT) AS mi,
+               CAST(second(o_orderdate) AS BIGINT) AS s,
                date_trunc('month', o_orderdate) AS month_start,
                date_trunc('hour', o_orderdate) AS hour_start,
                date_format(o_orderdate, 'yyyy-MM-dd HH:mm') AS fmt,
@@ -161,7 +163,7 @@ def fn_datetime(spark, sf_dir):
                o_orderdate + INTERVAL 5 DAY AS plus5d,
                o_orderdate - INTERVAL 36 HOUR AS minus36h,
                unix_timestamp(o_orderdate) AS epoch_s,
-               datediff(o_orderdate, TIMESTAMP '1995-01-01') AS days_since_95,
+               CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT) AS days_since_95,
                CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS as_date
         FROM orders
         """
@@ -173,8 +175,8 @@ def fn_datetime(spark, sf_dir):
     oracle="""
 SELECT l_orderkey, l_linenumber,
        abs(l_extendedprice - 30000) AS dist,
-       ceiling(l_quantity / 7.0) AS ceil7,
-       floor(l_quantity / 7.0) AS floor7,
+       CAST(ceiling(l_quantity / 7.0) AS BIGINT) AS ceil7,
+       CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
        CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
        l_partkey % 7 AS mod7,
        sqrt(l_quantity) AS root,
@@ -255,7 +257,7 @@ SELECT l_orderkey, l_linenumber,
        list_reverse(range(1, l_linenumber + 1)) AS rev,
        flatten([range(1, l_linenumber + 1), [9, 9]]) AS flat,
        list_slice(range(1, l_linenumber + 1), 1, 2) AS first2,
-       coalesce(list_position(range(1, l_linenumber + 1), 2), 0) AS pos2,
+       CAST(coalesce(list_position(range(1, l_linenumber + 1), 2), 0) AS BIGINT) AS pos2,
        array_to_string(range(1, l_linenumber + 1), '-') AS joined
 FROM lineitem
 WHERE l_orderkey <= 200
@@ -273,19 +275,19 @@ def fn_array(spark, sf_dir):
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        seq.alias("seq"),
-        F.element_at(seq, 1).alias("first_el"),
+        seq.cast("array<bigint>").alias("seq"),
+        F.element_at(seq, 1).cast("bigint").alias("first_el"),
         F.array_contains(seq, 3).alias("has3"),
         F.size(seq).cast("bigint").alias("n"),
-        F.transform(seq, lambda x: x * 2).alias("doubled"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.transform(seq, lambda x: x * 2).cast("array<bigint>").alias("doubled"),
+        F.filter(seq, lambda x: x % 2 == 0).cast("array<bigint>").alias("evens"),
         F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
         F.array_sort(F.array_distinct(F.array("l_linenumber", F.lit(1), "l_linenumber"))).alias(
             "uniq"
         ),
-        F.reverse(seq).alias("rev"),
-        F.flatten(F.array(seq, F.array(F.lit(9), F.lit(9)))).alias("flat"),
-        F.slice(seq, 1, 2).alias("first2"),
+        F.reverse(seq).cast("array<bigint>").alias("rev"),
+        F.flatten(F.array(seq, F.array(F.lit(9), F.lit(9)))).cast("array<bigint>").alias("flat"),
+        F.slice(seq, 1, 2).cast("array<bigint>").alias("first2"),
         F.array_position(seq, 2).alias("pos2"),
         F.array_join(seq.cast("array<string>"), "-").alias("joined"),
     )
@@ -450,8 +452,8 @@ def fn_array_higher_order(spark, sf_dir):
                exists(sequence(1, l_linenumber), x -> x % 2 = 0) AS has_even,
                forall(sequence(1, l_linenumber), x -> x > 0) AS all_pos,
                array_repeat(l_linenumber, 3) AS repeated,
-               array_remove(sequence(1, l_linenumber), 2) AS removed2,
-               array_except(sequence(1, l_linenumber), array(2, 4, 6)) AS except_evens,
+               CAST(array_remove(sequence(1, l_linenumber), 2) AS ARRAY<BIGINT>) AS removed2,
+               CAST(array_except(sequence(1, l_linenumber), array(2, 4, 6)) AS ARRAY<BIGINT>) AS except_evens,
                transform(sequence(1, l_linenumber), x -> x + l_suppkey) AS shifted,
                aggregate(sequence(1, l_linenumber), CAST(0 AS BIGINT),
                          (acc, x) -> acc + CASE WHEN x % 2 = 0 THEN x ELSE 0 END) AS even_sum

@@ -56,7 +56,7 @@ def text_token_count(spark, sf_dir):
         SELECT doc_id,
                size({t}) AS n_tokens,
                size(array_distinct({t})) AS n_unique_tokens,
-               length(text) AS n_chars_actual,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
                size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpeish,
                CAST(length(text) AS DOUBLE) / size({t}) AS chars_per_token
         FROM documents

@@ -90,8 +90,8 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rnk
@@ -191,8 +191,8 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id) AS rnk
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rnk

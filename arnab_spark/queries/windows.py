@@ -43,10 +43,10 @@ def window_ranking(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w_status).alias("rnk"),
-        F.dense_rank().over(w_status).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w_status).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_status).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
         F.cume_dist().over(w).cast("double").alias("cdist"),
     )
@@ -172,5 +172,5 @@ def qualify_topn_per_group(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select(
-        "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn")
+        "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).cast("bigint").alias("rn")
     ).filter(F.col("rn") <= 3)
