@@ -94,7 +94,9 @@ WITH words AS (
   SELECT doc_id, split(text, ' ') AS w FROM documents
 ),
 shingles AS (
-  SELECT DISTINCT doc_id, explode({_SHINGLE_SPARK}) AS shingle FROM words
+  -- no DISTINCT: MIN() is duplicate-insensitive, and deduping here
+  -- would cost a full shuffle of the widest intermediate for nothing
+  SELECT doc_id, explode({_SHINGLE_SPARK}) AS shingle FROM words
 ),
 sigw AS (
   SELECT doc_id, {_BAND_MINS} FROM shingles GROUP BY doc_id
