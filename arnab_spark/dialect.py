@@ -33,11 +33,40 @@ _FORMAT_MAP = {
     "json_auto": "json",
 }
 
+_REMOTE_CACHE = "/tmp/arnab_spark_remote_cache"
+
+
+def _resolve_path(path: str) -> str:
+    """DuckDB's read_parquet accepts plain http(s) URLs (the reference's
+    demo model does exactly this, reference:
+    examples/basic/source_orders.sql:2). An https URL is not a Hadoop
+    filesystem, so fetch it once into a content-addressed local cache
+    and scan the cached file. At warehouse scale remote data should land
+    in object storage (s3a://…, which Spark scans natively) — this shim
+    exists for reference-compatibility, not as a data-transfer path."""
+    if not path.lower().startswith(("http://", "https://")):
+        return path
+    import hashlib
+    import os
+    import urllib.request
+
+    os.makedirs(_REMOTE_CACHE, exist_ok=True)
+    suffix = os.path.splitext(path.split("?")[0])[1] or ".bin"
+    dest = os.path.join(
+        _REMOTE_CACHE, hashlib.sha256(path.encode()).hexdigest()[:24] + suffix
+    )
+    if not os.path.exists(dest):
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(path, tmp)
+        os.replace(tmp, dest)
+    return dest
+
 
 def transpile_statement(sql: str) -> str:
     """Apply the syntactic DuckDB→Spark rewrites to one statement."""
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _READ_FUNC.sub(
-        lambda m: f"{_FORMAT_MAP[m.group(1).lower()]}.`{m.group(2)}`", sql
+        lambda m: f"{_FORMAT_MAP[m.group(1).lower()]}.`{_resolve_path(m.group(2))}`",
+        sql,
     )
     return sql

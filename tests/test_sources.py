@@ -67,3 +67,26 @@ def test_partitioned_write_and_pruning(spark, tmp_path):
     assert df.count() > 0
     # partition filter must prune at planning time, not post-scan
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_read_source_write_sink_roundtrip(spark, tmp_path):
+    from arnab_spark.sources import read_source, write_sink
+
+    region = load_table(spark, SF, "region")
+    out = str(tmp_path / "rt_csv")
+    write_sink(region, "csv", out)
+    back = read_source(spark, "csv", out)
+    assert back.count() == 5 and set(back.columns) == {"r_regionkey", "r_name"}
+
+
+def test_lakehouse_formats_stubbed_clearly(spark):
+    import pytest
+
+    from arnab_spark.errors import ArnabError
+    from arnab_spark.sources import read_source
+
+    for fmt in ("delta", "iceberg", "hudi"):
+        with pytest.raises(ArnabError, match="classpath"):
+            read_source(spark, fmt, "/tmp/nope")
+    with pytest.raises(ArnabError, match="unknown source format"):
+        read_source(spark, "avro_nope", "/tmp/nope")
