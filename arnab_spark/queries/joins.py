@@ -288,3 +288,97 @@ def agg_salted_skew(spark, sf_dir):
         F.sum("rev_part").cast("double").alias("revenue"),
         F.sum("n_part").alias("n"),
     )
+
+
+@query(
+    "join_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name < n2.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "composite"),
+)
+def join_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped composite: 6-table join with the same dimension
+    (nation) joined twice under different roles, a cross-dimension
+    predicate, year extraction, revenue rollup. The twice-joined tiny
+    dim is broadcast twice — still zero extra shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.nk1)
+        .join(F.broadcast(n2), c.c_nationkey == n2.nk2)
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_large_orders_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    tags=("join", "composite"),
+)
+def join_large_orders_customers(spark, sf_dir):
+    """TPC-H Q18-shaped composite: IN-subquery over a grouped HAVING
+    (planned as a semi join against the aggregate — the aggregation runs
+    once, not per outer row), then a 3-table join + re-aggregation."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
