@@ -45,8 +45,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _get_spark(master: str | None):
+    import re
+
     from arnab_spark.spark_utils import get_spark
 
+    # bare "8" / "*" means local[N]; anything else (local[4],
+    # spark://host:7077, yarn) is a full master URL passed through
+    if master and not re.fullmatch(r"\d+|\*", master):
+        return get_spark("arnab_spark_cli", master_url=master)
     return get_spark("arnab_spark_cli", cpus=master or "*")
 
 
@@ -73,7 +79,13 @@ def cmd_run_file(args) -> int:
             with open(path, encoding="utf-8") as f:
                 src = f.read()
             for stmt in Node.split_statements(src):
-                spark.sql(transpile_statement(stmt))
+                df = spark.sql(transpile_statement(stmt, spark))
+                if Node.will_produce_records(stmt):
+                    # force full execution: spark.sql alone only analyzes
+                    # (the reference's execute_batch runs every statement,
+                    # main.rs:165) — the noop sink executes without
+                    # collecting to the driver
+                    df.write.format("noop").mode("overwrite").save()
             print(f"{path}: OK")
         except Exception as exc:
             print(f"{path}: ERROR {exc}")

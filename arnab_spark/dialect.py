@@ -62,11 +62,34 @@ def _resolve_path(path: str) -> str:
     return dest
 
 
-def transpile_statement(sql: str) -> str:
-    """Apply the syntactic DuckDB→Spark rewrites to one statement."""
+def transpile_statement(sql: str, spark=None) -> str:
+    """Apply the DuckDB→Spark rewrites to one statement.
+
+    ``read_parquet``/``read_csv``/``read_json`` map to Spark's
+    file-query syntax (``parquet.`path```). The ``*_auto`` variants
+    promise DuckDB's sniffing (header detection, type inference), which
+    the bare file-query syntax cannot honor — so when a live session is
+    available they are loaded with header/inferSchema options and
+    substituted as temp views; without a session they degrade to the
+    optionless file query (documented, headerless-string semantics).
+    """
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
-    sql = _READ_FUNC.sub(
-        lambda m: f"{_FORMAT_MAP[m.group(1).lower()]}.`{_resolve_path(m.group(2))}`",
-        sql,
-    )
-    return sql
+
+    def rewrite(m: re.Match) -> str:
+        kind = m.group(1).lower()
+        path = _resolve_path(m.group(2))
+        fmt = _FORMAT_MAP[kind]
+        if spark is not None and kind in ("csv_auto", "json_auto"):
+            import hashlib
+
+            view = "_arnab_src_" + hashlib.md5(f"{kind}|{path}".encode()).hexdigest()[:12]
+            reader = spark.read
+            if fmt == "csv":
+                df = reader.csv(path, header=True, inferSchema=True)
+            else:
+                df = reader.json(path)
+            df.createOrReplaceTempView(view)
+            return view
+        return f"{fmt}.`{path}`"
+
+    return _READ_FUNC.sub(rewrite, sql)

@@ -35,9 +35,6 @@ from arnab_spark.depparse import get_sql_references
 from arnab_spark.dialect import transpile_statement
 from arnab_spark.errors import ArnabError, StatementExecutionError
 
-_BLOCK_COMMENT = re.compile(r"/\*[\s\S]*?\*/")
-
-
 class NodeKind(Enum):
     """Reference: node.rs:17-22 — only Sql is implemented there; PYTHON
     was commented out pending "how to pass data to-from python", a
@@ -75,10 +72,39 @@ class Node:
 
     @staticmethod
     def strip_comments(src: str) -> str:
-        """Drop ``--`` line comments and ``/* ... */`` blocks
-        (reference: node.rs:68-77)."""
-        lines = [ln for ln in src.splitlines() if not ln.lstrip().startswith("--")]
-        return _BLOCK_COMMENT.sub("", "\n".join(lines))
+        """Drop ``--`` line comments (including trailing ones) and
+        ``/* ... */`` blocks, string-literal-aware (reference:
+        node.rs:68-77 strips whole lines only; a trailing ``-- join x``
+        comment would otherwise leak into dependency extraction and a
+        ``;`` inside a comment would split statements)."""
+        out: list[str] = []
+        i, n = 0, len(src)
+        in_str = False
+        while i < n:
+            ch = src[i]
+            if in_str:
+                out.append(ch)
+                if ch == "'":
+                    if i + 1 < n and src[i + 1] == "'":
+                        out.append(src[i + 1])
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+                out.append(ch)
+            elif ch == "-" and i + 1 < n and src[i + 1] == "-":
+                while i < n and src[i] != "\n":
+                    i += 1
+                continue  # keep the newline itself
+            elif ch == "/" and i + 1 < n and src[i + 1] == "*":
+                end = src.find("*/", i + 2)
+                i = n if end == -1 else end + 2
+                continue
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
 
     def render(self, macro_sources: dict[str, str], known_ids: set[str]) -> None:
         """Render macros and populate ``prevs``
@@ -203,7 +229,7 @@ class Node:
                 f"statement, found {len(record_stmts)}"
             )
         for stmt in statements:
-            stmt = transpile_statement(stmt)
+            stmt = transpile_statement(stmt, spark)
             if stmt in ("", ";"):
                 continue  # reference skips "No statement to prepare" (node.rs:193-198)
             try:

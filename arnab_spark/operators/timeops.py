@@ -91,8 +91,16 @@ def sessionize(
     """
     order_cols = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order_cols)
-    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w))
-    flagged = df.withColumn("_new_session", F.when(gap > gap_seconds, 1).otherwise(0))
+    # microsecond-exact gap: unix_timestamp() truncates to whole seconds,
+    # which would disagree with exact-timestamp semantics (and the DuckDB
+    # oracle) whenever a gap lands within 1s of the threshold on
+    # sub-second data
+    gap = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+        F.lag(F.col(ts).cast("timestamp")).over(w)
+    )
+    flagged = df.withColumn(
+        "_new_session", F.when(gap > gap_seconds * 1_000_000, 1).otherwise(0)
+    )
     return flagged.withColumn(
         "session_id",
         F.sum("_new_session")

@@ -54,7 +54,12 @@ class Session:
         if spark is not None:
             for k, v in config.engine_settings.items():
                 # reference: main.rs:135-155 (SET k=v loop, fatal on error)
-                spark.conf.set(k, str(v))
+                try:
+                    spark.conf.set(k, str(v))
+                except Exception as exc:  # e.g. CANNOT_MODIFY_CONFIG (static conf)
+                    raise ArnabError(
+                        f"failed to apply spark_settings {k}={v}: {exc}"
+                    ) from exc
 
     # -- graph build (reference: session.rs:56-181) -------------------
 
@@ -63,7 +68,9 @@ class Session:
         85-116). Non-.sql/.py files raise UnknownModelType
         (session.rs:98-104); duplicate ids error (improvement)."""
         nodes: dict[str, Node] = {}
-        pattern = os.path.join(self.config.models_dir, "**", "*.*")
+        # glob everything (not '*.*') so extension-less files hit the
+        # UnknownModelType error instead of being silently skipped
+        pattern = os.path.join(self.config.models_dir, "**", "*")
         for path in sorted(globlib.glob(pattern, recursive=True)):
             if not os.path.isfile(path):
                 continue

@@ -40,14 +40,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def get_spark(app_name: str = "arnab_spark", cpus: str | None = None) -> SparkSession:
-    """Build (or reuse) a local SparkSession tuned for the test scale.
+def get_spark(
+    app_name: str = "arnab_spark",
+    cpus: str | None = None,
+    master_url: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the test scale.
 
-    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``.
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*`` and yields
+    ``local[cpus]``; a full ``master_url`` (spark://…, yarn, local[4])
+    overrides it.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master_url or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")

@@ -47,7 +47,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -56,7 +59,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 4),
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

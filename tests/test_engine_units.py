@@ -125,3 +125,18 @@ def test_format_elapsed():
     assert format_elapsed(0.05).endswith("ms")
     assert format_elapsed(5.2) == "5.20s"
     assert format_elapsed(75) == "1m15s"
+
+
+def test_strip_comments_trailing_inline():
+    out = Node.strip_comments("SELECT * FROM b -- fallback join a\nWHERE x = 1")
+    assert "join a" not in out and "WHERE x = 1" in out
+
+
+def test_strip_comments_preserves_strings():
+    src = "SELECT '--not a comment' AS a, '/*still*/' AS b FROM t"
+    assert Node.strip_comments(src) == src
+
+
+def test_strip_comments_semicolon_in_comment():
+    out = Node.strip_comments("SELECT 1 AS x -- done; see note")
+    assert Node.split_statements(out) == ["SELECT 1 AS x"]

@@ -29,8 +29,9 @@ def test_csv_source_model(spark, tmp_path):
     (tmp_path / "config.yaml").write_text("models_dir: models\n")
     report = Session(load_config(str(tmp_path)), spark).run(quiet=True)
     assert report.ok, report.errors
-    # csv.`path` reads with header=false by default → row count includes header
-    assert spark.table("from_csv").count() >= 25
+    # *_auto variants sniff headers/types like DuckDB: 25 rows, real columns
+    assert spark.table("from_csv").count() == 25
+    assert "n_nationkey" in spark.table("from_csv").columns
 
 
 def test_json_source_reader(spark, tmp_path):
