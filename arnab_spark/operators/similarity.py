@@ -66,7 +66,7 @@ def _hyperplanes(table: int, n_planes: int, dim: int) -> list[list[int]]:
 
 
 def lsh_bucket_ids(
-    df: DataFrame, iv_col: str, dim: int, n_planes: int = 4, n_tables: int = 2
+    df: DataFrame, iv_col: str, dim: int, n_planes: int = 4, n_tables: int = 3
 ) -> DataFrame:
     """Explode each row into ``n_tables`` (table_id, bucket) rows where
     bucket packs the sign bits of random-hyperplane projections (exact

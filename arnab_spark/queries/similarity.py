@@ -31,7 +31,7 @@ _Q = 10_000_000
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 N_PLANES = 4  # sign bits per hash table (16 buckets)
-N_TABLES = 2  # independent hash tables (multi-probe recall boost)
+N_TABLES = 3  # independent hash tables (multi-probe recall boost)
 
 
 def _quant_cte(dialect: str) -> str:
@@ -204,7 +204,7 @@ FROM ranked WHERE rnk <= {TOP_K}
 @query("ann_lsh_bucketed", oracle=_ann_sql("duck"), tags=("similarity", "lsh"))
 def ann_lsh_bucketed(spark, sf_dir):
     """Approximate nearest neighbors: multi-table random-hyperplane LSH
-    (2 tables × 4 sign bits), candidates = vectors sharing a bucket in
+    (3 tables × 4 sign bits), candidates = vectors sharing a bucket in
     ANY table — kept as a pure equi-join on (table_id, bucket), then
     exact cosine + top-k on candidates only. The all-pairs scan becomes
     a shuffle on short keys — the structure that survives a

@@ -1,0 +1,38 @@
+"""Plan-audit regression tests: the optimizations SCALE.md claims must
+be visible in the physical plans, permanently."""
+
+from arnab_spark.plans import audit_plan
+from arnab_spark.queries import all_queries
+
+REG = all_queries()
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_prunes_and_pushes(spark):
+    audit = audit_plan(REG["scan_project_filter"].fn(spark, SF))
+    assert audit.scans, audit.plan_text[:500]
+    # only the 4 needed columns reach the parquet reader
+    assert audit.scanned_columns() <= {
+        "l_orderkey", "l_extendedprice", "l_shipdate", "l_quantity"
+    }
+    assert audit.has_pushed_filter("l_shipdate")
+    assert audit.has_pushed_filter("l_quantity")
+
+
+def test_star_join_broadcasts_constant_dims(spark):
+    audit = audit_plan(REG["join_star_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in audit.joins
+    # lineitem scan carries only join + measure columns
+    li = [s for s in audit.scans if "l_extendedprice" in s.read_schema]
+    assert li and "l_comment" not in li[0].read_schema
+
+
+def test_theta_join_is_broadcast_nested_loop(spark):
+    audit = audit_plan(REG["join_theta_range"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in audit.joins
+
+
+def test_pricing_single_exchange(spark):
+    """Partial aggregation: one shuffle of aggregated partials only."""
+    audit = audit_plan(REG["agg_pricing_summary"].fn(spark, SF))
+    assert audit.n_exchanges == 1, audit.plan_text[:800]
