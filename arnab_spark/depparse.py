@@ -91,6 +91,14 @@ def _skip_parens(s: str, i: int) -> int:
     return i
 
 
+# Words that cannot BE a relation name in relation position (right after
+# FROM/JOIN/comma). Deliberately much smaller than _CLAUSE_KEYWORDS: a
+# model named `order` or `window` is legal and must be collected
+# (`FROM order` — clause keywords can't legally follow FROM directly),
+# while the full set still guards the alias scan below.
+_NOT_A_RELATION = {"select", "lateral", "values", "unnest", "with"}
+
+
 def _read_relation_item(s: str, i: int, refs: set[str], allow_comma: bool) -> int:
     """Parse one from-list item at s[i:]: either a parenthesized subquery
     (skipped — its inner FROMs are scanned separately) or a relation
@@ -109,7 +117,7 @@ def _read_relation_item(s: str, i: int, refs: set[str], allow_comma: bool) -> in
             if not m:
                 return i
             name = m.group(0).strip('"')
-            if name.lower() in _CLAUSE_KEYWORDS:
+            if name.lower() in _NOT_A_RELATION:
                 return i
             refs.add(name)
             i = m.end()

@@ -187,14 +187,22 @@ class Node:
         Semantics: first run writes the full result. Later runs merge
         into the existing Parquet: with ``unique_key``, new rows win per
         key and untouched keys are preserved (delete+insert upsert);
-        without it, the run's rows are appended. The merge writes to a
-        staging dir then swaps, so a crashed run never truncates the
-        previous materialization. At warehouse scale the same merge runs
-        per partition (or via MERGE INTO on a lakehouse table format).
+        without it, the run's rows are appended. The swap sequence is
+        staging-write → rename dest aside → promote staging → drop the
+        old copy, with recovery of a crashed swap on the next run — a
+        crash at any point leaves either the old or the new
+        materialization intact, never neither. At warehouse scale the
+        same merge runs per partition (or via MERGE INTO on a lakehouse
+        table format).
         """
         import os
         import shutil
 
+        old = f"{dest}__old"
+        if not os.path.isdir(dest) and os.path.isdir(old):
+            # a previous run crashed between renames — restore the old
+            # materialization (that merge is lost, history is not)
+            os.rename(old, dest)
         if not os.path.isdir(dest):
             df.write.mode("overwrite").parquet(dest)
             return
@@ -212,8 +220,10 @@ class Node:
             merged = existing.unionByName(df)
         staging = f"{dest}__staging"
         merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(dest)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dest, old)
         os.rename(staging, dest)
+        shutil.rmtree(old, ignore_errors=True)
 
     def execute(self, spark, db_path: str | None) -> NodeExecutionResult:
         """Run the model (reference: node.rs:125-207). Non-record
@@ -229,10 +239,12 @@ class Node:
                 f"statement, found {len(record_stmts)}"
             )
         for stmt in statements:
-            stmt = transpile_statement(stmt, spark)
             if stmt in ("", ";"):
                 continue  # reference skips "No statement to prepare" (node.rs:193-198)
             try:
+                # transpile inside the try: remote fetches / csv sniffing
+                # can fail and deserve the same statement+path context
+                stmt = transpile_statement(stmt, spark)
                 if self.will_produce_records(stmt):
                     wrapped, parquet_path = self.materialization_sql(stmt, db_path)
                     if parquet_path is None:

@@ -61,17 +61,20 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry ONE struct of all right columns, not per-column lasts: a NULL
+    # inside the matched right row must stay NULL rather than falling
+    # through to an older row's value (per-column carries could even mix
+    # columns from different right rows)
+    rstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in r_carry]),
+    )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(f"{c}{suffix}")), ignorenulls=True)
-            .over(w)
-            .alias(f"_f_{c}")
-            for c in r_carry
-        ],
+        "*", F.last(rstruct, ignorenulls=True).over(w).alias("_rmatch")
     )
     return carried.filter(F.col("_side") == 1).select(
-        *l_cols, *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in r_carry]
+        *l_cols,
+        *[F.col("_rmatch").getField(c).alias(f"{c}{suffix}") for c in r_carry],
     )
 
 

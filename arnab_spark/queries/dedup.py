@@ -338,8 +338,10 @@ WHERE CAST(dot_int AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUB
 
 @query("dedup_embedding_cosine", oracle=_QUANT_DUCK, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: cosine ≥ 0.9 within label buckets
-    (IVF-style blocking — swap the label for any coarse quantizer).
+    """Embedding near-dup pairs: cosine ≥ _COSINE_THRESHOLD (0.3 here —
+    tuned to the isotropic random fixture vectors; production corpora
+    use 0.9+) within label buckets (IVF-style blocking — swap the label
+    for any coarse quantizer).
 
     Exactness: elements quantized via floor(x·1e7) → all dot products
     and norms are exact 64-bit integer sums (associative in any order,

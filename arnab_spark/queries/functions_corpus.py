@@ -364,7 +364,10 @@ def fn_json(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_num"),
-        F.get_json_object("props", "$").isNotNull().alias("valid"),
+        F.when(
+            F.col("props").isNotNull(),
+            F.get_json_object("props", "$").isNotNull(),
+        ).alias("valid"),  # NULL props -> NULL, matching DuckDB json_valid(NULL)
     )
 
 

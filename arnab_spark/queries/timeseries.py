@@ -119,7 +119,7 @@ def asof_join_pandas(spark, sf_dir):
 
 _SESSION_ORACLE = """
 WITH ordered AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
@@ -127,7 +127,7 @@ WITH ordered AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )
@@ -231,7 +231,7 @@ def sliding_window(spark, sf_dir):
     "session_window_native",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_session
@@ -239,7 +239,7 @@ WITH ordered AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )

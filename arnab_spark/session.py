@@ -102,7 +102,7 @@ class Session:
         macros: dict[str, str] = {}
         if not self.config.macro_path:
             return macros
-        for path in sorted(globlib.glob(os.path.join(self.config.macro_path, "*.*"))):
+        for path in sorted(globlib.glob(os.path.join(self.config.macro_path, "*"))):
             if os.path.isfile(path):
                 with open(path, encoding="utf-8") as f:
                     macros[path] = f.read()

@@ -89,3 +89,21 @@ def test_top_k_per_group_bound(spark):
     sizes = top2.groupBy("c_nationkey").count().agg(F.max("count")).collect()[0][0]
     assert sizes <= 2
     assert set(top2.columns) == set(c.columns)  # helper column dropped
+
+
+def test_lsh_bucket_ids_matches_corpus_sql(spark):
+    """operators.lsh_bucket_ids must produce the identical (vec, table,
+    bucket) assignment as the hand-inlined SQL in the ANN corpus query —
+    locks the two implementations together so they cannot drift."""
+    from arnab_spark.operators import lsh_bucket_ids, quantize_embeddings
+    from arnab_spark.queries.similarity import _ann_sql
+    from arnab_spark.spark_utils import register_views
+
+    e = quantize_embeddings(load_table(spark, SF, "embeddings"), "embedding", 64)
+    got = lsh_bucket_ids(e, "iv", 64).select("vec_id", "table_id", "bucket").toPandas()
+    register_views(spark, SF, ("embeddings",))
+    sql = _ann_sql("spark")
+    head = sql[: sql.index(",\nqueries AS")]
+    want = spark.sql(head + "\nSELECT vec_id, table_id, bucket FROM bucketed").toPandas()
+    cmp = compare_frames("lsh_op_vs_sql", got, want)
+    assert cmp.ok, str(cmp)

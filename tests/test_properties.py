@@ -7,8 +7,10 @@ from hypothesis import strategies as st
 from arnab_spark.depparse import get_sql_references
 from arnab_spark.node import Node, format_elapsed
 
+from arnab_spark.depparse import _CLAUSE_KEYWORDS, _NOT_A_RELATION
+
 ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,15}", fullmatch=True).filter(
-    lambda s: s.lower() not in {"from", "join", "select", "where", "as", "on", "values"}
+    lambda s: s.lower() not in (_CLAUSE_KEYWORDS | _NOT_A_RELATION | {"from", "where"})
 )
 
 
