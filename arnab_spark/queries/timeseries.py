@@ -266,3 +266,35 @@ def session_window_native(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_bucket,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (
+  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+  date_trunc('hour', CAST(ts AS TIMESTAMP))
+)
+""",
+    tags=("timeseries", "agg"),
+)
+def rollup_time_hierarchy(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: one ROLLUP pass emits
+    hourly rows, daily subtotals, and the grand total — the batch shape
+    of a continuous-aggregate hierarchy. One Expand + one shuffle,
+    regardless of how many granularities are stacked.
+
+    (DuckDB dialect note: date_trunc('day') returns DATE while ('hour')
+    returns TIMESTAMP — the day bucket is cast on both sides.)"""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day_bucket")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_bucket")
+    return e.rollup(day, hour).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
