@@ -54,11 +54,15 @@ def _canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:  # collapse -0.0 / +0.0
-            return "0"
+        if v == 0.0:  # collapse -0.0 / +0.0, but stay in float space so
+            return "0.0"  # an int-0 vs float-0 type divergence still surfaces
         # round-trippable shortest repr; 17 significant digits
         return repr(v)
     if isinstance(v, (pd.Timestamp,)):
+        # NOTE: a bare datetime.date canonicalizes to "YYYY-MM-DD" (str below)
+        # while a midnight Timestamp keeps its time part — deliberately NOT
+        # collapsed, so date-vs-timestamp type divergence between the engines
+        # surfaces here (queries must CAST both sides, see functions_corpus).
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"

@@ -69,9 +69,19 @@ def get_spark(
     return spark
 
 
+_configured_sessions: set[str] = set()
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs needed for oracle parity on a session we did
-    not create (the driver hands us its own session)."""
+    not create (the driver hands us its own session). Idempotent and
+    cached per application — load_table calls this on every read, so
+    without the guard each table load would cost 3 needless py4j
+    round-trips."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _configured_sessions:
+        return spark
+    _configured_sessions.add(app_id)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized

@@ -20,9 +20,10 @@ import time
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from arnab_spark.queries import all_queries
-    from arnab_spark.spark_utils import get_spark
+    from arnab_spark.spark_utils import DEFAULT_SF_DIR, get_spark
+
+    sf_dir = DEFAULT_SF_DIR
 
     registry = all_queries()
     names = sorted(name for name, q in registry.items() if q.headline)

@@ -34,4 +34,4 @@ def test_runs_and_returns_rows(spark, name):
     q = _REGISTRY[name]
     df = q.fn(spark, TEST_SF_DIR)
     assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: returned no rows on non-empty fixtures"
