@@ -26,14 +26,18 @@ def shingle_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 def minhash_signatures(
     shingles: DataFrame, id_col: str, n_bands: int = 8
 ) -> DataFrame:
-    """(id, band, sig) MinHash signatures: per band b, min over shingles
-    of md5(b || '|' || shingle). Computed as n_bands MIN aggregates in
-    ONE pass + stack wide→long (no bands× row blowup — see SCALE.md).
-    Docs sharing (band, sig) are near-dup candidates; join on it."""
+    """(id, band, sig) MinHash signatures: ONE sha256 per shingle, band
+    b's signature = min over shingles of digest slice b (one-permutation-
+    hashing style — each slice is an independent hash function). n_bands
+    MIN aggregates in one pass + stack wide→long: no bands× row blowup
+    and the shingle stream is hashed once, not n_bands times (see
+    SCALE.md). Docs sharing (band, sig) are near-dup candidates; join on
+    it. n_bands ≤ 8 (sha256 yields eight 32-bit hex slices)."""
+    if n_bands > 8:
+        raise ValueError("n_bands > 8 needs a second digest; sha256 has 8 slices")
+    digest = F.sha2(F.col("shingle").cast("binary"), 256)
     mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")).cast("binary"))
-        ).alias(f"m{b}")
+        F.min(F.substring(digest, b * 8 + 1, 8)).alias(f"m{b}")
         for b in range(n_bands)
     ]
     wide = shingles.groupBy(id_col).agg(*mins)

@@ -78,16 +78,17 @@ _SHINGLE_DUCK = (
     "i -> concat_ws(' ', w[i], w[least(i + 1, len(w))], w[least(i + 2, len(w))]))"
 )
 
-# Spark side computes all band-minima in ONE aggregation pass (8 MIN
-# exprs per shingle row, then stack wide→long) instead of the naive
-# bands×shingles row blowup — identical results, ~2× faster measured,
-# and at 100 TB it removes an 8× intermediate. The oracle keeps the
-# textbook cross-join formulation, which doubles as an equivalence
-# proof of the rewrite.
-_BAND_MINS = ", ".join(
-    f"MIN(md5(CAST(concat('{b}|', shingle) AS BINARY))) AS m{b}" for b in range(N_BANDS)
-)
-_BAND_STACK = ", ".join(f"{b}, m{b}" for b in range(N_BANDS))
+# Band signatures come from SLICES of ONE sha256 per shingle
+# (one-permutation-hashing style: slice b of the digest is an
+# independent hash function), computed as 8 MIN exprs in one
+# aggregation pass and stacked wide→long. vs the naive formulation this
+# removes both the bands× row blowup AND 7 of every 8 hash
+# computations — at 100 TB, hashing the shingle stream once instead of
+# 8 times is the dominant saving. 32-bit band signatures are plenty
+# for candidate generation (false candidates are re-checked by the
+# Jaccard verify stage).
+_BAND_MINS = "MIN(substr(sha2(CAST(shingle AS BINARY), 256), 1, 8)) AS m0, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 9, 8)) AS m1, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 17, 8)) AS m2, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 25, 8)) AS m3, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 33, 8)) AS m4, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 41, 8)) AS m5, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 49, 8)) AS m6, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 57, 8)) AS m7"
+_BAND_STACK = "0, m0, 1, m1, 2, m2, 3, m3, 4, m4, 5, m5, 6, m6, 7, m7"
 
 _MINHASH_SPARK = f"""
 WITH words AS (
@@ -113,14 +114,13 @@ WITH words AS (
 shingles AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM words
 ),
-bands AS (
-  SELECT unnest(range(0, {N_BANDS})) AS band
+sigw AS (
+  SELECT s.doc_id, MIN(substr(sha256(s.shingle), 1, 8)) AS m0, MIN(substr(sha256(s.shingle), 9, 8)) AS m1, MIN(substr(sha256(s.shingle), 17, 8)) AS m2, MIN(substr(sha256(s.shingle), 25, 8)) AS m3, MIN(substr(sha256(s.shingle), 33, 8)) AS m4, MIN(substr(sha256(s.shingle), 41, 8)) AS m5, MIN(substr(sha256(s.shingle), 49, 8)) AS m6, MIN(substr(sha256(s.shingle), 57, 8)) AS m7 FROM shingles s GROUP BY s.doc_id
 ),
 sigs AS (
-  SELECT s.doc_id, b.band,
-         MIN(md5(CAST(b.band AS VARCHAR) || '|' || s.shingle)) AS sig
-  FROM shingles s CROSS JOIN bands b
-  GROUP BY s.doc_id, b.band
+  SELECT doc_id, band, sig FROM sigw
+  UNPIVOT (sig FOR band_name IN (m0, m1, m2, m3, m4, m5, m6, m7))
+  , LATERAL (SELECT CAST(substr(band_name, 2) AS INTEGER) AS band) t
 )
 """
 
