@@ -215,3 +215,84 @@ def test_viz_svg(tmp_path):
     assert "<svg" in svg and ">a<" in svg and ">b<" in svg and "<line" in svg
     dot = session.to_dot()
     assert "digraph LR {" in dot and "a -> b;" in dot  # reference: graphviz.rs:31
+
+
+def test_larger_mixed_dag(spark, tmp_path):
+    """A 12-model DAG mixing every node kind and materialization:
+    parquet scans → SQL views → a macro-using model → a table → an
+    incremental model → python models → a diamond-shaped fan-in.
+    Asserts topological execution, end-state correctness vs DuckDB, and
+    that view chains stay lazy (only table/incremental count rows)."""
+    root = str(tmp_path)
+    write(root, "models/src_orders.sql",
+          f"SELECT * FROM read_parquet('{SF}/orders.parquet')")
+    write(root, "models/src_lineitem.sql",
+          f"SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    write(root, "models/big_orders.sql",
+          "SELECT * FROM src_orders WHERE o_totalprice > 100000")
+    write(root, "models/small_orders.sql",
+          "SELECT * FROM src_orders WHERE o_totalprice <= 100000")
+    write(root, "macros/m.sql",
+          "{% macro bucket(c) %}CASE WHEN {{ c }} > 25 THEN 'hi' ELSE 'lo' END{% endmacro %}")
+    write(root, "models/line_buckets.sql",
+          "SELECT l_orderkey, {{ bucket('l_quantity') }} AS qb FROM src_lineitem")
+    write(root, "models/big_rev.sql", """\
+        SELECT o_custkey, count() AS n_big
+        FROM big_orders GROUP BY o_custkey
+    """)
+    write(root, "models/small_rev.sql", """\
+        SELECT o_custkey, count() AS n_small
+        FROM small_orders GROUP BY o_custkey
+    """)
+    # diamond fan-in of the two branches
+    write(root, "models/rev_mix.sql", """\
+        SELECT b.o_custkey, n_big, n_small
+        FROM big_rev b JOIN small_rev s ON b.o_custkey = s.o_custkey
+    """)
+    write(root, "models/buckets_per_order.sql", """\
+        SELECT l_orderkey, count() AS n_hi
+        FROM line_buckets WHERE qb = 'hi' GROUP BY l_orderkey
+    """)
+    write(root, "models/summary.py", """\
+        DEPENDS = ["rev_mix", "buckets_per_order"]
+
+        def model(spark):
+            rm = spark.table("rev_mix")
+            return rm.selectExpr("o_custkey", "n_big + n_small AS n_total")
+    """)
+    write(root, "models/summary_table.sql", "SELECT * FROM summary")
+    write(root, "models/incremental_log.sql",
+          "SELECT o_custkey, n_total FROM summary")
+    write(root, "config.yaml", """\
+        models_dir: models
+        macro_path: macros
+        db_path: warehouse
+        models:
+          summary_table:
+            materialize: table
+          incremental_log:
+            materialize: incremental
+            unique_key: o_custkey
+    """)
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    assert len(report.executed) == 12
+    order = {nid: i for i, nid in enumerate(report.executed)}
+    assert order["src_orders"] < order["big_orders"] < order["big_rev"] < order["rev_mix"]
+    assert order["rev_mix"] < order["summary"] < order["summary_table"]
+    # views lazy, tables counted
+    assert report.results["rev_mix"].n_rows is None
+    assert report.results["summary_table"].n_rows is not None
+    assert report.results["incremental_log"].materialize == "incremental"
+    # end-state vs duckdb
+    expected = duckdb.sql(f"""
+        WITH big AS (SELECT o_custkey, count(*) n_big FROM read_parquet('{SF}/orders.parquet')
+                     WHERE o_totalprice > 100000 GROUP BY o_custkey),
+             small AS (SELECT o_custkey, count(*) n_small FROM read_parquet('{SF}/orders.parquet')
+                       WHERE o_totalprice <= 100000 GROUP BY o_custkey)
+        SELECT count(*) FROM big JOIN small USING (o_custkey)
+    """).fetchone()[0]
+    assert spark.table("summary_table").count() == expected
+    # second run: incremental is idempotent under identical input
+    report2 = Session(load_config(root), spark).run(quiet=True)
+    assert report2.ok and report2.results["incremental_log"].n_rows == expected
