@@ -65,3 +65,48 @@ def test_split_statements_preserves_quoted_semicolons(payload):
 def test_format_elapsed_total(seconds):
     out = format_elapsed(seconds)
     assert out and any(out.endswith(u) for u in ("ms", "s")) and "-" not in out
+
+
+# --- oracle-harness canonicalization invariants ----------------------
+
+import pandas as pd
+
+from arnab_spark.oracle import compare_frames
+
+cell = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=8),
+    st.none(),
+)
+
+
+@given(st.lists(st.tuples(cell, cell), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_compare_reflexive_and_order_insensitive(rows):
+    a = pd.DataFrame(rows, columns=["x", "y"], dtype=object)
+    b = a.iloc[::-1].reset_index(drop=True)  # reversed row order
+    assert compare_frames("refl", a, a).ok
+    assert compare_frames("perm", a, b).ok
+
+
+@given(st.lists(st.tuples(st.integers(0, 100)), min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_compare_detects_changed_cell(rows):
+    a = pd.DataFrame(rows, columns=["x"], dtype=object)
+    b = a.copy()
+    b.loc[0, "x"] = b.loc[0, "x"] + 1
+    r = compare_frames("mut", a, b)
+    assert not r.ok
+
+
+def test_compare_detects_int_float_divergence():
+    a = pd.DataFrame({"x": pd.array([3, 0], dtype="int64")})
+    b = pd.DataFrame({"x": pd.array([3.0, 0.0], dtype="float64")})
+    assert not compare_frames("intfloat", a, b).ok  # incl. the zero row
+
+
+def test_compare_detects_column_rename():
+    a = pd.DataFrame({"x": [1]})
+    b = pd.DataFrame({"y": [1]})
+    assert not compare_frames("cols", a, b).ok
