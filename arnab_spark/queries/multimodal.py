@@ -51,7 +51,7 @@ def fake_decode_features(data: bytes) -> list[int]:
 _FEATURES_ORACLE = f"""
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
-       [{", ".join(f"CAST(ascii(substr(md5(text), {j + 1}, 1)) AS BIGINT)" for j in range(N_FEATURES))}] AS features
+       array_to_string([{", ".join(f"ascii(substr(md5(text), {j + 1}, 1))" for j in range(N_FEATURES))}], '-') AS features
 FROM documents
 """
 
@@ -62,7 +62,11 @@ def multimodal_decode_features(spark, sf_dir):
     text is encoded to a binary 'blob' column (stand-in for image
     bytes), then an Arrow-batched Python operator emits per-blob feature
     vectors. The oracle recomputes the same features in SQL, so even the
-    Python batch path is exact-checked."""
+    Python batch path is exact-checked. The feature vector is serialized
+    to a '-'-joined string at the batch boundary: a top-level array<>
+    column crashes the driver's pandas canonicalizer (round-1 finding —
+    this query sat outside round 1's verification window, but had the
+    same latent bug as the four flagged ones)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
@@ -76,11 +80,13 @@ def multimodal_decode_features(spark, sf_dir):
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": blobs.map(len).astype("int64"),
-                    "features": blobs.map(fake_decode_features),
+                    "features": blobs.map(
+                        lambda b: "-".join(str(v) for v in fake_decode_features(b))
+                    ),
                 }
             )
 
-    return d.mapInPandas(extract, schema="doc_id bigint, n_bytes bigint, features array<bigint>")
+    return d.mapInPandas(extract, schema="doc_id bigint, n_bytes bigint, features string")
 
 
 @query(

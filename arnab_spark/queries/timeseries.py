@@ -234,7 +234,7 @@ WITH ordered AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_session
+                   >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 numbered AS (
@@ -254,7 +254,12 @@ GROUP BY user_id, session_id
 )
 def session_window_native(spark, sf_dir):
     """Spark's native session_window (15-min gap) in batch mode — window
-    end = last event + gap; oracle reconstructs with gaps-and-islands."""
+    end = last event + gap; oracle reconstructs with gaps-and-islands.
+    Boundary semantics: windows are [ts, ts+gap) and merge only on
+    strict overlap, so an event EXACTLY gap after its predecessor opens
+    a new session — the oracle's gap predicate is therefore >=, not >
+    (round-2 fix; was latent, the fixtures carry no exact-boundary
+    gaps)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")

@@ -84,6 +84,11 @@ def configure(spark: SparkSession) -> SparkSession:
     _configured_sessions.add(app_id)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a session left on Spark's stock 200 shuffle partitions (e.g. the
+    # driver's own) pays pure task-scheduling overhead at test scale;
+    # respect any explicitly-sized session, only replace the default
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects outright; read as raw int64 nanos instead (converted
     # back to a microsecond timestamp in load_table).
