@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arnab_spark.queries import query
-from arnab_spark.spark_utils import load_table, register_views
+from arnab_spark.spark_utils import load_table, register_spread_views
 
 N_BANDS = 8
 DIM = 64
@@ -145,7 +145,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     whole trick: near-dup discovery becomes a hash-shuffle on short
     signatures instead of an all-pairs comparison. n_shared_bands/8
     estimates Jaccard similarity."""
-    register_views(spark, sf_dir, ("documents",))
+    register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_MINHASH_SPARK + _PAIRS_TAIL)
 
 
@@ -202,7 +202,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     exact word-set Jaccard (n-gram Jaccard with n=1) confirms ≥ 0.5.
     Only candidate pairs pay the set-intersection cost — the production
     shape of fuzzy dedup at scale."""
-    register_views(spark, sf_dir, ("documents",))
+    register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_MINHASH_SPARK + _JACCARD_SPARK)
 
 
@@ -270,7 +270,7 @@ def dedup_simhash(spark, sf_dir):
     signature — near-dup clustering with NO pairwise join at all. The
     cheapest dedup at 100 TB; production would use 64 bits + banded
     Hamming probing, same plan shape."""
-    register_views(spark, sf_dir, ("documents",))
+    register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_SIMHASH_SPARK)
 
 
@@ -349,5 +349,5 @@ def dedup_embedding_cosine(spark, sf_dir):
     IEEE-exact sqrts, one multiply, one divide — bit-identical across
     engines. Quantization error ~1e-7/element is far below any sane
     dedup threshold."""
-    register_views(spark, sf_dir, ("embeddings",))
+    register_spread_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_QUANT_SPARK)

