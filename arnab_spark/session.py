@@ -52,6 +52,14 @@ class Session:
         self.spark = spark
         self.nodes: dict[str, Node] = {}
         if spark is not None:
+            # parity confs (UTC, nanos-timestamp reads, …) BEFORE user
+            # settings so config can override them; without this a model
+            # scanning events-style TIMESTAMP(NANOS) parquet fails on a
+            # fresh session unless a corpus load_table happened to run
+            # first (round-2 fix, surfaced by the QUALIFY model test)
+            from arnab_spark.spark_utils import configure
+
+            configure(spark)
             for k, v in config.engine_settings.items():
                 # reference: main.rs:135-155 (SET k=v loop, fatal on error)
                 try:

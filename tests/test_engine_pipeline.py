@@ -296,3 +296,73 @@ def test_larger_mixed_dag(spark, tmp_path):
     # second run: incremental is idempotent under identical input
     report2 = Session(load_config(root), spark).run(quiet=True)
     assert report2.ok and report2.results["incremental_log"].n_rows == expected
+
+
+def test_qualify_model_file(spark, tmp_path):
+    """A reference-style model using DuckDB's QUALIFY runs unchanged
+    (dialect rewrite → subquery + filter), and matches DuckDB's answer
+    on the same input."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/top_orders.sql",
+        f"""\
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM read_parquet('{SF}/orders.parquet')
+        QUALIFY rn <= 2
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    expected = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT o_custkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM read_parquet('{SF}/orders.parquet') QUALIFY rn <= 2)"""
+    ).fetchone()[0]
+    assert spark.table("top_orders").count() == expected
+    assert "__arnab_qualify" not in spark.table("top_orders").columns
+
+
+def test_qualify_inline_window_model_file(spark, tmp_path):
+    """QUALIFY with the window inline in the predicate (no alias)."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/latest_per_user.sql",
+        f"""\
+        SELECT user_id, event_id, ts
+        FROM read_parquet('{SF}/events.parquet')
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    expected = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert spark.table("latest_per_user").count() == expected
+
+
+def test_exclude_model_file(spark, tmp_path):
+    """A reference-style model using DuckDB's SELECT * EXCLUDE(...)."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/slim_orders.sql",
+        f"""\
+        SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
+        FROM read_parquet('{SF}/orders.parquet')
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    cols = spark.table("slim_orders").columns
+    assert "o_orderpriority" not in cols and "o_orderstatus" not in cols
+    assert "o_orderkey" in cols

@@ -113,10 +113,50 @@ def test_transpile_read_parquet():
         transpile_statement("SELECT * FROM read_parquet('/data/cart.parquet')")
         == "SELECT * FROM parquet.`/data/cart.parquet`"
     )
+    # plain read_csv (no sniffing promise) still maps without a session
     assert (
-        transpile_statement("SELECT * FROM read_csv_auto('/d/x.csv')")
+        transpile_statement("SELECT * FROM read_csv('/d/x.csv')")
         == "SELECT * FROM csv.`/d/x.csv`"
     )
+
+
+def test_transpile_csv_auto_requires_session():
+    """*_auto promises DuckDB sniffing; without a session that cannot be
+    honored — must raise, not silently degrade to headerless strings."""
+    from arnab_spark.errors import ArnabError
+
+    with pytest.raises(ArnabError, match="read_csv_auto"):
+        transpile_statement("SELECT * FROM read_csv_auto('/d/x.csv')")
+
+
+def test_transpile_star_exclude():
+    assert (
+        transpile_statement("SELECT * EXCLUDE (o_comment) FROM orders")
+        == "SELECT * EXCEPT (o_comment) FROM orders"
+    )
+    assert (
+        transpile_statement("SELECT t.* exclude(a, b) FROM t")
+        == "SELECT t.* EXCEPT(a, b) FROM t"
+    )
+    # the word elsewhere is untouched
+    sql = "SELECT 'EXCLUDE (x)' AS s FROM t"
+    assert transpile_statement(sql) == sql
+
+
+def test_transpile_qualify_alias_predicate():
+    out = transpile_statement(
+        "SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn "
+        "FROM events QUALIFY rn <= 3 ORDER BY user_id LIMIT 10"
+    )
+    assert out.startswith("SELECT * EXCEPT (__arnab_qualify) FROM (")
+    assert "(rn <= 3) AS __arnab_qualify" in out
+    assert out.rstrip().endswith("WHERE __arnab_qualify ORDER BY user_id LIMIT 10")
+
+
+def test_transpile_qualify_ignores_nested_and_strings():
+    # QUALIFY inside a subquery or a string literal is not top-level
+    sql = "SELECT * FROM (SELECT 'QUALIFY x' AS s FROM t) u"
+    assert transpile_statement(sql) == sql
 
 
 # --- misc ------------------------------------------------------------
