@@ -106,10 +106,19 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_table_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so column
     pruning / predicate pushdown apply (check via ``.explain``:
     ``PushedFilters`` / ``ReadSchema``).
+
+    The (analyzed, immutable) DataFrame is cached per session+path —
+    ``spark.read.parquet`` re-lists the directory and re-reads footers
+    for schema inference on EVERY call, which at bench scale charged
+    each query construction ~50 ms per table (a metastore table has its
+    schema cached the same way; the fixtures are read-only).
 
     ``events.ts`` is TIMESTAMP(NANOS) in the fixture Parquet; Spark has
     no nanos timestamp type, so it is read as int64 nanos and floor-
@@ -117,6 +126,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts AS TIMESTAMP)`` (µs) on the same file.
     """
     configure(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _table_cache:
+        return _table_cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
@@ -124,6 +136,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, NOT `/`: double division loses precision at
         # ~1.7e18 ns and lands 1µs off the oracle.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _table_cache[key] = df
     return df
 
 
@@ -141,10 +154,14 @@ def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> No
     configure(spark)
     target = spark.sparkContext.defaultParallelism
     for name in tables:
-        df = load_table(spark, sf_dir, name)
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
-        df.createOrReplaceTempView(name)
+        key = (spark.sparkContext.applicationId, sf_dir, f"{name}#spread")
+        if key not in _table_cache:
+            df = load_table(spark, sf_dir, name)
+            # .rdd materialization is a py4j round-trip worth caching
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
+            _table_cache[key] = df
+        _table_cache[key].createOrReplaceTempView(name)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
