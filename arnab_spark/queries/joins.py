@@ -20,7 +20,7 @@ from arnab_spark.spark_utils import load_table, register_views
 
 _STAR_ORACLE = """
 SELECT n_name, r_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -33,23 +33,42 @@ GROUP BY n_name, r_name
 
 @query("join_star_revenue", oracle=_STAR_ORACLE, headline=True, tags=("join",))
 def join_star_revenue(spark, sf_dir):
-    """TPC-H Q5-shaped star join: fact → orders → customer → nation →
-    region with revenue rollup. nation/region broadcast (constant-size
-    dims); lineitem⋈orders is the only big shuffle and both sides hash
-    on the same key so AQE can co-locate and skew-split."""
+    """TPC-H Q5-shaped star join: fact → orders → dimension rollup.
+
+    Plan shape: the three dimension tables are pre-joined into one
+    (c_custkey, n_name, r_name) dim — nation/region force-broadcast
+    (constant 25/5 rows at ANY sf), customer deliberately NOT forced:
+    AQE broadcasts the built dim when it is small (it is, at bench sf)
+    and falls back to a shuffle join when customer outgrows the
+    threshold at production sf. lineitem⋈orders stays the only big
+    shuffle, both sides hashed on the same key so AQE can co-locate
+    and skew-split. Revenue accumulates as quantized BIGINT
+    (aggregates._qlong contract: price·(1-disc) carries exactly 4
+    decimals; switch to dsum past ~1e9 rows/group — see that
+    docstring for the headroom arithmetic)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_units = F.floor(rev * F.lit(10_000.0) + F.lit(0.5)).cast("bigint")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
         .groupBy("n_name", "r_name")
-        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev_units).alias("_r"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "n_name",
+            "r_name",
+            (F.col("_r").cast("double") / 10_000.0).alias("revenue"),
+            "n_items",
+        )
     )
 
 
