@@ -13,5 +13,15 @@ from arnab_spark.streaming.jobs import (
     stream_sessionized,
     stream_tumbling_counts,
 )
+from arnab_spark.streaming.stateful import (
+    run_stateful_stream,
+    stream_user_running_totals,
+)
 
-__all__ = ["stream_tumbling_counts", "stream_sessionized", "run_stream_to_memory"]
+__all__ = [
+    "stream_tumbling_counts",
+    "stream_sessionized",
+    "run_stream_to_memory",
+    "stream_user_running_totals",
+    "run_stateful_stream",
+]

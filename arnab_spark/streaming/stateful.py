@@ -1,0 +1,143 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Spark's built-in streaming aggregations cover windowed/session counts
+(see jobs.py); anything with bespoke per-key state — running totals
+that must survive across micro-batches, threshold alerts that fire
+exactly once, custom eviction — needs the arbitrary-stateful API. This
+module implements the canonical shape: per-user running totals with a
+one-shot threshold alert, state carried in the state store across
+micro-batches.
+
+Reference parity note: the reference engine (ariaghora/arnab) has no
+streaming surface at all — this is part of the beyond-reference
+training-pipeline layer (brief: "applyInPandasWithState for custom
+stateful operators").
+
+Scale notes:
+- State is ONE fixed-width row per user (3 bigints), hash-partitioned
+  by the group key across executors — state size is O(distinct users),
+  independent of event volume.
+- Money accumulates as integer cents (events.value carries exactly 2
+  decimals — same quantization contract as queries/aggregates._qlong),
+  so running totals are exact and order-independent across batches.
+- The Pandas function receives an *iterator* of Arrow batches per key
+  and never materializes the full group — per-task memory is bounded
+  by the Arrow batch size.
+- In production the state store should be RocksDB
+  (``spark.sql.streaming.stateStore.providerClass``) so state spills
+  to disk instead of executor heap; the transformation is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "last_ts timestamp, alert boolean"
+)
+# state row: event count, running cents, max event-time micros, alerted flag
+_STATE_SCHEMA = "n bigint, cents bigint, last_us bigint, alerted boolean"
+
+
+def _make_update_fn(threshold_cents: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, cents, last_us, alerted = state.get
+        else:
+            n, cents, last_us, alerted = 0, 0, 0, False
+        was_alerted = alerted
+        for pdf in batches:
+            n += len(pdf)
+            # exact: value is 2-decimal, so value*100 snaps to int cents
+            cents += int((pdf["value"] * 100.0 + 0.5).astype("int64").sum())
+            # normalize to ns first: Arrow may hand back datetime64[us]
+            # or [ns] depending on pandas version
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            last_us = max(last_us, int(ts_ns.max()) // 1000)
+        crossed = cents >= threshold_cents and not was_alerted
+        alerted = alerted or crossed
+        state.update((n, cents, last_us, alerted))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                # alert=True only on the batch where the threshold is
+                # first crossed — at-most-once alerting semantics
+                "alert": [crossed],
+            }
+        )
+
+    return update
+
+
+def stream_user_running_totals(
+    events: DataFrame, threshold_value: float = 1_000.0
+) -> DataFrame:
+    """Per-user running (n_events, total_value) with a one-shot alert
+    when the lifetime total first crosses ``threshold_value``.
+
+    ``events`` is a *streaming* DataFrame with at least
+    (user_id bigint, ts timestamp, value double). Emits one updated row
+    per user per micro-batch (update output mode).
+    """
+    threshold_cents = int(round(threshold_value * 100))
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(threshold_cents),
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream(
+    spark: SparkSession,
+    source_dir: str,
+    name: str,
+    threshold_value: float = 1_000.0,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive :func:`stream_user_running_totals` over a parquet drop-zone
+    directory to completion and return the accumulated update log
+    (one row per user per micro-batch) as a batch DataFrame.
+
+    ``max_files_per_trigger=1`` forces one micro-batch per file, which
+    is how the tests prove state actually carries across batches.
+    """
+    from arnab_spark.spark_utils import configure
+    from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
+
+    configure(spark)
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    totals = stream_user_running_totals(stream, threshold_value)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,109 @@
+"""applyInPandasWithState: per-user running totals must carry state
+across micro-batches and match the batch aggregate at end of stream."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from arnab_spark.spark_utils import load_table
+from arnab_spark.streaming.stateful import run_stateful_stream
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 300.0  # low enough that several of the 15 users cross it
+
+
+@pytest.fixture(scope="module")
+def split_source(spark):
+    """Split the events fixture into 3 time-ordered parquet files so
+    maxFilesPerTrigger=1 yields 3 micro-batches — users active across
+    the whole range appear in multiple batches, exercising state
+    carry-over."""
+    out = "/tmp/arnab_stateful_src"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    import duckdb
+
+    con = duckdb.connect()
+    # keep ts as int64 NANOS — the fixture layout the stream reader
+    # expects (DuckDB would otherwise silently downcast to µs TIMESTAMP)
+    con.execute(
+        f"""
+        CREATE TABLE e AS
+        SELECT * EXCLUDE (ts), CAST(epoch_ns(ts) AS BIGINT) AS ts
+        FROM read_parquet('{SF}/events.parquet') ORDER BY ts
+        """
+    )
+    n = con.execute("SELECT count(*) FROM e").fetchone()[0]
+    third = n // 3
+    for i in range(3):
+        lim = third if i < 2 else n - 2 * third
+        con.execute(
+            f"""
+            COPY (SELECT * FROM e ORDER BY ts LIMIT {lim} OFFSET {i * third})
+            TO '{out}/part{i}.parquet' (FORMAT PARQUET)
+            """
+        )
+    return out
+
+
+def test_stateful_totals_match_batch(spark, split_source):
+    log = run_stateful_stream(
+        spark, split_source, "t_stateful", THRESHOLD, max_files_per_trigger=1
+    ).toPandas()
+
+    # state carried across batches: at least one user updated more than once
+    assert log.groupby("user_id").size().max() > 1
+
+    # final state per user = last emitted update (n_events is monotone)
+    final = log.sort_values("n_events").groupby("user_id").tail(1)
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+    )
+
+    merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(final)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["total_value_s"] == merged["total_value_b"]).all()
+    assert (
+        merged["last_ts_s"].astype("datetime64[us]")
+        == merged["last_ts_b"].astype("datetime64[us]")
+    ).all()
+
+
+def test_alert_fires_exactly_once(spark, split_source):
+    log = run_stateful_stream(
+        spark, split_source, "t_stateful_alert", THRESHOLD, max_files_per_trigger=1
+    ).toPandas()
+
+    alerts_per_user = log[log["alert"]].groupby("user_id").size()
+    # at-most-once alerting
+    assert (alerts_per_user <= 1).all()
+
+    # every user whose lifetime total crossed the threshold alerted once
+    final = log.sort_values("n_events").groupby("user_id").tail(1)
+    crossed = set(final[final["total_value"] >= THRESHOLD]["user_id"])
+    assert crossed, "fixture should produce at least one crossing user"
+    assert set(alerts_per_user.index) == crossed
+
+    # the alert row is the FIRST batch update where the running total
+    # crossed, not the last
+    for uid in crossed:
+        user_log = log[log["user_id"] == uid].sort_values("n_events")
+        alert_row = user_log[user_log["alert"]].iloc[0]
+        pre = user_log[user_log["n_events"] < alert_row["n_events"]]
+        assert (pre["total_value"] < THRESHOLD).all()
