@@ -10,7 +10,12 @@ docstring states the plan shape it produces at scale.
 
 from arnab_spark.operators.relational import distinct_on, top_k_per_group
 from arnab_spark.operators.similarity import (
+    cosine_from_int,
     cosine_knn,
+    int_dot,
+    ivf_assign,
+    ivf_centroids,
+    ivf_probe,
     lsh_bucket_ids,
     quantize_embeddings,
 )
@@ -25,6 +30,11 @@ __all__ = [
     "quantize_embeddings",
     "lsh_bucket_ids",
     "cosine_knn",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_probe",
+    "int_dot",
+    "cosine_from_int",
     "shingle_ngrams",
     "minhash_signatures",
 ]

@@ -128,3 +128,87 @@ def cosine_knn(
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(F.col("rnk") <= k)
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    iv_col: str = "iv",
+    k: int = 16,
+    exclude_below: int | None = None,
+) -> DataFrame:
+    """Pick ``k`` deterministic pseudo-random centroids: order by
+    md5(id) and take the first k — the random-subset centroid init of a
+    coarse IVF quantizer, reproducible on any engine (no RNG, no
+    k-means iterations; at production scale the same pipeline accepts
+    trained centroids in place of this frame).
+
+    Plan: orderBy+limit compiles to TakeOrdered — per-partition top-k
+    then a single-driver merge of k rows, NOT a global sort."""
+    c = corpus
+    if exclude_below is not None:
+        c = c.filter(F.col(id_col) >= exclude_below)
+    return (
+        c.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(iv_col).alias("civ"),
+            F.col(f"{iv_col}_nrm2").alias("cnrm2"),
+        )
+    )
+
+
+def _centroid_cos(iv_col: str) -> Column:
+    return cosine_from_int(
+        int_dot(F.col(iv_col), F.col("civ")),
+        F.col(f"{iv_col}_nrm2"),
+        F.col("cnrm2"),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str = "vec_id", iv_col: str = "iv"
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell (max
+    cosine, ties to the lowest centroid id).
+
+    Plan shape at scale: centroids broadcast (constant k), the N×k
+    score rows never leave their input partition, and the argmax is a
+    map-side partial ``max_by`` — the shuffle carries ONE row per
+    vector, not N×k."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", _centroid_cos(iv_col)
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "cid", F.struct(F.col("_cos").alias("c"), (-F.col("cid")).alias("t"))
+        ).alias("cell"),
+        F.first(iv_col).alias(iv_col),
+        F.first(f"{iv_col}_nrm2").alias(f"{iv_col}_nrm2"),
+    )
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str = "vec_id",
+    iv_col: str = "iv",
+) -> DataFrame:
+    """Per query, the ``n_probe`` nearest centroid cells to search
+    (query side is small — the window is cheap)."""
+    scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", _centroid_cos(iv_col)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            F.col(id_col).alias("_qid"),
+            F.col(iv_col).alias("_qiv"),
+            F.col(f"{iv_col}_nrm2").alias("_qn"),
+            F.col("cid").alias("cell"),
+        )
+    )

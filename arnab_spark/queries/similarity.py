@@ -212,3 +212,108 @@ def ann_lsh_bucketed(spark, sf_dir):
     changing the plan shape (measured recall@5 asserted in tests)."""
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_ann_sql("spark"))
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN
+
+K_CELLS = 16
+N_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    """DuckDB spelling of the IVF pipeline. The assignment argmax is a
+    window row_number here (DuckDB's max_by cannot take a struct
+    tiebreak); the Spark side uses a map-side max_by — same result,
+    ties broken to the lowest centroid id in both."""
+    dot_na = _dot("duck", "n.iv", "c.civ")
+    dot_sc = _dot("duck", "p.qiv", "a.iv")
+    return (
+        _quant_cte("duck")
+        + f"""
+, cents AS (
+  SELECT vec_id AS cid, iv AS civ, nrm2 AS cnrm2 FROM normed
+  WHERE vec_id >= {N_QUERIES}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CELLS}
+),
+ascore AS (
+  SELECT n.vec_id, n.iv, n.nrm2, c.cid,
+         CAST({dot_na} AS DOUBLE)
+           / (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c.cnrm2 AS DOUBLE))) AS cos
+  FROM normed n CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, iv, nrm2, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, iv AS qiv, nrm2 AS qn, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_sc} AS DOUBLE)
+           / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.nrm2 AS DOUBLE))) AS cosine
+  FROM qprobe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+@query("ann_ivf_cells", oracle=_ivf_oracle(), tags=("similarity", "ivf"))
+def ann_ivf_cells(spark, sf_dir):
+    """IVF-flat ANN: deterministic centroid sample → every vector
+    assigned to its nearest cell (broadcast centroids + map-side argmax
+    — the shuffle carries one row per vector) → queries probe their
+    {N_PROBE} nearest cells → exact cosine + top-k over candidates
+    only. Since assignment puts each vector in exactly ONE cell and the
+    probed cells are distinct, every (query, neighbor) candidate pair
+    is generated at most once — no dedup stage at all (unlike
+    multi-table LSH). Candidate volume scales as n_probe/k_cells of the
+    corpus per query; recall tunes via n_probe (and, in production,
+    trained centroids) without changing the plan shape."""
+    from pyspark.sql import Window, functions as F
+
+    from arnab_spark.operators import (
+        cosine_from_int,
+        int_dot,
+        ivf_assign,
+        ivf_centroids,
+        ivf_probe,
+        quantize_embeddings,
+    )
+    from arnab_spark.spark_utils import load_table
+
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
+    cents = ivf_centroids(e, k=K_CELLS, exclude_below=N_QUERIES)
+    assign = ivf_assign(e, cents)
+    probes = ivf_probe(e.filter(F.col("vec_id") < N_QUERIES), cents, N_PROBE)
+    scored = (
+        probes.join(assign, on="cell")
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_int(
+                int_dot(F.col("_qiv"), F.col("iv")), F.col("_qn"), F.col("iv_nrm2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= TOP_K
+    )

@@ -26,6 +26,22 @@ def test_ann_recall_vs_brute(spark):
     assert recall >= 0.2, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_ivf_recall_vs_brute(spark):
+    """IVF with 4-of-16 probed cells recalls ~0.57 measured on the
+    isotropic fixture; 0.4 is the regression floor. Each vector lives
+    in exactly one cell, so candidates are generated at most once —
+    assert that too (no silent dup inflation)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in REG["knn_cosine_brute"].fn(spark, SF).collect()
+    }
+    ivf_rows = REG["ann_ivf_cells"].fn(spark, SF).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    assert len(ivf) == len(ivf_rows), "duplicate (query, neighbor) pairs"
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_embedding_neardup_returns_pairs(spark):
     df = REG["dedup_embedding_cosine"].fn(spark, SF)
     rows = df.collect()
