@@ -1,0 +1,82 @@
+"""Persistent model catalog — parity with the reference's file-backed
+DuckDB catalog.
+
+In the reference, every model lands in the ``db_path`` DuckDB file
+(``CREATE OR REPLACE VIEW/TABLE``, reference: node.rs:156-174) which the
+next process reopens (reference: main.rs:126-132) — so ``run-file``
+scripts and later sessions see previously materialized models without
+re-running the pipeline. Spark temp views are session-scoped, so this
+module records every materialized model in a JSON sidecar inside the
+warehouse directory and re-applies it on attach:
+
+- ``table`` / ``incremental`` models re-register as views over their
+  persisted Parquet (data read lazily — attach itself scans nothing),
+- ``view`` models re-create their (transpiled) SELECT as a temp view.
+
+Entries keep pipeline (topological) order: a view recorded after its
+upstream table re-applies after it, so references resolve. Upserts
+update in place — re-running one model must not move it past a
+downstream view in the order. A view whose upstream vanished re-raises
+only on *query*, like a DuckDB view over a dropped table; attach warns
+and skips it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+CATALOG_FILE = "_arnab_catalog.json"
+
+
+def _catalog_path(db_path: str) -> str:
+    return os.path.join(db_path, CATALOG_FILE)
+
+
+def load_catalog(db_path: str) -> dict[str, dict]:
+    path = _catalog_path(db_path)
+    if not os.path.isfile(path):
+        return {}
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def record_model(
+    db_path: str, model_id: str, materialize: str, select_sql: str | None = None
+) -> None:
+    """Upsert one model's catalog entry (atomic temp-file + rename, so a
+    crash mid-write leaves the previous catalog intact)."""
+    os.makedirs(db_path, exist_ok=True)
+    cat = load_catalog(db_path)
+    entry = {"materialize": materialize}
+    if select_sql is not None:
+        entry["select"] = select_sql
+    # dict assignment keeps an existing key's insertion position —
+    # exactly the in-place upsert the ordering contract needs
+    cat[model_id] = entry
+    tmp = _catalog_path(db_path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(cat, f, indent=1)
+    os.replace(tmp, _catalog_path(db_path))
+
+
+def attach_warehouse(spark, db_path: str) -> list[str]:
+    """Re-expose every cataloged model in ``spark``'s session — the
+    Spark twin of reopening the reference's DuckDB file. Returns the
+    attached model ids; broken entries (e.g. a table dir deleted out
+    from under the catalog) are warned and skipped, never fatal."""
+    attached: list[str] = []
+    for model_id, entry in load_catalog(db_path).items():
+        try:
+            if entry["materialize"] in ("table", "incremental"):
+                dest = os.path.join(db_path, model_id)
+                spark.read.parquet(dest).createOrReplaceTempView(model_id)
+            else:
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {model_id} "
+                    f"AS ({entry['select']})"
+                )
+            attached.append(model_id)
+        except Exception as exc:  # noqa: BLE001 — attach is best-effort
+            print(f"warning: could not attach model '{model_id}': {exc}")
+    return attached

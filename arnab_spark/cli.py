@@ -71,8 +71,16 @@ def cmd_run(args) -> int:
 
 def cmd_run_file(args) -> int:
     """Per-file batch execution, per-file OK/ERROR report — execution
-    errors do not abort the remaining files (reference: main.rs:158-178)."""
+    errors do not abort the remaining files (reference: main.rs:158-178).
+    The warehouse catalog attaches first, so scripts can query models a
+    previous ``run`` materialized (the reference gets this by opening
+    the DuckDB file before dispatch, main.rs:126-132)."""
     spark = _get_spark(args.master)
+    cfg = load_config(".", args.models_dir, args.db_path)
+    if cfg.db_path:
+        from arnab_spark.catalog import attach_warehouse
+
+        attach_warehouse(spark, cfg.db_path)
     rc = 0
     for path in args.paths:
         try:

@@ -256,6 +256,19 @@ class Node:
                         df = spark.sql(stmt)
                         df.write.mode("overwrite").parquet(parquet_path)
                         spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
+                    if db_path:
+                        # persist the model in the warehouse catalog so
+                        # later sessions reattach it — parity with the
+                        # reference's DuckDB-file persistence
+                        # (node.rs:156-174, main.rs:126-132)
+                        from arnab_spark.catalog import record_model
+
+                        record_model(
+                            db_path,
+                            self.id,
+                            self.materialize,
+                            stmt if parquet_path is None else None,
+                        )
                 else:
                     spark.sql(stmt)
             except ArnabError:
@@ -289,6 +302,9 @@ class Node:
             else:
                 df.write.mode("overwrite").parquet(dest)
             spark.read.parquet(dest).createOrReplaceTempView(self.id)
+            from arnab_spark.catalog import record_model
+
+            record_model(db_path, self.id, self.materialize)
             return NodeExecutionResult(spark.table(self.id).count(), self.materialize)
         df.createOrReplaceTempView(self.id)
         return NodeExecutionResult(None, "view")

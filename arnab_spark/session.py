@@ -68,6 +68,14 @@ class Session:
                     raise ArnabError(
                         f"failed to apply spark_settings {k}={v}: {exc}"
                     ) from exc
+            if config.db_path:
+                # reattach previously materialized models — the Spark
+                # twin of the reference reopening its DuckDB file
+                # (main.rs:126-132): a session sees the warehouse's
+                # models before (or without) running the pipeline
+                from arnab_spark.catalog import attach_warehouse
+
+                attach_warehouse(spark, config.db_path)
 
     # -- graph build (reference: session.rs:56-181) -------------------
 
