@@ -8,15 +8,17 @@ rewrites the purely syntactic gaps so those models run unchanged:
 - zero-arg ``count()`` → ``count(*)``
 - ``read_parquet('p')`` & friends → Spark file-query syntax
 - ``SELECT * EXCLUDE (a, b)`` → Spark's ``* EXCEPT (a, b)``
-- top-level ``QUALIFY <pred>`` → subquery + filter (both are common
-  DuckDB idioms a reference-style model would reach for)
+- top-level ``QUALIFY <pred>`` → subquery + filter
+- top-level ``SELECT DISTINCT ON (keys) …`` → row_number window +
+  filter (all common DuckDB idioms a reference-style model would
+  reach for)
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error. Remaining semantic gaps
-(ASOF JOIN, DISTINCT ON, ``* REPLACE``) have documented DataFrame
-rewrites in the query corpus instead — rewriting arbitrary SQL for
-those would require a full parser, which we refuse on correctness
-grounds (a wrong silent rewrite is worse than a clear error).
+(ASOF JOIN, ``* REPLACE``) have documented DataFrame rewrites in the
+query corpus instead — rewriting arbitrary SQL for those would require
+a full parser, which we refuse on correctness grounds (a wrong silent
+rewrite is worse than a clear error).
 """
 
 from __future__ import annotations
@@ -139,6 +141,129 @@ def _rewrite_qualify(sql: str) -> str:
     )
 
 
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0, outside quoted strings."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur = []
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+_DISTINCT_ON = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """Rewrite a statement-level ``SELECT DISTINCT ON (keys) … [ORDER
+    BY …] [LIMIT …]`` into the standard window idiom:
+
+        SELECT * EXCEPT (__arnab_rn) FROM (
+          SELECT <select-list>, row_number() OVER (
+            PARTITION BY <keys> ORDER BY <order-exprs or keys>
+          ) AS __arnab_rn FROM …
+        ) WHERE __arnab_rn = 1 [ORDER BY …] [LIMIT …]
+
+    With an ORDER BY, DuckDB keeps the first row of each key group in
+    that order — exactly row_number() = 1 over the same order. Without
+    one, DuckDB's pick is arbitrary, and so is the window's (ordered by
+    the keys alone): both engines say "some row per group". ORDER BY
+    terms that name select-list aliases rather than source columns are
+    out of reach without a full parser — Spark raises a clear analysis
+    error rather than silently mis-sorting. Nested DISTINCT ON (in
+    subqueries/CTEs) is left alone → clear Spark parse error."""
+    m = _DISTINCT_ON.match(sql)
+    if not m:
+        return sql
+    # find the matching close paren of the ON (…) list
+    depth, i = 1, m.end()
+    quote: str | None = None
+    n = len(sql)
+    while i < n and depth:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return sql  # unbalanced — let Spark report it
+    keys = sql[m.end() : i - 1].strip()
+    rest = sql[i:]
+    fro, _ = _scan_top_level(rest, ("from",))
+    if fro < 0 or not keys:
+        return sql
+    ob, kw = _scan_top_level(rest, ("order", "limit", "offset"))
+    body = rest[:ob] if ob >= 0 else rest
+    tail = rest[ob:] if ob >= 0 else ""
+    order_exprs = keys
+    limit_part = ""
+    hidden: list[tuple[str, str]] = []  # (expr, direction-suffix)
+    if kw == "order":
+        # ORDER BY both picks each group's winner (window order) and
+        # orders the final output. Its expressions may not survive the
+        # projection (DuckDB resolves them from the input), so they
+        # materialize as hidden __arnab_ob columns the outer sorts on.
+        after = rest[ob:]
+        lim, _ = _scan_top_level(after, ("limit", "offset"))
+        clause = after[:lim] if lim >= 0 else after
+        limit_part = after[lim:] if lim >= 0 else ""
+        order_exprs = re.sub(r"(?is)^\s*ORDER\s+BY\s+", "", clause).strip()
+        for item in _split_top_level_commas(order_exprs):
+            dm = re.match(
+                r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$",
+                item.strip(),
+            )
+            hidden.append((dm.group(1).strip(), dm.group(2).strip()))
+    elif kw in ("limit", "offset"):
+        limit_part = tail
+        tail = ""
+    select_list = body[:fro].strip()
+    from_part = body[fro:]
+    ob_cols = "".join(
+        f", ({expr}) AS __arnab_ob{i}" for i, (expr, _) in enumerate(hidden)
+    )
+    inner = (
+        f"SELECT {select_list}{ob_cols}, row_number() OVER ("
+        f"PARTITION BY {keys} ORDER BY {order_exprs}) AS __arnab_rn {from_part}"
+    )
+    drop = ", ".join(["__arnab_rn"] + [f"__arnab_ob{i}" for i in range(len(hidden))])
+    outer_order = (
+        " ORDER BY "
+        + ", ".join(
+            f"__arnab_ob{i}" + (f" {suffix}" if suffix else "")
+            for i, (_, suffix) in enumerate(hidden)
+        )
+        if hidden
+        else ""
+    )
+    return (
+        f"SELECT * EXCEPT ({drop}) FROM ({inner}) __arnab_d "
+        f"WHERE __arnab_rn = 1{outer_order} {limit_part}".rstrip()
+    )
+
+
 def transpile_statement(sql: str, spark=None) -> str:
     """Apply the DuckDB→Spark rewrites to one statement.
 
@@ -154,6 +279,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_distinct_on(sql)
 
     def rewrite(m: re.Match) -> str:
         kind = m.group(1).lower()

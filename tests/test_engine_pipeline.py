@@ -366,3 +366,38 @@ def test_exclude_model_file(spark, tmp_path):
     cols = spark.table("slim_orders").columns
     assert "o_orderpriority" not in cols and "o_orderstatus" not in cols
     assert "o_orderkey" in cols
+
+
+def test_distinct_on_model_file(spark, tmp_path):
+    """A reference-style model using DuckDB's DISTINCT ON runs
+    unchanged (dialect rewrite → row_number window + filter) and
+    matches DuckDB's answer row-for-row on the same input."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/latest_event.sql",
+        f"""\
+        SELECT DISTINCT ON (user_id) user_id, event_id, value
+        FROM read_parquet('{SF}/events.parquet')
+        ORDER BY user_id, ts DESC, event_id
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    got = {
+        tuple(r)
+        for r in spark.table("latest_event")
+        .select("user_id", "event_id", "value")
+        .collect()
+    }
+    expected = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""SELECT DISTINCT ON (user_id) user_id, event_id, value
+                FROM read_parquet('{SF}/events.parquet')
+                ORDER BY user_id, ts DESC, event_id"""
+        ).fetchall()
+    }
+    assert got == expected
+    assert "__arnab_rn" not in spark.table("latest_event").columns

@@ -180,3 +180,37 @@ def test_strip_comments_preserves_strings():
 def test_strip_comments_semicolon_in_comment():
     out = Node.strip_comments("SELECT 1 AS x -- done; see note")
     assert Node.split_statements(out) == ["SELECT 1 AS x"]
+
+
+def test_transpile_distinct_on_with_order():
+    from arnab_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT DISTINCT ON (user_id) user_id, ts, value "
+        "FROM events ORDER BY user_id, ts DESC LIMIT 7"
+    )
+    assert out.startswith("SELECT * EXCEPT (__arnab_rn, __arnab_ob0, __arnab_ob1)")
+    assert "PARTITION BY user_id ORDER BY user_id, ts DESC" in out
+    # output order rides on hidden materialized sort columns (the sort
+    # exprs may not survive the user's projection)
+    assert out.rstrip().endswith(
+        "WHERE __arnab_rn = 1 ORDER BY __arnab_ob0, __arnab_ob1 DESC LIMIT 7"
+    )
+
+
+def test_transpile_distinct_on_no_order_uses_keys():
+    from arnab_spark.dialect import transpile_statement
+
+    out = transpile_statement("SELECT DISTINCT ON (a, b) a, b, c FROM t")
+    assert "PARTITION BY a, b ORDER BY a, b" in out
+    assert out.rstrip().endswith("WHERE __arnab_rn = 1")
+    assert "__arnab_ob" not in out  # no ORDER BY → no hidden sort cols
+
+
+def test_transpile_distinct_on_ignores_nested_and_plain_distinct():
+    from arnab_spark.dialect import transpile_statement
+
+    nested = "SELECT * FROM (SELECT DISTINCT ON (a) a FROM t) u"
+    assert transpile_statement(nested) == nested
+    plain = "SELECT DISTINCT a, b FROM t"
+    assert transpile_statement(plain) == plain
