@@ -123,13 +123,36 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
-@query("multimodal_frame_sample", oracle=None, tags=("multimodal", "pandas-udf"))
+# DuckDB cannot slice BLOBs, so the oracle slices the VARCHAR instead —
+# byte-identical here because the documents fixture is pure ASCII at
+# every SF (verified: octet_length(encode(text)) == length(text) for
+# all rows); md5(varchar) hashes its UTF-8 bytes, same as Spark's
+# md5(binary) on the cast blob.
+_FRAME_ORACLE = """
+WITH f AS (
+  SELECT d.doc_id, CAST(t.i AS INTEGER) AS frame_idx,
+         substr(d.text, CAST(t.i * 128 + 1 AS BIGINT), 32) AS fs
+  FROM documents d, LATERAL unnest(
+    range(0, CAST(ceil(length(d.text) / 128.0) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(octet_length(encode(fs)) AS BIGINT) AS frame_len,
+       md5(fs) AS frame_md5
+FROM f
+"""
+
+
+@query(
+    "multimodal_frame_sample", oracle=_FRAME_ORACLE, tags=("multimodal", "pandas-udf")
+)
 def multimodal_frame_sample(spark, sf_dir):
     """'Video' frame sampling plumbing: treat the blob as a frame
-    container and emit every k-th chunk as a row (doc_id, frame_idx,
-    frame_bytes). Rows-only check (binary output); the row-explosion
-    shape — one blob in, few frames out, schema'd binary chunks — is the
-    real contract."""
+    container and emit every k-th chunk as a row via ``mapInPandas``
+    (one blob in, few schema'd binary frames out — the row-explosion
+    shape a real decoder produces). The driver-facing projection hashes
+    each frame to (len, md5) so the binary contents are fully
+    oracle-checked against DuckDB slicing the same blob with
+    substring() — not just row counts."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
@@ -147,6 +170,12 @@ def multimodal_frame_sample(spark, sf_dir):
                     out["frame_bytes"].append(bytes(blob[start : start + chunk]))
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    frames = d.mapInPandas(
         sample_frames, schema="doc_id bigint, frame_idx int, frame_bytes binary"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
     )

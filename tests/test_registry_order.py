@@ -71,11 +71,12 @@ def test_headline_set_stable_under_reordering():
     assert {n for n, q in _REGISTRY.items() if q.headline} == HEADLINE
 
 
-def test_at_most_three_rows_only_queries():
+def test_at_most_two_rows_only_queries():
     """Only genuinely non-SQL-expressible ops may skip the oracle:
-    HLL sketch comparison, row sampling, mapInPandas row-explosion."""
+    HLL sketch comparison and row sampling (round 2 gave the multimodal
+    frame sampler a hash-projection oracle)."""
     rows_only = sorted(n for n, q in _REGISTRY.items() if not q.oracle)
-    assert rows_only == ["agg_approx_count_distinct", "multimodal_frame_sample", "table_sample"]
+    assert rows_only == ["agg_approx_count_distinct", "table_sample"]
 
 
 @pytest.mark.parametrize(
