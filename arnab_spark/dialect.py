@@ -10,15 +10,16 @@ rewrites the purely syntactic gaps so those models run unchanged:
 - ``SELECT * EXCLUDE (a, b)`` → Spark's ``* EXCEPT (a, b)``
 - top-level ``QUALIFY <pred>`` → subquery + filter
 - top-level ``SELECT DISTINCT ON (keys) …`` → row_number window +
-  filter (all common DuckDB idioms a reference-style model would
-  reach for)
+  filter
+- single ``ASOF [LEFT] JOIN … ON …`` → lateral correlated subquery
+  (all common DuckDB idioms a reference-style model would reach for)
 
 Each rewrite is conservative: it either applies cleanly or leaves the
-text alone so Spark raises a clear parse error. Remaining semantic gaps
-(ASOF JOIN, ``* REPLACE``) have documented DataFrame rewrites in the
-query corpus instead — rewriting arbitrary SQL for those would require
-a full parser, which we refuse on correctness grounds (a wrong silent
-rewrite is worse than a clear error).
+text alone so Spark raises a clear parse error. The remaining semantic
+gap (``* REPLACE``) has a documented DataFrame rewrite in the query
+corpus instead — rewriting arbitrary SQL for it would require a full
+parser, which we refuse on correctness grounds (a wrong silent rewrite
+is worse than a clear error).
 """
 
 from __future__ import annotations
@@ -264,6 +265,85 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+_CLAUSE_AFTER_ON = (
+    "where",
+    "group",
+    "order",
+    "limit",
+    "offset",
+    "having",
+    "window",
+    "union",
+    "intersect",
+    "except",
+    "qualify",
+)
+_JOIN_WORDS = ("join", "left", "right", "full", "inner", "cross", "asof", "semi", "anti")
+_INEQ = re.compile(r"(?s)^(.*?)(<=|>=|<|>)(.*)$")
+_EQ_SPLIT = re.compile(r"(?s)^(.*?)=(.*)$")
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """Rewrite DuckDB's ``ASOF [LEFT] JOIN right [AS] r ON <conds>``
+    (reachable reference surface: model SQL goes to DuckDB verbatim,
+    node.rs:176) into a lateral correlated subquery:
+
+        [LEFT] JOIN LATERAL (
+          SELECT * FROM right r WHERE <conds>
+          ORDER BY <right time expr> DESC|ASC LIMIT 1
+        ) r ON true
+
+    which Spark decorrelates into a window plan. Supported shape: one
+    ASOF join, right side a named table/view with optional alias, ON =
+    equalities AND exactly ONE inequality whose right-side operand is
+    qualified by the right alias; no join may follow. Anything else is
+    left untouched → Spark's parser rejects ``ASOF`` loudly. This is
+    the compatibility path; ``operators.asof_join`` (union +
+    carry-forward, one shuffle) is the 100 TB path."""
+    idx, _ = _scan_top_level(sql, ("asof",))
+    if idx < 0:
+        return sql
+    m = re.match(
+        r"(?is)^ASOF\s+(?:(LEFT)\s+)?JOIN\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\s+",
+        sql[idx:],
+    )
+    if not m:
+        return sql
+    left_kw, table, alias = m.group(1), m.group(2), m.group(3)
+    alias = alias or table
+    conds_start = idx + m.end()
+    rest = sql[conds_start:]
+    stop, _ = _scan_top_level(rest, _CLAUSE_AFTER_ON + _JOIN_WORDS)
+    conds_text = rest[:stop] if stop >= 0 else rest
+    tail = rest[stop:] if stop >= 0 else ""
+    if stop >= 0:
+        nxt, kw = _scan_top_level(tail, _JOIN_WORDS)
+        if nxt == 0:
+            return sql  # a second join follows — out of conservative reach
+    conds = [c.strip() for c in re.split(r"(?is)\bAND\b", conds_text) if c.strip()]
+    ineqs = [c for c in conds if _INEQ.match(c)]
+    if len(ineqs) != 1:
+        return sql
+    im = _INEQ.match(ineqs[0])
+    lhs, op, rhs = im.group(1).strip(), im.group(2), im.group(3).strip()
+    qual = re.compile(rf"(?i)\b{re.escape(alias)}\s*\.")
+    lhs_r, rhs_r = bool(qual.search(lhs)), bool(qual.search(rhs))
+    if lhs_r == rhs_r:
+        return sql  # can't tell which operand is the right side
+    right_expr = lhs if lhs_r else rhs
+    # normalize to "left REL right": backward join (left >= right)
+    # wants the LATEST right row → DESC; forward wants EARLIEST → ASC
+    rel = op if rhs_r else {"<=": ">=", ">=": "<=", "<": ">", ">": "<"}[op]
+    direction = "DESC" if rel in (">=", ">") else "ASC"
+    lateral = (
+        f"{'LEFT ' if left_kw else ''}JOIN LATERAL ("
+        f"SELECT * FROM {table} {alias} WHERE {' AND '.join(conds)} "
+        f"ORDER BY {right_expr} {direction} LIMIT 1) {alias} ON true"
+    )
+    return sql[:idx] + lateral + tail
+
+
 def transpile_statement(sql: str, spark=None) -> str:
     """Apply the DuckDB→Spark rewrites to one statement.
 
@@ -280,6 +360,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_asof_join(sql)
 
     def rewrite(m: re.Match) -> str:
         kind = m.group(1).lower()

@@ -401,3 +401,59 @@ def test_distinct_on_model_file(spark, tmp_path):
     }
     assert got == expected
     assert "__arnab_rn" not in spark.table("latest_event").columns
+
+
+def test_asof_join_model_file(spark, tmp_path):
+    """A reference-style model using DuckDB's ASOF JOIN as SQL text runs
+    unchanged (dialect rewrite → lateral correlated subquery) and
+    matches DuckDB's NATIVE ASOF JOIN row-for-row on the same input."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/purchases.sql",
+        f"""\
+        SELECT event_id, user_id, timestamp_micros(ts div 1000) AS ts, value
+        FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'purchase'
+        """,
+    )
+    write(
+        root,
+        "models/signups.sql",
+        f"""\
+        SELECT event_id AS signup_id, user_id,
+               timestamp_micros(ts div 1000) AS signup_ts
+        FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'signup'
+        """,
+    )
+    write(
+        root,
+        "models/attributed.sql",
+        """\
+        SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_id, s.signup_ts
+        FROM purchases p
+        ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    got = {tuple(r) for r in spark.table("attributed").collect()}
+    expected = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            WITH purchases AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'purchase'
+            ),
+            signups AS (
+              SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+              FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_id, s.signup_ts
+            FROM purchases p
+            ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+            """
+        ).fetchall()
+    }
+    assert got == expected

@@ -214,3 +214,44 @@ def test_transpile_distinct_on_ignores_nested_and_plain_distinct():
     assert transpile_statement(nested) == nested
     plain = "SELECT DISTINCT a, b FROM t"
     assert transpile_statement(plain) == plain
+
+
+def test_transpile_asof_join_backward():
+    from arnab_spark.dialect import transpile_statement
+
+    out = transpile_statement(
+        "SELECT p.id, s.ts FROM purchases p "
+        "ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts "
+        "WHERE p.id > 0"
+    )
+    assert "LEFT JOIN LATERAL (SELECT * FROM signups s WHERE" in out
+    assert "ORDER BY s.ts DESC LIMIT 1) s ON true" in out
+    assert out.rstrip().endswith("WHERE p.id > 0")
+
+
+def test_transpile_asof_join_forward_and_flipped_operands():
+    from arnab_spark.dialect import transpile_statement
+
+    # right operand on the LEFT of the operator: s.ts <= p.ts ≡ p.ts >= s.ts
+    out = transpile_statement(
+        "SELECT * FROM p ASOF JOIN signups s ON s.user_id = p.user_id AND s.ts <= p.ts"
+    )
+    assert "JOIN LATERAL" in out and "LEFT JOIN LATERAL" not in out
+    assert "ORDER BY s.ts DESC LIMIT 1" in out
+    # forward join: left.ts <= right.ts wants the EARLIEST right row
+    out2 = transpile_statement(
+        "SELECT * FROM p ASOF JOIN signups s ON p.user_id = s.user_id AND p.ts <= s.ts"
+    )
+    assert "ORDER BY s.ts ASC LIMIT 1" in out2
+
+
+def test_transpile_asof_join_bails_on_hard_shapes():
+    from arnab_spark.dialect import transpile_statement
+
+    # two inequalities — ambiguous time axis
+    two = "SELECT * FROM p ASOF JOIN s ON p.u = s.u AND p.a >= s.a AND p.b >= s.b"
+    assert transpile_statement(two) == two
+    # a second join follows
+    chain = ("SELECT * FROM p ASOF JOIN s ON p.u = s.u AND p.t >= s.t "
+             "JOIN q ON q.u = p.u")
+    assert transpile_statement(chain) == chain
