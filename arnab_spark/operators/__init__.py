@@ -20,10 +20,11 @@ from arnab_spark.operators.similarity import (
     quantize_embeddings,
 )
 from arnab_spark.operators.texttools import minhash_signatures, shingle_ngrams
-from arnab_spark.operators.timeops import asof_join, sessionize
+from arnab_spark.operators.timeops import asof_carry_forward, asof_join, sessionize
 
 __all__ = [
     "asof_join",
+    "asof_carry_forward",
     "sessionize",
     "top_k_per_group",
     "distinct_on",
