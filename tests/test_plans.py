@@ -36,3 +36,23 @@ def test_pricing_single_exchange(spark):
     """Partial aggregation: one shuffle of aggregated partials only."""
     audit = audit_plan(REG["agg_pricing_summary"].fn(spark, SF))
     assert audit.n_exchanges == 1, audit.plan_text[:800]
+
+
+def test_asof_single_scan_single_shuffle(spark):
+    """The headline as-of join must scan events ONCE (tagged union from
+    one when() projection, not two filtered scans) and shuffle once
+    (the window partition on user_id)."""
+    audit = audit_plan(REG["asof_join"].fn(spark, SF))
+    event_scans = [s for s in audit.scans if "event_type" in s.read_schema]
+    assert len(event_scans) == 1, audit.plan_text[:800]
+    assert audit.n_exchanges == 1, audit.plan_text[:800]
+
+
+def test_ivf_centroids_broadcast_not_shuffled(spark):
+    """IVF assignment must broadcast the constant-k centroid side —
+    corpus vectors never shuffle for centroid scoring (the only
+    exchanges are the argmax groupBy and the final per-query top-k)."""
+    audit = audit_plan(REG["ann_ivf_cells"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in audit.joins or any(
+        "Broadcast" in j for j in audit.joins
+    ), audit.joins
