@@ -14,12 +14,12 @@ rewrites the purely syntactic gaps so those models run unchanged:
 - single ``ASOF [LEFT] JOIN … ON …`` → lateral correlated subquery
   (all common DuckDB idioms a reference-style model would reach for)
 
+- ``SELECT * REPLACE (expr AS col) FROM <one relation>`` → expanded
+  column list (needs a live session to resolve the relation's schema)
+
 Each rewrite is conservative: it either applies cleanly or leaves the
-text alone so Spark raises a clear parse error. The remaining semantic
-gap (``* REPLACE``) has a documented DataFrame rewrite in the query
-corpus instead — rewriting arbitrary SQL for it would require a full
-parser, which we refuse on correctness grounds (a wrong silent rewrite
-is worse than a clear error).
+text alone so Spark raises a clear parse error — a wrong silent
+rewrite is worse than a clear error.
 """
 
 from __future__ import annotations
@@ -265,6 +265,78 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+_STAR_REPLACE = re.compile(r"(?is)^(\s*SELECT\s+)\*\s+REPLACE\s*\(")
+
+
+def _rewrite_star_replace(sql: str, spark) -> str:
+    """Expand DuckDB's ``SELECT * REPLACE (expr AS col, …) FROM rel``
+    into an explicit column list — Spark has no ``* REPLACE``. Needs a
+    live session to resolve ``rel``'s schema, and applies only when the
+    FROM clause is ONE named relation (table/view/file-query) with no
+    joins and the statement-level select is the star: anything fancier
+    is left for Spark to reject loudly."""
+    m = _STAR_REPLACE.match(sql)
+    if not m or spark is None:
+        return sql
+    # matching close paren of the REPLACE list
+    depth, i = 1, m.end()
+    quote: str | None = None
+    n = len(sql)
+    while i < n and depth:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return sql
+    replacements: dict[str, str] = {}
+    for item in _split_top_level_commas(sql[m.end() : i - 1]):
+        rm = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item.strip())
+        if not rm:
+            return sql
+        replacements[rm.group(2).lower()] = rm.group(1).strip()
+    rest = sql[i:]
+    fm = re.match(
+        r"(?is)^\s*FROM\s+((?:[A-Za-z_][\w.]*|parquet\.`[^`]+`|csv\.`[^`]+`|json\.`[^`]+`))"
+        r"(\s+(?:AS\s+)?[A-Za-z_]\w*)?(?=\s|$)",
+        rest,
+    )
+    if not fm:
+        return sql
+    after_rel = rest[fm.end() :]
+    nxt, kw = _scan_top_level(after_rel, _JOIN_WORDS)
+    if nxt >= 0:
+        return sql  # joins — ambiguous star, bail
+    clause, _ = _scan_top_level(after_rel, _CLAUSE_AFTER_ON)
+    pre_clause = after_rel[:clause] if clause >= 0 else after_rel
+    if len(_split_top_level_commas(pre_clause)) > 1:
+        return sql  # comma join — ambiguous star, bail
+    rel = fm.group(1)
+    try:
+        if "." in rel and "`" in rel:
+            fmt, path = rel.split(".", 1)
+            cols = getattr(spark.read, fmt)(path.strip("`")).columns
+        else:
+            cols = spark.table(rel).columns
+    except Exception:
+        return sql  # unresolvable relation — leave for Spark's error
+    select_list = ", ".join(
+        f"({replacements[c.lower()]}) AS {c}" if c.lower() in replacements else c
+        for c in cols
+    )
+    missing = set(replacements) - {c.lower() for c in cols}
+    if missing:
+        return sql  # REPLACE names a column the relation lacks
+    return f"{m.group(1)}{select_list}{rest}"
+
+
 _CLAUSE_AFTER_ON = (
     "where",
     "group",
@@ -388,4 +460,6 @@ def transpile_statement(sql: str, spark=None) -> str:
             return view
         return f"{fmt}.`{path}`"
 
-    return _READ_FUNC.sub(rewrite, sql)
+    sql = _READ_FUNC.sub(rewrite, sql)
+    # after the read rewrite so file-queries resolve as relations
+    return _rewrite_star_replace(sql, spark)

@@ -457,3 +457,32 @@ def test_asof_join_model_file(spark, tmp_path):
         ).fetchall()
     }
     assert got == expected
+
+
+def test_star_replace_model_file(spark, tmp_path):
+    """DuckDB's SELECT * REPLACE (expr AS col) runs unchanged: the star
+    expands from the relation's schema with the listed columns swapped,
+    and matches DuckDB's answer on the same input."""
+    root = str(tmp_path)
+    write(
+        root,
+        "models/discounted.sql",
+        f"""\
+        SELECT * REPLACE (l_extendedprice * 0.9 AS l_extendedprice)
+        FROM read_parquet('{SF}/lineitem.parquet')
+        WHERE l_orderkey <= 64
+        """,
+    )
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    got = spark.table("discounted")
+    exp_rel = duckdb.sql(
+        f"""SELECT * REPLACE (l_extendedprice * 0.9 AS l_extendedprice)
+            FROM read_parquet('{SF}/lineitem.parquet') WHERE l_orderkey <= 64"""
+    )
+    assert got.columns == [c for c in exp_rel.columns]
+    got_prices = sorted(r[0] for r in got.select("l_extendedprice").collect())
+    exp_prices = sorted(exp_rel.df()["l_extendedprice"].tolist())
+    # price * 0.9 is a single IEEE op → bit-identical across engines
+    assert got_prices == exp_prices

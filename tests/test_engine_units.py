@@ -255,3 +255,16 @@ def test_transpile_asof_join_bails_on_hard_shapes():
     chain = ("SELECT * FROM p ASOF JOIN s ON p.u = s.u AND p.t >= s.t "
              "JOIN q ON q.u = p.u")
     assert transpile_statement(chain) == chain
+
+
+def test_transpile_star_replace_needs_session_and_bails_on_joins():
+    from arnab_spark.dialect import transpile_statement
+
+    # without a session the text passes through (Spark rejects * REPLACE)
+    sql = "SELECT * REPLACE (a * 2 AS a) FROM t"
+    assert transpile_statement(sql) == sql
+    # joins are ambiguous → untouched even with a session-like object
+    join_sql = "SELECT * REPLACE (a AS a) FROM t JOIN u ON t.id = u.id"
+    assert transpile_statement(join_sql) == join_sql
+    comma_sql = "SELECT * REPLACE (a AS a) FROM t, u"
+    assert transpile_statement(comma_sql) == comma_sql
