@@ -14,7 +14,9 @@ from arnab_spark.streaming.jobs import (
     stream_tumbling_counts,
 )
 from arnab_spark.streaming.stateful import (
+    run_sessionize_stream,
     run_stateful_stream,
+    stream_sessionize_timeout,
     stream_user_running_totals,
 )
 
@@ -24,4 +26,6 @@ __all__ = [
     "run_stream_to_memory",
     "stream_user_running_totals",
     "run_stateful_stream",
+    "stream_sessionize_timeout",
+    "run_sessionize_stream",
 ]

@@ -141,3 +141,128 @@ def run_stateful_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------
+# Event-time-timeout sessionizer
+
+_SESSION_OUTPUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, closed_by string"
+)
+# open session per user: start/last event-time micros, event count
+_SESSION_STATE = "start_us bigint, last_us bigint, n bigint"
+
+
+def _session_row(user_id, start_us, last_us, n, closed_by):
+    import pandas as pd
+
+    return {
+        "user_id": [user_id],
+        "session_start": [pd.Timestamp(start_us, unit="us")],
+        "session_end": [pd.Timestamp(last_us, unit="us")],
+        "n_events": [n],
+        "closed_by": [closed_by],
+    }
+
+
+def _make_sessionizer(gap_us: int):
+    def fn(key, batches, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # watermark passed the open session's end + gap: close it
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(_session_row(key[0], start_us, last_us, n, "timeout"))
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        closed = []
+        for pdf in batches:
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if start_us < 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append(_session_row(key[0], start_us, last_us, n, "gap"))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # fire when the watermark passes session end + gap; the
+        # timeout must sit above the current watermark
+        timeout_ms = max(
+            (last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        for row in closed:
+            yield __import__("pandas").DataFrame(row)
+
+    return fn
+
+
+def stream_sessionize_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionizer over a stream with EVENT-TIME TIMEOUTS: a
+    session closes either when a later event of the same user arrives
+    past the gap ("gap") or when the watermark passes the open
+    session's end + gap with no new data ("timeout") — the behavior
+    Spark's built-in ``session_window`` aggregation cannot express with
+    custom per-session output like close reasons.
+
+    ``events`` must carry a watermark on ``ts`` already (the timeout
+    clock IS the watermark). State: one open session per user — O(keys),
+    closed sessions leave the store immediately."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_us),
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    name: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive :func:`stream_sessionize_timeout` over a parquet drop-zone
+    to completion; returns the emitted (append-mode) closed sessions."""
+    from pyspark.sql import functions as F
+
+    from arnab_spark.spark_utils import configure
+    from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
+
+    configure(spark)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(source_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream_sessionize_timeout(stream, gap_minutes)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -107,3 +107,64 @@ def test_alert_fires_exactly_once(spark, split_source):
         alert_row = user_log[user_log["alert"]].iloc[0]
         pre = user_log[user_log["n_events"] < alert_row["n_events"]]
         assert (pre["total_value"] < THRESHOLD).all()
+
+
+def test_timeout_sessionizer_matches_batch(spark, split_source):
+    """Event-time-timeout sessionizer: gap-closed sessions must equal
+    the batch gaps-and-islands answer for every non-final session, and
+    final sessions whose end + gap fell below the terminal watermark
+    must close as 'timeout'. Sessions still open at end-of-stream are
+    (correctly) never emitted."""
+    from pyspark.sql import Window
+
+    from arnab_spark.streaming.stateful import run_sessionize_stream
+
+    GAP_MIN = 30
+    emitted = run_sessionize_stream(
+        spark, split_source, "t_sessions_timeout", GAP_MIN,
+        watermark="10 minutes", max_files_per_trigger=1,
+    ).toPandas()
+
+    # batch truth: sessionize the same rows with the same gap
+    from arnab_spark.operators import sessionize
+
+    e = spark.read.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(split_source).withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    batch = (
+        sessionize(
+            e.select("user_id", "ts", "event_id"),
+            key="user_id", ts="ts", gap_seconds=GAP_MIN * 60,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas()
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    import pandas as pd
+
+    final_wm = pd.Timestamp(max_ts) - pd.Timedelta(minutes=10)
+    gap = pd.Timedelta(minutes=GAP_MIN)
+
+    last_per_user = batch.groupby("user_id")["session_id"].transform("max")
+    is_last = batch["session_id"] == last_per_user
+    expect_gap = batch[~is_last]
+    expect_timeout = batch[is_last & (batch["session_end"] + gap < final_wm)]
+
+    def keyset(df):
+        return {
+            (r.user_id, pd.Timestamp(r.session_start), pd.Timestamp(r.session_end), r.n_events)
+            for r in df.itertuples()
+        }
+
+    got_gap = keyset(emitted[emitted["closed_by"] == "gap"])
+    got_timeout = keyset(emitted[emitted["closed_by"] == "timeout"])
+    assert got_gap == keyset(expect_gap)
+    assert got_timeout == keyset(expect_timeout)
+    assert len(emitted) == len(expect_gap) + len(expect_timeout)
