@@ -10,6 +10,7 @@ lambda-architecture guarantee for free.
 
 from arnab_spark.streaming.jobs import (
     run_stream_to_memory,
+    run_stream_to_parquet,
     stream_sessionized,
     stream_tumbling_counts,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "stream_tumbling_counts",
     "stream_sessionized",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
     "stream_user_running_totals",
     "run_stateful_stream",
     "stream_sessionize_timeout",
