@@ -588,3 +588,86 @@ def agg_percentile_exact(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_priority_late_orders",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "tpch"),
+)
+def agg_priority_late_orders(spark, sf_dir):
+    """TPC-H Q4-shaped priority check: orders of one year having at
+    least one lineitem shipped >90 days after ordering, counted per
+    priority. The EXISTS is a LEFT SEMI join — lineitem contributes
+    key+date columns only and never multiplies rows, so no DISTINCT is
+    needed before the count."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    o_year = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    late = o_year.join(
+        l,
+        (o_year.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "agg_promo_revenue_share",
+    oracle="""
+SELECT CAST(
+  100.0 * (CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)
+      ELSE 0 END) AS DOUBLE) / 10000.0)
+  / (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+AS DOUBLE) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+""",
+    tags=("agg", "tpch"),
+)
+def agg_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped promo share: single-pass ratio of conditional
+    to total revenue over one month (two BIGINT accumulators, one scan,
+    one tiny shuffle). part joins on its key — at bench sf AQE
+    broadcasts it; at production sf it degrades to a shuffle join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    month = l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    joined = month.join(p, month.l_partkey == p.p_partkey)
+    promo_units = F.when(F.col("p_type").like("PROMO%"), rev_units).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    sums = joined.agg(
+        F.sum(promo_units).alias("_pr"), F.sum(rev_units).alias("_tr")
+    )
+    return sums.select(
+        (
+            100.0
+            * (F.col("_pr").cast("double") / 10_000.0)
+            / (F.col("_tr").cast("double") / 10_000.0)
+        ).alias("promo_share_pct")
+    )

@@ -401,3 +401,54 @@ def join_large_orders_customers(spark, sf_dir):
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         """
     )
+
+
+@query(
+    "join_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "tpch"),
+)
+def join_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: segment-filtered customers →
+    unshipped-order revenue → global top-10. Both date filters push to
+    the scans; the final ORDER BY + LIMIT compiles to TakeOrdered
+    (per-partition top-k, no global sort). Ties break on l_orderkey so
+    the cut is total-ordered. Revenue follows the aggregates._qlong
+    BIGINT contract."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    rev_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(l.filter(F.col("l_shipdate") > cutoff), o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_units).alias("_r"))
+        .select(
+            "l_orderkey",
+            (F.col("_r").cast("double") / 10_000.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
