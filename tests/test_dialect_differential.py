@@ -1,0 +1,105 @@
+"""Differential property tests for the dialect rewrites: generated
+DuckDB-idiom statements (DISTINCT ON / QUALIFY / ASOF JOIN) run through
+`transpile_statement` on Spark and VERBATIM on DuckDB over the same
+fixture rows — results must match exactly. This is the right hammer for
+regex-based rewrites: hypothesis explores key/order/direction
+combinations no hand-written case list would."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arnab_spark.dialect import transpile_statement
+from arnab_spark.spark_utils import register_views
+
+SF = "/root/testdata/sf0.001"
+
+# small deterministic column pools on the orders fixture
+KEYS = ("o_custkey", "o_orderstatus", "o_orderpriority")
+ORDER_COLS = ("o_totalprice", "o_orderdate", "o_orderkey")
+DIRS = ("", " DESC", " ASC")
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    register_views(spark, SF, ("orders", "events"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    con.execute(
+        f"""CREATE VIEW events AS
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+            FROM read_parquet('{SF}/events.parquet')"""
+    )
+    return spark, con
+
+
+def _match(spark, con, spark_sql: str, duck_sql: str):
+    got = sorted(
+        tuple(r) for r in spark.sql(spark_sql).collect()
+    )
+    exp = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+    assert got == exp, f"{spark_sql!r}\nvs\n{duck_sql!r}"
+
+
+@given(
+    key=st.sampled_from(KEYS),
+    order_col=st.sampled_from(ORDER_COLS),
+    direction=st.sampled_from(DIRS),
+)
+@settings(max_examples=12, deadline=None)
+def test_distinct_on_matches_duckdb(engines, key, order_col, direction):
+    spark, con = engines
+    # tiebreak on o_orderkey makes the winner unique → comparable
+    sql = (
+        f"SELECT DISTINCT ON ({key}) {key}, o_orderkey, o_totalprice "
+        f"FROM orders ORDER BY {key}, {order_col}{direction}, o_orderkey"
+    )
+    _match(spark, con, transpile_statement(sql), sql)
+
+
+@given(
+    part=st.sampled_from(KEYS),
+    order_col=st.sampled_from(ORDER_COLS),
+    direction=st.sampled_from((" DESC", " ASC")),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_qualify_matches_duckdb(engines, part, order_col, direction, n):
+    spark, con = engines
+    sql = (
+        f"SELECT {part}, o_orderkey, "
+        f"row_number() OVER (PARTITION BY {part} "
+        f"ORDER BY {order_col}{direction}, o_orderkey) AS rn "
+        f"FROM orders QUALIFY rn <= {n}"
+    )
+    _match(spark, con, transpile_statement(sql), sql)
+
+
+@given(
+    op=st.sampled_from((">=", ">")),
+    left_kw=st.sampled_from(("LEFT ", "")),
+    flip=st.booleans(),
+)
+@settings(max_examples=8, deadline=None)
+def test_asof_matches_duckdb_native(engines, op, left_kw, flip):
+    """Generated ASOF joins purchases→signups; operand order flipped at
+    random (s.ts <= p.ts ≡ p.ts >= s.ts). DuckDB runs its NATIVE ASOF;
+    Spark runs the lateral rewrite."""
+    spark, con = engines
+    flipped_op = {">=": "<=", ">": "<"}[op]
+    ineq = (
+        f"p.ts {op} s.signup_ts" if not flip else f"s.signup_ts {flipped_op} p.ts"
+    )
+    body = (
+        "WITH purchases AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase'), "
+        "signups AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts "
+        "FROM events WHERE event_type = 'signup') "
+        "SELECT p.event_id, p.user_id, s.signup_id "
+        f"FROM purchases p ASOF {left_kw}JOIN signups s "
+        f"ON p.user_id = s.user_id AND {ineq}"
+    )
+    _match(spark, con, transpile_statement(body), body)
