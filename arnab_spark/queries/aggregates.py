@@ -233,16 +233,42 @@ def agg_filter_clause(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       (abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+          <= 0.10 * COUNT(DISTINCT l_orderkey)) AS orders_within_10pct,
+       (abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+          <= 0.10 * COUNT(DISTINCT l_partkey)) AS parts_within_10pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "approx"),
+)
 def agg_approx_count_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++). No oracle: DuckDB's HLL
-    sketch differs by construction; the driver records a rows-only check.
-    At 100 TB this is THE way to count distincts — no giant shuffle of
-    distinct values, just mergeable sketches."""
+    """approx_count_distinct (HyperLogLog++). The sketch VALUES differ
+    across engines by construction, so the oracle checks the property
+    instead: each engine's sketch must land within 10% of ITS OWN exact
+    count (HLL++ at default precision is ~2%, so the bound has wide
+    margin) — plus the exact counts themselves, which do compare
+    hash-exactly. At 100 TB approx is THE way to count distincts — no
+    giant shuffle of distinct values, just mergeable sketches."""
     l = load_table(spark, sf_dir, "lineitem")
+    exact_o = F.countDistinct("l_orderkey")
+    exact_p = F.countDistinct("l_partkey")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        exact_o.alias("exact_orders"),
+        exact_p.alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey") - exact_o)
+            <= 0.10 * exact_o
+        ).alias("orders_within_10pct"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - exact_p) <= 0.10 * exact_p
+        ).alias("parts_within_10pct"),
     )
 
 

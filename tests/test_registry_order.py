@@ -71,12 +71,13 @@ def test_headline_set_stable_under_reordering():
     assert {n for n, q in _REGISTRY.items() if q.headline} == HEADLINE
 
 
-def test_at_most_two_rows_only_queries():
-    """Only genuinely non-SQL-expressible ops may skip the oracle:
-    HLL sketch comparison and row sampling (round 2 gave the multimodal
-    frame sampler a hash-projection oracle)."""
+def test_only_sampling_is_rows_only():
+    """Only sampling itself may skip the oracle: its rows differ across
+    engines by nature. Everything else — including the HLL sketch (via
+    its error-bound property) and the binary frame sampler (via hash
+    projection) — carries a real oracle since round 2."""
     rows_only = sorted(n for n, q in _REGISTRY.items() if not q.oracle)
-    assert rows_only == ["agg_approx_count_distinct", "table_sample"]
+    assert rows_only == ["table_sample"]
 
 
 @pytest.mark.parametrize(
