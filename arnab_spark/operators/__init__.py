@@ -8,7 +8,11 @@ their own tables, not just the fixtures. The corpus queries call these
 docstring states the plan shape it produces at scale.
 """
 
-from arnab_spark.operators.relational import distinct_on, top_k_per_group
+from arnab_spark.operators.relational import (
+    connected_components,
+    distinct_on,
+    top_k_per_group,
+)
 from arnab_spark.operators.similarity import (
     cosine_from_int,
     cosine_knn,
@@ -28,6 +32,7 @@ __all__ = [
     "sessionize",
     "top_k_per_group",
     "distinct_on",
+    "connected_components",
     "quantize_embeddings",
     "lsh_bucket_ids",
     "cosine_knn",

@@ -29,3 +29,58 @@ def distinct_on(
     """DuckDB ``DISTINCT ON (keys) ... ORDER BY order_by``: the first
     row per key group under the given order."""
     return top_k_per_group(df, keys, order_by, 1)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node's label becomes the minimum label
+    in its neighborhood (including itself) until fixpoint. Returns
+    (node, component) where component = the smallest node id reachable.
+
+    Plan shape per iteration: one join of labels to the (symmetrized)
+    edge list + one groupBy-min — both shuffles on node id, so
+    successive iterations reuse the same hash partitioning. Converges
+    in O(graph diameter) rounds; near-dup graphs are dense clusters
+    with tiny diameters, so 3-5 rounds typical. Each round persists its
+    labels and drops the previous round's (lineage stays O(1)); the
+    convergence check aggregates ONE scalar (changed-row count), never
+    collecting data. At extreme scale swap in large-star/small-star
+    (same two-shuffle round structure, fewer rounds on chain graphs).
+    """
+    from pyspark.sql import functions as F
+
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

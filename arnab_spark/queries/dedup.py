@@ -35,6 +35,7 @@ from arnab_spark.queries import query
 from arnab_spark.spark_utils import load_table, register_spread_views
 
 N_BANDS = 8
+CC_MIN_BANDS = 2  # pair strength floor for the connected-groups graph
 DIM = 64
 
 # ---------------------------------------------------------------------
@@ -351,3 +352,69 @@ def dedup_embedding_cosine(spark, sf_dir):
     dedup threshold."""
     register_spread_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_QUANT_SPARK)
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM words
+),
+sigw AS (
+  SELECT s.doc_id, MIN(substr(sha256(s.shingle), 1, 8)) AS m0, MIN(substr(sha256(s.shingle), 9, 8)) AS m1, MIN(substr(sha256(s.shingle), 17, 8)) AS m2, MIN(substr(sha256(s.shingle), 25, 8)) AS m3, MIN(substr(sha256(s.shingle), 33, 8)) AS m4, MIN(substr(sha256(s.shingle), 41, 8)) AS m5, MIN(substr(sha256(s.shingle), 49, 8)) AS m6, MIN(substr(sha256(s.shingle), 57, 8)) AS m7 FROM shingles s GROUP BY s.doc_id
+),
+sigs AS (
+  SELECT doc_id, band, sig FROM sigw
+  UNPIVOT (sig FOR band_name IN (m0, m1, m2, m3, m4, m5, m6, m7))
+  , LATERAL (SELECT CAST(substr(band_name, 2) AS INTEGER) AS band) t
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {CC_MIN_BANDS}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, MIN(d) AS canonical_id FROM reach GROUP BY s
+"""
+
+
+@query("dedup_connected_groups", oracle=_CC_ORACLE, tags=("dedup", "lsh", "graph"))
+def dedup_connected_groups(spark, sf_dir):
+    """The production dedup closer: LSH candidate pairs (>= {CC_MIN_BANDS}
+    shared bands) form an undirected graph; connected components give
+    near-dup GROUPS, and each doc maps to its group's minimum doc_id as
+    the canonical representative — the row a training pipeline keeps.
+    Spark runs iterative min-label propagation
+    (:func:`arnab_spark.operators.connected_components`, O(diameter)
+    two-shuffle rounds); the oracle cross-checks with a DuckDB recursive
+    CTE computing transitive closure. Only docs appearing in some pair
+    are emitted (singletons are trivially their own canonical)."""
+    from arnab_spark.operators import connected_components
+
+    register_spread_views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(
+        _MINHASH_SPARK
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {CC_MIN_BANDS}
+"""
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )

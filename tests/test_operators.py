@@ -107,3 +107,23 @@ def test_lsh_bucket_ids_matches_corpus_sql(spark):
     want = spark.sql(head + "\nSELECT vec_id, table_id, bucket FROM bucketed").toPandas()
     cmp = compare_frames("lsh_op_vs_sql", got, want)
     assert cmp.ok, str(cmp)
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4 (diameter > 1 round), triangle 10-11-12 with a
+    redundant edge, isolated pair 20-21: labels must converge to the
+    component minimum for every node."""
+    from arnab_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
