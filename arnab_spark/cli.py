@@ -77,6 +77,19 @@ def cmd_run_file(args) -> int:
     the DuckDB file before dispatch, main.rs:126-132)."""
     spark = _get_spark(args.master)
     cfg = load_config(".", args.models_dir, args.db_path)
+    # engine settings + warehouse attach happen at "connection open",
+    # before dispatch — exactly when the reference applies its SET loop
+    # and opens the DuckDB file (main.rs:126-155), so run-file scripts
+    # see both
+    from arnab_spark.spark_utils import configure
+
+    configure(spark)
+    for k, v in cfg.engine_settings.items():
+        try:
+            spark.conf.set(k, str(v))
+        except Exception as exc:
+            print(f"error: failed to apply spark_settings {k}={v}: {exc}", file=sys.stderr)
+            return 1
     if cfg.db_path:
         from arnab_spark.catalog import attach_warehouse
 

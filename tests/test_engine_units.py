@@ -268,3 +268,24 @@ def test_transpile_star_replace_needs_session_and_bails_on_joins():
     assert transpile_statement(join_sql) == join_sql
     comma_sql = "SELECT * REPLACE (a AS a) FROM t, u"
     assert transpile_statement(comma_sql) == comma_sql
+
+
+def test_run_file_applies_engine_settings(tmp_path, monkeypatch, spark):
+    """run-file must apply config spark_settings before executing
+    scripts — the reference's SET loop runs at connection open for
+    every subcommand (main.rs:135-155)."""
+    import arnab_spark.cli as cli
+
+    (tmp_path / "config.yaml").write_text(
+        "models_dir: models\nspark_settings:\n  spark.sql.shuffle.partitions: '7'\n"
+    )
+    (tmp_path / "models").mkdir()
+    (tmp_path / "script.sql").write_text("SELECT 1 AS one")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(cli, "_get_spark", lambda master: spark)
+    args = cli._build_parser().parse_args(
+        ["run-file", str(tmp_path / "script.sql")]
+    )
+    assert cli.cmd_run_file(args) == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    spark.conf.set("spark.sql.shuffle.partitions", "32")  # restore
