@@ -452,3 +452,57 @@ def join_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "join_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("join", "tpch"),
+)
+def join_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier volume: 6-table join where the
+    supplier join carries a second, cross-table equality (customer and
+    supplier in the same nation) — Catalyst plans both conjuncts into one
+    hash-join key, no post-filter residual. region/nation broadcast; the
+    date range pushes to the orders scan so only one year of the fact
+    survives the first join. Revenue uses the BIGINT-quantized contract
+    (aggregates._qlong rationale). Result is nation-count-sized, so the
+    final sort is trivial at any SF."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    rev_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        c.join(o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+               c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev_units).cast("double") / 10_000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

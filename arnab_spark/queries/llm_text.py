@@ -223,3 +223,215 @@ def text_fingerprint(spark, sf_dir):
         FROM grams GROUP BY doc_id
         """
     )
+
+
+# Deterministic hash bucket from the first two hex nibbles of md5(doc_id):
+# (n1-1)*16 + (n2-1) ∈ [0, 255]. instr() spells the nibble→int map in both
+# dialects (Spark returns INT, DuckDB BIGINT — cast the sum, not the parts).
+_HEX = "0123456789abcdef"
+
+
+def _bucket_sql(dialect: str) -> str:
+    h = f"md5(CAST(doc_id AS {'STRING' if dialect == 'spark' else 'VARCHAR'}))"
+    return (
+        f"CAST((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substring({h}, 2, 1)) - 1 AS BIGINT)"
+    )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN bucket < 230 THEN 'train' "
+    "WHEN bucket < 243 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "text_train_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, {_bucket_sql('duck')} AS bucket FROM documents
+)
+SELECT doc_id, lang, bucket, {_SPLIT_CASE} AS split
+FROM b
+""",
+    tags=("text", "sampling"),
+)
+def text_train_split(spark, sf_dir):
+    """Deterministic train/val/test split (~90/5/5) by content-stable
+    hash bucket: md5(doc_id) → bucket 0-255 → split. A pure projection —
+    no shuffle, no RNG, and the assignment is reproducible across runs,
+    engines, and repartitions, which is the property a training pipeline
+    actually needs from a splitter (rand()-based splits are none of
+    those). At 100 TB this stays embarrassingly parallel."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"""
+        WITH b AS (
+          SELECT doc_id, lang, {_bucket_sql('spark')} AS bucket FROM documents
+        )
+        SELECT doc_id, lang, bucket, {_SPLIT_CASE} AS split
+        FROM b
+        """
+    )
+
+
+@query(
+    "text_quality_gopher",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_tokens_sql('duck')}) AS word FROM documents
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+),
+m AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_unique, MAX(c) AS top_c
+  FROM wc GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len({_tokens_sql('duck')}) - 1, 1) + 1),
+           i -> {_tokens_sql('duck')}[i] || ' '
+                || {_tokens_sql('duck')}[least(i + 1, len({_tokens_sql('duck')}))]) AS grams
+  FROM documents
+)
+SELECT m.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       1.0 - CAST(n_unique AS DOUBLE) / n_words AS word_rep_ratio,
+       CAST(top_c AS DOUBLE) / n_words AS top_word_ratio,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_2gram_ratio,
+       (CAST(top_c AS DOUBLE) / n_words < 0.2
+        AND 1.0 - CAST(n_unique AS DOUBLE) / n_words < 0.6
+        AND n_words >= 10) AS gopher_keep
+FROM m JOIN g ON m.doc_id = g.doc_id
+""",
+    tags=("text", "quality"),
+)
+def text_quality_gopher(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word ratio, top-word
+    dominance, duplicate-2-gram ratio, and a keep/drop verdict. Top-word
+    frequency needs a real mode, so it runs as a two-level aggregate
+    (explode → (doc,word) counts → doc rollup) with map-side partial
+    aggregation on both hops; the 2-gram ratio stays in array functions
+    (no explode) and joins back at doc granularity — both sides of that
+    join are doc-count-sized, not token-sized, at any scale."""
+    register_views(spark, sf_dir, ("documents",))
+    t = _tokens_sql("spark")
+    return spark.sql(
+        f"""
+        WITH w AS (
+          SELECT doc_id, explode({t}) AS word FROM documents
+        ),
+        wc AS (
+          SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+        ),
+        m AS (
+          SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_unique, MAX(c) AS top_c
+          FROM wc GROUP BY doc_id
+        ),
+        g AS (
+          SELECT doc_id,
+                 transform(sequence(1, greatest(size({t}) - 1, 1)),
+                   i -> concat_ws(' ', element_at({t}, i),
+                                  element_at({t}, least(i + 1, size({t}))))) AS grams
+          FROM documents
+        )
+        SELECT m.doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               1.0 - CAST(n_unique AS DOUBLE) / n_words AS word_rep_ratio,
+               CAST(top_c AS DOUBLE) / n_words AS top_word_ratio,
+               1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams) AS dup_2gram_ratio,
+               (CAST(top_c AS DOUBLE) / n_words < 0.2
+                AND 1.0 - CAST(n_unique AS DOUBLE) / n_words < 0.6
+                AND n_words >= 10) AS gopher_keep
+        FROM m JOIN g ON m.doc_id = g.doc_id
+        """
+    )
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_tokens_sql('duck')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+FROM c
+""",
+    tags=("text", "packing"),
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for context-window training: within each source
+    shard, documents are laid out in stable doc_id order and chunked into
+    2048-token packs by running token count (pack = exclusive-cumsum div
+    2048). One shuffle, partitioned by source — at 100 TB each shard's
+    window is independent, so this parallelizes across sources and never
+    needs a global sort. The BIGINT cumsum is exact; floor() is cast on
+    both engines (DuckDB floor→DOUBLE, Spark floor→BIGINT)."""
+    register_views(spark, sf_dir, ("documents",))
+    t = _tokens_sql("spark")
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id, source, CAST(size({t}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+        FROM c
+        """
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, CAST(n_lang AS BIGINT) AS n_lang
+FROM r
+WHERE rk * 10 <= n_lang + 9
+""",
+    tags=("text", "sampling"),
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified 10% sample: exactly ceil(n/10) docs per language
+    stratum, chosen by hash order (md5 of doc_id) so the sample is
+    deterministic and reproducible — unlike TABLESAMPLE, this has an
+    exact oracle. ``rk*10 <= n+9`` spells ceil(n/10) without dialect-
+    divergent ceil()/integer-division. One shuffle on the stratum key;
+    strata process independently at any scale."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rk,
+                 COUNT(*) OVER (PARTITION BY lang) AS n_lang
+          FROM documents
+        )
+        SELECT doc_id, lang, rk, n_lang
+        FROM r
+        WHERE rk * 10 <= n_lang + 9
+        """
+    )
