@@ -11,6 +11,9 @@ lambda-architecture guarantee for free.
 from arnab_spark.streaming.jobs import (
     run_stream_to_memory,
     run_stream_to_parquet,
+    stream_click_purchase_join,
+    stream_dedup_watermarked,
+    stream_distinct_pairs,
     stream_sessionized,
     stream_tumbling_counts,
 )
@@ -24,6 +27,9 @@ from arnab_spark.streaming.stateful import (
 __all__ = [
     "stream_tumbling_counts",
     "stream_sessionized",
+    "stream_distinct_pairs",
+    "stream_dedup_watermarked",
+    "stream_click_purchase_join",
     "run_stream_to_memory",
     "run_stream_to_parquet",
     "stream_user_running_totals",

@@ -142,3 +142,76 @@ def run_stream_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming deduplication: ``dropDuplicates`` on
+    (user_id, event_type) keeps one row per key across the whole stream.
+    State holds every key seen — exact, but unbounded; use
+    :func:`stream_dedup_watermarked` when the key space grows without
+    bound and duplicates are known to arrive close together (the
+    at-least-once-source case)."""
+    events = _read_events_stream(spark, sf_dir)
+    return events.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    drops duplicates that arrive within the 10-minute watermark delay
+    and EVICTS key state once the watermark passes — so a key recurring
+    much later is re-emitted. That trade (possible re-emission, bounded
+    state) is the production shape for deduplicating at-least-once
+    sources at 100 TB/day; the invariant it does guarantee — the output
+    key set equals the input key set, with no adjacent duplicates —
+    is what the test asserts."""
+    events = _read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts")
+    )
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks matched to the
+    same user's purchases landing within [click_ts, click_ts + 30 min].
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can evict join state as watermarks advance —
+    without the interval bound the state store grows forever. Inner-join
+    matches are emitted as they form; the batch twin (same filters, same
+    join) must produce the identical row set."""
+    events = _read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
