@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arnab_spark.queries import DEC, dsum, query
-from arnab_spark.spark_utils import load_table, register_views
+from arnab_spark.spark_utils import broadcast_if_small, load_table, register_views
 
 _STAR_ORACLE = """
 SELECT n_name, r_name,
@@ -37,12 +37,14 @@ def join_star_revenue(spark, sf_dir):
 
     Plan shape: the three dimension tables are pre-joined into one
     (c_custkey, n_name, r_name) dim — nation/region force-broadcast
-    (constant 25/5 rows at ANY sf), customer deliberately NOT forced:
-    AQE broadcasts the built dim when it is small (it is, at bench sf)
-    and falls back to a shuffle join when customer outgrows the
-    threshold at production sf. lineitem⋈orders stays the only big
-    shuffle, both sides hashed on the same key so AQE can co-locate
-    and skew-split. Revenue accumulates as quantized BIGINT
+    (constant 25/5 rows at ANY sf); customer gets a size-AWARE hint
+    (`broadcast_if_small`): broadcast while the customer table's real
+    on-disk size is under 64 MB, shuffle join beyond. Catalyst's static
+    estimate can't see that a joined dim is tiny (product-expanded
+    guess), and relying on AQE re-measurement costs stage-
+    materialization latency at bench scale. lineitem⋈orders stays the
+    only big shuffle, both sides hashed on the same key so AQE can
+    co-locate and skew-split. Revenue accumulates as quantized BIGINT
     (aggregates._qlong contract: price·(1-disc) carries exactly 4
     decimals; switch to dsum past ~1e9 rows/group — see that
     docstring for the headroom arithmetic)."""
@@ -53,10 +55,12 @@ def join_star_revenue(spark, sf_dir):
     r = load_table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev_units = F.floor(rev * F.lit(10_000.0) + F.lit(0.5)).cast("bigint")
-    dim = (
+    dim = broadcast_if_small(
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("c_custkey", "n_name", "r_name")
+        .select("c_custkey", "n_name", "r_name"),
+        sf_dir,
+        "customer",
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)

@@ -140,6 +140,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def broadcast_if_small(
+    df: DataFrame, sf_dir: str, name: str, threshold: int = 64 * 1024 * 1024
+) -> DataFrame:
+    """App-level size-aware broadcast hint: broadcast ``df`` iff the
+    backing table's on-disk size is under ``threshold`` bytes.
+
+    Catalyst's own auto-broadcast can't see through a join — the size
+    estimate of a joined dimension (e.g. customer⋈nation⋈region) is the
+    product-expanded guess, so a provably-tiny built dim falls back to
+    sort-merge whenever AQE isn't there to re-measure it at runtime.
+    Checking the source file's real size is exactly what a production
+    job does with metastore statistics: under the threshold the hint is
+    safe at ANY downstream row multiplicity (dims join 1:1 on their
+    key), over it we return the frame unhinted and let the planner
+    shuffle. Driver-side metadata peek only — no data is read."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        size = (
+            sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+            if os.path.isdir(path)
+            else os.path.getsize(path)
+        )
+    except OSError:
+        return df
+    if size < threshold:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df
+
+
 def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Like :func:`register_views`, but guarantees the view is spread
     across the session's cores before CPU-bound per-row work.
