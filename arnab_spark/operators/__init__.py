@@ -23,7 +23,13 @@ from arnab_spark.operators.similarity import (
     lsh_bucket_ids,
     quantize_embeddings,
 )
-from arnab_spark.operators.texttools import minhash_signatures, shingle_ngrams
+from arnab_spark.operators.texttools import (
+    hash_split,
+    minhash_signatures,
+    pack_sequences,
+    shingle_ngrams,
+    stratified_sample,
+)
 from arnab_spark.operators.timeops import asof_carry_forward, asof_join, sessionize
 
 __all__ = [
@@ -43,4 +49,7 @@ __all__ = [
     "cosine_from_int",
     "shingle_ngrams",
     "minhash_signatures",
+    "hash_split",
+    "pack_sequences",
+    "stratified_sample",
 ]

@@ -45,3 +45,97 @@ def minhash_signatures(
     return wide.selectExpr(
         id_col, f"stack({n_bands}, {stack_args}) AS (band, sig)"
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_bucket(id_col: str) -> F.Column:
+    """Deterministic bucket 0-255 from the first two hex nibbles of
+    md5(id) — content-stable across runs, engines, and repartitions."""
+    h = f"md5(CAST({id_col} AS STRING))"
+    return F.expr(
+        f"CAST((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substring({h}, 2, 1)) - 1 AS BIGINT)"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 230), ("val", 243), ("test", 256)),
+) -> DataFrame:
+    """Deterministic dataset split: adds ``bucket`` (0-255, md5-derived)
+    and ``split`` (first name whose exclusive upper bound exceeds the
+    bucket; defaults ≈ 90/5/5). A pure projection — zero shuffle, no
+    RNG — so the assignment is reproducible, which is the property a
+    training pipeline needs from a splitter. Works identically at any
+    scale."""
+    bounds = sorted(splits, key=lambda s: s[1])
+    if bounds[-1][1] < 256:
+        raise ValueError("last split bound must cover bucket 255")
+    out = df.withColumn("bucket", _md5_bucket(id_col))
+    expr = F.when(F.col("bucket") < bounds[0][1], bounds[0][0])
+    for name, hi in bounds[1:-1]:
+        expr = expr.when(F.col("bucket") < hi, name)
+    expr = expr.otherwise(bounds[-1][0])
+    return out.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    partition_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Sequence packing for context-window training: within each
+    ``partition_col`` shard, rows are laid out in ``order_col`` order
+    and chunked into packs of ~``budget`` tokens by exclusive running
+    token count (adds exact-BIGINT ``cum_tokens`` and ``pack_id``).
+    One shuffle on the shard key; shards pack independently, so this
+    needs no global sort at any scale."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w).cast("bigint")
+    return df.withColumn("cum_tokens", cum).withColumn(
+        "pack_id",
+        F.floor(
+            (F.col("cum_tokens") - F.col(token_col)).cast("double") / F.lit(budget)
+        ).cast("bigint"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    numerator: int = 1,
+    denominator: int = 10,
+) -> DataFrame:
+    """Deterministic stratified sample: exactly
+    ceil(n·numerator/denominator) rows per stratum, chosen by md5 hash
+    order of ``id_col`` (ties broken by the id itself). Adds ``_rk``
+    (hash-order rank within the stratum) and ``_n`` (stratum size).
+    Unlike TABLESAMPLE the result is reproducible and exactly sized —
+    ``rk·den <= n·num + den - 1`` spells the ceil without float math.
+    One shuffle on the stratum key; strata are independent at any
+    scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(stratum_col)))
+        .filter(
+            F.col("_rk") * F.lit(denominator)
+            <= F.col("_n") * F.lit(numerator) + F.lit(denominator - 1)
+        )
+    )

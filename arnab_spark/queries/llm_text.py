@@ -263,16 +263,11 @@ def text_train_split(spark, sf_dir):
     engines, and repartitions, which is the property a training pipeline
     actually needs from a splitter (rand()-based splits are none of
     those). At 100 TB this stays embarrassingly parallel."""
-    register_views(spark, sf_dir, ("documents",))
-    return spark.sql(
-        f"""
-        WITH b AS (
-          SELECT doc_id, lang, {_bucket_sql('spark')} AS bucket FROM documents
-        )
-        SELECT doc_id, lang, bucket, {_SPLIT_CASE} AS split
-        FROM b
-        """
-    )
+    from arnab_spark.operators import hash_split
+    from arnab_spark.spark_utils import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, "doc_id")
 
 
 @query(
@@ -376,24 +371,18 @@ def text_pack_sequences(spark, sf_dir):
     window is independent, so this parallelizes across sources and never
     needs a global sort. The BIGINT cumsum is exact; floor() is cast on
     both engines (DuckDB floor→DOUBLE, Spark floor→BIGINT)."""
-    register_views(spark, sf_dir, ("documents",))
-    t = _tokens_sql("spark")
-    return spark.sql(
-        f"""
-        WITH t AS (
-          SELECT doc_id, source, CAST(size({t}) AS BIGINT) AS n_tokens
-          FROM documents
-        ),
-        c AS (
-          SELECT doc_id, source, n_tokens,
-                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-          FROM t
-        )
-        SELECT doc_id, source, n_tokens, cum_tokens,
-               CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS pack_id
-        FROM c
-        """
+    from pyspark.sql import functions as F
+
+    from arnab_spark.operators import pack_sequences
+    from arnab_spark.spark_utils import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(docs, "n_tokens", "doc_id", "source", budget=2048).select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "pack_id"
     )
 
 
@@ -420,18 +409,15 @@ def sample_stratified(spark, sf_dir):
     exact oracle. ``rk*10 <= n+9`` spells ceil(n/10) without dialect-
     divergent ceil()/integer-division. One shuffle on the stratum key;
     strata process independently at any scale."""
-    register_views(spark, sf_dir, ("documents",))
-    return spark.sql(
-        """
-        WITH r AS (
-          SELECT doc_id, lang,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
-                                         ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS rk,
-                 COUNT(*) OVER (PARTITION BY lang) AS n_lang
-          FROM documents
-        )
-        SELECT doc_id, lang, rk, n_lang
-        FROM r
-        WHERE rk * 10 <= n_lang + 9
-        """
+    from pyspark.sql import functions as F
+
+    from arnab_spark.operators import stratified_sample
+    from arnab_spark.spark_utils import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", 1, 10).select(
+        "doc_id",
+        "lang",
+        F.col("_rk").alias("rk"),
+        F.col("_n").alias("n_lang"),
     )

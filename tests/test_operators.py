@@ -127,3 +127,71 @@ def test_connected_components_known_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_hash_split_generic_bounds(spark):
+    """Custom 2-way split: every row lands in exactly one named split,
+    bucket in [0,256), and the assignment is stable across invocations
+    (pure hash, no RNG)."""
+    from arnab_spark.operators import hash_split
+    from arnab_spark.spark_utils import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = hash_split(docs, "doc_id", splits=(("a", 128), ("b", 256)))
+    rows = out.collect()
+    assert all(0 <= r.bucket < 256 for r in rows)
+    assert {r.split for r in rows} == {"a", "b"}
+    assert all((r.split == "a") == (r.bucket < 128) for r in rows)
+    again = {(r.doc_id, r.split) for r in hash_split(docs, "doc_id",
+             splits=(("a", 128), ("b", 256))).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", splits=(("a", 100),))
+
+
+def test_pack_sequences_generic_budget(spark):
+    """Budget 100: pack_id == exclusive-cumsum // budget within each
+    shard, packs are contiguous in order_col, first row of each shard
+    is pack 0."""
+    from arnab_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s1", 1, 60), ("s1", 2, 60), ("s1", 3, 60), ("s2", 1, 250), ("s2", 2, 10)],
+        "shard string, seq int, toks int",
+    )
+    got = {
+        (r.shard, r.seq): (r.cum_tokens, r.pack_id)
+        for r in pack_sequences(df, "toks", "seq", "shard", budget=100).collect()
+    }
+    assert got == {
+        ("s1", 1): (60, 0),   # excl-cum 0
+        ("s1", 2): (120, 0),  # excl-cum 60
+        ("s1", 3): (180, 1),  # excl-cum 120
+        ("s2", 1): (250, 0),  # oversize doc still gets its own pack
+        ("s2", 2): (260, 2),  # excl-cum 250
+    }
+
+
+def test_stratified_sample_generic_fraction(spark):
+    """25% sample: exactly ceil(n/4) rows per stratum, deterministic
+    across calls."""
+    import math
+
+    from arnab_spark.operators import stratified_sample
+    from arnab_spark.spark_utils import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    out = stratified_sample(docs, "lang", "doc_id", 1, 4)
+    from pyspark.sql import functions as F
+
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r.lang: math.ceil(r.n / 4)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == want
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", 1, 4).collect()}
+    assert a == b
