@@ -697,3 +697,46 @@ def agg_promo_revenue_share(spark, sf_dir):
             / (F.col("_tr").cast("double") / 10_000.0)
         ).alias("promo_share_pct")
     )
+
+
+_MODE_BOOL_BITS_SQL = """
+WITH vc AS (
+  SELECT l_returnflag, l_linestatus AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+md AS (
+  SELECT l_returnflag, v AS mode_status FROM (
+    SELECT l_returnflag, v,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c DESC, v) AS rn
+    FROM vc
+  ) ranked WHERE rn = 1
+),
+ag AS (
+  SELECT l_returnflag,
+         bool_and(l_quantity > 0)   AS all_qty_pos,
+         bool_or(l_discount > 0.09) AS any_big_disc,
+         CAST(bit_and(l_suppkey) AS BIGINT) AS suppkey_band,
+         CAST(bit_or(l_suppkey)  AS BIGINT) AS suppkey_bor,
+         CAST(bit_xor(l_suppkey) AS BIGINT) AS suppkey_bxor
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT ag.l_returnflag, mode_status, all_qty_pos, any_big_disc,
+       suppkey_band, suppkey_bor, suppkey_bxor
+FROM ag JOIN md ON ag.l_returnflag = md.l_returnflag
+"""
+
+
+@query("agg_mode_bool_bits", oracle=_MODE_BOOL_BITS_SQL, tags=("agg",))
+def agg_mode_bool_bits(spark, sf_dir):
+    """mode / bool_and / bool_or / bit_and / bit_or / bit_xor
+    aggregates. Native mode() breaks ties arbitrarily in BOTH engines,
+    so the corpus spells it as the deterministic two-level aggregate:
+    (group, value) counts → row_number ordered by (count DESC, value) —
+    ties go to the smallest value, identically everywhere. The value
+    count table is tiny (distinct values per group), so the window costs
+    nothing; bool/bit aggregates ride the primitive hash-agg fast path.
+    """
+    from arnab_spark.spark_utils import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_MODE_BOOL_BITS_SQL)
