@@ -97,7 +97,10 @@ def run_stream_to_memory(
         .start()
     )
     try:
-        q.processAllAvailable()
+        # wait for self-termination: availableNow's final no-data batch
+        # (watermark-closing windows, state timers) is part of the run;
+        # processAllAvailable() + stop() can race it under load
+        q.awaitTermination(600)
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
@@ -139,7 +142,10 @@ def run_stream_to_parquet(
         .start()
     )
     try:
-        q.processAllAvailable()
+        # append mode emits a window only when the watermark closes it —
+        # that can happen in the final no-data batch; wait for
+        # self-termination rather than racing it with stop()
+        q.awaitTermination(600)
     finally:
         q.stop()
 

@@ -137,7 +137,12 @@ def run_stateful_stream(
         .start()
     )
     try:
-        q.processAllAvailable()
+        # availableNow self-terminates after ALL batches — including the
+        # final no-data batch that fires pending event-time timers.
+        # processAllAvailable() can return before that batch commits and
+        # the subsequent stop() races it (observed as a flaky missing
+        # "timeout" session under load), so wait for termination instead.
+        q.awaitTermination(600)
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
@@ -262,7 +267,9 @@ def run_sessionize_stream(
         .start()
     )
     try:
-        q.processAllAvailable()
+        # see run_stateful_stream: termination, not processAllAvailable,
+        # is the barrier that includes the timer-firing no-data batch
+        q.awaitTermination(600)
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
