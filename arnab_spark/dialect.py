@@ -7,6 +7,7 @@ rewrites the purely syntactic gaps so those models run unchanged:
 
 - zero-arg ``count()`` → ``count(*)``
 - ``read_parquet('p')`` & friends → Spark file-query syntax
+- bare-string tables ``FROM 'x.parquet'`` → Spark file-query syntax
 - ``SELECT * EXCLUDE (a, b)`` → Spark's ``* EXCEPT (a, b)``
 - top-level ``QUALIFY <pred>`` → subquery + filter
 - top-level ``SELECT DISTINCT ON (keys) …`` → row_number window +
@@ -77,6 +78,15 @@ def _resolve_path(path: str) -> str:
 # `* EXCLUDE (a, b)` directly after a star is unambiguous; Spark spells
 # the same projection `* EXCEPT (a, b)`.
 _STAR_EXCLUDE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
+
+# DuckDB's bare-string table: FROM 'data.parquet' (a shorthand for
+# read_parquet and friends). Only rewritten when the extension names a
+# format Spark's file-query syntax can scan without option sniffing —
+# anything else is left for Spark to reject with a clear parse error.
+_BARE_PATH = re.compile(
+    r"\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|json)(?:\.gz)?)'",
+    re.IGNORECASE,
+)
 
 
 def _scan_top_level(sql: str, words: tuple[str, ...], start: int = 0) -> tuple[int, str | None]:
@@ -430,6 +440,18 @@ def transpile_statement(sql: str, spark=None) -> str:
     """
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
+
+    def bare_path(m: re.Match) -> str:
+        path = _resolve_path(m.group(2))
+        low = path.lower()
+        fmt = (
+            "parquet"
+            if ".parquet" in low
+            else "csv" if ".csv" in low else "json"
+        )
+        return f"{m.group(1)} {fmt}.`{path}`"
+
+    sql = _BARE_PATH.sub(bare_path, sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_asof_join(sql)

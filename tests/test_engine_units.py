@@ -289,3 +289,19 @@ def test_run_file_applies_engine_settings(tmp_path, monkeypatch, spark):
     assert cli.cmd_run_file(args) == 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     spark.conf.set("spark.sql.shuffle.partitions", "32")  # restore
+
+
+def test_transpile_bare_path_table(spark, tmp_path):
+    """DuckDB's bare-string table shorthand — FROM 'x.parquet' — must
+    rewrite to Spark's file-query syntax and actually scan."""
+    from arnab_spark.dialect import transpile_statement
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1,), (2,)], "x bigint").write.parquet(p)
+    sql = transpile_statement(f"SELECT count(*) AS n FROM '{p}'")
+    assert f"parquet.`{p}`" in sql
+    assert spark.sql(sql).collect()[0].n == 2
+    # non-data extensions are left alone for Spark to reject clearly
+    assert transpile_statement("SELECT * FROM 'x.txt'") == "SELECT * FROM 'x.txt'"
+    # csv shorthand maps to the csv reader
+    assert "csv.`data.csv`" in transpile_statement("SELECT * FROM 'data.csv'")
