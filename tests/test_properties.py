@@ -110,3 +110,90 @@ def test_compare_detects_column_rename():
     a = pd.DataFrame({"x": [1]})
     b = pd.DataFrame({"y": [1]})
     assert not compare_frames("cols", a, b).ok
+
+
+# ---------------------------------------------------------------------
+# Training-data operator invariants (cross-implementation: invariants
+# recomputed in plain Python/pandas, not by re-running the Spark logic)
+
+import hashlib
+import math
+
+_HEXD = "0123456789abcdef"
+
+
+@given(st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=40, unique=True))
+@settings(max_examples=8, deadline=None)
+def test_hash_split_matches_python_md5(spark, ids):
+    """Spark's md5-derived bucket must equal hashlib's for every id —
+    the cross-engine determinism the splitter promises."""
+    from arnab_spark.operators import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    got = {r.id: (r.bucket, r.split) for r in hash_split(df, "id").collect()}
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        bucket = _HEXD.index(hx[0]) * 16 + _HEXD.index(hx[1])
+        split = "train" if bucket < 230 else ("val" if bucket < 243 else "test")
+        assert got[i] == (bucket, split)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 400)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 250),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_invariants(spark, rows, budget):
+    """pack_id must equal exclusive-prefix-sum // budget (recomputed in
+    Python), be nondecreasing per shard, and cum_tokens must be the
+    inclusive prefix sum."""
+    from arnab_spark.operators import pack_sequences
+
+    data = [(shard, seq, toks) for seq, (shard, toks) in enumerate(rows)]
+    df = spark.createDataFrame(data, "shard string, seq int, toks int")
+    got = sorted(
+        (
+            (r.shard, r.seq, r.toks, r.cum_tokens, r.pack_id)
+            for r in pack_sequences(df, "toks", "seq", "shard", budget=budget).collect()
+        )
+    )
+    cums: dict[str, int] = {}
+    for shard, _seq, toks, cum, pack in got:
+        prev = cums.get(shard, 0)
+        assert cum == prev + toks
+        assert pack == prev // budget
+        cums[shard] = cum
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 5),
+    st.integers(5, 10),
+)
+@settings(max_examples=8, deadline=None)
+def test_stratified_sample_exact_sizes(spark, rows, num, den):
+    """Exactly ceil(n·num/den) rows per stratum, all drawn from the
+    stratum, regardless of fraction."""
+    from arnab_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(rows, "g string, id bigint")
+    out = stratified_sample(df, "g", "id", num, den).collect()
+    by_g: dict[str, set] = {}
+    for g, i in rows:
+        by_g.setdefault(g, set()).add(i)
+    got: dict[str, set] = {}
+    for r in out:
+        got.setdefault(r.g, set()).add(r.id)
+    assert set(got) == set(by_g)
+    for g, members in by_g.items():
+        assert len(got[g]) == math.ceil(len(members) * num / den)
+        assert got[g] <= members
