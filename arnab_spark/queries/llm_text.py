@@ -421,3 +421,63 @@ def sample_stratified(spark, sf_dir):
         F.col("_rk").alias("rk"),
         F.col("_n").alias("n_lang"),
     )
+
+
+# PII patterns kept to a regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): literal classes, +, {m,}, no
+# backrefs/lookaround. DuckDB regexp_replace needs the 'g' flag for
+# global replacement; Spark's is global by default. The literal dot is
+# spelled [.] — Spark SQL string literals consume a \ escape (so '\.'
+# reaches the regex engine as a match-anything '.'), while DuckDB
+# passes it through; a character class sidesteps the divergence.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         'reach me at user' || CAST(doc_id AS VARCHAR) || '@mail-' || source
+           || '.com or 555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0')
+           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: '
+           || substring(text, 1, 60) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM t
+""",
+    tags=("text", "pii"),
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: regex redaction of emails/phones with per-doc
+    redaction counts. The fixture text carries no real PII, so
+    deterministic synthetic contact strings are built in-query from doc
+    fields — the scrub path (extract-count + nested regexp_replace) is
+    the production shape either way: a pure projection, no shuffle, and
+    the patterns stay in the Java∩RE2 regex subset so both engines
+    agree byte-for-byte."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 'reach me at user' || CAST(doc_id AS STRING) || '@mail-' || source
+                   || '.com or 555-01' || lpad(CAST(doc_id % 10 AS STRING), 1, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' re: '
+                   || substring(text, 1, 60) AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(size(regexp_extract_all(raw, '{_EMAIL_RE}', 0)) AS BIGINT) AS n_emails,
+               CAST(size(regexp_extract_all(raw, '{_PHONE_RE}', 0)) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>'),
+                              '{_PHONE_RE}', '<PHONE>') AS scrubbed
+        FROM t
+        """
+    )
