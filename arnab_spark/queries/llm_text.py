@@ -285,10 +285,9 @@ m AS (
 ),
 g AS (
   SELECT doc_id,
-         list_transform(range(1, greatest(len({_tokens_sql('duck')}) - 1, 1) + 1),
-           i -> {_tokens_sql('duck')}[i] || ' '
-                || {_tokens_sql('duck')}[least(i + 1, len({_tokens_sql('duck')}))]) AS grams
-  FROM documents
+         list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+           i -> w[i] || ' ' || w[least(i + 1, len(w))]) AS grams
+  FROM (SELECT doc_id, {_tokens_sql('duck')} AS w FROM documents) words
 )
 SELECT m.doc_id,
        CAST(n_words AS BIGINT) AS n_words,
@@ -325,11 +324,13 @@ def text_quality_gopher(spark, sf_dir):
           FROM wc GROUP BY doc_id
         ),
         g AS (
+          -- materialize the token array ONCE: splicing split() into the
+          -- lambda re-splits the text per element = O(words^2) per doc
           SELECT doc_id,
-                 transform(sequence(1, greatest(size({t}) - 1, 1)),
-                   i -> concat_ws(' ', element_at({t}, i),
-                                  element_at({t}, least(i + 1, size({t}))))) AS grams
-          FROM documents
+                 transform(sequence(1, greatest(size(w) - 1, 1)),
+                   i -> concat_ws(' ', element_at(w, i),
+                                  element_at(w, least(i + 1, size(w))))) AS grams
+          FROM (SELECT doc_id, {t} AS w FROM documents) words
         )
         SELECT m.doc_id,
                CAST(n_words AS BIGINT) AS n_words,

@@ -93,6 +93,27 @@ def main() -> None:
         conc.append(time.perf_counter() - start)
     concurrent_wall = round(min(conc), 4)
 
+    # Training-data pipeline pass: the beyond-reference ops a 100 TB
+    # corpus-prep job chains (split → quality filter → PII scrub →
+    # stratified sample → sequence packing), timed as one sequential
+    # suite after a warm run.
+    pipeline = [
+        "text_train_split",
+        "text_quality_gopher",
+        "text_pii_scrub",
+        "sample_stratified",
+        "text_pack_sequences",
+    ]
+    for n in pipeline:
+        _run(n)
+    pipe = []
+    for _ in range(2):
+        start = time.perf_counter()
+        for n in pipeline:
+            _run(n)
+        pipe.append(time.perf_counter() - start)
+    pipeline_wall = round(min(pipe), 4)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -106,6 +127,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 4),
                 "concurrent_wall_clock_4way": concurrent_wall,
+                "training_ops_wall_clock": pipeline_wall,
                 "sf": sf,
             }
         )
