@@ -20,6 +20,7 @@ from arnab_spark.operators.similarity import (
     ivf_assign,
     ivf_centroids,
     ivf_probe,
+    ivf_refine,
     lsh_bucket_ids,
     quantize_embeddings,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_probe",
+    "ivf_refine",
     "int_dot",
     "cosine_from_int",
     "shingle_ngrams",

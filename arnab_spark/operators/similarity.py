@@ -212,3 +212,43 @@ def ivf_probe(
             F.col("cid").alias("cell"),
         )
     )
+
+
+def ivf_refine(assigned: DataFrame, iv_col: str = "iv") -> DataFrame:
+    """One Lloyd refinement step: each cell's new centroid is the
+    element-wise mean of its member vectors, kept in the quantized
+    integer domain as floor(sum / count) so the result — and everything
+    downstream — stays exactly reproducible across engines. (The double
+    division is exact here: sums stay far below 2^53 and a non-integer
+    mean sits at least 1/count from the nearest integer, astronomically
+    farther than one ulp.)
+
+    Plan shape at scale: posexplode → (cell, pos) partial-agg — the
+    shuffle carries k·dim sum rows, not the corpus — then one k-row
+    re-pack. Iterating this operator is declarative k-means: each pass
+    is the same two-stage plan, no driver-side data movement."""
+    long = assigned.select(
+        "cell", F.posexplode(F.col(iv_col)).alias("pos", "val")
+    )
+    comp = (
+        long.groupBy("cell", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "cval",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint"),
+        )
+    )
+    packed = comp.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.cval,
+        ).alias("civ")
+    )
+    nrm2 = F.aggregate(
+        F.transform(F.col("civ"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return packed.select(
+        F.col("cell").alias("cid"), "civ", nrm2.alias("cnrm2")
+    )

@@ -317,3 +317,132 @@ def ann_ivf_cells(spark, sf_dir):
     return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rnk") <= TOP_K
     )
+
+
+def _ivf_refined_oracle() -> str:
+    """DuckDB spelling of IVF + one Lloyd step. The refit keeps
+    centroids integer (floor of the element-wise mean) so re-assignment
+    and scoring stay in the exact-integer contract."""
+    dot_na = _dot("duck", "n.iv", "c.civ")
+    dot_n2 = _dot("duck", "n.iv", "c2.civ")
+    dot_sc = _dot("duck", "p.qiv", "a.iv")
+    return (
+        _quant_cte("duck")
+        + f"""
+, cents AS (
+  SELECT vec_id AS cid, iv AS civ, nrm2 AS cnrm2 FROM normed
+  WHERE vec_id >= {N_QUERIES}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CELLS}
+),
+ascore1 AS (
+  SELECT n.vec_id, n.iv, c.cid,
+         CAST({dot_na} AS DOUBLE)
+           / (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c.cnrm2 AS DOUBLE))) AS cos
+  FROM normed n CROSS JOIN cents c
+),
+assign1 AS (
+  SELECT vec_id, iv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore1
+  ) WHERE rn = 1
+),
+long AS (
+  SELECT a.cell, p.pos, a.iv[p.pos] AS val
+  FROM assign1 a CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS pos) p
+),
+comp AS (
+  SELECT cell, pos,
+         CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+  FROM long GROUP BY cell, pos
+),
+cents2 AS (
+  SELECT cid, civ,
+         CAST(list_sum(list_transform(civ, x -> x * x)) AS BIGINT) AS cnrm2
+  FROM (SELECT cell AS cid, list(cval ORDER BY pos) AS civ FROM comp GROUP BY cell) t
+),
+ascore2 AS (
+  SELECT n.vec_id, n.iv, n.nrm2, c2.cid,
+         CAST({dot_n2} AS DOUBLE)
+           / (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c2.cnrm2 AS DOUBLE))) AS cos
+  FROM normed n CROSS JOIN cents2 c2
+),
+assign2 AS (
+  SELECT vec_id, iv, nrm2, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore2
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, iv AS qiv, nrm2 AS qn, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore2 WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({dot_sc} AS DOUBLE)
+           / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.nrm2 AS DOUBLE))) AS cosine
+  FROM qprobe p JOIN assign2 a ON p.cell = a.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+@query("ann_ivf_refined", oracle=_ivf_refined_oracle(), tags=("similarity", "ivf", "iterative"))
+def ann_ivf_refined(spark, sf_dir):
+    """IVF-flat ANN with ONE declarative Lloyd (k-means) refinement
+    step between centroid init and search: sample centroids → assign →
+    :func:`arnab_spark.operators.ivf_refine` (element-wise integer mean
+    per cell) → re-assign → probe → exact top-k. The iteration is plain
+    DataFrame algebra — each Lloyd pass is one posexplode aggregate of
+    k·dim rows plus a k-row re-pack, so "train the quantizer" and
+    "search" are the same engine and the loop count is a Python `for`
+    over plan construction, not driver-side data. On this near-uniform
+    synthetic fixture one step moves recall@5 only within noise
+    (measured 0.52 vs 0.56 unrefined; floor asserted in tests) — the
+    point here is the exact-oracled declarative training loop, which on
+    clustered production embeddings is where IVF recall actually comes
+    from."""
+    from pyspark.sql import Window, functions as F
+
+    from arnab_spark.operators import (
+        cosine_from_int,
+        int_dot,
+        ivf_assign,
+        ivf_centroids,
+        ivf_probe,
+        ivf_refine,
+        quantize_embeddings,
+    )
+    from arnab_spark.spark_utils import load_table
+
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
+    cents = ivf_centroids(e, k=K_CELLS, exclude_below=N_QUERIES)
+    cents2 = ivf_refine(ivf_assign(e, cents))
+    assign2 = ivf_assign(e, cents2)
+    probes = ivf_probe(e.filter(F.col("vec_id") < N_QUERIES), cents2, N_PROBE)
+    scored = (
+        probes.join(assign2, on="cell")
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_int(
+                int_dot(F.col("_qiv"), F.col("iv")), F.col("_qn"), F.col("iv_nrm2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= TOP_K
+    )

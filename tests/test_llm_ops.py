@@ -80,3 +80,30 @@ def test_multimodal_stubs_raise():
         decode_image(b"")
     with pytest.raises(NotImplementedError):
         decode_audio(b"")
+
+
+def test_ivf_refined_recall_and_refine_math(spark):
+    """One Lloyd step must keep recall above the same regression floor
+    (on the isotropic fixture it moves recall only within noise), and
+    ivf_refine's centroid math must equal floor(element-wise mean)
+    computed by hand."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in REG["knn_cosine_brute"].fn(spark, SF).collect()
+    }
+    rows = REG["ann_ivf_refined"].fn(spark, SF).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got) == len(rows), "duplicate (query, neighbor) pairs"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.4, f"refined IVF recall collapsed: {recall:.2f}"
+
+    from arnab_spark.operators import ivf_refine
+
+    assigned = spark.createDataFrame(
+        [(1, 10, [4, -3]), (2, 10, [1, -4]), (3, 20, [7, 7])],
+        "vec_id bigint, cell bigint, iv array<bigint>",
+    )
+    cents = {r.cid: (r.civ, r.cnrm2) for r in ivf_refine(assigned).collect()}
+    # floor((4+1)/2)=2, floor((-3-4)/2)=floor(-3.5)=-4 (floor, not trunc)
+    assert cents[10] == ([2, -4], 20)
+    assert cents[20] == ([7, 7], 98)
