@@ -486,3 +486,36 @@ def test_star_replace_model_file(spark, tmp_path):
     exp_prices = sorted(exp_rel.df()["l_extendedprice"].tolist())
     # price * 0.9 is a single IEEE op → bit-identical across engines
     assert got_prices == exp_prices
+
+
+def test_corpus_prep_example_project(spark, tmp_path, monkeypatch):
+    """examples/corpus_prep: the training-data prep DAG written as
+    DuckDB-idiom model SQL (bare-path scan, md5 split, quality gate,
+    * EXCLUDE) must run end-to-end through Session and produce the
+    split∩quality subset with the working columns dropped."""
+    import shutil
+
+    from arnab_spark.config import load_config
+    from arnab_spark.session import Session
+
+    proj = tmp_path / "corpus_prep"
+    shutil.copytree("examples/corpus_prep", proj)
+    monkeypatch.chdir(proj)
+    cfg = load_config(".", None, None)
+    report = Session(cfg, spark).run(quiet=True)
+    assert not report.errors, report.errors
+    out = spark.sql("SELECT * FROM train_corpus")
+    assert set(out.columns) == {"doc_id", "split", "n_tokens", "lang", "source", "text"}
+    rows = out.collect()
+    assert rows and all(r.split == "train" for r in rows)
+    # cross-check against the operator the SQL mirrors
+    from arnab_spark.operators import hash_split
+    from arnab_spark.spark_utils import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want_train = {
+        r.doc_id
+        for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+        if r.split == "train"
+    }
+    assert {r.doc_id for r in rows} <= want_train
