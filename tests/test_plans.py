@@ -56,3 +56,39 @@ def test_ivf_centroids_broadcast_not_shuffled(spark):
     assert "BroadcastNestedLoopJoin" in audit.joins or any(
         "Broadcast" in j for j in audit.joins
     ), audit.joins
+
+
+def test_train_split_zero_shuffle(spark):
+    """The splitter is a pure projection — any Exchange would mean the
+    reproducibility claim (repartition-independent) is being paid for
+    instead of free."""
+    audit = audit_plan(REG["text_train_split"].fn(spark, SF))
+    assert audit.n_exchanges == 0, audit.plan_text[:800]
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing shuffles once, on the shard key; shards pack
+    independently."""
+    audit = audit_plan(REG["text_pack_sequences"].fn(spark, SF))
+    assert audit.n_exchanges == 1, audit.plan_text[:800]
+
+
+def test_q5_broadcasts_dims(spark):
+    """The Q5-shape composite must broadcast at least the constant dims
+    (nation/region) — no shuffle for 25- and 5-row tables."""
+    audit = audit_plan(REG["join_local_supplier_volume"].fn(spark, SF))
+    assert "BroadcastHashJoin" in audit.joins, audit.plan_text[:800]
+
+
+def test_star_join_broadcast_survives_aqe_off(spark):
+    """broadcast_if_small must keep the built dim broadcast WITHOUT
+    AQE's runtime re-measurement (the bench plan shape IS the
+    production plan shape)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        audit = audit_plan(REG["join_star_revenue"].fn(spark, SF))
+        assert "SortMergeJoin" not in audit.joins, audit.plan_text[:800]
+        assert "BroadcastHashJoin" in audit.joins
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
