@@ -123,6 +123,66 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
+RESIZE_TO = 64  # power of two: i*len/64 divides exactly in binary FP
+
+
+_RESIZE_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i AS i,
+         substr(d.text, CAST(floor(t.i * length(d.text) / {RESIZE_TO}.0) AS BIGINT) + 1, 1) AS p
+  FROM documents d, LATERAL unnest(range(0, {RESIZE_TO})) AS t(i)
+  WHERE length(d.text) > 0
+)
+SELECT doc_id,
+       CAST({RESIZE_TO} AS BIGINT) AS out_len,
+       md5(string_agg(p, '' ORDER BY i)) AS resized_md5
+FROM px
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_resize", oracle=_RESIZE_ORACLE, tags=("multimodal", "pandas-udf"))
+def multimodal_resize(spark, sf_dir):
+    """Nearest-neighbor 'resize' of the opaque blob to a fixed
+    RESIZE_TO-byte signal via ``mapInPandas`` — the same Arrow-batched
+    shape a real image resize (PIL ``Image.resize``) slots into; here
+    the kernel is 1-D nearest-neighbor byte sampling so the output is
+    deterministic and oracle-checkable. Exactness: sample index is
+    ``i * len // RESIZE_TO``; the oracle's ``floor(i*len/64.0)`` agrees
+    bit-for-bit because i*len < 2^53 is exact in double and dividing by
+    a power of two is exact, so floor(double) == integer floor-div.
+    Downsampling and upsampling (len < RESIZE_TO duplicates bytes) both
+    fall out of the one formula. Scale: zero shuffle — resize is a
+    projection; blobs stay in their input partitions and only the
+    (doc_id, md5) summary ever moves."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def nn_resize(blob: bytes) -> bytes:
+            n = len(blob)
+            return bytes(blob[(i * n) // RESIZE_TO] for i in range(RESIZE_TO))
+
+        for pdf in batches:
+            keep = pdf[pdf["blob"].map(len) > 0]
+            yield pd.DataFrame(
+                {
+                    "doc_id": keep["doc_id"],
+                    "resized": keep["blob"].map(nn_resize),
+                }
+            )
+
+    out = d.mapInPandas(resize, schema="doc_id bigint, resized binary")
+    return out.select(
+        "doc_id",
+        F.octet_length("resized").cast("bigint").alias("out_len"),
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
 # DuckDB cannot slice BLOBs, so the oracle slices the VARCHAR instead —
 # byte-identical here because the documents fixture is pure ASCII at
 # every SF (verified: octet_length(encode(text)) == length(text) for
