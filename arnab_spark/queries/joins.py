@@ -510,3 +510,232 @@ def join_local_supplier_volume(spark, sf_dir):
         .agg((F.sum(rev_units).cast("double") / 10_000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "join_returned_item_revenue",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "tpch"),
+)
+def join_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: which customers returned
+    the most merchandise last quarter. The returnflag filter pushes to
+    the lineitem scan (dictionary-encoded column → row-group pruning at
+    scale) and the quarter filter to orders, so the join sees one
+    quarter x one flag. nation broadcasts; customer attributes ride the
+    group-by keys instead of a post-agg re-join — one shuffle total.
+    Top-20 compiles to TakeOrdered (per-partition heap, no global
+    sort); c_custkey breaks revenue ties so the cut is total-ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    rev_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        c.join(o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+               c.c_custkey == o.o_custkey)
+        .join(l.filter(F.col("l_returnflag") == "R"), o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev_units).cast("double") / 10_000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "join_bracketed_discounts",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("join", "tpch"),
+)
+def join_bracketed_discounts(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive bracket query: revenue from three
+    OR'd (brand, size, quantity) brackets. The interesting part is what
+    Catalyst does with the disjunction: it factors the per-side
+    implications out of the OR — part gets `p_brand IN (...) AND p_size
+    BETWEEN 1 AND 15`, lineitem gets `l_quantity BETWEEN 1 AND 30` —
+    and pushes each to its scan, so the join builds on pre-shrunk
+    inputs and only the residual OR runs post-join. At 100 TB that
+    factored pushdown is the difference between scanning three brands
+    and scanning every part."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev_units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_units).cast("double") / 10_000.0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_waiting_suppliers",
+    oracle="""
+WITH ofl AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+), waiting AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM ofl b
+  WHERE late
+    AND EXISTS (SELECT 1 FROM ofl o
+                WHERE o.l_orderkey = b.l_orderkey AND o.l_suppkey <> b.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM ofl o
+                    WHERE o.l_orderkey = b.l_orderkey AND o.l_suppkey <> b.l_suppkey
+                      AND o.late)
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+    tags=("join", "tpch"),
+)
+def join_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped waiting-supplier report: suppliers who were the
+    SOLE late shipper on finished multi-supplier orders. The
+    EXISTS/NOT-EXISTS pair becomes a left-semi then left-anti join,
+    each a hash join on l_orderkey with the `suppkey <>` residual
+    evaluated inside the join — no correlated per-row subquery
+    execution anywhere. The orders join is computed once and reused
+    for both sides of the semi/anti pair (self-joined on the derived
+    frame), and only (orderkey, suppkey, late) triples ever shuffle —
+    never full lineitem rows. 60-day ship lag stands in for the
+    reference schema's receipt-vs-commit lag (no l_receiptdate /
+    l_commitdate in the fixture)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ofl = (
+        l.join(o.filter(F.col("o_orderstatus") == "F"),
+               l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias("late"),
+        )
+    )
+    base = ofl.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    others = ofl.select(
+        F.col("l_orderkey").alias("o_okey"),
+        F.col("l_suppkey").alias("o_skey"),
+        "late",
+    )
+    waiting = (
+        base.join(
+            others,
+            (base.l_orderkey == others.o_okey) & (base.l_suppkey != others.o_skey),
+            "left_semi",
+        )
+        .join(
+            others.filter(F.col("late")),
+            (base.l_orderkey == F.col("o_okey")) & (base.l_suppkey != F.col("o_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@query(
+    "join_idle_rich_customers",
+    oracle="""
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("join", "tpch"),
+)
+def join_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22-shaped lapsed-big-spender report: customers with an
+    above-average positive balance and no orders in the last year,
+    totalled per nation. The global-average scalar is a 1-row aggregate
+    cross-joined in (Catalyst broadcasts it — zero-cost scalar
+    subquery, no collect); the decimal-accumulated average (davg
+    contract) makes the `>` threshold bit-identical across engines so
+    boundary customers can't flip. The NOT EXISTS is a left-anti hash
+    join against only the date-surviving order keys. Balance total
+    follows the dsum decimal contract."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+             / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("n_name")
+    )
