@@ -17,6 +17,8 @@ rewrites the purely syntactic gaps so those models run unchanged:
 
 - ``SELECT * REPLACE (expr AS col) FROM <one relation>`` → expanded
   column list (needs a live session to resolve the relation's schema)
+- ``<q1> UNION [ALL] BY NAME <q2>`` → name-aligned positional union
+  (needs a live session to resolve each side's schema)
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -347,6 +349,68 @@ def _rewrite_star_replace(sql: str, spark) -> str:
     return f"{m.group(1)}{select_list}{rest}"
 
 
+_UNION_BY_NAME = re.compile(r"(?is)^UNION\s+(?:(ALL|DISTINCT)\s+)?BY\s+NAME\b")
+
+
+def _rewrite_union_by_name(sql: str, spark) -> str:
+    """Rewrite one top-level DuckDB ``<left> UNION [ALL] BY NAME
+    <right>`` into a standard positional union: columns are matched by
+    name (case-insensitive, both engines' default), the output carries
+    the left side's columns first then right-only columns (DuckDB's
+    order), and a side missing a column contributes ``NULL``. Needs a
+    live session to resolve each side's schema (analysis only — nothing
+    executes). Chained BY NAME unions or sides that fail to analyze are
+    left untouched → Spark rejects ``BY`` loudly, never a silent wrong
+    rewrite."""
+    start = 0
+    while True:
+        idx, _ = _scan_top_level(sql, ("union",), start)
+        if idx < 0:
+            return sql
+        m = _UNION_BY_NAME.match(sql[idx:])
+        if m:
+            break
+        start = idx + len("union")
+    if spark is None:
+        return sql
+    left = sql[:idx].strip()
+    rest = sql[idx + m.end():]
+    nxt, kw = _scan_top_level(rest, ("union", "intersect", "except", "order", "limit", "offset"))
+    tail = ""
+    if nxt >= 0:
+        if kw in ("union", "intersect", "except"):
+            return sql  # chained set ops — out of conservative reach
+        tail = " " + rest[nxt:].strip()
+        rest = rest[:nxt]
+    right = rest.strip()
+    if left.startswith("(") and left.endswith(")"):
+        left = left[1:-1]
+    if right.startswith("(") and right.endswith(")"):
+        right = right[1:-1]
+    try:
+        lcols = spark.sql(left).columns
+        rcols = spark.sql(right).columns
+    except Exception:
+        return sql
+    out = list(lcols) + [c for c in rcols if c.lower() not in {x.lower() for x in lcols}]
+    if len({c.lower() for c in out}) != len(out):
+        return sql  # duplicate names within one side — ambiguous
+
+    def aligned(side_sql: str, cols: list[str], alias: str) -> str:
+        have = {c.lower(): c for c in cols}
+        items = ", ".join(
+            f"`{have[c.lower()]}` AS `{c}`" if c.lower() in have else f"NULL AS `{c}`"
+            for c in out
+        )
+        return f"SELECT {items} FROM ({side_sql}) {alias}"
+
+    setop = "UNION ALL" if (m.group(1) or "").upper() == "ALL" else "UNION"
+    return (
+        f"{aligned(left, lcols, '__arnab_ubn1')} {setop} "
+        f"{aligned(right, rcols, '__arnab_ubn2')}{tail}"
+    )
+
+
 _CLAUSE_AFTER_ON = (
     "where",
     "group",
@@ -484,4 +548,5 @@ def transpile_statement(sql: str, spark=None) -> str:
 
     sql = _READ_FUNC.sub(rewrite, sql)
     # after the read rewrite so file-queries resolve as relations
-    return _rewrite_star_replace(sql, spark)
+    sql = _rewrite_star_replace(sql, spark)
+    return _rewrite_union_by_name(sql, spark)

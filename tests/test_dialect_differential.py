@@ -103,3 +103,33 @@ def test_asof_matches_duckdb_native(engines, op, left_kw, flip):
         f"ON p.user_id = s.user_id AND {ineq}"
     )
     _match(spark, con, transpile_statement(body), body)
+
+
+@given(
+    all_kw=st.sampled_from(("ALL ", "")),
+    lcols=st.sampled_from(("o_orderkey, o_custkey", "o_custkey, o_orderstatus")),
+    rcols=st.sampled_from(
+        ("o_custkey, o_totalprice", "o_orderstatus, o_custkey", "o_orderkey, o_custkey")
+    ),
+    tail=st.sampled_from(("", " ORDER BY 1 LIMIT 2000000")),
+)
+@settings(max_examples=12, deadline=None)
+def test_union_by_name_matches_duckdb(engines, all_kw, lcols, rcols, tail):
+    """Generated UNION [ALL] BY NAME over differing column subsets of
+    orders — DuckDB runs the idiom natively, Spark runs the name-aligned
+    rewrite (which needs the session to resolve each side's schema).
+    The LIMIT tail exceeds the fixture so it never cuts (a cutting
+    LIMIT under ORDER BY on a NULL-bearing column is an engine-default
+    difference — Spark sorts NULLS FIRST, DuckDB NULLS LAST — not a
+    union-rewrite property). Sort key is None-safe: name-aligned unions
+    produce NULL-filled columns that plain tuple sorting chokes on."""
+    spark, con = engines
+    sql = (
+        f"SELECT {lcols} FROM orders WHERE o_orderkey % 7 = 0 "
+        f"UNION {all_kw}BY NAME "
+        f"SELECT {rcols} FROM orders WHERE o_orderkey % 5 = 0{tail}"
+    )
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(transpile_statement(sql, spark)).collect()), key=key)
+    exp = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
+    assert got == exp, sql

@@ -519,3 +519,26 @@ def test_corpus_prep_example_project(spark, tmp_path, monkeypatch):
         if r.split == "train"
     }
     assert {r.doc_id for r in rows} <= want_train
+
+
+def test_union_by_name_model_file(spark, tmp_path):
+    """A reference-style model using DuckDB's UNION ALL BY NAME runs
+    unchanged (dialect rewrite → name-aligned positional union) and
+    matches DuckDB's native answer on the same input."""
+    root = str(tmp_path)
+    body = f"""\
+        SELECT o_orderkey, o_custkey FROM read_parquet('{SF}/orders.parquet')
+        WHERE o_orderkey % 7 = 0
+        UNION ALL BY NAME
+        SELECT o_totalprice, o_custkey FROM read_parquet('{SF}/orders.parquet')
+        WHERE o_orderkey % 5 = 0
+        """
+    write(root, "models/mixed_union.sql", body)
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    got = spark.table("mixed_union")
+    expected = duckdb.sql(body).fetchall()
+    assert got.count() == len(expected)
+    # left side's columns lead, right-only columns follow (DuckDB order)
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]

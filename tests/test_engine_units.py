@@ -305,3 +305,14 @@ def test_transpile_bare_path_table(spark, tmp_path):
     assert transpile_statement("SELECT * FROM 'x.txt'") == "SELECT * FROM 'x.txt'"
     # csv shorthand maps to the csv reader
     assert "csv.`data.csv`" in transpile_statement("SELECT * FROM 'data.csv'")
+
+
+def test_union_by_name_untouched_without_session():
+    sql = "SELECT a FROM t UNION BY NAME SELECT b FROM u"
+    assert transpile_statement(sql) == sql  # no session → loud Spark error later
+
+
+def test_union_by_name_leaves_order_by_name_alone():
+    # a column literally named "name" after ORDER BY must not trigger it
+    sql = "SELECT name FROM t ORDER BY name"
+    assert transpile_statement(sql) == sql
