@@ -92,3 +92,43 @@ def test_star_join_broadcast_survives_aqe_off(spark):
         assert "BroadcastHashJoin" in audit.joins
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_bracketed_or_factors_pushdown_to_both_scans(spark):
+    """Q19-shape: Catalyst must factor the per-side implications out of
+    the OR'd brackets and push them to BOTH scans — lineitem gets the
+    quantity envelope, part gets the brand/size envelope. At 100 TB this
+    is the difference between scanning three brands and every part."""
+    audit = audit_plan(REG["join_bracketed_discounts"].fn(spark, SF))
+    assert audit.has_pushed_filter("l_quantity"), audit.plan_text[:800]
+    assert audit.has_pushed_filter("p_brand"), audit.plan_text[:800]
+    assert audit.has_pushed_filter("p_size"), audit.plan_text[:800]
+
+
+def test_returned_item_topk_is_take_ordered(spark):
+    """Q10-shape: the global top-20 must compile to TakeOrderedAndProject
+    (per-partition heaps), never a full global Sort of the aggregate."""
+    audit = audit_plan(REG["join_returned_item_revenue"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in audit.plan_text, audit.plan_text[:800]
+    assert audit.has_pushed_filter("l_returnflag"), audit.plan_text[:800]
+    assert audit.has_pushed_filter("o_orderdate"), audit.plan_text[:800]
+
+
+def test_waiting_suppliers_uses_semi_and_anti_hash_joins(spark):
+    """Q21-shape: EXISTS / NOT EXISTS must plan as hash semi/anti joins
+    (with the suppkey<> residual inside the join), never a correlated
+    per-row subquery or nested loop over lineitem."""
+    audit = audit_plan(REG["join_waiting_suppliers"].fn(spark, SF))
+    text = audit.plan_text
+    assert "LeftSemi" in text, text[:800]
+    assert "LeftAnti" in text, text[:800]
+    assert "BroadcastNestedLoopJoin" not in audit.joins, audit.joins
+
+
+def test_idle_rich_scalar_average_broadcasts(spark):
+    """Q22-shape: the global-average threshold is a 1-row aggregate
+    joined via broadcast — no collect, no shuffle of customer against
+    the scalar."""
+    audit = audit_plan(REG["join_idle_rich_customers"].fn(spark, SF))
+    assert any("Broadcast" in j for j in audit.joins), audit.joins
+    assert "LeftAnti" in audit.plan_text, audit.plan_text[:800]
