@@ -352,6 +352,28 @@ def _rewrite_star_replace(sql: str, spark) -> str:
 _UNION_BY_NAME = re.compile(r"(?is)^UNION\s+(?:(ALL|DISTINCT)\s+)?BY\s+NAME\b")
 
 
+def _strip_outer_parens(s: str) -> str:
+    """Strip one pair of outer parens ONLY if the opening paren's match
+    is the final character — `(A) UNION ALL (B)` must survive intact."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth = 0
+    quote: str | None = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:-1] if i == len(s) - 1 else s
+    return s
+
+
 def _rewrite_union_by_name(sql: str, spark) -> str:
     """Rewrite one top-level DuckDB ``<left> UNION [ALL] BY NAME
     <right>`` into a standard positional union: columns are matched by
@@ -375,24 +397,32 @@ def _rewrite_union_by_name(sql: str, spark) -> str:
         return sql
     left = sql[:idx].strip()
     rest = sql[idx + m.end():]
-    nxt, kw = _scan_top_level(rest, ("union", "intersect", "except", "order", "limit", "offset"))
+    nxt, kw, scan_from = -1, None, 0
+    while True:
+        nxt, kw = _scan_top_level(
+            rest, ("union", "intersect", "except", "order", "limit", "offset"), scan_from
+        )
+        # `* EXCEPT (cols)` in the right side's select list is a
+        # projection (incl. rewritten `* EXCLUDE`), not a chained set op
+        if kw == "except" and rest[:nxt].rstrip().endswith("*"):
+            scan_from = nxt + len("except")
+            continue
+        break
     tail = ""
     if nxt >= 0:
         if kw in ("union", "intersect", "except"):
             return sql  # chained set ops — out of conservative reach
         tail = " " + rest[nxt:].strip()
         rest = rest[:nxt]
-    right = rest.strip()
-    if left.startswith("(") and left.endswith(")"):
-        left = left[1:-1]
-    if right.startswith("(") and right.endswith(")"):
-        right = right[1:-1]
+    right = _strip_outer_parens(rest.strip())
+    left = _strip_outer_parens(left)
     try:
         lcols = spark.sql(left).columns
         rcols = spark.sql(right).columns
     except Exception:
         return sql
-    out = list(lcols) + [c for c in rcols if c.lower() not in {x.lower() for x in lcols}]
+    lset = {x.lower() for x in lcols}
+    out = list(lcols) + [c for c in rcols if c.lower() not in lset]
     if len({c.lower() for c in out}) != len(out):
         return sql  # duplicate names within one side — ambiguous
 

@@ -56,6 +56,28 @@ def query(name: str, oracle: str | None = None, headline: bool = False, tags: tu
     return deco
 
 
+def qlong(col: Column, scale: int) -> Column:
+    """Quantize a fixed-decimal DOUBLE column to BIGINT units of 1/scale.
+
+    ``floor(x * scale + 0.5)``: the fixtures' money columns carry ≤2
+    decimal places (discount·price products: ≤4, charge: ≤6), so
+    ``x * scale`` sits within a few ulp of an integer and the +0.5/floor
+    snap recovers it exactly — identical in both engines because every
+    step is a single IEEE op (Spark CAST(double AS BIGINT) truncates
+    while DuckDB's rounds, so the oracle spells the floor explicitly).
+    Summing primitive BIGINTs stays on the hash-agg fast path: measured
+    ~4x faster than DECIMAL(18,6) accumulation on the sf0.1 pricing
+    summary (0.28s vs 1.15s steady). Overflow headroom: max charge
+    micro-units ≈ 1.3e11/row → safe to ~1e7 max-value rows (~1e8
+    typical) PER GROUP; past that (sf ≳ 100 with 6 groups) switch the
+    accumulator to :data:`DEC` via dsum — both spellings are kept in
+    the corpus for exactly that reason (agg_having uses dsum). This is
+    THE one definition of the quantization contract — every revenue
+    expression in the corpus routes through it so a rounding-contract
+    change lands everywhere at once."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Exact (decimal-accumulated) sum of a double expression, as double."""
     c = F.col(col) if isinstance(col, str) else col

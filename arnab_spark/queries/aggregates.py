@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arnab_spark.queries import DEC, davg, dsum, query
+from arnab_spark.queries import DEC, davg, dsum, qlong, query
 from arnab_spark.spark_utils import load_table
 
 _PRICING_ORACLE = """
@@ -37,23 +37,8 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def _qlong(col, scale: int):
-    """Quantize a fixed-decimal DOUBLE column to BIGINT units of 1/scale.
-
-    ``floor(x * scale + 0.5)``: the fixtures' money columns carry ≤2
-    decimal places (discount·price products: ≤4, charge: ≤6), so
-    ``x * scale`` sits within a few ulp of an integer and the +0.5/floor
-    snap recovers it exactly — identical in both engines because every
-    step is a single IEEE op (Spark CAST(double AS BIGINT) truncates
-    while DuckDB's rounds, so the oracle spells the floor explicitly).
-    Summing primitive BIGINTs stays on the hash-agg fast path: measured
-    ~4x faster than DECIMAL(18,6) accumulation on the sf0.1 pricing
-    summary (0.28s vs 1.15s steady). Overflow headroom: max charge
-    micro-units ≈ 1.3e11/row → safe to ~1e7 max-value rows (~1e8
-    typical) PER GROUP; past that (sf ≳ 100 with 6 groups) switch the
-    accumulator to :data:`DEC` via dsum — both spellings are kept in
-    the corpus for exactly that reason (agg_having uses dsum)."""
-    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+#: the shared quantization contract lives in queries.__init__.qlong
+_qlong = qlong
 
 
 @query("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True, tags=("agg",))

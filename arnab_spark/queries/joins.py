@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arnab_spark.queries import DEC, dsum, query
+from arnab_spark.queries import DEC, dsum, qlong, query
 from arnab_spark.spark_utils import broadcast_if_small, load_table, register_views
 
 _STAR_ORACLE = """
@@ -54,7 +54,7 @@ def join_star_revenue(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev_units = F.floor(rev * F.lit(10_000.0) + F.lit(0.5)).cast("bigint")
+    rev_units = qlong(rev, 10_000)
     dim = broadcast_if_small(
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -436,10 +436,7 @@ def join_shipping_priority(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-    rev_units = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
+    rev_units = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
     return (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
@@ -494,10 +491,7 @@ def join_local_supplier_volume(spark, sf_dir):
     r = load_table(spark, sf_dir, "region")
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    rev_units = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
+    rev_units = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
     return (
         c.join(o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
                c.c_custkey == o.o_custkey)
@@ -546,10 +540,7 @@ def join_returned_item_revenue(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     lo = F.lit("1997-10-01 00:00:00").cast("timestamp")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
-    rev_units = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
+    rev_units = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
     return (
         c.join(o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
                c.c_custkey == o.o_custkey)
@@ -588,10 +579,7 @@ def join_bracketed_discounts(spark, sf_dir):
     and scanning every part."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev_units = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10_000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
+    rev_units = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
     bracket = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))

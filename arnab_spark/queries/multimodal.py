@@ -167,7 +167,9 @@ def multimodal_resize(spark, sf_dir):
             return bytes(blob[(i * n) // RESIZE_TO] for i in range(RESIZE_TO))
 
         for pdf in batches:
-            keep = pdf[pdf["blob"].map(len) > 0]
+            # None-safe: a NULL blob must drop like the oracle's
+            # length()>0 filter, not TypeError the whole Arrow batch
+            keep = pdf[pdf["blob"].map(lambda b: len(b) if b is not None else 0) > 0]
             yield pd.DataFrame(
                 {
                     "doc_id": keep["doc_id"],

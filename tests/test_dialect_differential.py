@@ -133,3 +133,36 @@ def test_union_by_name_matches_duckdb(engines, all_kw, lcols, rcols, tail):
     got = sorted((tuple(r) for r in spark.sql(transpile_statement(sql, spark)).collect()), key=key)
     exp = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
     assert got == exp, sql
+
+
+def test_union_by_name_right_side_star_except(engines):
+    """`* EXCLUDE` in the RIGHT side of a UNION BY NAME: the select-list
+    EXCEPT produced by the EXCLUDE rewrite must not be mistaken for a
+    chained set operator (review finding, round 2)."""
+    spark, con = engines
+    sql = (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 11 = 0 "
+        "UNION BY NAME "
+        "SELECT * EXCLUDE (o_orderstatus, o_totalprice, o_orderdate, o_orderpriority) "
+        "FROM orders WHERE o_orderkey % 9 = 0"
+    )
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(transpile_statement(sql, spark)).collect()), key=key)
+    exp = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
+    assert got == exp, transpile_statement(sql, spark)
+
+
+def test_union_by_name_parenthesized_compound_left(engines):
+    """A left side that is itself `(A) UNION ALL (B)` must not get its
+    outer parens stripped into unbalanced SQL (review finding, round 2)."""
+    spark, con = engines
+    sql = (
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey < 40) "
+        "UNION ALL (SELECT o_orderkey FROM orders WHERE o_orderkey < 20) "
+        "UNION ALL BY NAME "
+        "SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey < 10"
+    )
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted((tuple(r) for r in spark.sql(transpile_statement(sql, spark)).collect()), key=key)
+    exp = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
+    assert got == exp, transpile_statement(sql, spark)

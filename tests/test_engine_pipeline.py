@@ -539,6 +539,9 @@ def test_union_by_name_model_file(spark, tmp_path):
     assert report.ok, report.errors
     got = spark.table("mixed_union")
     expected = duckdb.sql(body).fetchall()
-    assert got.count() == len(expected)
     # left side's columns lead, right-only columns follow (DuckDB order)
     assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
+        (tuple(r) for r in expected), key=key
+    )
