@@ -545,3 +545,23 @@ def test_union_by_name_model_file(spark, tmp_path):
     assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
         (tuple(r) for r in expected), key=key
     )
+
+
+def test_group_by_all_order_by_all_model_file(spark, tmp_path):
+    """DuckDB's GROUP BY ALL / ORDER BY ALL run UNCHANGED on Spark 4 —
+    no dialect rewrite involved; this pins the native passthrough (and
+    would catch a Spark behavior change) by matching DuckDB's answer."""
+    root = str(tmp_path)
+    body = f"""\
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM read_parquet('{SF}/orders.parquet')
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    write(root, "models/status_counts.sql", body)
+    write(root, "config.yaml", "models_dir: models\n")
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    got = [tuple(r) for r in spark.table("status_counts").collect()]
+    exp = [tuple(r) for r in duckdb.sql(body).fetchall()]
+    assert got == exp  # ORDER BY ALL: same total order in both engines
