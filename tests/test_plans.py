@@ -132,3 +132,39 @@ def test_idle_rich_scalar_average_broadcasts(spark):
     audit = audit_plan(REG["join_idle_rich_customers"].fn(spark, SF))
     assert any("Broadcast" in j for j in audit.joins), audit.joins
     assert "LeftAnti" in audit.plan_text, audit.plan_text[:800]
+
+
+# Queries ALLOWED to plan a nested-loop or cartesian join, each for a
+# documented reason — everything else in the corpus must hash-join,
+# sort-merge, or broadcast-hash. This is the fleet-wide 100 TB
+# guardrail: an accidental O(n*m) join anywhere in the registry fails
+# here before it ever reaches a cluster.
+NESTED_LOOP_ALLOWED = {
+    "join_cross",              # the deliberate CROSS JOIN corpus entry
+    "join_theta_range",        # non-equi theta join: BNLJ with broadcast side IS the plan
+    "knn_cosine_brute",        # documented exact baseline; ann_* are the scale path
+    "join_idle_rich_customers",  # 1-row broadcast scalar average (Q22 threshold)
+    "ann_ivf_cells",           # constant-k centroid side broadcasts for cell argmax
+    "ann_ivf_refined",         # same centroid broadcast, once per Lloyd step
+}
+
+
+def test_no_accidental_nested_loop_joins_anywhere(spark):
+    """Plan EVERY registry query and flag nested-loop/cartesian joins
+    outside the documented allowlist (plus allowlist staleness: an entry
+    that stops planning one must leave the list)."""
+    flagged = {}
+    for name, q in REG.items():
+        try:
+            audit = audit_plan(q.fn(spark, SF))
+        except Exception:
+            continue  # runnability is test_corpus's job, not this sweep's
+        bad = [j for j in audit.joins if "NestedLoop" in j or "Cartesian" in j]
+        if bad:
+            flagged[name] = bad
+    assert set(flagged) <= NESTED_LOOP_ALLOWED, {
+        k: v for k, v in flagged.items() if k not in NESTED_LOOP_ALLOWED
+    }
+    assert NESTED_LOOP_ALLOWED <= set(flagged), (
+        "stale allowlist entries:", NESTED_LOOP_ALLOWED - set(flagged)
+    )
