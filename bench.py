@@ -114,6 +114,28 @@ def main() -> None:
         pipe.append(time.perf_counter() - start)
     pipeline_wall = round(min(pipe), 4)
 
+    # TPC-H-shaped composite pass: the 8 classic decision-support shapes
+    # (Q3/Q4/Q5/Q10/Q14/Q19/Q21/Q22 analogues) as one sequential suite
+    # after a warm run — the star-schema depth number alongside the
+    # headline operator mix.
+    tpch = sorted(n for n, q in registry.items() if "tpch" in q.tags)
+    for n in tpch:
+        _run(n)
+    tp = []
+    for _ in range(2):
+        start = time.perf_counter()
+        for n in tpch:
+            _run(n)
+        tp.append(time.perf_counter() - start)
+    tpch_wall = round(min(tp), 4)
+    tpc = []
+    for _ in range(2):
+        start = time.perf_counter()
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(_run, tpch))
+        tpc.append(time.perf_counter() - start)
+    tpch_concurrent = round(min(tpc), 4)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -128,6 +150,8 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 4),
                 "concurrent_wall_clock_4way": concurrent_wall,
                 "training_ops_wall_clock": pipeline_wall,
+                "tpch_composites_wall_clock": tpch_wall,
+                "tpch_composites_concurrent_4way": tpch_concurrent,
                 "sf": sf,
             }
         )
