@@ -178,6 +178,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         similarity,
         timeseries,
+        tpch_suite,
         windows,
     )
 

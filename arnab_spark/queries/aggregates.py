@@ -41,7 +41,7 @@ GROUP BY l_returnflag, l_linestatus
 _qlong = qlong
 
 
-@query("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True, tags=("agg",))
+@query("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True, tags=("agg", "tpch"))
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary: groupBy two low-cardinality keys,
     eight aggregates. Partial aggregation makes the shuffle tiny. Money

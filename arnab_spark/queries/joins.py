@@ -31,7 +31,7 @@ GROUP BY n_name, r_name
 """
 
 
-@query("join_star_revenue", oracle=_STAR_ORACLE, headline=True, tags=("join",))
+@query("join_star_revenue", oracle=_STAR_ORACLE, headline=True, tags=("join", "tpch"))
 def join_star_revenue(spark, sf_dir):
     """TPC-H Q5-shaped star join: fact → orders → dimension rollup.
 
@@ -333,7 +333,7 @@ FROM (
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 """,
-    tags=("join", "composite"),
+    tags=("join", "composite", "tpch"),
 )
 def join_volume_shipping(spark, sf_dir):
     """TPC-H Q7-shaped composite: 6-table join with the same dimension
@@ -384,7 +384,7 @@ WHERE o_orderkey IN (
 )
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """,
-    tags=("join", "composite"),
+    tags=("join", "composite", "tpch"),
 )
 def join_large_orders_customers(spark, sf_dir):
     """TPC-H Q18-shaped composite: IN-subquery over a grouped HAVING

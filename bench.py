@@ -114,11 +114,19 @@ def main() -> None:
         pipe.append(time.perf_counter() - start)
     pipeline_wall = round(min(pipe), 4)
 
-    # TPC-H-shaped composite pass: the 8 classic decision-support shapes
-    # (Q3/Q4/Q5/Q10/Q14/Q19/Q21/Q22 analogues) as one sequential suite
-    # after a warm run — the star-schema depth number alongside the
-    # headline operator mix.
-    tpch = sorted(n for n, q in registry.items() if "tpch" in q.tags)
+    # TPC-H-shaped composite pass: the SAME 8 shapes benched since round
+    # 1 (Q3/Q4/Q5/Q10/Q14/Q19/Q21/Q22 analogues), pinned by name so the
+    # metric stays comparable across rounds even as the corpus grows.
+    tpch = [
+        "agg_priority_late_orders",
+        "agg_promo_revenue_share",
+        "join_shipping_priority",
+        "join_local_supplier_volume",
+        "join_returned_item_revenue",
+        "join_bracketed_discounts",
+        "join_waiting_suppliers",
+        "join_idle_rich_customers",
+    ]
     for n in tpch:
         _run(n)
     tp = []
@@ -136,6 +144,28 @@ def main() -> None:
         tpc.append(time.perf_counter() - start)
     tpch_concurrent = round(min(tpc), 4)
 
+    # Full TPC-H sweep: every one of the 22 classic shapes (23 queries —
+    # Q5 has two variants), selected by tag so newly added shapes join
+    # automatically. Reported separately from the pinned-8 metric above
+    # precisely so growing this set can't masquerade as a regression.
+    full22 = sorted(n for n, q in registry.items() if "tpch" in q.tags)
+    for n in full22:
+        _run(n)
+    fl = []
+    for _ in range(2):
+        start = time.perf_counter()
+        for n in full22:
+            _run(n)
+        fl.append(time.perf_counter() - start)
+    tpch_full_wall = round(min(fl), 4)
+    flc = []
+    for _ in range(2):
+        start = time.perf_counter()
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(_run, full22))
+        flc.append(time.perf_counter() - start)
+    tpch_full_concurrent = round(min(flc), 4)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -152,6 +182,9 @@ def main() -> None:
                 "training_ops_wall_clock": pipeline_wall,
                 "tpch_composites_wall_clock": tpch_wall,
                 "tpch_composites_concurrent_4way": tpch_concurrent,
+                "tpch_full22_wall_clock": tpch_full_wall,
+                "tpch_full22_concurrent_4way": tpch_full_concurrent,
+                "tpch_full22_n_queries": len(full22),
                 "sf": sf,
             }
         )

@@ -146,6 +146,10 @@ NESTED_LOOP_ALLOWED = {
     "join_idle_rich_customers",  # 1-row broadcast scalar average (Q22 threshold)
     "ann_ivf_cells",           # constant-k centroid side broadcasts for cell argmax
     "ann_ivf_refined",         # same centroid broadcast, once per Lloyd step
+    "agg_important_part_value",  # 1-row broadcast scalar total (Q11 fraction threshold)
+    # (join_top_supplier_revenue's scalar-MAX equality is NOT here:
+    # Catalyst rewrites the 1-row cross join + units == max_units filter
+    # into a broadcast HASH join on the equality — no nested loop.)
 }
 
 
