@@ -149,8 +149,7 @@ CURATED_FIRST: tuple[str, ...] = (
     # multimodal (oracled pair; frame-sample plumbing is rows-only → later)
     "multimodal_decode_features",
     "multimodal_metadata",
-    # aggregates: headline + the rows fixed/oracled this round
-    "agg_pricing_summary",
+    # aggregates: the rows fixed/oracled this round
     "agg_percentile_approx",
     "agg_collect_set_array",
     "agg_stats_native",
@@ -159,9 +158,14 @@ CURATED_FIRST: tuple[str, ...] = (
     "fn_array_higher_order",
     "fn_math_native",
     "fn_nondeterministic",
-    # dedup + joins representatives (families verified in depth in round 1)
-    "dedup_minhash_lsh",
-    "join_star_revenue",
+    # round-2 additions with zero driver evidence so far: the trickiest
+    # TPC-H shapes (correlated-subquery decorrelations) and the
+    # connected-components dedup closure. (agg_pricing_summary /
+    # dedup_minhash_lsh / join_star_revenue held these slots before —
+    # all three are r01-green already, so repeating them wastes window.)
+    "join_min_cost_supplier",
+    "join_waiting_suppliers",
+    "dedup_connected_groups",
 )
 
 

@@ -28,6 +28,7 @@ ALL_MODULES = {
     "relational",
     "similarity",
     "timeseries",
+    "tpch_suite",
     "windows",
 }
 
