@@ -131,13 +131,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _table_cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql import functions as F
-
-        # integer `div`, NOT `/`: double division loses precision at
-        # ~1.7e18 ns and lands 1µs off the oracle.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_events_ts(df)
     _table_cache[key] = df
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz TIMESTAMP regardless of
+    fixture vintage: the driver has shipped it both as Parquet
+    TIMESTAMP(NANOS) (read as int64 nanos via ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ).
+    With the session pinned to UTC the NTZ→TIMESTAMP cast is wall-clock
+    identity, so both paths land on the exact same microsecond values
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` yields on the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, NOT `/`: double division loses precision at
+        # ~1.7e18 ns and lands 1µs off the oracle.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def broadcast_if_small(

@@ -19,10 +19,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arnab_spark.spark_utils import configure
+from arnab_spark.spark_utils import configure, normalize_events_ts
 
-# events.parquet stores TIMESTAMP(NANOS) (see spark_utils.load_table);
-# the stream reader gets the same int64-nanos treatment.
+# Schema for test-STAGED drop zones (the stateful/sink tests write their
+# source files with ts as int64 epoch-nanos); normalize_events_ts converts
+# to a session-tz TIMESTAMP. The fixture-symlink path below infers its
+# schema from the actual file instead, so it tracks the driver's vintage
+# (TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS)/NTZ since round 2).
 _EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
@@ -41,8 +44,9 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(stage)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    fixture_schema = spark.read.parquet(link).schema
+    stream = spark.readStream.schema(fixture_schema).parquet(stage)
+    return normalize_events_ts(stream)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +126,7 @@ def run_stream_to_parquet(
     """
     events = spark.readStream.schema(_EVENTS_SCHEMA).parquet(source_dir)
     counts = (
-        events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        normalize_events_ts(events)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))

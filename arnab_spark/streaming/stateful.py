@@ -116,18 +116,15 @@ def run_stateful_stream(
     ``max_files_per_trigger=1`` forces one micro-batch per file, which
     is how the tests prove state actually carries across batches.
     """
-    from arnab_spark.spark_utils import configure
+    from arnab_spark.spark_utils import configure, normalize_events_ts
     from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
 
     configure(spark)
-    from pyspark.sql import functions as F
 
     reader = spark.readStream.schema(_EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    stream = normalize_events_ts(reader.parquet(source_dir))
     totals = stream_user_running_totals(stream, threshold_value)
     q = (
         totals.writeStream.outputMode("update")
@@ -244,19 +241,15 @@ def run_sessionize_stream(
 ) -> DataFrame:
     """Drive :func:`stream_sessionize_timeout` over a parquet drop-zone
     to completion; returns the emitted (append-mode) closed sessions."""
-    from pyspark.sql import functions as F
-
-    from arnab_spark.spark_utils import configure
+    from arnab_spark.spark_utils import configure, normalize_events_ts
     from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
 
     configure(spark)
     reader = spark.readStream.schema(_EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = (
-        reader.parquet(source_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", watermark)
+    stream = normalize_events_ts(reader.parquet(source_dir)).withWatermark(
+        "ts", watermark
     )
     sessions = stream_sessionize_timeout(stream, gap_minutes)
     q = (

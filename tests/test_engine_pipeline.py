@@ -412,7 +412,7 @@ def test_asof_join_model_file(spark, tmp_path):
         root,
         "models/purchases.sql",
         f"""\
-        SELECT event_id, user_id, timestamp_micros(ts div 1000) AS ts, value
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
         FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'purchase'
         """,
     )
@@ -421,7 +421,7 @@ def test_asof_join_model_file(spark, tmp_path):
         "models/signups.sql",
         f"""\
         SELECT event_id AS signup_id, user_id,
-               timestamp_micros(ts div 1000) AS signup_ts
+               CAST(ts AS TIMESTAMP) AS signup_ts
         FROM read_parquet('{SF}/events.parquet') WHERE event_type = 'signup'
         """,
     )
