@@ -31,11 +31,17 @@ from arnab_spark.operators.texttools import (
     shingle_ngrams,
     stratified_sample,
 )
-from arnab_spark.operators.timeops import asof_carry_forward, asof_join, sessionize
+from arnab_spark.operators.timeops import (
+    asof_carry_forward,
+    asof_join,
+    proximity_join,
+    sessionize,
+)
 
 __all__ = [
     "asof_join",
     "asof_carry_forward",
+    "proximity_join",
     "sessionize",
     "top_k_per_group",
     "distinct_on",

@@ -133,3 +133,48 @@ def sessionize(
         )
         .cast("bigint"),
     ).drop("_new_session")
+
+
+def proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Range join with no equi key: pair every left row with every right
+    row whose timestamp falls in ``[left_ts, left_ts + window_seconds]``
+    (both ends inclusive), without ever planning a nested-loop join.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin —
+    O(|L|·|R|) work that a 100 TB table cannot survive. The distributed
+    shape is bucketing: with bucket width == window length, a left
+    interval spans at most 2 fixed-width buckets, so exploding the left
+    side into those (≤2) buckets and equi-joining on the bucket id turns
+    the range join into one hash shuffle join, then the exact predicate
+    refines the candidates. Each matching pair survives exactly once
+    (the right row owns exactly one bucket). Cost: 2x left rows
+    shuffled, |matches per bucket| candidates — linear, skew handled by
+    AQE like any other equi join.
+
+    Column names of ``left`` and ``right`` must be disjoint (pre-rename
+    at the call site); microsecond arithmetic keeps the window boundary
+    bit-exact against an engine computing ``ts + INTERVAL``.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"proximity_join: overlapping columns {sorted(overlap)}")
+    width_us = window_seconds * 1_000_000
+    l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / width_us).cast("bigint")
+    l2 = left.withColumn(
+        "_bucket", F.explode(F.array(l_bucket, l_bucket + F.lit(1)))
+    )
+    r2 = right.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(right_ts)) / width_us).cast("bigint")
+    )
+    lag = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    return (
+        l2.join(r2, "_bucket")
+        .filter((lag >= 0) & (lag <= width_us))
+        .drop("_bucket")
+    )

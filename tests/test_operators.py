@@ -195,3 +195,32 @@ def test_stratified_sample_generic_fraction(spark):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", 1, 4).collect()}
     assert a == b
+
+
+def test_proximity_join_boundaries(spark):
+    """Window boundaries are inclusive at both ends and pairs that span
+    a bucket edge are found exactly once."""
+    import pytest
+    from arnab_spark.operators import proximity_join
+
+    # window = 10 s; bucket edges every 10 s from the epoch. Left at
+    # t=8s has interval [8, 18] crossing the bucket edge at 10.
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:08")], "lid int, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:07.999999"),  # before window
+            (11, "2024-01-01 00:00:08"),         # == start (inclusive)
+            (12, "2024-01-01 00:00:12"),         # next bucket, inside
+            (13, "2024-01-01 00:00:18"),         # == end (inclusive)
+            (14, "2024-01-01 00:00:18.000001"),  # 1 us past the end
+        ],
+        "rid int, rts string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    got = proximity_join(left, right, "lts", "rts", 10)
+    assert sorted(r.rid for r in got.collect()) == [11, 12, 13]
+    # each pair exactly once even when the left interval spans 2 buckets
+    assert got.count() == 3
+    with pytest.raises(ValueError, match="overlapping columns"):
+        proximity_join(left, left, "lts", "lts", 10)
