@@ -130,9 +130,10 @@ CURATED_FIRST: tuple[str, ...] = (
     "window_running_frame",
     "window_range_frame",
     "qualify_topn_per_group",
-    # time series
+    # time series (asof_join_pandas, the applyInPandas twin of the
+    # in-window asof_join, yields its slot to the new range-join class)
     "asof_join",
-    "asof_join_pandas",
+    "range_join_bucketed",
     "sessionize_gaps",
     "tumbling_window",
     "sliding_window",
