@@ -482,3 +482,53 @@ def text_pii_scrub(spark, sf_dir):
         FROM t
         """
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+b AS (
+  SELECT doc_id, words,
+         1 + GREATEST(CAST(ceil((len(words) - 24) / 16.0) AS BIGINT), 0) AS n_win
+  FROM w
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(words[(i*16 + 1):(i*16 + 24)], ' ') AS chunk_text,
+       CAST(len(words[(i*16 + 1):(i*16 + 24)]) AS INTEGER) AS chunk_tokens
+FROM b, LATERAL (SELECT unnest(generate_series(0, n_win - 1)) AS i) s
+""",
+    tags=("text",),
+)
+def text_chunk_windows(spark, sf_dir):
+    """Sliding-window document chunking (RAG / embedding prep): 24-word
+    windows, stride 16 (8-word overlap; sized to the fixture docs' 10-99
+    words so multi-chunk overlap is actually exercised), the last window short but
+    never empty. ``explode(sequence(...))`` + ``slice`` — pure JVM
+    column ops, so chunking 100 TB is a single scan-and-explode with no
+    Python and no shuffle; the ~1.25x row/byte expansion streams
+    straight to the next stage. The words array is bound ONCE in a
+    subquery (not re-split per element — the lambda re-evaluation trap
+    documented in SCALE.md)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH w AS (
+          SELECT doc_id, split(text, ' ') AS words FROM documents
+        ),
+        b AS (
+          SELECT doc_id, words,
+                 1 + GREATEST(CAST(ceil((size(words) - 24) / 16.0) AS BIGINT), 0) AS n_win
+          FROM w
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               array_join(slice(words, CAST(i*16 + 1 AS INT), 24), ' ') AS chunk_text,
+               CAST(size(slice(words, CAST(i*16 + 1 AS INT), 24)) AS INT) AS chunk_tokens
+        FROM b
+        LATERAL VIEW explode(sequence(0, n_win - 1)) s AS i
+        """
+    )
