@@ -519,6 +519,14 @@ def test_corpus_prep_example_project(spark, tmp_path, monkeypatch):
         if r.split == "train"
     }
     assert {r.doc_id for r in rows} <= want_train
+    # downstream chunking model: every train doc produces >=1 chunk and
+    # chunk 0 starts with the doc's first word
+    chunks = spark.sql("SELECT * FROM doc_chunks")
+    assert chunks.count() >= len(rows)
+    first = {r.doc_id: r.chunk_text for r in chunks.filter("chunk_id = 0").collect()}
+    assert set(first) == {r.doc_id for r in rows}
+    for r in rows[:20]:
+        assert first[r.doc_id].split(" ")[0] == r.text.split(" ")[0]
 
 
 def test_union_by_name_model_file(spark, tmp_path):
