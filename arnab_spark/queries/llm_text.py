@@ -532,3 +532,37 @@ def text_chunk_windows(spark, sf_dir):
         LATERAL VIEW explode(sequence(0, n_win - 1)) s AS i
         """
     )
+
+
+@query(
+    "text_vocab_topk",
+    oracle="""
+SELECT token, n FROM (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token
+) ranked
+ORDER BY n DESC, token
+LIMIT 50
+""",
+    tags=("text", "agg"),
+)
+def text_vocab_topk(spark, sf_dir):
+    """Vocabulary building (tokenizer-training primitive): global top-50
+    tokens by corpus frequency, ties broken lexically so the cut is
+    total-ordered. explode → partial-agg'd groupBy → TakeOrdered: the
+    map-side combine collapses each partition to its distinct tokens
+    before the shuffle, and the top-k never sorts globally — at 100 TB
+    the shuffle carries |vocab| rows, not |corpus| tokens."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT token, n FROM (
+          SELECT token, COUNT(*) AS n
+          FROM (SELECT explode(split(text, ' ')) AS token FROM documents)
+          GROUP BY token
+        )
+        ORDER BY n DESC, token
+        LIMIT 50
+        """
+    )
