@@ -745,3 +745,48 @@ def join_idle_rich_customers(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Salting for a skewed JOIN key (the join twin of agg_salted_skew):
+    the fact side gets a deterministic salt in [0,8), the dimension side
+    is replicated once per salt value, and the join runs on
+    (key, salt) — so a key hot enough to overwhelm one reducer spreads
+    across 8. The oracle is the plain unsalted join + rollup, proving
+    salting is a pure partitioning change, not a semantic one. This is
+    the manual form of what AQE skew-join does adaptively; the manual
+    form still matters at 100 TB when skew is KNOWN up front (power-law
+    user keys), because it avoids AQE's detect-then-split replan and
+    works in plain batch stages. Cost: dim side x8 — only ever applied
+    to broadcast-size dims or the provably-hot key subset."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = 8
+    o_s = o.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(k)).cast("int")
+    )
+    c_rep = c.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    )
+    return (
+        o_s.join(c_rep, (o_s.o_custkey == c_rep.c_custkey) & (o_s._salt == c_rep._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(qlong(F.col("o_totalprice"), 100)).cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
