@@ -172,3 +172,22 @@ def test_no_accidental_nested_loop_joins_anywhere(spark):
     assert NESTED_LOOP_ALLOWED <= set(flagged), (
         "stale allowlist entries:", NESTED_LOOP_ALLOWED - set(flagged)
     )
+
+
+def test_q18_aggregates_lineitem_once(spark):
+    """The Q18 composite must not fall back to the naive SQL plan (3
+    lineitem scans, the HAVING aggregate computed twice): aggregate-once
+    → filter → join means exactly ONE lineitem scan and ONE quantity
+    aggregation pair (partial+final)."""
+    audit = audit_plan(REG["join_large_orders_customers"].fn(spark, SF))
+    li = [s for s in audit.scans if "l_quantity" in s.read_schema]
+    assert len(li) == 1, audit.plan_text[:800]
+    assert audit.plan_text.count("partial_sum") == 1, audit.plan_text[:800]
+
+
+def test_range_join_is_hash_equi_join(spark):
+    """The bucketed range join must plan as a hash equi-join on the
+    bucket id — never a BroadcastNestedLoopJoin."""
+    audit = audit_plan(REG["range_join_bucketed"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in audit.plan_text, audit.plan_text[:800]
+    assert "CartesianProduct" not in audit.plan_text, audit.plan_text[:800]
