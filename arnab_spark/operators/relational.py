@@ -43,11 +43,18 @@ def connected_components(
     edge list + one groupBy-min — both shuffles on node id, so
     successive iterations reuse the same hash partitioning. Converges
     in O(graph diameter) rounds; near-dup graphs are dense clusters
-    with tiny diameters, so 3-5 rounds typical. Each round persists its
-    labels and drops the previous round's (lineage stays O(1)); the
-    convergence check aggregates ONE scalar (changed-row count), never
-    collecting data. At extreme scale swap in large-star/small-star
-    (same two-shuffle round structure, fewer rounds on chain graphs).
+    with tiny diameters, so 3-5 rounds typical. Each round
+    ``localCheckpoint``s its labels: persist alone caches DATA but the
+    logical plan still compounds every round (each iteration's plan
+    embeds the previous one's twice — labels and the label⋈edges join),
+    so after ~15 rounds even rendering the plan OOMs the driver.
+    Checkpointing truncates lineage to O(1) per round. (localCheckpoint
+    blocks are executor-local; a production run on a lossy cluster
+    would use reliable ``checkpoint()`` to a checkpoint dir — same
+    plan, durable blocks.) The convergence check aggregates ONE scalar
+    (changed-row count), never collecting data. At extreme scale swap
+    in large-star/small-star (same two-shuffle round structure, fewer
+    rounds on chain graphs).
     """
     from pyspark.sql import functions as F
 
@@ -55,8 +62,7 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp")).persist()
-    labels.count()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -71,7 +77,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -79,7 +85,6 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
