@@ -363,3 +363,55 @@ def range_join_bucketed(spark, sf_dir):
         "purchase_id",
         (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))).alias("lag_us"),
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+WITH d AS (
+  SELECT user_id, value,
+         epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+                  (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CAST(CAST(floor(value * CAST(dur_us AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000.0 / CAST(SUM(dur_us) AS DOUBLE) AS twa,
+       COUNT(*) AS n_intervals
+FROM d
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("timeseries", "agg"),
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user (the hypertable/monitoring
+    primitive: a sample counts for as long as it was the latest value):
+    each sample is weighted by the microseconds until the next sample of
+    the same user, last samples dropped (no open interval). One shuffle
+    on user_id (window + the groupBy reuse the same partitioning).
+    Determinism: duration is exact BIGINT µs; the weighted mass
+    quantizes per row via floor(value*dur*1e3 + 0.5) — every step a
+    single IEEE op, identical across engines (a double->DECIMAL cast of
+    the raw product is NOT: the engines' scale-rounding differs in the
+    last ulp) — and sums in DECIMAL(38,0), so the aggregate is
+    order-independent under any AQE re-plan."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    units = F.floor(
+        F.col("value") * F.col("dur_us").cast("double") * F.lit(1000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    return d.groupBy("user_id").agg(
+        (
+            F.sum(units).cast("double") / 1000.0 / F.sum("dur_us").cast("double")
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
