@@ -103,11 +103,12 @@ def davg(col: Column | str, alias: str) -> Column:
 #: entries (sketches, sampling, mapInPandas plumbing) sit outside the
 #: window on purpose, since they can only ever score a weak rows-only row.
 #: ROUND-3 ROTATION PLAN: after CORRECTNESS_r02 the union of r01+r02
-#: driver evidence covers everything EXCEPT (by module): tpch_suite 10,
-#: llm_text 7 (pii_scrub/gopher/train_split/pack/vocab/chunks/…), joins 6
-#: (the late-r1 TPC-H composites + join_salted_skew), aggregates 4,
-#: similarity 2 (ann_ivf_*), multimodal 2 (resize/frame_sample),
-#: asof_join_pandas, table_sample. Next round: replace this list's
+#: driver evidence covers everything EXCEPT 34 queries (by module):
+#: tpch_suite 10, llm_text 7 (pii_scrub/gopher/train_split/pack/vocab/
+#: chunks/…), joins 6 (the late-r1 TPC-H composites + join_salted_skew),
+#: aggregates 4, similarity 2 (ann_ivf_*), multimodal 2
+#: (resize/frame_sample), timeseries 2 (asof_join_pandas,
+#: time_weighted_avg), table_sample. Next round: replace this list's
 #: then-verified entries with that remainder so every registry entry has
 #: hash-checked driver evidence by r03.
 CURATED_FIRST: tuple[str, ...] = (
