@@ -576,3 +576,32 @@ def fn_map_higher_order(spark, sf_dir):
         F.element_at(m, "nation").cast("int").alias("nation_val"),
         F.map_contains_key(m, "nation").alias("has_nation_key"),
     )
+
+
+@query(
+    "fn_posexplode_ordinality",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id <= 50
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
+FROM w, LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) s
+""",
+    tags=("functions", "array"),
+)
+def fn_posexplode_ordinality(spark, sf_dir):
+    """Enumerated explode: Spark ``posexplode`` (0-based pos) vs
+    DuckDB's 1-based list
+    indexing over generate_series (its WITH ORDINALITY is unimplemented
+    as of 1.0) — the off-by-one is normalized in the oracle. Position-preserving
+    flattening is what keeps chunk/token order reconstructible after a
+    shuffle at any scale."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, pos, word
+        FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+        WHERE doc_id <= 50
+        """
+    )
