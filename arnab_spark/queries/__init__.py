@@ -93,89 +93,85 @@ def davg(col: Column | str, alias: str) -> Column:
 #: Curated registration order for the external verification window.
 #:
 #: The round-1 correctness run showed the driver checks ``queries()`` in
-#: dict (registration) order and verifies the FIRST 50 entries only — with
-#: alphabetical module imports that window never reached llm_text /
-#: multimodal / relational / similarity / timeseries / windows
-#: (CORRECTNESS_r01.json has zero rows for them). This list front-loads one
-#: full sweep of every operator family — all of them oracled — so a
-#: 50-query window produces hash-checked evidence spanning all 10 modules.
-#: Everything after the window keeps plain registration order; rows-only
-#: entries (sketches, sampling, mapInPandas plumbing) sit outside the
-#: window on purpose, since they can only ever score a weak rows-only row.
-#: ROUND-3 ROTATION PLAN: after CORRECTNESS_r02 the union of r01+r02
-#: driver evidence covers everything EXCEPT 34 queries (by module):
-#: tpch_suite 10, llm_text 7 (pii_scrub/gopher/train_split/pack/vocab/
-#: chunks/…), joins 6 (the late-r1 TPC-H composites + join_salted_skew),
-#: aggregates 4, similarity 2 (ann_ivf_*), multimodal 2
-#: (resize/frame_sample), timeseries 2 (asof_join_pandas,
-#: time_weighted_avg), table_sample. Next round: replace this list's
-#: then-verified entries with that remainder so every registry entry has
-#: hash-checked driver evidence by r03.
+#: dict (registration) order and verifies the FIRST 50 entries only.
+#: Evidence is therefore accumulated by rotating this list each round.
+#: ROUND-3 WINDOW: slots 1-35 are exactly the 35 queries with zero driver
+#: hash evidence after r01∪r02 (92/127 green) — landing them green makes
+#: every registry entry driver-verified. Slots 36-50 re-verify queries
+#: whose implementation is touched by this round's performance and
+#: dialect work (the 8 headline bench queries, the localCheckpoint-based
+#: connected components, the optional-PIL multimodal decode, the
+#: PIVOT/UNPIVOT pair) so a perf-motivated regression cannot land
+#: unnoticed. `tests/test_registry_order.py::test_r03_window_covers_all_
+#: driver_unverified_queries` pins slots 1-35 against the remainder list
+#: so an import reorder can't silently waste the window.
 CURATED_FIRST: tuple[str, ...] = (
-    # relational core: scans, filters, projections, set ops, CTEs, sort
-    "scan_project_filter",
-    "filter_predicates",
-    "filter_ilike_nullsafe",
-    "case_coalesce",
-    "cast_try_cast",
-    "distinct_rows",
-    "distinct_on",
-    "select_exclude_replace",
-    "values_inline",
-    "range_generator",
-    "union_all",
-    "union_distinct_by_name",
-    "intersect_except",
-    "intersect_except_all",
-    "cte_chain",
-    "scalar_subquery_correlated",
-    "in_subquery",
-    "order_limit_offset",
-    "order_nulls_first_last",
-    "recursive_cte",
-    # window functions
-    "window_ranking",
-    "window_navigation",
-    "window_running_frame",
-    "window_range_frame",
-    "qualify_topn_per_group",
-    # time series (asof_join_pandas, the applyInPandas twin of the
-    # in-window asof_join, yields its slot to the new range-join class)
-    "asof_join",
-    "range_join_bucketed",
-    "sessionize_gaps",
-    "tumbling_window",
-    "sliding_window",
-    "session_window_native",
-    "rollup_time_hierarchy",
-    # similarity search
+    # --- the 35 driver-unverified remainder (r01∪r02 green = 92/127) ---
+    # tpch_suite composites (10)
+    "agg_forecast_revenue",
+    "join_national_market_share",
+    "join_product_type_profit",
+    "agg_important_part_value",
+    "agg_late_shipment_priority",
+    "join_customer_distribution",
+    "join_top_supplier_revenue",
+    "agg_supplier_part_counts",
+    "agg_small_quantity_revenue",
+    "join_majority_part_suppliers",
+    # joins: late-r1 TPC-H composites + the salted-skew join (6)
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "join_returned_item_revenue",
+    "join_bracketed_discounts",
+    "join_idle_rich_customers",
+    "join_salted_skew",
+    # llm_text training-data ops (7 + stratified sample)
+    "text_train_split",
+    "text_quality_gopher",
+    "text_pack_sequences",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "text_vocab_topk",
+    "sample_stratified",
+    # aggregates (4)
+    "agg_approx_count_distinct",
+    "agg_priority_late_orders",
+    "agg_promo_revenue_share",
+    "agg_mode_bool_bits",
+    # functions (1)
+    "fn_posexplode_ordinality",
+    # similarity: IVF pair (2)
+    "ann_ivf_cells",
+    "ann_ivf_refined",
+    # timeseries (2)
+    "asof_join_pandas",
+    "time_weighted_avg",
+    # multimodal plumbing (2)
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # sampling — deterministic hash-Bernoulli since r3, exactly oracled
+    "table_sample",
+    # --- re-verification of this round's touched surfaces (15) ---
+    # headline bench queries (perf surgery this round)
+    "agg_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "join_star_revenue",
     "knn_cosine_brute",
-    "ann_lsh_bucketed",
-    # LLM text analysis
+    "sessionize_gaps",
     "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    # multimodal (oracled pair; frame-sample plumbing is rows-only → later)
-    "multimodal_decode_features",
-    "multimodal_metadata",
-    # aggregates: the rows fixed/oracled this round
-    "agg_percentile_approx",
-    "agg_collect_set_array",
-    "agg_stats_native",
-    # functions: the rows fixed/oracled this round
-    "fn_array",
-    "fn_array_higher_order",
-    "fn_math_native",
-    "fn_nondeterministic",
-    # round-2 additions with zero driver evidence so far: the trickiest
-    # TPC-H shapes (correlated-subquery decorrelations) and the
-    # connected-components dedup closure. (agg_pricing_summary /
-    # dedup_minhash_lsh / join_star_revenue held these slots before —
-    # all three are r01-green already, so repeating them wastes window.)
-    "join_min_cost_supplier",
-    "join_waiting_suppliers",
+    "asof_join",
+    # storage-release change (ADVICE r2) + optional-PIL decode path
     "dedup_connected_groups",
+    "multimodal_decode_features",
+    # PIVOT/UNPIVOT statement transpile lands this round
+    "agg_pivot",
+    "agg_unpivot",
+    # window-family representative (keeps all 11 modules in the window)
+    "window_ranking",
+    # remaining high-value re-verifications
+    "dedup_ngram_jaccard",
+    "agg_salted_skew",
 )
 
 

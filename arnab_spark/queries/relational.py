@@ -428,13 +428,29 @@ def order_nulls_first_last(spark, sf_dir):
     )
 
 
-@query("table_sample", oracle=None, tags=("sort", "approx"))
+@query(
+    "table_sample",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 4) < '1999'
+""",
+    tags=("sort", "approx"),
+)
 def table_sample(spark, sf_dir):
-    """TABLESAMPLE / USING SAMPLE. No oracle (sampling RNG differs across
-    engines); rows-only check. At scale `sample` is partition-local,
-    no shuffle."""
+    """Deterministic ~10% sample via hash-Bernoulli: keep rows whose
+    md5(key) prefix falls in the first 0x1999/0x10000 ≈ 10% of hash
+    space. Unlike TABLESAMPLE (engine-RNG, unverifiable), this is
+    reproducible and exactly oracle-able, and it is the sampling you'd
+    actually run at 100 TB: a partition-local filter, zero shuffle,
+    stable under re-runs and retries. The TABLESAMPLE/USING SAMPLE SQL
+    syntax itself stays covered by the dialect shim + pytest
+    (tests/test_operators.py)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select("l_orderkey", "l_quantity")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return l.filter(F.substring(F.md5(key), 1, 4) < "1999").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
 
 
 @query(

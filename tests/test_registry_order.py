@@ -72,13 +72,62 @@ def test_headline_set_stable_under_reordering():
     assert {n for n, q in _REGISTRY.items() if q.headline} == HEADLINE
 
 
-def test_only_sampling_is_rows_only():
-    """Only sampling itself may skip the oracle: its rows differ across
-    engines by nature. Everything else — including the HLL sketch (via
-    its error-bound property) and the binary frame sampler (via hash
-    projection) — carries a real oracle since round 2."""
+def test_every_query_is_oracled():
+    """Since round 3 every registry entry carries an exact oracle —
+    table_sample, the last rows-only entry, became a deterministic
+    hash-Bernoulli sample with a DuckDB-matching filter."""
     rows_only = sorted(n for n, q in _REGISTRY.items() if not q.oracle)
-    assert rows_only == ["table_sample"]
+    assert rows_only == []
+
+
+#: The 35 queries with zero driver hash evidence after rounds 1+2
+#: (computed as all_queries() minus the union of green rows in
+#: CORRECTNESS_r01.json and CORRECTNESS_r02.json during r3 planning).
+#: All must sit inside the 50-slot driver window this round.
+R03_DRIVER_UNVERIFIED = {
+    "agg_approx_count_distinct",
+    "agg_priority_late_orders",
+    "agg_promo_revenue_share",
+    "agg_mode_bool_bits",
+    "fn_posexplode_ordinality",
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "join_returned_item_revenue",
+    "join_bracketed_discounts",
+    "join_idle_rich_customers",
+    "join_salted_skew",
+    "text_train_split",
+    "text_quality_gopher",
+    "text_pack_sequences",
+    "sample_stratified",
+    "text_pii_scrub",
+    "text_chunk_windows",
+    "text_vocab_topk",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "table_sample",
+    "ann_ivf_cells",
+    "ann_ivf_refined",
+    "asof_join_pandas",
+    "time_weighted_avg",
+    "agg_forecast_revenue",
+    "join_national_market_share",
+    "join_product_type_profit",
+    "agg_important_part_value",
+    "agg_late_shipment_priority",
+    "join_customer_distribution",
+    "join_top_supplier_revenue",
+    "agg_supplier_part_counts",
+    "agg_small_quantity_revenue",
+    "join_majority_part_suppliers",
+}
+
+
+def test_r03_window_covers_all_driver_unverified_queries():
+    """An import reorder or window edit must not silently drop one of the
+    35 not-yet-driver-verified queries out of the checked window."""
+    assert R03_DRIVER_UNVERIFIED <= set(CURATED_FIRST)
+    assert set(CURATED_FIRST[:35]) == R03_DRIVER_UNVERIFIED
 
 
 @pytest.mark.parametrize(
