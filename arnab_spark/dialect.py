@@ -19,6 +19,13 @@ rewrites the purely syntactic gaps so those models run unchanged:
   column list (needs a live session to resolve the relation's schema)
 - ``<q1> UNION [ALL] BY NAME <q2>`` → name-aligned positional union
   (needs a live session to resolve each side's schema)
+- ``COPY (…) TO 'path' (FORMAT …)`` → ``INSERT OVERWRITE DIRECTORY``
+  (distributed multi-file export; DuckDB reads it back via ``dir/*``)
+- statement-form ``PIVOT … ON … USING …`` → Spark relation-suffix
+  PIVOT (dynamic IN-list enumerated through the live session)
+- statement-form ``UNPIVOT … ON … INTO NAME … VALUE …`` → Spark
+  relation-suffix UNPIVOT
+- ``USING SAMPLE n% / n ROWS [(method, seed)]`` → ``TABLESAMPLE``
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -441,6 +448,213 @@ def _rewrite_union_by_name(sql: str, spark) -> str:
     )
 
 
+_COPY_STMT = re.compile(
+    r"(?is)^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\)|WITH\s*\(\s*(.*?)\s*\))?\s*$"
+)
+
+_COPY_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".ndjson": "json"}
+
+
+def _rewrite_copy(sql: str) -> str:
+    """Rewrite DuckDB's export statement (reachable reference surface —
+    model SQL goes to DuckDB verbatim, node.rs:176)
+
+        COPY (<query>|<table>) TO '<path>' (FORMAT CSV|PARQUET|JSON
+                                            [, HEADER [true|false]]
+                                            [, DELIMITER '<c>'] [, SEP '<c>']
+                                            [, COMPRESSION <codec>])
+
+    into Spark's declarative directory export
+
+        INSERT OVERWRITE DIRECTORY '<path>' USING <fmt>
+          OPTIONS (...) <query>
+
+    which Catalyst plans like any other sink: the SELECT keeps its
+    pushdown/pruning and each task writes its own file — the shape a
+    100 TB export needs (DuckDB's single-file COPY serializes through
+    one writer; Spark's directory-of-parts is the distributed
+    equivalent, and DuckDB reads it back with read_parquet('dir/*')).
+    FORMAT defaults from the path extension. Unknown options leave the
+    statement untouched → Spark rejects COPY loudly, never a silent
+    drop of an export."""
+    m = _COPY_STMT.match(sql)
+    if not m:
+        return sql
+    source, path, opts_text = m.group(1).strip(), m.group(2), m.group(3) or m.group(4) or ""
+    fmt = None
+    options: dict[str, str] = {}
+    for raw in _split_top_level_commas(opts_text):
+        item = raw.strip()
+        if not item:
+            continue
+        om = re.match(r"(?is)^([A-Za-z_]+)(?:\s+(.+))?$", item)
+        if not om:
+            return sql
+        key, val = om.group(1).lower(), (om.group(2) or "").strip().strip("'")
+        if key == "format":
+            fmt = val.lower()
+        elif key == "header":
+            options["header"] = "false" if val.lower() in ("false", "0") else "true"
+        elif key in ("delimiter", "sep", "delim"):
+            options["sep"] = val
+        elif key == "compression":
+            options["compression"] = val.lower()
+        else:
+            return sql  # option outside the conservative subset
+    if fmt is None:
+        import os.path as _p
+
+        fmt = _COPY_EXT_FORMAT.get(_p.splitext(path)[1].lower())
+    if fmt not in ("csv", "parquet", "json"):
+        return sql
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"  # DuckDB's COPY ... (FORMAT CSV) default
+    query = _strip_outer_parens(source) if source.startswith("(") else f"SELECT * FROM {source}"
+    opt_sql = (
+        " OPTIONS (" + ", ".join(f"'{k}' = '{v}'" for k, v in sorted(options.items())) + ")"
+        if options
+        else ""
+    )
+    return f"INSERT OVERWRITE DIRECTORY '{path}' USING {fmt}{opt_sql} {query}"
+
+
+_PIVOT_STMT = re.compile(
+    r"(?is)^\s*PIVOT\s+([A-Za-z_][\w.]*|\(.*?\))\s+ON\s+(.+?)"
+    r"(?:\s+IN\s+(\(.*?\)))?\s+USING\s+(.+?)"
+    r"(?:\s+GROUP\s+BY\s+(.+?))?\s*((?:ORDER\s+BY|LIMIT)\s+.*)?$"
+)
+
+_AGG_SIMPLE = re.compile(
+    r"(?is)^([A-Za-z_]\w*)\s*\(\s*(\*|(?:DISTINCT\s+)?[A-Za-z_][\w.]*)\s*\)(?:\s+AS\s+([A-Za-z_]\w*))?$"
+)
+
+
+def _rewrite_pivot(sql: str, spark) -> str:
+    """Rewrite DuckDB's statement-form dynamic pivot
+
+        PIVOT <rel> ON <col> [IN (v, …)] USING <agg>(<col>) [AS alias]
+          [GROUP BY g, …] [ORDER BY …] [LIMIT …]
+
+    into Spark's relation-suffix form
+
+        SELECT * FROM (SELECT g…, <col>, <aggcol> FROM <rel>)
+          PIVOT (<agg>(<aggcol>) [AS alias] FOR <col> IN (v, …))
+
+    Without IN, DuckDB enumerates the pivot column's distinct values at
+    bind time; we do the same through the live session (one DISTINCT
+    query — driver-side by necessity and bounded by the output WIDTH,
+    which a pivot already caps at "columns a human reads"; the data
+    never leaves the cluster). Without GROUP BY both engines group by
+    all remaining columns, so the subquery projection is skipped and
+    the relation passes through whole. Shapes outside this subset
+    (multiple USING aggs, expression pivot keys) are left untouched →
+    Spark rejects the bare PIVOT keyword loudly."""
+    m = _PIVOT_STMT.match(sql)
+    if not m:
+        return sql
+    rel, on_col, in_list, agg, group_by, tail = m.groups()
+    on_col = on_col.strip()
+    if not re.match(r"(?is)^[A-Za-z_][\w.]*$", on_col):
+        return sql  # expression pivot keys: out of conservative reach
+    am = _AGG_SIMPLE.match(agg.strip())
+    if not am:
+        return sql
+    fn, arg, alias = am.group(1), am.group(2), am.group(3)
+    rel_sql = _strip_outer_parens(rel) if rel.startswith("(") else f"SELECT * FROM {rel}"
+    if in_list is None:
+        if spark is None:
+            return sql
+        try:
+            rows = spark.sql(
+                f"SELECT DISTINCT {on_col} AS v FROM ({rel_sql}) __arnab_pv ORDER BY v"
+            ).collect()
+        except Exception:
+            return sql
+        vals = []
+        for r in rows:
+            v = r["v"]
+            if v is None:
+                continue  # DuckDB skips NULL pivot keys
+            vals.append("'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v))
+        if not vals:
+            return sql
+        in_list = "(" + ", ".join(vals) + ")"
+    if group_by:
+        agg_cols = [] if arg == "*" else [re.sub(r"(?is)^DISTINCT\s+", "", arg)]
+        proj = ", ".join([group_by.strip(), on_col] + agg_cols)
+        rel_sql = f"SELECT {proj} FROM ({rel_sql}) __arnab_pvg"
+    alias_sql = f" AS {alias}" if alias else ""
+    return (
+        f"SELECT * FROM ({rel_sql}) PIVOT ({fn}({arg}){alias_sql} "
+        f"FOR {on_col} IN {in_list}) {tail or ''}".rstrip()
+    )
+
+
+_UNPIVOT_STMT = re.compile(
+    r"(?is)^\s*UNPIVOT\s+([A-Za-z_][\w.]*|\(.*?\))\s+ON\s+(.+?)"
+    r"\s+INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*)\s*"
+    r"((?:ORDER\s+BY|LIMIT)\s+.*)?$"
+)
+
+
+def _rewrite_unpivot(sql: str) -> str:
+    """Rewrite DuckDB's statement-form
+
+        UNPIVOT <rel> ON c1, c2, … INTO NAME <name> VALUE <value>
+
+    into Spark's relation-suffix form
+
+        SELECT * FROM <rel> UNPIVOT (<value> FOR <name> IN (c1, c2, …))
+
+    Both engines exclude NULL values by default, and both emit the
+    retained columns first, then (name, value)."""
+    m = _UNPIVOT_STMT.match(sql)
+    if not m:
+        return sql
+    rel, on_cols, name_col, value_col, tail = m.groups()
+    rel_sql = f"({_strip_outer_parens(rel)})" if rel.startswith("(") else rel
+    cols = ", ".join(c.strip() for c in _split_top_level_commas(on_cols))
+    return (
+        f"SELECT * FROM {rel_sql} __arnab_up UNPIVOT ({value_col} FOR {name_col} "
+        f"IN ({cols})) {tail or ''}".rstrip()
+    )
+
+
+# DuckDB sampling clause → Spark TABLESAMPLE. Forms covered:
+#   USING SAMPLE 10%   | 10 PERCENT | 1000 | 1000 ROWS
+#   USING SAMPLE 10% (bernoulli[, 42])     -- method + optional seed
+#   USING SAMPLE bernoulli(10%) [REPEATABLE (42)]
+_USING_SAMPLE = re.compile(
+    r"(?is)\bUSING\s+SAMPLE\s+"
+    r"(?:(?P<m1>[A-Za-z_]+)\s*\(\s*)?"
+    r"(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>%|PERCENT\b|ROWS\b)?"
+    r"(?(m1)\s*\))"
+    r"(?:\s*\(\s*(?P<m2>[A-Za-z_]+)\s*(?:,\s*(?P<seed>\d+)\s*)?\))?"
+    r"(?:\s+REPEATABLE\s*\(\s*(?P<seed2>\d+)\s*\))?"
+)
+
+
+def _rewrite_using_sample(sql: str) -> str:
+    """DuckDB ``USING SAMPLE`` → Spark ``TABLESAMPLE``. Percentage
+    samples map to Bernoulli percent sampling; bare numbers / ROWS map
+    to row-count sampling (DuckDB's reservoir default — both are "give
+    me ~n"). A seed (either spelling) maps to REPEATABLE. The method
+    name itself (bernoulli/system/reservoir) is advisory in DuckDB and
+    dropped here: Spark's sampler is Bernoulli per split."""
+
+    def sub(m: re.Match) -> str:
+        unit = (m.group("unit") or "").rstrip()
+        spec = (
+            f"{m.group('n')} PERCENT"
+            if unit in ("%",) or unit.upper() == "PERCENT"
+            else f"{m.group('n')} ROWS"
+        )
+        seed = m.group("seed") or m.group("seed2")
+        return f"TABLESAMPLE ({spec})" + (f" REPEATABLE ({seed})" if seed else "")
+
+    return _USING_SAMPLE.sub(sub, sql)
+
+
 _CLAUSE_AFTER_ON = (
     "where",
     "group",
@@ -534,6 +748,9 @@ def transpile_statement(sql: str, spark=None) -> str:
     """
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
+    sql = _rewrite_copy(sql)
+    sql = _rewrite_unpivot(sql)
+    sql = _rewrite_using_sample(sql)
 
     def bare_path(m: re.Match) -> str:
         path = _resolve_path(m.group(2))
@@ -577,6 +794,8 @@ def transpile_statement(sql: str, spark=None) -> str:
         return f"{fmt}.`{path}`"
 
     sql = _READ_FUNC.sub(rewrite, sql)
-    # after the read rewrite so file-queries resolve as relations
+    # after the read rewrite so file-queries resolve as relations (the
+    # dynamic pivot's bind-time DISTINCT must be runnable on Spark)
+    sql = _rewrite_pivot(sql, spark)
     sql = _rewrite_star_replace(sql, spark)
     return _rewrite_union_by_name(sql, spark)

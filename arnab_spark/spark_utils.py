@@ -19,7 +19,9 @@ the same code runs on a real cluster:
 
 from __future__ import annotations
 
+import math
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,19 +78,30 @@ def get_spark(
     return spark
 
 
-_configured_sessions: set[str] = set()
+_configured_sessions: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
 
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs needed for oracle parity on a session we did
     not create (the driver hands us its own session). Idempotent and
-    cached per application — load_table calls this on every read, so
-    without the guard each table load would cost 3 needless py4j
-    round-trips."""
-    app_id = spark.sparkContext.applicationId
-    if app_id in _configured_sessions:
+    cached PER SESSION — load_table calls this on every read, so without
+    the guard each table load would cost needless py4j round-trips.
+
+    The cache is a WeakSet of session objects, not applicationIds: two
+    ``newSession()``s share an applicationId but have independent
+    SQLConfs, so an app-keyed cache would silently skip repairing the
+    second session's timezone/shuffle settings (round-2 advice). The
+    WeakSet costs no py4j call on the hot path and a conf marker backs
+    it up across separately-imported copies of this module."""
+    global _configured_sessions
+    if _configured_sessions is None:
+        _configured_sessions = weakref.WeakSet()
+    if spark in _configured_sessions:
         return spark
-    _configured_sessions.add(app_id)
+    _configured_sessions.add(spark)
+    if spark.conf.get("spark.arnab.configured", "") == "1":
+        return spark
+    spark.conf.set("spark.arnab.configured", "1")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # a session left on Spark's stock 200 shuffle partitions (e.g. the
@@ -106,7 +119,22 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-_table_cache: dict[tuple[str, str, str], DataFrame] = {}
+#: Per-session analyzed-DataFrame cache. Keyed by the session OBJECT
+#: (weakly — dies with the session), not applicationId: a DataFrame is
+#: bound to the session that built it, so an app-keyed cache would hand
+#: a second ``newSession()`` frames that execute under the FIRST
+#: session's confs.
+_table_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_cache(spark: SparkSession) -> dict[tuple[str, str], DataFrame]:
+    cache = _table_cache.get(spark)
+    if cache is None:
+        cache = {}
+        _table_cache[spark] = cache
+    return cache
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -126,13 +154,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts AS TIMESTAMP)`` (µs) on the same file.
     """
     configure(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key in _table_cache:
-        return _table_cache[key]
+    cache = _session_cache(spark)
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
-    _table_cache[key] = df
+    cache[key] = df
     return df
 
 
@@ -199,18 +228,59 @@ def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> No
     task. Repartitioning first costs one shuffle of the RAW table, which
     only pays when downstream per-row CPU dominates; at cluster scale a
     100 TB scan already has thousands of splits and this becomes a no-op
-    (the condition, not the repartition, is the contract)."""
+    (the condition, not the repartition, is the contract).
+
+    The scan-partition count is estimated driver-side from the file
+    size and ``spark.sql.files.maxPartitionBytes`` — the same arithmetic
+    Spark's FilePartition planner runs — instead of probing
+    ``df.rdd.getNumPartitions()``, which forces a DataFrame→RDD
+    conversion through py4j per table (round-2 advice; metadata peek
+    only, no data read)."""
     configure(spark)
     target = spark.sparkContext.defaultParallelism
+    max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    cache = _session_cache(spark)
     for name in tables:
-        key = (spark.sparkContext.applicationId, sf_dir, f"{name}#spread")
-        if key not in _table_cache:
+        key = (sf_dir, f"{name}#spread")
+        if key not in cache:
             df = load_table(spark, sf_dir, name)
-            # .rdd materialization is a py4j round-trip worth caching
-            if df.rdd.getNumPartitions() < target:
+            if _estimate_scan_splits(os.path.join(sf_dir, f"{name}.parquet"), max_split) < target:
                 df = df.repartition(target)
-            _table_cache[key] = df
-        _table_cache[key].createOrReplaceTempView(name)
+            cache[key] = df
+        cache[key].createOrReplaceTempView(name)
+
+
+_BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(size: str) -> int:
+    """Parse Spark's byte-size conf strings ("4m", "128k", "134217728",
+    "64mb") the way JavaUtils.byteStringAsBytes does."""
+    s = size.strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIXES:
+        return int(float(s[:-1]) * _BYTE_SUFFIXES[s[-1]])
+    return int(s)
+
+
+def _estimate_scan_splits(path: str, max_split_bytes: int) -> int:
+    """Upper bound on FileSourceScan input partitions: Σ ceil(file_size /
+    maxPartitionBytes) over the table's files (ignores openCostInBytes
+    packing, which only merges splits — so this never under-triggers the
+    spread)."""
+    try:
+        sizes = (
+            [
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ]
+            if os.path.isdir(path)
+            else [os.path.getsize(path)]
+        )
+    except OSError:
+        return 1
+    return max(1, sum(math.ceil(s / max_split_bytes) for s in sizes))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

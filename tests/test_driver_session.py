@@ -14,15 +14,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def _pristine(spark):
+    # configure()'s cache is keyed per session object and the table
+    # cache per session, so a fresh newSession() is genuinely
+    # unconfigured — no reaching into private caches required.
     fresh = spark.newSession()
     # simulate a stock driver session: Spark's defaults, wrong timezone
     fresh.conf.set("spark.sql.shuffle.partitions", "200")
     fresh.conf.set("spark.sql.session.timeZone", "America/New_York")
-    # make the configure() cache treat it as unconfigured
-    from arnab_spark import spark_utils
-
-    spark_utils._configured_sessions.discard(fresh.sparkContext.applicationId)
-    spark_utils._table_cache.clear()
     return fresh
 
 
