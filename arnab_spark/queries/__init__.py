@@ -78,6 +78,15 @@ def qlong(col: Column, scale: int) -> Column:
     return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
 
 
+def qexpr(expr: str, scale: int) -> str:
+    """SQL-string twin of :func:`qlong` — the identical quantization
+    expression rendered as text, for constructors built from expression
+    strings (one py4j parse instead of per-op round-trips). Keep the
+    arithmetic in lock-step with qlong: ``floor(x * scale + 0.5)`` in
+    DOUBLE, cast BIGINT."""
+    return f"CAST(floor(({expr}) * {float(scale)} + 0.5) AS BIGINT)"
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Exact (decimal-accumulated) sum of a double expression, as double."""
     c = F.col(col) if isinstance(col, str) else col

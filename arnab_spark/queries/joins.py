@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arnab_spark.queries import DEC, dsum, qlong, query
+from arnab_spark.queries import DEC, dsum, qexpr, qlong, query
 from arnab_spark.spark_utils import broadcast_if_small, load_table, register_views
 
 _STAR_ORACLE = """
@@ -48,32 +48,30 @@ def join_star_revenue(spark, sf_dir):
     (aggregates._qlong contract: price·(1-disc) carries exactly 4
     decimals; switch to dsum past ~1e9 rows/group — see that
     docstring for the headroom arithmetic)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    rev_units = qlong(rev, 10_000)
-    dim = broadcast_if_small(
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("c_custkey", "n_name", "r_name"),
-        sf_dir,
-        "customer",
+    from arnab_spark.spark_utils import table_bytes
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
+    # size-aware broadcast hints — the SQL spelling of broadcast_if_small
+    # (nation/region unconditional: constant 25/5 rows at any sf)
+    hinted = ["nation", "region"] + (
+        ["dim"] if table_bytes(sf_dir, "customer") < 64 * 1024 * 1024 else []
     )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(dim, o.o_custkey == dim.c_custkey)
-        .groupBy("n_name", "r_name")
-        .agg(F.sum(rev_units).alias("_r"), F.count(F.lit(1)).alias("n_items"))
-        .select(
-            "n_name",
-            "r_name",
-            (F.col("_r").cast("double") / 10_000.0).alias("revenue"),
-            "n_items",
-        )
-    )
+    return spark.sql(f"""
+WITH dim AS (
+  SELECT /*+ BROADCAST(nation), BROADCAST(region) */ c_custkey, n_name, r_name
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT /*+ {', '.join(f'BROADCAST({h})' for h in hinted)} */
+       n_name, r_name,
+       CAST(SUM({qexpr('l_extendedprice * (1 - l_discount)', 10_000)}) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN dim    ON o_custkey = c_custkey
+GROUP BY n_name, r_name
+""")
 
 
 @query(

@@ -67,19 +67,18 @@ def asof_join(spark, sf_dir):
     must scan its two independent inputs separately."""
     from arnab_spark.operators import asof_carry_forward
 
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "signup")
+    e = load_table(spark, sf_dir, "events").where(
+        "event_type IN ('purchase', 'signup')"
     )
-    is_p = F.col("event_type") == "purchase"
-    unioned = e.select(
+    unioned = e.selectExpr(
         "event_id",
         "user_id",
-        F.col("ts").alias("_t"),
-        F.when(is_p, F.col("ts")).alias("ts"),
-        F.when(is_p, F.col("value")).alias("value"),
-        F.when(~is_p, F.col("event_id")).alias("signup_id"),
-        F.when(~is_p, F.col("ts")).alias("signup_ts"),
-        F.when(is_p, F.lit(1)).otherwise(F.lit(0)).alias("_side"),
+        "ts AS _t",
+        "IF(event_type = 'purchase', ts, NULL) AS ts",
+        "IF(event_type = 'purchase', value, NULL) AS value",
+        "IF(event_type <> 'purchase', event_id, NULL) AS signup_id",
+        "IF(event_type <> 'purchase', ts, NULL) AS signup_ts",
+        "IF(event_type = 'purchase', 1, 0) AS _side",
     )
     return asof_carry_forward(
         unioned,

@@ -65,12 +65,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local-scale split sizing: the sf0.1 fixtures are single files of
         # 0.6-11 MB, so Spark's stock 128 MB split yields 1-partition scans
-        # that serialize CPU-heavy stages onto one core. 4 MB mimics the
-        # many-split reality of a cluster scan (measured: star join 1.6s →
-        # 1.2s, asof 0.61s → 0.37s at sf0.1). On a real deployment leave
-        # the default — tasks should stay ≥ tens of MB.
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        # that serialize CPU-heavy stages onto one core. 1 MB mimics the
+        # many-split reality of a cluster scan (round-3 sweep on 32 cores:
+        # headline exec 3.56s @4m -> 2.49s @1m; 512k adds ~2% more for 2x
+        # the tasks). On a real deployment leave the default — tasks
+        # should stay >= tens of MB.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
         .config("spark.driver.memory", os.environ.get("ARNAB_SPARK_DRIVER_MEM", "8g"))
+        # PySpark 4's DataFrame-debugging wrapper brackets EVERY API call
+        # with a JVM set/clear of the Python call site — 2 extra py4j
+        # round-trips per call, measured ~40% of query-construction time.
+        # Plans and errors are unaffected (only the Python-line origin
+        # annotation on error messages is lost).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -111,7 +118,7 @@ def configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     # match get_spark's local-scale split sizing on externally-created
     # sessions (runtime-settable; see get_spark for the rationale)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     # reader rejects outright; read as raw int64 nanos instead (converted
     # back to a microsecond timestamp in load_table).
@@ -183,6 +190,22 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of one fixture table (file or directory of parts).
+    Driver-side metadata peek — the same statistic a metastore would
+    serve. Returns a huge sentinel on error so size-gated broadcasts
+    fail safe (no hint)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(path) for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62
+
+
 def broadcast_if_small(
     df: DataFrame, sf_dir: str, name: str, threshold: int = 64 * 1024 * 1024
 ) -> DataFrame:
@@ -198,20 +221,7 @@ def broadcast_if_small(
     safe at ANY downstream row multiplicity (dims join 1:1 on their
     key), over it we return the frame unhinted and let the planner
     shuffle. Driver-side metadata peek only — no data is read."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        size = (
-            sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
-            )
-            if os.path.isdir(path)
-            else os.path.getsize(path)
-        )
-    except OSError:
-        return df
-    if size < threshold:
+    if table_bytes(sf_dir, name) < threshold:
         from pyspark.sql import functions as F
 
         return F.broadcast(df)
@@ -247,7 +257,9 @@ def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> No
             if _estimate_scan_splits(os.path.join(sf_dir, f"{name}.parquet"), max_split) < target:
                 df = df.repartition(target)
             cache[key] = df
-        cache[key].createOrReplaceTempView(name)
+        if cache.get(("#view", name)) != (sf_dir, "spread"):
+            cache[key].createOrReplaceTempView(name)
+            cache[("#view", name)] = (sf_dir, "spread")
 
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
@@ -285,7 +297,17 @@ def _estimate_scan_splits(path: str, max_split_bytes: int) -> int:
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each fixture table as a temp view so corpus queries can
-    be written in SQL. Views are lazy plans — zero data movement."""
+    be written in SQL. Views are lazy plans — zero data movement.
+
+    Registration is cached per (session, view-name, sf_dir): every
+    ``createOrReplaceTempView`` is a py4j round-trip, and the corpus
+    calls this inside each query constructor — re-registering 10
+    identical views charged ~30 ms per query construction at bench
+    scale. A view whose backing sf_dir changes (tests at sf0.001, bench
+    at sf0.1, same session) is re-registered."""
     configure(spark)
+    cache = _session_cache(spark)
     for name in tables:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if cache.get(("#view", name)) != (sf_dir, "plain"):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            cache[("#view", name)] = (sf_dir, "plain")

@@ -42,10 +42,12 @@ def main() -> None:
     names = sorted(name for name, q in registry.items() if q.headline)
 
     spark = get_spark("arnab_spark_bench")
-    # sized-for-scale shuffle parallelism: 8 partitions at sf0.1 (see
-    # module docstring); runtime-settable so it composes with whatever
-    # session the environment provides
-    spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "8"))
+    # sized-for-scale shuffle parallelism: 16 partitions at sf0.1 —
+    # round-3 measurement on the 32-core box: p=16 beats p=8 by ~7% on
+    # the shuffle-heavy headliners (more cores engaged) and p=4 loses
+    # both ways; runtime-settable so it composes with whatever session
+    # the environment provides
+    spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "16"))
     spark.conf.set("spark.sql.adaptive.enabled", os.environ.get("ARNAB_BENCH_AQE", "false"))
     # warm the JVM + parquet footer caches with a trivial action so the
     # first measured query isn't charged for session warmup
