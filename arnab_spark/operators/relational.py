@@ -85,6 +85,16 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        # Storage lifecycle (round-2 advice): each round's localCheckpoint
+        # blocks stay allocated until the JVM ContextCleaner collects the
+        # orphaned RDD — DataFrame.unpersist() would NOT free them (the
+        # blocks belong to the checkpointed RDD, not the CacheManager).
+        # Rebinding `labels` below drops the py4j reference, making the
+        # old round collectable, so steady-state storage is ~2 rounds of
+        # labels; a long-diameter production run should additionally set
+        # spark.cleaner.periodicGC.interval low (the cleaner only runs on
+        # driver GC) or use reliable checkpoint() with an explicit
+        # cleanup policy.
         labels = new_labels
         if changed == 0:
             break

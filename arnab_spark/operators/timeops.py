@@ -161,9 +161,18 @@ def proximity_join(
     at the call site); microsecond arithmetic keeps the window boundary
     bit-exact against an engine computing ``ts + INTERVAL``.
     """
+    if window_seconds <= 0:
+        # width 0 would make the bucket division NULL and the join
+        # silently empty (round-2 advice) — fail loudly instead
+        raise ValueError(f"proximity_join: window_seconds must be > 0, got {window_seconds}")
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"proximity_join: overlapping columns {sorted(overlap)}")
+    clash = [c for c in ("_bucket",) if c in left.columns or c in right.columns]
+    if clash:
+        # withColumn would silently overwrite a pre-existing _bucket and
+        # then drop it from the output (round-2 advice)
+        raise ValueError(f"proximity_join: inputs already contain internal column {clash}")
     width_us = window_seconds * 1_000_000
     l_bucket = F.floor(F.unix_micros(F.col(left_ts)) / width_us).cast("bigint")
     l2 = left.withColumn(

@@ -28,11 +28,44 @@ from arnab_spark.spark_utils import load_table
 N_FEATURES = 8
 
 
+try:  # optional codec: use a real decoder when the environment has one
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:  # this container ships no imaging library
+    _PILImage = None
+    HAS_PIL = False
+
+
 def decode_image(data: bytes) -> "object":
-    """Real image decode — requires an imaging library not present in
-    this container. The plumbing around it (see fake_decode_features)
-    is fully tested; drop PIL in and delete the raise."""
+    """Real image decode: PIL-backed when the library is present
+    (optional import — round-2 verdict task 7), otherwise a clear
+    NotImplementedError. The oracled corpus queries never call this —
+    they run the deterministic fake so driver verification is
+    environment-independent; swap :func:`real_decode_features` into the
+    mapInPandas pipeline to process actual images."""
+    if HAS_PIL:
+        import io
+
+        return _PILImage.open(io.BytesIO(data))
     raise NotImplementedError("image codec not available in this environment")
+
+
+def real_decode_features(data: bytes) -> list[int]:
+    """Feature vector from a REAL decode when PIL is present (width,
+    height, n-bands, then byte-histogram buckets to fill N_FEATURES);
+    falls back to the deterministic fake otherwise, so the same
+    pipeline runs in both modes (tests cover both, PIL mode gated by
+    availability)."""
+    if not HAS_PIL:
+        return fake_decode_features(data)
+    img = decode_image(data)
+    feats = [img.width, img.height, len(img.getbands())]
+    sample = img.tobytes()[: 4 * (N_FEATURES - 3)]
+    for j in range(N_FEATURES - 3):
+        chunk = sample[4 * j : 4 * (j + 1)]
+        feats.append(sum(chunk) % 256 if chunk else 0)
+    return feats
 
 
 def decode_audio(data: bytes) -> "object":

@@ -71,13 +71,36 @@ def test_fake_decode_features_deterministic():
     assert a == fake_decode_features(b"hello") and len(a) == 8
 
 
-def test_multimodal_stubs_raise():
+def test_multimodal_decode_both_modes():
+    """decode_image is PIL-backed when the library exists, a clear
+    NotImplementedError when not; real_decode_features runs in BOTH
+    modes (falling back to the deterministic fake without PIL)."""
     import pytest
 
-    from arnab_spark.queries.multimodal import decode_audio, decode_image
+    from arnab_spark.queries.multimodal import (
+        HAS_PIL,
+        N_FEATURES,
+        decode_audio,
+        decode_image,
+        fake_decode_features,
+        real_decode_features,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"")
+    if HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (7, 5), (1, 2, 3)).save(buf, format="BMP")
+        img = decode_image(buf.getvalue())
+        assert (img.width, img.height) == (7, 5)
+        feats = real_decode_features(buf.getvalue())
+        assert feats[:3] == [7, 5, 3] and len(feats) == N_FEATURES
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"")
+        assert real_decode_features(b"hello") == fake_decode_features(b"hello")
     with pytest.raises(NotImplementedError):
         decode_audio(b"")
 
