@@ -52,24 +52,37 @@ def join_star_revenue(spark, sf_dir):
 
     register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
     # size-aware broadcast hints — the SQL spelling of broadcast_if_small
-    # (nation/region unconditional: constant 25/5 rows at any sf)
-    hinted = ["nation", "region"] + (
-        ["dim"] if table_bytes(sf_dir, "customer") < 64 * 1024 * 1024 else []
-    )
+    # (nation/region unconditional: constant 25/5 rows at any sf).
+    # When ORDERS itself is provably small (< 64 MB on disk) the whole
+    # orders⋈dim build side broadcasts too and lineitem is joined with
+    # ZERO shuffles — the remaining exchange carries 25 groups. Past the
+    # threshold the hint is withheld and lineitem⋈orders degrades to the
+    # co-hashed shuffle join, which is the right plan at 100 TB.
+    dim_small = table_bytes(sf_dir, "customer") < 64 * 1024 * 1024
+    ord_small = dim_small and table_bytes(sf_dir, "orders") < 64 * 1024 * 1024
+    dim_hint = "/*+ BROADCAST(dim) */ " if dim_small else ""
+    if ord_small:
+        top_from = "FROM lineitem\nJOIN ord ON l_orderkey = o_orderkey"
+        top_hint = "/*+ BROADCAST(ord) */"
+    else:
+        top_from = "FROM lineitem\nJOIN orders ON l_orderkey = o_orderkey\nJOIN dim ON o_custkey = c_custkey"
+        top_hint = f"/*+ {'BROADCAST(dim)' if dim_small else 'BROADCAST(nation), BROADCAST(region)'} */"
     return spark.sql(f"""
 WITH dim AS (
   SELECT /*+ BROADCAST(nation), BROADCAST(region) */ c_custkey, n_name, r_name
   FROM customer
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
+),
+ord AS (
+  SELECT {dim_hint}o_orderkey, n_name, r_name
+  FROM orders JOIN dim ON o_custkey = c_custkey
 )
-SELECT /*+ {', '.join(f'BROADCAST({h})' for h in hinted)} */
+SELECT {top_hint}
        n_name, r_name,
        CAST(SUM({qexpr('l_extendedprice * (1 - l_discount)', 10_000)}) AS DOUBLE) / 10000.0 AS revenue,
        COUNT(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN dim    ON o_custkey = c_custkey
+{top_from}
 GROUP BY n_name, r_name
 """)
 

@@ -112,10 +112,12 @@ def knn_cosine_brute(spark, sf_dir):
 
     from arnab_spark.operators import cosine_knn, quantize_embeddings
 
-    from arnab_spark.spark_utils import load_table
+    from arnab_spark.spark_utils import spread_table
 
+    # spread: the per-pair dot products are the CPU-bound stage, and a
+    # sub-MB corpus file otherwise lands on a single scan task
     e = quantize_embeddings(
-        load_table(spark, sf_dir, "embeddings"), "embedding", DIM
+        spread_table(spark, sf_dir, "embeddings"), "embedding", DIM
     )
     return cosine_knn(
         e.filter(F.col("vec_id") < N_QUERIES), e, "vec_id", "vec_id", k=TOP_K

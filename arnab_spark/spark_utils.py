@@ -228,17 +228,18 @@ def broadcast_if_small(
     return df
 
 
-def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
-    """Like :func:`register_views`, but guarantees the view is spread
-    across the session's cores before CPU-bound per-row work.
+def spread_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One fixture table, guaranteed spread across the session's cores
+    before CPU-bound per-row work.
 
     A table that arrives as fewer scan partitions than the default
     parallelism (here: one sub-4 MB parquet file) would serialize an
-    expensive projection — e.g. MinHash's sha256-per-shingle — onto one
-    task. Repartitioning first costs one shuffle of the RAW table, which
-    only pays when downstream per-row CPU dominates; at cluster scale a
-    100 TB scan already has thousands of splits and this becomes a no-op
-    (the condition, not the repartition, is the contract).
+    expensive projection — e.g. MinHash's sha256-per-shingle or a
+    per-pair dot product — onto one task. Repartitioning first costs one
+    shuffle of the RAW table, which only pays when downstream per-row
+    CPU dominates; at cluster scale a 100 TB scan already has thousands
+    of splits and this becomes a no-op (the condition, not the
+    repartition, is the contract).
 
     The scan-partition count is estimated driver-side from the file
     size and ``spark.sql.files.maxPartitionBytes`` — the same arithmetic
@@ -247,18 +248,26 @@ def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> No
     conversion through py4j per table (round-2 advice; metadata peek
     only, no data read)."""
     configure(spark)
-    target = spark.sparkContext.defaultParallelism
-    max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    cache = _session_cache(spark)
+    key = (sf_dir, f"{name}#spread")
+    if key not in cache:
+        target = spark.sparkContext.defaultParallelism
+        max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        df = load_table(spark, sf_dir, name)
+        if _estimate_scan_splits(os.path.join(sf_dir, f"{name}.parquet"), max_split) < target:
+            df = df.repartition(target)
+        cache[key] = df
+    return cache[key]
+
+
+def register_spread_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Like :func:`register_views`, but each view is a
+    :func:`spread_table` (see there for the spread contract)."""
     cache = _session_cache(spark)
     for name in tables:
-        key = (sf_dir, f"{name}#spread")
-        if key not in cache:
-            df = load_table(spark, sf_dir, name)
-            if _estimate_scan_splits(os.path.join(sf_dir, f"{name}.parquet"), max_split) < target:
-                df = df.repartition(target)
-            cache[key] = df
+        df = spread_table(spark, sf_dir, name)
         if cache.get(("#view", name)) != (sf_dir, "spread"):
-            cache[key].createOrReplaceTempView(name)
+            df.createOrReplaceTempView(name)
             cache[("#view", name)] = (sf_dir, "spread")
 
 
