@@ -178,9 +178,10 @@ CURATED_FIRST: tuple[str, ...] = (
     "agg_unpivot",
     # window-family representative (keeps all 11 modules in the window)
     "window_ranking",
-    # remaining high-value re-verifications
-    "dedup_ngram_jaccard",
-    "agg_salted_skew",
+    # queries NEW in round 3 (decontamination + boilerplate mining) —
+    # driver evidence from their first round on the board
+    "text_decontaminate",
+    "text_boilerplate_ngrams",
 )
 
 

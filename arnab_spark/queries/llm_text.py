@@ -10,7 +10,7 @@ of exact integers → deterministic across engines.
 from __future__ import annotations
 
 from arnab_spark.queries import query
-from arnab_spark.spark_utils import register_views
+from arnab_spark.spark_utils import register_spread_views, register_views
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -565,4 +565,118 @@ def text_vocab_topk(spark, sf_dir):
         ORDER BY n DESC, token
         LIMIT 50
         """
+    )
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination + boilerplate mining (8-gram overlap)
+
+#: word 8-grams, empty for docs shorter than 8 words (no padding — a
+#: short doc has no 8-gram, and Spark's sequence(1, 0) would count DOWN)
+_NGRAM_SPARK = (
+    "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), "
+    "i -> concat_ws(' ', slice(w, i, 8))) ELSE array() END"
+)
+_NGRAM_DUCK = (
+    "CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6), "
+    "i -> array_to_string(w[i:i+7], ' ')) ELSE [] END"
+)
+
+#: scale-invariant held-out split: every 10th doc is "the benchmark"
+_HELD_OUT = "doc_id % 10 = 0"
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_NGRAM_DUCK}) AS ngram FROM words
+),
+test_grams AS (
+  SELECT DISTINCT ngram FROM grams WHERE {_HELD_OUT}
+)
+SELECT g.doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM grams g JOIN test_grams t ON g.ngram = t.ngram
+WHERE NOT ({_HELD_OUT.replace('doc_id', 'g.doc_id')})
+GROUP BY g.doc_id
+""",
+    tags=("text", "dedup"),
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3-style n-gram protocol):
+    flag every training document sharing at least one word-8-gram with
+    the held-out set, with the count of overlapping distinct 8-grams.
+
+    Plan: one shingle pass over the corpus, the held-out side reduced
+    to DISTINCT 8-grams and broadcast — held-out benchmarks are
+    fixed-size (MBs) no matter how big the training corpus grows, so
+    the join is always a broadcast probe of the training shingle
+    stream; no hint is forced, Catalyst/AQE sees the aggregated test
+    side is small. Shuffle carries (doc_id, ngram) pairs of matched
+    docs only."""
+    register_spread_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"""
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, explode({_NGRAM_SPARK}) AS ngram FROM words
+),
+test_grams AS (
+  SELECT DISTINCT ngram FROM grams WHERE {_HELD_OUT}
+)
+SELECT g.doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM grams g JOIN test_grams t ON g.ngram = t.ngram
+WHERE NOT (g.doc_id % 10 = 0)
+GROUP BY g.doc_id
+"""
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_NGRAM_DUCK}) AS ngram FROM words
+)
+SELECT ngram, COUNT(*) AS n_docs
+FROM grams
+GROUP BY ngram
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, ngram
+LIMIT 20
+""",
+    tags=("text", "agg"),
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate mining: the 20 word-8-grams shared by the most
+    documents (headers, footers, license blocks in a real corpus) —
+    the discovery stage before a strip-boilerplate pass. Ties break
+    lexically so the cut is total-ordered. Per-doc DISTINCT happens
+    before the global count, the groupBy partial-aggregates map-side,
+    and top-20 is TakeOrdered — the final shuffle carries one row per
+    distinct surviving 8-gram, never the corpus."""
+    register_spread_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"""
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, explode({_NGRAM_SPARK}) AS ngram FROM words
+)
+SELECT ngram, COUNT(*) AS n_docs
+FROM grams
+GROUP BY ngram
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, ngram
+LIMIT 20
+"""
     )
