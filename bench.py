@@ -236,6 +236,23 @@ def main() -> None:
         fl8.append(time.perf_counter() - start)
     tpch_full_concurrent8 = round(min(fl8), 4)
 
+    # Floor probe: the same 2-stage aggregation at sf0.001 (100× less
+    # data). The delta between the two is the data-dependent work; the
+    # sf0.001 number is the per-query fixed cost (job submit + stage
+    # scheduling + sink commit) that amortizes to noise at cluster
+    # scale — in-band evidence for the floor analysis in SCALE.md.
+    floor_probe = None
+    tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny_dir):
+        q = registry["agg_pricing_summary"]
+        q.fn(spark, tiny_dir).write.format("noop").mode("overwrite").save()
+        probe = []
+        for _ in range(3):
+            start = time.perf_counter()
+            q.fn(spark, tiny_dir).write.format("noop").mode("overwrite").save()
+            probe.append(time.perf_counter() - start)
+        floor_probe = round(min(probe), 4)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -254,6 +271,7 @@ def main() -> None:
                     round(concurrent_wall / duck_total, 2) if duck_total else None
                 ),
                 "aqe_off_total": aqe_total,
+                "floor_probe_pricing_sf0001": floor_probe,
                 "cold_total": round(sum(cold.values()), 4),
                 "concurrent_wall_clock_4way": concurrent_wall,
                 "training_ops_wall_clock": pipeline_wall,
