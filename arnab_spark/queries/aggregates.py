@@ -627,22 +627,31 @@ GROUP BY o_orderpriority
 def agg_priority_late_orders(spark, sf_dir):
     """TPC-H Q4-shaped priority check: orders of one year having at
     least one lineitem shipped >90 days after ordering, counted per
-    priority. The EXISTS is a LEFT SEMI join — lineitem contributes
-    key+date columns only and never multiplies rows, so no DISTINCT is
-    needed before the count."""
+    priority. The EXISTS inverts into lineitem ⋈ broadcast(filtered
+    orders) + per-priority COUNT(DISTINCT orderkey): a LEFT SEMI with
+    lineitem as the build side would hash the FACT table, while this
+    shape streams lineitem through a broadcast probe of the one-year
+    order slice and the distinct-count shuffle carries only surviving
+    (priority, orderkey) pairs. Past the broadcast threshold
+    broadcast_if_small withholds the hint and Catalyst plans the
+    co-hashed shuffle join — same two-shuffle plan as the semi form,
+    with the smaller distinct-pair stream."""
+    from arnab_spark.spark_utils import broadcast_if_small
+
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     o_year = o.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    late = o_year.join(
-        l,
-        (o_year.o_orderkey == l.l_orderkey)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = l.join(
+        broadcast_if_small(o_year, sf_dir, "orders"),
+        (l.l_orderkey == o_year.o_orderkey)
         & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
-        "left_semi",
     )
-    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return late.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("n_orders")
+    )
 
 
 @query(

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arnab_spark.queries import DEC, dsum, qexpr, qlong, query
-from arnab_spark.spark_utils import broadcast_if_small, load_table, register_views
+from arnab_spark.spark_utils import (
+    broadcast_if_small,
+    load_table,
+    register_views,
+    table_bytes,
+)
 
 _STAR_ORACLE = """
 SELECT n_name, r_name,
@@ -364,12 +369,22 @@ def join_volume_shipping(spark, sf_dir):
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
     )
-    return (
-        l.join(s, l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), s.s_nationkey == n1.nk1)
+    # build the customer side (orders⋈customer⋈n2) separately and hint
+    # it when provably broadcastable, so lineitem — the only big table —
+    # streams through broadcast probes with zero shuffled joins (the
+    # join_star_revenue contract; degrades to co-hashed shuffle past
+    # the threshold)
+    oc = (
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), c.c_nationkey == n2.nk2)
+        .select("o_orderkey", "cust_nation")
+    )
+    if table_bytes(sf_dir, "customer") + table_bytes(sf_dir, "orders") < 64 * 1024 * 1024:
+        oc = F.broadcast(oc)
+    return (
+        l.join(broadcast_if_small(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.nk1)
+        .join(oc, l.l_orderkey == oc.o_orderkey)
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -469,11 +484,20 @@ def join_shipping_priority(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     rev_units = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
-    return (
+    # (segment-filtered customer ⋈ date-filtered orders) is the build
+    # side: broadcast it while both backing tables are provably small
+    # so the lineitem probe runs with zero shuffled joins (the
+    # join_star_revenue contract; co-hashed shuffle past the threshold)
+    co = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(o, c.c_custkey == o.o_custkey)
-        .filter(F.col("o_orderdate") < cutoff)
-        .join(l.filter(F.col("l_shipdate") > cutoff), o.o_orderkey == l.l_orderkey)
+        .join(o.filter(F.col("o_orderdate") < cutoff), c.c_custkey == o.o_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    if table_bytes(sf_dir, "customer") + table_bytes(sf_dir, "orders") < 64 * 1024 * 1024:
+        co = F.broadcast(co)
+    return (
+        l.filter(F.col("l_shipdate") > cutoff)
+        .join(co, co.o_orderkey == l.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev_units).alias("_r"))
         .select(
@@ -540,15 +564,22 @@ def join_local_supplier_volume(spark, sf_dir):
     c_asia = c.join(F.broadcast(asia), c.c_nationkey == asia.n_nationkey).select(
         "c_custkey", "c_nationkey", "n_name"
     )
+    # when customer+orders are provably broadcastable, hint the whole
+    # (customer⋈orders) build side so lineitem — the one table that is
+    # actually big — streams through broadcast probes with ZERO shuffled
+    # joins (same size-aware contract as join_star_revenue; past the
+    # threshold this is the co-hashed shuffle join, the 100 TB plan)
+    co = c_asia.join(
+        o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+        c_asia.c_custkey == o.o_custkey,
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    if table_bytes(sf_dir, "customer") + table_bytes(sf_dir, "orders") < 64 * 1024 * 1024:
+        co = F.broadcast(co)
     return (
-        c_asia.join(
-            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
-            c_asia.c_custkey == o.o_custkey,
-        )
-        .join(l, o.o_orderkey == l.l_orderkey)
+        l.join(co, l.l_orderkey == co.o_orderkey)
         .join(
             broadcast_if_small(s, sf_dir, "supplier"),
-            (l.l_suppkey == s.s_suppkey) & (c_asia.c_nationkey == s.s_nationkey),
+            (l.l_suppkey == s.s_suppkey) & (co.c_nationkey == s.s_nationkey),
         )
         .groupBy("n_name")
         .agg((F.sum(rev_units).cast("double") / 10_000.0).alias("revenue"))
@@ -697,7 +728,7 @@ def join_waiting_suppliers(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     pairs = (
-        l.join(o.filter(F.col("o_orderstatus") == "F"),
+        l.join(broadcast_if_small(o.filter(F.col("o_orderstatus") == "F"), sf_dir, "orders"),
                l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(

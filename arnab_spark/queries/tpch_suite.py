@@ -34,7 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arnab_spark.queries import DEC, dsum, qlong, query
-from arnab_spark.spark_utils import load_table
+from arnab_spark.spark_utils import broadcast_if_small, load_table
 
 _TS = lambda s: F.lit(s + " 00:00:00").cast("timestamp")  # noqa: E731
 
@@ -311,11 +311,18 @@ def agg_important_part_value(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    vals = (
-        l.join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    # reduce the supplier side to the AFRICA suppkey list BEFORE
+    # touching lineitem — the build side shrinks by the region
+    # selectivity and broadcasts while supplier is under 64 MB, so the
+    # fact table streams through one broadcast probe into the groupBy
+    sdim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "AFRICA")),
               n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    vals = (
+        l.join(broadcast_if_small(sdim, sf_dir, "supplier"), l.l_suppkey == sdim.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(qlong(F.col("l_extendedprice"), 100)).alias("units"))
     )
@@ -364,7 +371,7 @@ def agg_late_shipment_priority(spark, sf_dir):
             (F.col("l_shipdate") >= _TS("1997-01-01"))
             & (F.col("l_shipdate") < _TS("1998-01-01"))
         )
-        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_small(o, sf_dir, "orders"), l.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .groupBy("l_returnflag")
         .agg(
@@ -507,7 +514,7 @@ def agg_supplier_part_counts(spark, sf_dir):
     )
     blacklist = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(parts, l.l_partkey == p.p_partkey)
+        l.join(broadcast_if_small(parts, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .join(F.broadcast(blacklist), l.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
