@@ -130,3 +130,43 @@ def test_ivf_refined_recall_and_refine_math(spark):
     # floor((4+1)/2)=2, floor((-3-4)/2)=floor(-3.5)=-4 (floor, not trunc)
     assert cents[10] == ([2, -4], 20)
     assert cents[20] == ([7, 7], 98)
+
+
+def test_ngram_guard_on_short_docs(spark):
+    """Docs shorter than 8 words must yield ZERO 8-grams — the fixture
+    corpus never exercises this branch, but Spark's sequence(1, n) with
+    n < 1 counts DOWN ([1, 0]) instead of returning empty, so the CASE
+    guard in _NGRAM_SPARK is load-bearing. Differential against DuckDB
+    on a crafted mini-corpus with 0/7/8/9-word docs."""
+    import duckdb
+
+    from arnab_spark.queries.llm_text import _NGRAM_DUCK, _NGRAM_SPARK
+
+    docs = [
+        (1, ""),  # 1 empty token after split
+        (2, "a b c d e f g"),  # 7 words -> no 8-gram
+        (3, "a b c d e f g h"),  # exactly 8 -> one
+        (4, "a b c d e f g h i"),  # 9 -> two
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sdf.createOrReplaceTempView("mini_docs")
+    got = spark.sql(
+        f"""
+        SELECT doc_id, ngram FROM (
+          SELECT doc_id, split(text, ' ') AS w FROM mini_docs
+        ) LATERAL VIEW explode({_NGRAM_SPARK}) t AS ngram
+        """
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mini_docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO mini_docs VALUES (?, ?)", docs)
+    exp = con.execute(
+        f"""
+        SELECT doc_id, unnest({_NGRAM_DUCK}) AS ngram FROM (
+          SELECT doc_id, string_split(text, ' ') AS w FROM mini_docs
+        )
+        """
+    ).fetchall()
+    assert sorted((r.doc_id, r.ngram) for r in got) == sorted(exp)
+    assert {r.doc_id for r in got} == {3, 4}
+    assert len(got) == 3
