@@ -66,12 +66,13 @@ def join_star_revenue(spark, sf_dir):
     dim_small = table_bytes(sf_dir, "customer") < 64 * 1024 * 1024
     ord_small = dim_small and table_bytes(sf_dir, "orders") < 64 * 1024 * 1024
     dim_hint = "/*+ BROADCAST(dim) */ " if dim_small else ""
-    if ord_small:
-        top_from = "FROM lineitem\nJOIN ord ON l_orderkey = o_orderkey"
-        top_hint = "/*+ BROADCAST(ord) */"
-    else:
-        top_from = "FROM lineitem\nJOIN orders ON l_orderkey = o_orderkey\nJOIN dim ON o_custkey = c_custkey"
-        top_hint = f"/*+ {'BROADCAST(dim)' if dim_small else 'BROADCAST(nation), BROADCAST(region)'} */"
+    top_hint = "/*+ BROADCAST(ord) */ " if ord_small else ""
+    # lineitem pre-aggregates per orderkey BEFORE any join: the map-side
+    # combine collapses ~4 line rows to 1 partial sum, so the one fact
+    # shuffle carries (orderkey, 2 BIGINTs) — and the orderkey join then
+    # REUSES that hash partitioning (zero extra fact shuffle) whether
+    # ord broadcasts (small SF) or co-hash-shuffles (100 TB). Measured
+    # vs joining raw lineitem: 0.58-0.98 -> 0.52-0.62 s at sf0.1.
     return spark.sql(f"""
 WITH dim AS (
   SELECT /*+ BROADCAST(nation), BROADCAST(region) */ c_custkey, n_name, r_name
@@ -82,12 +83,17 @@ WITH dim AS (
 ord AS (
   SELECT {dim_hint}o_orderkey, n_name, r_name
   FROM orders JOIN dim ON o_custkey = c_custkey
+),
+lagg AS (
+  SELECT l_orderkey,
+         SUM({qexpr('l_extendedprice * (1 - l_discount)', 10_000)}) AS rev_units,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
 )
-SELECT {top_hint}
-       n_name, r_name,
-       CAST(SUM({qexpr('l_extendedprice * (1 - l_discount)', 10_000)}) AS DOUBLE) / 10000.0 AS revenue,
-       COUNT(*) AS n_items
-{top_from}
+SELECT {top_hint}n_name, r_name,
+       CAST(SUM(rev_units) AS DOUBLE) / 10000.0 AS revenue,
+       SUM(n_lines) AS n_items
+FROM lagg JOIN ord ON l_orderkey = o_orderkey
 GROUP BY n_name, r_name
 """)
 
