@@ -527,6 +527,42 @@ def test_corpus_prep_example_project(spark, tmp_path, monkeypatch):
     assert set(first) == {r.doc_id for r in rows}
     for r in rows[:20]:
         assert first[r.doc_id].split(" ")[0] == r.text.split(" ")[0]
+    # decontamination model: differential against an independent DuckDB
+    # spelling of the whole chain (md5 split -> 8-gram overlap with the
+    # held-out splits -> anti-join)
+    import duckdb
+
+    decon = {r.doc_id for r in spark.sql("SELECT doc_id FROM doc_decontaminated").collect()}
+    contaminated = {
+        row[0]
+        for row in duckdb.connect().execute("""
+WITH d AS (
+  SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS b
+        FROM d)
+),
+words AS (
+  SELECT d.doc_id, sp.split, string_split(d.text, ' ') AS w FROM d JOIN sp USING (doc_id)
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(w) >= 8
+                     THEN list_transform(range(1, len(w) - 6),
+                                         i -> array_to_string(w[i:i+7], ' '))
+                     ELSE [] END) AS ngram
+  FROM words
+),
+held AS (SELECT DISTINCT ngram FROM grams WHERE split <> 'train')
+SELECT DISTINCT g.doc_id FROM grams g JOIN held h USING (ngram) WHERE g.split = 'train'
+""").fetchall()
+    }
+    assert decon == {r.doc_id for r in rows} - contaminated
 
 
 def test_union_by_name_model_file(spark, tmp_path):
