@@ -187,6 +187,169 @@ def _split_top_level_commas(text: str) -> list[str]:
     return parts
 
 
+#: tokens after which a ``[`` opens a DuckDB LIST LITERAL rather than a
+#: subscript: operators/punctuation, or one of these SQL keywords. After
+#: an identifier, a string literal, ``)`` or ``]`` it is a subscript and
+#: must be left alone (Spark shares that syntax).
+_BEFORE_LIST_LITERAL_CHARS = frozenset("([,=<>+-*/%|&:{")
+_BEFORE_LIST_LITERAL_WORDS = frozenset(
+    "select where and or not in when then else by distinct all having "
+    "case between is like ilike union intersect except on values return "
+    "returning".split()
+)
+
+
+def _rewrite_list_literals(sql: str) -> str:
+    """DuckDB list literals ``[1, 2]`` / ``ARRAY[1, 2]`` → Spark's
+    ``array(1, 2)``. Token-aware: a ``[`` directly after an identifier,
+    string, ``)`` or ``]`` is a SUBSCRIPT (both dialects spell it the
+    same) and is preserved; struct literals ``{...}`` are not rewritten
+    (Spark rejects them loudly — no silent divergence)."""
+    out: list[str] = []
+    stack: list[str] = []  # expected closer for each open ( or [
+    quote: str | None = None
+    prev = ""  # last significant token ("" = statement start)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            prev = "'"  # a string can be subscripted: 'abc'[1]
+            i += 1
+            continue
+        if ch == "[":
+            if prev.lower() == "array" and out and out[-1].lower() == "array":
+                # postgres-style ARRAY[...]: keep the word, swap brackets
+                out.append("(")
+                stack.append(")")
+            elif (
+                prev == ""
+                or prev in _BEFORE_LIST_LITERAL_CHARS
+                or prev.lower() in _BEFORE_LIST_LITERAL_WORDS
+            ):
+                out.append("array(")
+                stack.append(")")
+            else:
+                out.append("[")
+                stack.append("]")
+            prev = "["
+            i += 1
+            continue
+        if ch == "]":
+            out.append(stack.pop() if stack else "]")
+            prev = "]"
+            i += 1
+            continue
+        if ch == "(":
+            out.append(ch)
+            stack.append(")")
+            prev = "("
+            i += 1
+            continue
+        if ch == ")":
+            out.append(ch)
+            if stack:
+                stack.pop()
+            prev = ")"
+            i += 1
+            continue
+        if ch.isalnum() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            tok = sql[i:j]
+            out.append(tok)
+            prev = tok
+            i = j
+            continue
+        if not ch.isspace():
+            prev = ch
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+#: DuckDB list_* names whose Spark array_* twin has IDENTICAL argument
+#: order and null semantics. Deliberately excludes the lookalikes that
+#: differ (list_sort: nulls first vs array_sort: nulls last;
+#: list_position: NULL-when-missing vs array_position: 0) — those fail
+#: loudly as unknown functions instead of silently diverging.
+_LIST_FN_MAP = {
+    "list_value": "array",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_distinct": "array_distinct",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_concat": "concat",
+    "list_cat": "concat",
+    "list_transform": "transform",
+    "list_filter": "filter",
+}
+_LIST_FN = re.compile(
+    r"\b(" + "|".join(_LIST_FN_MAP) + r")(\s*\()", re.IGNORECASE
+)
+
+
+def _rewrite_list_functions(sql: str) -> str:
+    return _LIST_FN.sub(lambda m: _LIST_FN_MAP[m.group(1).lower()] + m.group(2), sql)
+
+
+_STRING_SPLIT = re.compile(r"\b(string_split|str_split|string_to_array)\s*\(", re.IGNORECASE)
+_PLAIN_STR_LIT = re.compile(r"^\s*'([^'\\]*)'\s*$")
+
+
+def _rewrite_string_split(sql: str) -> str:
+    """``string_split(x, 'sep')`` → ``split(x, '<regex-escaped sep>')``.
+
+    DuckDB's separator is a LITERAL string while Spark's ``split`` takes
+    a Java regex, so the separator is regex-escaped during the rewrite
+    (then backslash-doubled for Spark's C-style string literals). Only
+    plain string-literal separators are rewritten; anything dynamic is
+    left under its DuckDB name so Spark rejects it loudly rather than
+    silently treating it as a pattern."""
+    out = []
+    pos = 0
+    while True:
+        m = _STRING_SPLIT.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        # find the matching close paren of the call
+        depth = 0
+        quote = None
+        j = m.end() - 1
+        while j < len(sql):
+            ch = sql[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        args = _split_top_level_commas(sql[m.end(): j])
+        lit = _PLAIN_STR_LIT.match(args[1]) if len(args) == 2 else None
+        if lit is None:
+            out.append(sql[pos: j + 1])
+        else:
+            sep = re.escape(lit.group(1)).replace("\\", "\\\\")
+            out.append(sql[pos: m.start()] + f"split({args[0].strip()}, '{sep}')")
+        pos = j + 1
+
+
 _DISTINCT_ON = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
@@ -748,6 +911,9 @@ def transpile_statement(sql: str, spark=None) -> str:
     """
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
+    sql = _rewrite_list_literals(sql)
+    sql = _rewrite_list_functions(sql)
+    sql = _rewrite_string_split(sql)
     sql = _rewrite_copy(sql)
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_using_sample(sql)

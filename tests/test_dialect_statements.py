@@ -213,3 +213,56 @@ def test_export_model_file_end_to_end(spark, con, tmp_path):
     ).fetchdf()
     r = compare_frames("export_model", back, expected)
     assert r.ok, str(r)
+
+
+# ------------------------------------------- list literals & functions
+
+
+def test_list_literal_and_functions_match_duckdb(spark, con):
+    """DuckDB list-literal syntax + list_* names run transpiled on Spark
+    and verbatim on DuckDB with identical results."""
+    _views(spark)
+    duck_sql = (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE list_contains(['1-URGENT', '2-HIGH'], o_orderpriority) "
+        "AND o_orderkey <= 300"
+    )
+    spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
+    _duck_spark_match("list_literal", spark, con, duck_sql, spark_pdf)
+
+
+def test_list_transform_lambda_matches_duckdb(spark, con):
+    _views(spark)
+    duck_sql = (
+        "SELECT o_orderkey, list_transform([1, 2, 3], x -> x * o_orderkey) AS triple "
+        "FROM orders WHERE o_orderkey <= 20"
+    )
+    spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
+    _duck_spark_match("list_transform", spark, con, duck_sql, spark_pdf)
+
+
+def test_string_split_literal_separator_regex_escaped(spark, con):
+    """DuckDB string_split's separator is literal; Spark's split takes a
+    regex. The rewrite must regex-escape '-' and '.' style separators."""
+    _views(spark)
+    duck_sql = (
+        "SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts "
+        "FROM orders WHERE o_orderkey <= 50"
+    )
+    spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
+    _duck_spark_match("string_split", spark, con, duck_sql, spark_pdf)
+
+
+def test_group_by_all_and_colon_cast_native_passthrough(spark, con):
+    """DuckDB's GROUP BY ALL / ORDER BY ALL / ::TYPE casts are native
+    Spark 4 syntax — locked here so a Spark-side regression (or an
+    overeager rewrite) surfaces as a differential failure."""
+    _views(spark)
+    duck_sql = (
+        "SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n "
+        "FROM orders GROUP BY ALL ORDER BY ALL"
+    )
+    out = transpile_statement(duck_sql, spark)
+    assert "GROUP BY ALL" in out and "::" in out  # untouched
+    spark_pdf = spark.sql(out).toPandas()
+    _duck_spark_match("group_by_all", spark, con, duck_sql, spark_pdf)
