@@ -350,6 +350,44 @@ def _rewrite_string_split(sql: str) -> str:
         pos = j + 1
 
 
+_FROM_FIRST = re.compile(r"^\s*FROM\b", re.IGNORECASE)
+#: clause keywords that terminate a FROM-first SELECT list
+_CLAUSE_KEYWORDS = (
+    "where",
+    "group",
+    "having",
+    "qualify",
+    "window",
+    "order",
+    "limit",
+    "offset",
+    "union",
+    "intersect",
+    "except",
+)
+
+
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB's FROM-first syntax → canonical SELECT-first.
+
+    ``FROM t`` → ``SELECT * FROM t``; ``FROM t SELECT a, b WHERE …`` →
+    ``SELECT a, b FROM t WHERE …``. The SELECT clause (when present) is
+    located at paren depth 0 and extends to the next top-level clause
+    keyword; everything else keeps its order."""
+    if not _FROM_FIRST.match(sql):
+        return sql
+    sel_at, _ = _scan_top_level(sql, ("select",))
+    if sel_at < 0:
+        return "SELECT * " + sql
+    end, _ = _scan_top_level(sql, _CLAUSE_KEYWORDS, start=sel_at + 6)
+    if end < 0:
+        end = len(sql)
+    select_clause = sql[sel_at:end].rstrip()
+    from_part = sql[:sel_at].rstrip()
+    rest = sql[end:]
+    return f"{select_clause} {from_part} {rest}".rstrip()
+
+
 _DISTINCT_ON = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
@@ -911,6 +949,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     """
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
+    sql = _rewrite_from_first(sql)
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_list_functions(sql)
     sql = _rewrite_string_split(sql)

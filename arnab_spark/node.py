@@ -157,9 +157,12 @@ class Node:
     @staticmethod
     def will_produce_records(stmt: str) -> bool:
         """First 50 chars, uppercased, starts with SELECT or WITH
-        (reference: node.rs:112-123)."""
+        (reference: node.rs:112-123) — plus FROM and VALUES, which the
+        reference's embedded DuckDB also treats as record-returning
+        (FROM-first syntax; the dialect shim canonicalizes it to
+        SELECT-first before execution)."""
         head = stmt[:50].upper().lstrip()
-        return head.startswith("SELECT") or head.startswith("WITH")
+        return head.startswith(("SELECT", "WITH", "FROM", "VALUES"))
 
     def materialization_sql(self, select_stmt: str, db_path: str | None) -> tuple[str, str | None]:
         """Wrap the record-returning statement per the materialization

@@ -266,3 +266,18 @@ def test_group_by_all_and_colon_cast_native_passthrough(spark, con):
     assert "GROUP BY ALL" in out and "::" in out  # untouched
     spark_pdf = spark.sql(out).toPandas()
     _duck_spark_match("group_by_all", spark, con, duck_sql, spark_pdf)
+
+
+def test_from_first_syntax_matches_duckdb(spark, con):
+    """DuckDB's FROM-first statement forms (bare FROM, FROM … SELECT …)
+    transpile to SELECT-first and match DuckDB's verbatim answer."""
+    _views(spark)
+    for duck_sql in (
+        "FROM orders WHERE o_orderkey <= 40",
+        "FROM orders SELECT o_orderkey, o_orderstatus "
+        "WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+        "FROM orders o JOIN nation n ON o.o_orderkey % 25 = n.n_nationkey "
+        "SELECT n.n_name, count(*) AS n GROUP BY n.n_name",
+    ):
+        spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
+        _duck_spark_match("from_first", spark, con, duck_sql, spark_pdf)
