@@ -173,15 +173,17 @@ CURATED_FIRST: tuple[str, ...] = (
     # storage-release change (ADVICE r2) + optional-PIL decode path
     "dedup_connected_groups",
     "multimodal_decode_features",
-    # PIVOT/UNPIVOT statement transpile lands this round
+    # PIVOT statement-transpile family representative (the UNPIVOT twin
+    # is r1-green and its DataFrame impl is untouched this round)
     "agg_pivot",
-    "agg_unpivot",
     # window-family representative (keeps all 11 modules in the window)
     "window_ranking",
-    # queries NEW in round 3 (decontamination + boilerplate mining) —
-    # driver evidence from their first round on the board
+    # queries NEW in round 3 — driver evidence from their first round on
+    # the board: decontamination, boilerplate mining, and the
+    # materialized Structured-Streaming run (stream ≡ batch ≡ oracle)
     "text_decontaminate",
     "text_boilerplate_ngrams",
+    "stream_tumbling_counts_materialized",
 )
 
 

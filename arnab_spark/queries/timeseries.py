@@ -414,3 +414,36 @@ def time_weighted_avg(spark, sf_dir):
         ).alias("twa"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@query(
+    "stream_tumbling_counts_materialized",
+    oracle="""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS TIMESTAMP) AS w_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("timeseries", "streaming"),
+)
+def stream_tumbling_counts_materialized(spark, sf_dir):
+    """STRUCTURED STREAMING run, driver-verifiable: the tumbling-window
+    aggregation executes as a real stream (file source → watermark →
+    windowed agg → memory sink, Trigger.AvailableNow, complete mode)
+    and the materialized sink table is returned as a batch frame — so
+    the driver's DuckDB oracle hashes an actual streaming result.
+    Stream ≡ batch ≡ oracle: Spark's windowed streaming agg uses the
+    same epoch-aligned window fn as batch (= date_trunc hour), complete
+    mode keeps every window (the watermark bounds state eviction timing
+    only), and total_value accumulates in DECIMAL. The unique sink name
+    keeps repeated invocations (driver retries, pytest then driver)
+    independent."""
+    import uuid
+
+    from arnab_spark.streaming.jobs import run_stream_to_memory, stream_tumbling_counts
+
+    sink = f"arnab_stream_mat_{uuid.uuid4().hex[:12]}"
+    return run_stream_to_memory(stream_tumbling_counts(spark, sf_dir), sink)
