@@ -81,27 +81,35 @@ _SHINGLE_DUCK = (
 
 # Band signatures come from SLICES of ONE sha256 per shingle
 # (one-permutation-hashing style: slice b of the digest is an
-# independent hash function), computed as 8 MIN exprs in one
-# aggregation pass and stacked wide→long. vs the naive formulation this
-# removes both the bands× row blowup AND 7 of every 8 hash
-# computations — at 100 TB, hashing the shingle stream once instead of
-# 8 times is the dominant saving. 32-bit band signatures are plenty
-# for candidate generation (false candidates are re-checked by the
-# Jaccard verify stage).
-_BAND_MINS = "MIN(substr(sha2(CAST(shingle AS BINARY), 256), 1, 8)) AS m0, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 9, 8)) AS m1, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 17, 8)) AS m2, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 25, 8)) AS m3, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 33, 8)) AS m4, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 41, 8)) AS m5, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 49, 8)) AS m6, MIN(substr(sha2(CAST(shingle AS BINARY), 256), 57, 8)) AS m7"
-_BAND_STACK = "0, m0, 1, m1, 2, m2, 3, m3, 4, m4, 5, m5, 6, m6, 7, m7"
+# independent hash function). The Spark side computes the 8 band mins
+# as PER-ROW array aggregates — array_min over a transform of the
+# bound digests array — so signature extraction involves NO shuffle at
+# all (the explode + GROUP BY doc_id formulation shuffles the entire
+# shingle stream; at 100 TB that is the dominant data movement, and
+# round-3 measurement shows it costs ~20% even at sf0.1). Each shingle
+# is still hashed exactly once; the digests array binds in its own CTE
+# so Spark does not re-evaluate sha2 per band (no cross-lambda CSE).
+# 32-bit band signatures are plenty for candidate generation (false
+# candidates are re-checked by the Jaccard verify stage).
+_ROW_BAND_MINS = ", ".join(
+    f"array_min(transform(digests, d -> substr(d, {1 + 8 * b}, 8))) AS m{b}"
+    for b in range(N_BANDS)
+)
+_BAND_STACK = ", ".join(f"{b}, m{b}" for b in range(N_BANDS))
 
 _MINHASH_SPARK = f"""
 WITH words AS (
   SELECT doc_id, split(text, ' ') AS w FROM documents
 ),
-shingles AS (
-  -- no DISTINCT: MIN() is duplicate-insensitive, and deduping here
-  -- would cost a full shuffle of the widest intermediate for nothing
-  SELECT doc_id, explode({_SHINGLE_SPARK}) AS shingle FROM words
+dg AS (
+  -- no DISTINCT: array_min is duplicate-insensitive, and deduping
+  -- shingles would cost CPU (or a shuffle) for nothing
+  SELECT doc_id,
+         transform({_SHINGLE_SPARK}, s -> sha2(CAST(s AS BINARY), 256)) AS digests
+  FROM words
 ),
 sigw AS (
-  SELECT doc_id, {_BAND_MINS} FROM shingles GROUP BY doc_id
+  SELECT doc_id, {_ROW_BAND_MINS} FROM dg
 ),
 sigs AS (
   SELECT doc_id, stack({N_BANDS}, {_BAND_STACK}) AS (band, sig) FROM sigw
