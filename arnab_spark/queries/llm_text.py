@@ -624,7 +624,10 @@ WITH words AS (
   SELECT doc_id, split(text, ' ') AS w FROM documents
 ),
 grams AS (
-  SELECT DISTINCT doc_id, explode({_NGRAM_SPARK}) AS ngram FROM words
+  -- per-doc dedup happens IN the row (array_distinct) before the
+  -- explode: zero shuffle, where SELECT DISTINCT would move the
+  -- whole n-gram stream
+  SELECT doc_id, explode(array_distinct({_NGRAM_SPARK})) AS ngram FROM words
 ),
 test_grams AS (
   SELECT DISTINCT ngram FROM grams WHERE {_HELD_OUT}
@@ -670,7 +673,10 @@ WITH words AS (
   SELECT doc_id, split(text, ' ') AS w FROM documents
 ),
 grams AS (
-  SELECT DISTINCT doc_id, explode({_NGRAM_SPARK}) AS ngram FROM words
+  -- per-doc dedup happens IN the row (array_distinct) before the
+  -- explode: zero shuffle, where SELECT DISTINCT would move the
+  -- whole n-gram stream
+  SELECT doc_id, explode(array_distinct({_NGRAM_SPARK})) AS ngram FROM words
 )
 SELECT ngram, COUNT(*) AS n_docs
 FROM grams
