@@ -200,7 +200,10 @@ FROM grams GROUP BY doc_id
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting (winnowing-lite): rolling word 5-grams →
     md5 → per-doc minimum = content fingerprint, robust to small edits.
-    Same plan family as MinHash with one band."""
+    Same plan family as MinHash with one band — and like the round-3
+    MinHash form, the per-doc MIN/COUNT-DISTINCT are row-local array
+    aggregates, so fingerprinting moves ZERO rows (the explode +
+    GROUP BY doc_id form shuffled the whole 5-gram stream)."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(
         """
@@ -209,18 +212,18 @@ def text_fingerprint(spark, sf_dir):
         ),
         grams AS (
           SELECT doc_id,
-                 explode(transform(sequence(1, greatest(size(w) - 4, 1)),
+                 transform(sequence(1, greatest(size(w) - 4, 1)),
                    i -> concat_ws(' ', element_at(w, i),
                                   element_at(w, least(i+1, size(w))),
                                   element_at(w, least(i+2, size(w))),
                                   element_at(w, least(i+3, size(w))),
-                                  element_at(w, least(i+4, size(w)))))) AS g
+                                  element_at(w, least(i+4, size(w))))) AS gs
           FROM words
         )
         SELECT doc_id,
-               MIN(md5(CAST(g AS BINARY))) AS fingerprint,
-               COUNT(DISTINCT g) AS n_grams
-        FROM grams GROUP BY doc_id
+               array_min(transform(gs, g -> md5(CAST(g AS BINARY)))) AS fingerprint,
+               CAST(size(array_distinct(gs)) AS BIGINT) AS n_grams
+        FROM grams
         """
     )
 
