@@ -241,13 +241,25 @@ def _simhash_assemble() -> str:
     )
 
 
+# Spark side: the per-doc ±1 bit sums are ROW-LOCAL aggregate() folds
+# over a once-bound md5-digests array — no explode, no GROUP BY doc_id,
+# so signature extraction moves zero rows (the exploded form shuffled
+# the whole token stream; measured ~0.42-0.49 → 0.33-0.38 s at sf0.1).
+# Each word hashes exactly once (digests binds in its own CTE — Spark
+# does not CSE across lambda boundaries).
+_SIM_ROW_BITS = ", ".join(
+    f"aggregate(transform(digests, d -> CASE WHEN instr('89abcdef', "
+    f"substr(d, {j}, 1)) > 0 THEN 1 ELSE -1 END), 0, (a, x) -> a + x) AS s{j}"
+    for j in range(1, _SIM_BITS + 1)
+)
+
 _SIMHASH_SPARK = f"""
-WITH tokens AS (
-  SELECT doc_id, explode(split(text, ' ')) AS word FROM documents
+WITH dg AS (
+  SELECT doc_id, transform(split(text, ' '), w -> md5(CAST(w AS BINARY))) AS digests
+  FROM documents
 ),
 bitsums AS (
-  SELECT doc_id, {_simhash_bits_sql("md5(CAST(word AS BINARY))")}
-  FROM tokens GROUP BY doc_id
+  SELECT doc_id, {_SIM_ROW_BITS} FROM dg
 ),
 hashes AS (
   SELECT doc_id, CAST({_simhash_assemble()} AS BIGINT) AS simhash FROM bitsums
