@@ -106,14 +106,15 @@ def davg(col: Column | str, alias: str) -> Column:
 #: Evidence is therefore accumulated by rotating this list each round.
 #: ROUND-3 WINDOW: slots 1-35 are exactly the 35 queries with zero driver
 #: hash evidence after r01∪r02 (92/127 green) — landing them green makes
-#: every registry entry driver-verified. Slots 36-50 re-verify queries
-#: whose implementation is touched by this round's performance and
-#: dialect work (the 8 headline bench queries, the localCheckpoint-based
-#: connected components, the optional-PIL multimodal decode, the
-#: PIVOT/UNPIVOT pair) so a perf-motivated regression cannot land
-#: unnoticed. `tests/test_registry_order.py::test_r03_window_covers_all_
-#: driver_unverified_queries` pins slots 1-35 against the remainder list
-#: so an import reorder can't silently waste the window.
+#: every pre-round-3 registry entry driver-verified. Slots 36-50 split
+#: between re-verification of surfaces touched by this round's
+#: performance work (the 8 headline bench queries, connected components,
+#: multimodal decode, the PIVOT family, a window representative) and the
+#: three queries NEW in round 3 (decontamination, boilerplate mining,
+#: the materialized streaming run) so they carry driver evidence from
+#: their first round. `tests/test_registry_order.py::test_r03_window_
+#: covers_all_driver_unverified_queries` pins slots 1-35 against the
+#: remainder list so an import reorder can't silently waste the window.
 CURATED_FIRST: tuple[str, ...] = (
     # --- the 35 driver-unverified remainder (r01∪r02 green = 92/127) ---
     # tpch_suite composites (10)
