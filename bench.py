@@ -174,6 +174,28 @@ def main() -> None:
         pipe.append(time.perf_counter() - start)
     pipeline_wall = round(min(pipe), 4)
 
+    # Dedup / fingerprint family (round 3: all shuffle-free signature
+    # extraction): the non-headline corpus-prep ops measured so plan
+    # regressions here are bench-visible, not just correctness-visible.
+    dedup_family = [
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_connected_groups",
+        "dedup_embedding_cosine",
+        "text_fingerprint",
+        "text_decontaminate",
+        "text_boilerplate_ngrams",
+    ]
+    for n in dedup_family:
+        _run(n)
+    dd = []
+    for _ in range(2):
+        start = time.perf_counter()
+        for n in dedup_family:
+            _run(n)
+        dd.append(time.perf_counter() - start)
+    dedup_family_wall = round(min(dd), 4)
+
     # TPC-H-shaped composite pass: the SAME 8 shapes benched since round
     # 1 (Q3/Q4/Q5/Q10/Q14/Q19/Q21/Q22 analogues), pinned by name so the
     # metric stays comparable across rounds even as the corpus grows.
@@ -275,6 +297,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 4),
                 "concurrent_wall_clock_4way": concurrent_wall,
                 "training_ops_wall_clock": pipeline_wall,
+                "dedup_family_wall_clock": dedup_family_wall,
                 "tpch_composites_wall_clock": tpch_wall,
                 "tpch_composites_concurrent_4way": tpch_concurrent,
                 "tpch_full22_wall_clock": tpch_full_wall,
