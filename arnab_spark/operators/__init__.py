@@ -14,6 +14,7 @@ from arnab_spark.operators.relational import (
     top_k_per_group,
 )
 from arnab_spark.operators.similarity import (
+    bucketed_cosine_pairs,
     cosine_from_int,
     cosine_knn,
     int_dot,
@@ -55,6 +56,7 @@ __all__ = [
     "ivf_refine",
     "int_dot",
     "cosine_from_int",
+    "bucketed_cosine_pairs",
     "shingle_ngrams",
     "minhash_signatures",
     "hash_split",
