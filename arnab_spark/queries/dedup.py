@@ -166,17 +166,22 @@ _JACCARD_SPARK = f"""
 ),
 wordsets AS (
   SELECT doc_id, array_distinct(w) AS ws FROM words
+),
+-- bind the set sizes ONCE: Spark does not common-subexpression-
+-- eliminate across the projection/filter boundary, so the inlined
+-- spelling evaluates each array set-op up to 3x per pair
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         size(array_intersect(wa.ws, wb.ws)) AS n_common,
+         size(array_union(wa.ws, wb.ws)) AS n_union
+  FROM cands c
+  JOIN wordsets wa ON c.doc_a = wa.doc_id
+  JOIN wordsets wb ON c.doc_b = wb.doc_id
 )
-SELECT c.doc_a, c.doc_b,
-       size(array_intersect(wa.ws, wb.ws)) AS n_common,
-       size(array_union(wa.ws, wb.ws)) AS n_union,
-       CAST(size(array_intersect(wa.ws, wb.ws)) AS DOUBLE)
-         / size(array_union(wa.ws, wb.ws)) AS jaccard
-FROM cands c
-JOIN wordsets wa ON c.doc_a = wa.doc_id
-JOIN wordsets wb ON c.doc_b = wb.doc_id
-WHERE CAST(size(array_intersect(wa.ws, wb.ws)) AS DOUBLE)
-        / size(array_union(wa.ws, wb.ws)) >= 0.5
+SELECT doc_a, doc_b, n_common, n_union,
+       CAST(n_common AS DOUBLE) / n_union AS jaccard
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
 """
 
 _JACCARD_DUCK = f"""
