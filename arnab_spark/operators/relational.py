@@ -78,21 +78,44 @@ def connected_components(
         )
         # carry the changed flag through the update so convergence reads
         # off the checkpointed result — no extra join-per-round
-        new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
+        upd = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+            ).alias("comp"),
+            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
+                "_changed"
+            ),
+        )
+        # pointer jump (path halving): comp ← comp's own label. Plain
+        # neighbor-min converges in O(diameter) rounds, and LSH near-dup
+        # graphs contain long chains (measured: 16 rounds on the sf0.1
+        # closure); jumping doubles the propagation distance per round →
+        # O(log diameter). Labels only decrease and every label value is
+        # itself a node, so the jump can't cross components — the
+        # fixpoint is unchanged. One extra self-join on the (small)
+        # label frame per round, 16 → 6 rounds measured.
+        jumped = (
+            upd.alias("a")
+            .join(upd.alias("b"), F.col("a.comp") == F.col("b.node"), "left")
             .select(
-                "node",
+                F.col("a.node").alias("node"),
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    F.col("a.comp"),
+                    F.coalesce(F.col("b.comp"), F.col("a.comp")),
                 ).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
-                    "_changed"
-                ),
+                (
+                    F.col("a._changed")
+                    | (
+                        F.coalesce(F.col("b.comp"), F.col("a.comp"))
+                        < F.col("a.comp")
+                    )
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter("_changed").count()
-        new_labels = new_labels.drop("_changed")
+        changed = jumped.filter("_changed").count()
+        new_labels = jumped.drop("_changed")
         # Storage lifecycle (round-2 advice): each round's localCheckpoint
         # blocks stay allocated until the JVM ContextCleaner collects the
         # orphaned RDD — DataFrame.unpersist() would NOT free them (the
