@@ -302,6 +302,51 @@ def _rewrite_list_functions(sql: str) -> str:
     return _LIST_FN.sub(lambda m: _LIST_FN_MAP[m.group(1).lower()] + m.group(2), sql)
 
 
+_STRUCT_PAIR = re.compile(r"^\s*'([^'\\]*)'\s*:(.*)$", re.DOTALL)
+
+
+def _rewrite_struct_literals(sql: str) -> str:
+    """DuckDB struct literals ``{'k': v, ...}`` → Spark's
+    ``named_struct('k', v, ...)``. Innermost-first so nesting works;
+    a brace group whose members are not all ``'key': value`` pairs
+    (e.g. a Jinja remnant) is left untouched. Quote-aware like the
+    list-literal scanner."""
+    while True:
+        # find an innermost { ... } (no nested braces), outside quotes
+        quote = None
+        start = -1
+        found = None
+        for i, ch in enumerate(sql):
+            if quote:
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "{":
+                start = i
+            elif ch == "}" and start >= 0:
+                found = (start, i)
+                break
+        if not found:
+            return sql
+        s, e = found
+        body = sql[s + 1: e]
+        parts = _split_top_level_commas(body)
+        pairs = [_STRUCT_PAIR.match(p) for p in parts]
+        if body.strip() and all(pairs):
+            inner = ", ".join(f"'{m.group(1)}', {m.group(2).strip()}" for m in pairs)
+            sql = sql[:s] + f"named_struct({inner})" + sql[e + 1:]
+        else:
+            # not a struct literal: mask the braces so the scan advances
+            sql = sql[:s] + "\x00" + sql[s + 1: e] + "\x01" + sql[e + 1:]
+    return sql
+
+
+def _unmask_braces(sql: str) -> str:
+    return sql.replace("\x00", "{").replace("\x01", "}")
+
+
 _STRING_SPLIT = re.compile(r"\b(string_split|str_split|string_to_array)\s*\(", re.IGNORECASE)
 _PLAIN_STR_LIT = re.compile(r"^\s*'([^'\\]*)'\s*$")
 
@@ -951,6 +996,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_list_literals(sql)
+    sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_list_functions(sql)
     sql = _rewrite_string_split(sql)
     sql = _rewrite_copy(sql)

@@ -281,3 +281,17 @@ def test_from_first_syntax_matches_duckdb(spark, con):
     ):
         spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
         _duck_spark_match("from_first", spark, con, duck_sql, spark_pdf)
+
+
+def test_struct_literal_matches_duckdb(spark, con):
+    """DuckDB struct literals transpile to named_struct; field values
+    compared via extraction (atomic columns) against verbatim DuckDB."""
+    _views(spark)
+    duck_sql = (
+        "SELECT o_orderkey, "
+        "{'status': o_orderstatus, 'meta': {'k': o_orderkey * 2}}.status AS st, "
+        "{'k': o_orderkey + 1}.k AS k1 "
+        "FROM orders WHERE o_orderkey <= 60"
+    )
+    spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
+    _duck_spark_match("struct_literal", spark, con, duck_sql, spark_pdf)
