@@ -347,6 +347,134 @@ def _unmask_braces(sql: str) -> str:
     return sql.replace("\x00", "{").replace("\x01", "}")
 
 
+def _rewrite_subscripts(sql: str) -> str:
+    """Non-string, non-slice subscripts → ``element_at(base, idx)``.
+
+    DuckDB indexes lists 1-based (negative = from the end); Spark's
+    ``[]`` is 0-based — a silent-wrongness trap for ported model SQL.
+    Spark's ``element_at`` is 1-based with DuckDB's negative-index
+    semantics for arrays AND does map lookup, so it is the universal
+    translation for every subscript except: slices (``[a:b]``, left to
+    fail loudly) and string-literal subscripts (struct/map access —
+    ``x['k']`` already means the same thing in both engines). The base
+    expression is found by walking back over an identifier chain with
+    balanced trailing groups; a base containing quotes is skipped
+    (unchanged text, conservative)."""
+    guard = 0
+    pos = 0
+    while guard < 500:
+        guard += 1
+        # find the next subscript-[ from `pos`, quote-aware
+        quote = None
+        idx = -1
+        prev = ""
+        for i in range(pos, len(sql)):
+            ch = sql[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+                    prev = "'"
+                continue
+            if ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "[":
+                if prev and (prev.isalnum() or prev in ("_", ")", "]", "'", "`")):
+                    idx = i
+                    break
+                prev = "["
+            elif not ch.isspace():
+                prev = ch
+        if idx < 0:
+            return sql
+        # matching ] (quote-aware), and slice/string checks
+        depth, j, quote = 0, idx, None
+        while j < len(sql):
+            ch = sql[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(sql):
+            return sql
+        content = sql[idx + 1: j]
+        if content.strip().startswith("'") or _top_level_colon(content):
+            pos = idx + 1
+            continue
+        # walk back to the start of the base expression
+        k = idx - 1
+        while k >= 0:
+            c = sql[k]
+            if c in (")", "]"):
+                d = 0
+                while k >= 0:
+                    if sql[k] in (")", "]"):
+                        d += 1
+                    elif sql[k] in ("(", "["):
+                        d -= 1
+                        if d == 0:
+                            break
+                    k -= 1
+                k -= 1
+            elif c.isalnum() or c in ("_", ".", "`"):
+                k -= 1
+            else:
+                break
+        base = sql[k + 1: idx]
+        # the backward walk is quote-unaware, so validate the candidate
+        # forward: parens/brackets must balance counting only outside
+        # quotes and every quote must close — else a string containing a
+        # bracket confused the walk; leave the text untouched
+        if not base.strip() or not _balanced_outside_quotes(base):
+            pos = idx + 1
+            continue
+        inner = _rewrite_subscripts(content)
+        sql = sql[: k + 1] + f"element_at({base}, {inner})" + sql[j + 1:]
+        pos = k + 1
+    return sql
+
+
+def _balanced_outside_quotes(text: str) -> bool:
+    depth, quote = 0, None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch in ("(", "["):
+            depth += 1
+        elif ch in (")", "]"):
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and quote is None
+
+
+def _top_level_colon(text: str) -> bool:
+    depth, quote = 0, None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch in ("(", "["):
+            depth += 1
+        elif ch in (")", "]"):
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            return True
+    return False
+
+
 _STRING_SPLIT = re.compile(r"\b(string_split|str_split|string_to_array)\s*\(", re.IGNORECASE)
 _PLAIN_STR_LIT = re.compile(r"^\s*'([^'\\]*)'\s*$")
 
@@ -997,6 +1125,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_from_first(sql)
     sql = _rewrite_list_literals(sql)
     sql = _unmask_braces(_rewrite_struct_literals(sql))
+    sql = _rewrite_subscripts(sql)
     sql = _rewrite_list_functions(sql)
     sql = _rewrite_string_split(sql)
     sql = _rewrite_copy(sql)

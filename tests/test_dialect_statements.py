@@ -295,3 +295,22 @@ def test_struct_literal_matches_duckdb(spark, con):
     )
     spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
     _duck_spark_match("struct_literal", spark, con, duck_sql, spark_pdf)
+
+
+def test_subscripts_are_one_based_like_duckdb(spark, con):
+    """DuckDB subscripts are 1-based (negative = from the end); the
+    transpile maps non-string, non-slice subscripts to element_at so a
+    ported model reads the same elements. String subscripts (struct and
+    map access) already agree and pass through."""
+    _views(spark)
+    for duck_sql in (
+        "SELECT o_orderkey, string_split(o_orderpriority, '-')[1] AS first_part "
+        "FROM orders WHERE o_orderkey <= 80",
+        "SELECT o_orderkey, string_split(o_orderpriority, '-')[-1] AS last_part "
+        "FROM orders WHERE o_orderkey <= 80",
+        "SELECT ['a','b','c'][2] AS second",
+        "SELECT {'k': o_orderstatus}['k'] AS via_string_key "
+        "FROM orders WHERE o_orderkey <= 30",
+    ):
+        spark_pdf = spark.sql(transpile_statement(duck_sql, spark)).toPandas()
+        _duck_spark_match("subscript", spark, con, duck_sql, spark_pdf)
