@@ -166,3 +166,49 @@ def test_union_by_name_parenthesized_compound_left(engines):
     got = sorted((tuple(r) for r in spark.sql(transpile_statement(sql, spark)).collect()), key=key)
     exp = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
     assert got == exp, transpile_statement(sql, spark)
+
+
+# ---------------------------------------------------------- literal fuzz
+
+from hypothesis import HealthCheck
+
+
+@st.composite
+def _nested_list_expr(draw, depth=0):
+    """A DuckDB literal expression tree plus a full extraction path to a
+    scalar: nested list literals (subscripted 1-based, sometimes from
+    the end) and struct literals (extracted by string key). Returns the
+    DuckDB spelling of a SCALAR expression."""
+    kind = draw(
+        st.sampled_from(
+            ["int", "list", "struct"] if depth < 3 else ["int"]
+        )
+    )
+    if kind == "int":
+        return str(draw(st.integers(-9, 99)))
+    if kind == "list":
+        n = draw(st.integers(1, 3))
+        items = [draw(_nested_list_expr(depth=depth + 1)) for _ in range(n)]
+        idx = draw(st.integers(1, n))
+        if draw(st.booleans()):
+            idx = idx - n - 1  # negative: same element from the end
+        return "[" + ", ".join(items) + f"][{idx}]"
+    keys = draw(st.lists(st.sampled_from("abcd"), min_size=1, max_size=2, unique=True))
+    members = {k: draw(_nested_list_expr(depth=depth + 1)) for k in keys}
+    body = ", ".join(f"'{k}': {v}" for k, v in members.items())
+    pick = draw(st.sampled_from(keys))
+    return "{" + body + f"}}['{pick}']"
+
+
+@given(expr=_nested_list_expr())
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_literal_subscript_fuzz_matches_duckdb(engines, expr):
+    """Random nested list/struct literals with full extraction paths:
+    DuckDB runs the text verbatim, Spark runs the transpile — the
+    scalar results must agree exactly (exercises the list-literal,
+    struct-literal and 1-based-subscript rewrites composed)."""
+    spark, con = engines
+    duck_sql = f"SELECT {expr} AS v"
+    exp = con.execute(duck_sql).fetchone()[0]
+    got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+    assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
