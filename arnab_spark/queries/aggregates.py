@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arnab_spark.queries import DEC, davg, dsum, qexpr as _qexpr, qlong, query
+from arnab_spark.queries import DEC, dsum, qexpr as _qexpr, qlong, query
 from arnab_spark.spark_utils import load_table
 
 _PRICING_ORACLE = """

@@ -10,7 +10,6 @@ are partition-local unions; only the DISTINCT variants shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arnab_spark.queries import query
