@@ -80,54 +80,156 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The 35 queries with zero driver hash evidence after rounds 1+2
-#: (computed as all_queries() minus the union of green rows in
-#: CORRECTNESS_r01.json and CORRECTNESS_r02.json during r3 planning).
-#: All must sit inside the 50-slot driver window this round.
-R03_DRIVER_UNVERIFIED = {
-    "agg_approx_count_distinct",
-    "agg_priority_late_orders",
-    "agg_promo_revenue_share",
-    "agg_mode_bool_bits",
-    "fn_posexplode_ordinality",
-    "join_shipping_priority",
-    "join_local_supplier_volume",
-    "join_returned_item_revenue",
-    "join_bracketed_discounts",
-    "join_idle_rich_customers",
-    "join_salted_skew",
-    "text_train_split",
-    "text_quality_gopher",
-    "text_pack_sequences",
-    "sample_stratified",
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "text_vocab_topk",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "table_sample",
-    "ann_ivf_cells",
-    "ann_ivf_refined",
-    "asof_join_pandas",
-    "time_weighted_avg",
-    "agg_forecast_revenue",
-    "join_national_market_share",
-    "join_product_type_profit",
-    "agg_important_part_value",
-    "agg_late_shipment_priority",
-    "join_customer_distribution",
-    "join_top_supplier_revenue",
-    "agg_supplier_part_counts",
-    "agg_small_quantity_revenue",
-    "join_majority_part_suppliers",
+#: Queries whose LATEST driver evidence is round 1 (computed from the
+#: CORRECTNESS_r0{1,2,3}.json union during r4 planning — latest round
+#: wins per query). The first three were REWRITTEN in round 3, so their
+#: round-1 green rows predate the code; they lead the window.
+R04_STALEST_EVIDENCE = {
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "agg_arg_minmax",
+    "agg_count_distinct_multi",
+    "agg_count_star_zeroarg",
+    "agg_cube",
+    "agg_filter_clause",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_orders_per_product",
+    "agg_percentile_exact",
+    "agg_rollup",
+    "agg_salted_skew",
+    "agg_stats_exact",
+    "agg_string_agg",
+    "agg_unpivot",
+    "fn_datetime",
+    "fn_explode_unnest",
+    "fn_hash",
+    "fn_json",
+    "fn_map_higher_order",
+    "fn_math",
+    "fn_regex",
+    "fn_string",
+    "fn_struct_map",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_large_orders_customers",
+    "join_lateral",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_theta_range",
+    "join_using",
+    "join_volume_shipping",
 }
 
 
-def test_r03_window_covers_all_driver_unverified_queries():
+def test_r04_window_covers_all_stale_evidence_queries():
     """An import reorder or window edit must not silently drop one of the
-    35 not-yet-driver-verified queries out of the checked window."""
-    assert R03_DRIVER_UNVERIFIED <= set(CURATED_FIRST)
-    assert set(CURATED_FIRST[:35]) == R03_DRIVER_UNVERIFIED
+    r01-evidence queries out of the checked window — slots 1-3 are the
+    round-3 rewrites whose driver evidence predates their code."""
+    assert list(CURATED_FIRST[:3]) == [
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+    ]
+    assert set(CURATED_FIRST[:37]) == R04_STALEST_EVIDENCE
+
+
+# ---------------------------------------------------------------------
+# Evidence-freshness rule (round-3 verdict item 2): a query whose
+# implementation changed since the last driver correctness snapshot must
+# hold a slot in the verification window — otherwise it would ship on
+# stale evidence, exactly the gap slots 1-3 exist to close this round.
+
+import hashlib
+import inspect
+import json
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "EVIDENCE.json")
+
+
+def _query_src_hash(q) -> str:
+    """Hash of the query's own implementation source + oracle SQL.
+    Deliberately does NOT chase helper functions or operators the query
+    calls — the git-based module test below is the coarse safety net for
+    those; this hash pins the query body itself."""
+    src = inspect.getsource(q.fn) + "\n---\n" + (q.oracle or "")
+    return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+
+def test_changed_queries_hold_verification_slots():
+    """Every query whose (fn source + oracle) hash differs from the
+    EVIDENCE.json manifest — written when the window was last rotated —
+    must be inside CURATED_FIRST. Updating the manifest without
+    rotating the window is a reviewable act (it shows in the diff)."""
+    with open(MANIFEST) as fh:
+        manifest = json.load(fh)["query_src_hashes"]
+    stale = [
+        name
+        for name, q in _REGISTRY.items()
+        if manifest.get(name) != _query_src_hash(q) and name not in CURATED_FIRST
+    ]
+    assert not stale, (
+        f"queries changed since EVIDENCE.json but hold no verification "
+        f"slot (add to CURATED_FIRST or regenerate the manifest "
+        f"consciously): {stale}"
+    )
+
+
+#: Which query modules exercise each operators/ module — the coarse net
+#: for changes the per-query hash cannot see (a query's behavior lives
+#: partly in the operator it calls).
+OPERATOR_DEPENDENT_MODULES = {
+    "relational.py": {"dedup", "relational", "windows"},
+    "similarity.py": {"similarity", "dedup"},
+    "texttools.py": {"llm_text"},
+    "timeops.py": {"timeseries"},
+}
+
+
+def test_touched_modules_have_window_representation():
+    """Module-level safety net: any queries/ or operators/ module with
+    commits after the newest CORRECTNESS snapshot must have at least one
+    representative query inside the window."""
+    snapshots = sorted(
+        f for f in os.listdir(REPO) if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    )
+    if not snapshots:
+        pytest.skip("no correctness snapshot yet")
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", snapshots[-1]],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        changed = subprocess.run(
+            ["git", "diff", "--name-only", f"{sha}..HEAD", "--", "arnab_spark/"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        pytest.skip("git history unavailable")
+    if not sha:
+        pytest.skip("correctness snapshot not committed yet")
+    touched_query_modules: set[str] = set()
+    for path in changed:
+        parts = path.split("/")
+        if len(parts) == 3 and parts[1] == "queries" and parts[2].endswith(".py"):
+            mod = parts[2][:-3]
+            if mod != "__init__":
+                touched_query_modules.add(mod)
+        elif len(parts) == 3 and parts[1] == "operators":
+            touched_query_modules |= OPERATOR_DEPENDENT_MODULES.get(parts[2], set())
+    windowed_modules = {_module(_REGISTRY[n]) for n in CURATED_FIRST}
+    unrepresented = sorted(
+        m for m in touched_query_modules if m in ALL_MODULES and m not in windowed_modules
+    )
+    assert not unrepresented, (
+        f"modules changed since {snapshots[-1]} with no query in the "
+        f"verification window: {unrepresented}"
+    )
 
 
 @pytest.mark.parametrize(
