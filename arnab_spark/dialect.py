@@ -204,11 +204,19 @@ def _rewrite_list_literals(sql: str) -> str:
     ``array(1, 2)``. Token-aware: a ``[`` directly after an identifier,
     string, ``)`` or ``]`` is a SUBSCRIPT (both dialects spell it the
     same) and is preserved; struct literals ``{...}`` are not rewritten
-    (Spark rejects them loudly — no silent divergence)."""
+    (Spark rejects them loudly — no silent divergence).
+
+    The ``ARRAY`` keyword binds even across whitespace (DuckDB parses
+    ``array [1, 2]`` as the constructor — a column actually *named*
+    array must be double-quoted to be referenced at all, and quoted
+    identifiers are skipped here), EXCEPT after a ``.`` qualifier:
+    ``x.array[2]`` is member access + subscript in DuckDB and is left
+    for the subscript pass."""
     out: list[str] = []
     stack: list[str] = []  # expected closer for each open ( or [
     quote: str | None = None
     prev = ""  # last significant token ("" = statement start)
+    prev2 = ""  # significant token before `prev`
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
@@ -221,12 +229,16 @@ def _rewrite_list_literals(sql: str) -> str:
         if ch in ("'", '"', "`"):
             quote = ch
             out.append(ch)
-            prev = "'"  # a string can be subscripted: 'abc'[1]
+            prev2, prev = prev, "'"  # a string can be subscripted: 'abc'[1]
             i += 1
             continue
         if ch == "[":
-            if prev.lower() == "array" and out and out[-1].lower() == "array":
-                # postgres-style ARRAY[...]: keep the word, swap brackets
+            if prev.lower() == "array" and prev2 != ".":
+                # ARRAY[...] / ARRAY [...] constructor: keep the word
+                # (dropping any whitespace before the bracket), swap
+                # brackets for parens
+                while out and out[-1].isspace():
+                    out.pop()
                 out.append("(")
                 stack.append(")")
             elif (
@@ -239,25 +251,25 @@ def _rewrite_list_literals(sql: str) -> str:
             else:
                 out.append("[")
                 stack.append("]")
-            prev = "["
+            prev2, prev = prev, "["
             i += 1
             continue
         if ch == "]":
             out.append(stack.pop() if stack else "]")
-            prev = "]"
+            prev2, prev = prev, "]"
             i += 1
             continue
         if ch == "(":
             out.append(ch)
             stack.append(")")
-            prev = "("
+            prev2, prev = prev, "("
             i += 1
             continue
         if ch == ")":
             out.append(ch)
             if stack:
                 stack.pop()
-            prev = ")"
+            prev2, prev = prev, ")"
             i += 1
             continue
         if ch.isalnum() or ch == "_":
@@ -266,11 +278,11 @@ def _rewrite_list_literals(sql: str) -> str:
                 j += 1
             tok = sql[i:j]
             out.append(tok)
-            prev = tok
+            prev2, prev = prev, tok
             i = j
             continue
         if not ch.isspace():
-            prev = ch
+            prev2, prev = prev, ch
         out.append(ch)
         i += 1
     return "".join(out)
@@ -347,46 +359,143 @@ def _unmask_braces(sql: str) -> str:
     return sql.replace("\x00", "{").replace("\x01", "}")
 
 
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """Inclusive [start, end] index spans of quoted regions (strings,
+    double-quoted and backtick identifiers). SQL's '' escaping scans as
+    two adjacent spans, which the backward walk crosses seamlessly."""
+    spans: list[tuple[int, int]] = []
+    quote: str | None = None
+    qstart = 0
+    for i, ch in enumerate(sql):
+        if quote:
+            if ch == quote:
+                spans.append((qstart, i))
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            qstart = i
+    if quote:  # unterminated — cover to end so the walk stays conservative
+        spans.append((qstart, len(sql) - 1))
+    return spans
+
+
+def _find_subscript(sql: str, min_idx: int) -> int:
+    """Index of the first subscript-opening ``[`` at ≥ ``min_idx``.
+    Scans from 0 so quote state and the preceding-token judgment are
+    correct even when resuming mid-statement."""
+    quote: str | None = None
+    prev = ""
+    for i, ch in enumerate(sql):
+        if quote:
+            if ch == quote:
+                quote = None
+                prev = "'"
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            continue
+        if ch == "[":
+            if prev and (prev.isalnum() or prev in ("_", ")", "]", "'")):
+                if i >= min_idx:
+                    return i
+            prev = "["
+            continue
+        if not ch.isspace():
+            prev = ch
+    return -1
+
+
+def _subscript_base_start(
+    sql: str, idx: int, spans: list[tuple[int, int]]
+) -> tuple[int | None, int]:
+    """Walk back from the ``[`` at ``idx`` over the postfix chain —
+    identifier/qualifier runs, quoted literals/identifiers, balanced
+    trailing groups — returning (chain_start, base_end). Quote-correct:
+    the walk consults the forward-scanned ``spans``, so a bracket or
+    paren INSIDE a string (``split(x, '(')[1]``) cannot desynchronize
+    it. Returns (None, end) when a trailing group never closes."""
+
+    def span_start_at(k: int) -> int | None:
+        for s, e in spans:
+            if s <= k <= e:
+                return s
+        return None
+
+    k = idx - 1
+    while k >= 0 and sql[k].isspace():  # DuckDB allows `arr [1]`
+        k -= 1
+    end = k
+    while k >= 0:
+        s = span_start_at(k)
+        if s is not None:
+            k = s - 1
+            continue
+        c = sql[k]
+        if c in (")", "]"):
+            d = 0
+            while k >= 0:
+                s = span_start_at(k)
+                if s is not None:
+                    k = s - 1
+                    continue
+                if sql[k] in (")", "]"):
+                    d += 1
+                elif sql[k] in ("(", "["):
+                    d -= 1
+                    if d == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return None, end
+            k -= 1
+        elif c.isalnum() or c in ("_", "."):
+            k -= 1
+        else:
+            break
+    return k + 1, end
+
+
+_INT_LITERAL = re.compile(r"-?\d+\Z")
+
+
 def _rewrite_subscripts(sql: str) -> str:
-    """Non-string, non-slice subscripts → ``element_at(base, idx)``.
+    """Non-string-key, non-slice subscripts → ``element_at(base, idx)``.
 
     DuckDB indexes lists 1-based (negative = from the end); Spark's
     ``[]`` is 0-based — a silent-wrongness trap for ported model SQL.
     Spark's ``element_at`` is 1-based with DuckDB's negative-index
     semantics for arrays AND does map lookup, so it is the universal
-    translation for every subscript except: slices (``[a:b]``, left to
-    fail loudly) and string-literal subscripts (struct/map access —
-    ``x['k']`` already means the same thing in both engines). The base
-    expression is found by walking back over an identifier chain with
-    balanced trailing groups; a base containing quotes is skipped
-    (unchanged text, conservative)."""
+    translation for every subscript except:
+
+    - slices (``[a:b]``): left in place → Spark parse error, loud;
+    - string-key access (``x['k']``): identical syntax/semantics in
+      both engines for maps and structs — preserved;
+    - string-LITERAL bases (``'abc'[2]`` — DuckDB 1-based character
+      pick): rewritten to ``substring(base, n, 1)`` when the index is a
+      non-zero integer literal (bit-identical semantics incl. negative
+      indexes); index 0 (DuckDB: empty string, Spark substring: first
+      char) or dynamic indexes are left in place → Spark analysis
+      error, loud.
+
+    The base is found by a whitespace-tolerant backward walk that is
+    quote-correct via forward-scanned string spans; a base that still
+    cannot be resolved RAISES (fail-loud doctrine — the round-3 advice
+    showed the silent skip ships 0-based reads)."""
+    from arnab_spark.errors import ArnabError
+
     guard = 0
     pos = 0
-    while guard < 500:
+    while True:
         guard += 1
-        # find the next subscript-[ from `pos`, quote-aware
-        quote = None
-        idx = -1
-        prev = ""
-        for i in range(pos, len(sql)):
-            ch = sql[i]
-            if quote:
-                if ch == quote:
-                    quote = None
-                    prev = "'"
-                continue
-            if ch in ("'", '"', "`"):
-                quote = ch
-            elif ch == "[":
-                if prev and (prev.isalnum() or prev in ("_", ")", "]", "'", "`")):
-                    idx = i
-                    break
-                prev = "["
-            elif not ch.isspace():
-                prev = ch
+        if guard > 1000:
+            raise ArnabError(
+                "subscript rewrite did not converge (>1000 sites): "
+                f"{sql[:200]!r}"
+            )
+        idx = _find_subscript(sql, pos)
         if idx < 0:
             return sql
-        # matching ] (quote-aware), and slice/string checks
+        # matching ] (quote-aware)
         depth, j, quote = 0, idx, None
         while j < len(sql):
             ch = sql[j]
@@ -403,42 +512,32 @@ def _rewrite_subscripts(sql: str) -> str:
                     break
             j += 1
         if j >= len(sql):
-            return sql
+            return sql  # unterminated subscript: Spark's parser rejects it
         content = sql[idx + 1: j]
         if content.strip().startswith("'") or _top_level_colon(content):
-            pos = idx + 1
+            pos = j + 1  # string-key access / slice — preserved as-is
             continue
-        # walk back to the start of the base expression
-        k = idx - 1
-        while k >= 0:
-            c = sql[k]
-            if c in (")", "]"):
-                d = 0
-                while k >= 0:
-                    if sql[k] in (")", "]"):
-                        d += 1
-                    elif sql[k] in ("(", "["):
-                        d -= 1
-                        if d == 0:
-                            break
-                    k -= 1
-                k -= 1
-            elif c.isalnum() or c in ("_", ".", "`"):
-                k -= 1
-            else:
-                break
-        base = sql[k + 1: idx]
-        # the backward walk is quote-unaware, so validate the candidate
-        # forward: parens/brackets must balance counting only outside
-        # quotes and every quote must close — else a string containing a
-        # bracket confused the walk; leave the text untouched
+        spans = _quoted_spans(sql)
+        start, end = _subscript_base_start(sql, idx, spans)
+        base = sql[start: end + 1] if start is not None else ""
         if not base.strip() or not _balanced_outside_quotes(base):
-            pos = idx + 1
-            continue
+            raise ArnabError(
+                "cannot resolve the base expression of a 1-based DuckDB "
+                f"subscript (refusing to ship Spark's 0-based read): "
+                f"...{sql[max(0, idx - 40): j + 1]!r}"
+            )
         inner = _rewrite_subscripts(content)
-        sql = sql[: k + 1] + f"element_at({base}, {inner})" + sql[j + 1:]
-        pos = k + 1
-    return sql
+        if base[0] == "'" and base[-1] == "'":
+            # DuckDB string-literal character pick, 1-based
+            lit = inner.strip()
+            if _INT_LITERAL.match(lit) and lit != "0":
+                sql = sql[:start] + f"substring({base}, {lit}, 1)" + sql[j + 1:]
+                pos = start
+            else:
+                pos = j + 1  # index 0 / dynamic: diverging — leave, loud
+            continue
+        sql = sql[:start] + f"element_at({base}, {inner})" + sql[j + 1:]
+        pos = start
 
 
 def _balanced_outside_quotes(text: str) -> bool:
@@ -540,25 +639,78 @@ _CLAUSE_KEYWORDS = (
 )
 
 
+def _is_set_op_at(sql: str, idx: int, word: str) -> bool:
+    """Distinguish a set-operator UNION/INTERSECT/EXCEPT at ``idx`` from
+    Spark's projection ``* EXCEPT (cols)`` (already produced from
+    DuckDB's EXCLUDE by the time these scans run): a set operator is
+    followed by optional ALL/DISTINCT/BY NAME and then a query head
+    (SELECT/FROM/WITH/VALUES/TABLE, possibly parenthesized)."""
+    rest = sql[idx + len(word):]
+    m = re.match(r"(?is)^\s*(?:ALL\b|DISTINCT\b)?\s*(?:BY\s+NAME\b)?\s*", rest)
+    after = rest[m.end():]
+    if re.match(r"(?is)^(select|from|with|values|table)\b", after):
+        return True
+    return bool(re.match(r"(?is)^\(\s*(select|from|with|values|table)\b", after))
+
+
 def _rewrite_from_first(sql: str) -> str:
     """DuckDB's FROM-first syntax → canonical SELECT-first.
 
     ``FROM t`` → ``SELECT * FROM t``; ``FROM t SELECT a, b WHERE …`` →
     ``SELECT a, b FROM t WHERE …``. The SELECT clause (when present) is
     located at paren depth 0 and extends to the next top-level clause
-    keyword; everything else keeps its order."""
+    keyword; everything else keeps its order. A ``* EXCEPT (cols)``
+    projection (the EXCLUDE rewrite's output) is NOT treated as a
+    clause terminator — only a genuine set-operator EXCEPT is."""
     if not _FROM_FIRST.match(sql):
         return sql
     sel_at, _ = _scan_top_level(sql, ("select",))
     if sel_at < 0:
         return "SELECT * " + sql
-    end, _ = _scan_top_level(sql, _CLAUSE_KEYWORDS, start=sel_at + 6)
+    start = sel_at + 6
+    while True:
+        end, kw = _scan_top_level(sql, _CLAUSE_KEYWORDS, start=start)
+        if (
+            end >= 0
+            and kw in ("union", "intersect", "except")
+            and not _is_set_op_at(sql, end, kw)
+        ):
+            start = end + len(kw)
+            continue
+        break
     if end < 0:
         end = len(sql)
     select_clause = sql[sel_at:end].rstrip()
     from_part = sql[:sel_at].rstrip()
     rest = sql[end:]
     return f"{select_clause} {from_part} {rest}".rstrip()
+
+
+_SET_OP_TAIL = re.compile(
+    r"(?is)^(union|intersect|except)(\s+(?:all|distinct))?(\s+by\s+name)?"
+)
+
+
+def _rewrite_from_first_arms(sql: str) -> str:
+    """Apply the FROM-first rewrite to EVERY top-level set-operation arm
+    — DuckDB accepts ``FROM a SELECT x UNION ALL FROM b SELECT y`` (and
+    bare ``FROM a UNION ALL FROM b``), where each arm independently uses
+    FROM-first or SELECT-first syntax."""
+    out: list[str] = []
+    pos = 0
+    arm_start = 0
+    while True:
+        idx, kw = _scan_top_level(sql, ("union", "intersect", "except"), start=pos)
+        if idx < 0:
+            out.append(_rewrite_from_first(sql[arm_start:].strip()))
+            return " ".join(p for p in out if p)
+        if not _is_set_op_at(sql, idx, kw):
+            pos = idx + len(kw)
+            continue
+        m = _SET_OP_TAIL.match(sql[idx:])
+        out.append(_rewrite_from_first(sql[arm_start:idx].strip()))
+        out.append(sql[idx: idx + m.end()].strip())
+        arm_start = pos = idx + m.end()
 
 
 _DISTINCT_ON = re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
@@ -958,10 +1110,52 @@ def _rewrite_pivot(sql: str, spark) -> str:
         proj = ", ".join([group_by.strip(), on_col] + agg_cols)
         rel_sql = f"SELECT {proj} FROM ({rel_sql}) __arnab_pvg"
     alias_sql = f" AS {alias}" if alias else ""
-    return (
+    pivot_sql = (
         f"SELECT * FROM ({rel_sql}) PIVOT ({fn}({arg}){alias_sql} "
-        f"FOR {on_col} IN {in_list}) {tail or ''}".rstrip()
+        f"FOR {on_col} IN {in_list})"
     )
+    if fn.lower() == "count" and not alias:
+        # DuckDB's count pivot fills empty cells with 0; Spark's leaves
+        # them NULL (no source row for the cell) — coalesce each pivot
+        # output column. Kept columns come from the GROUP BY list, or
+        # (without one) from the relation's schema minus the pivot/agg
+        # columns, matching DuckDB's group-by-all-remaining rule.
+        keep_cols: list[str] | None = None
+        if group_by:
+            keep_cols = [c.strip() for c in _split_top_level_commas(group_by)]
+        elif spark is not None:
+            try:
+                fields = spark.sql(
+                    f"SELECT * FROM ({rel_sql}) __arnab_pvs WHERE 1=0"
+                ).schema.names
+                agg_col = (
+                    None
+                    if arg == "*"
+                    else re.sub(r"(?is)^DISTINCT\s+", "", arg).strip().lower()
+                )
+                drop = {on_col.split(".")[-1].lower(), agg_col}
+                keep_cols = [c for c in fields if c.lower() not in drop]
+            except Exception:
+                keep_cols = None
+        if keep_cols is not None:
+            names = []
+            for v in _split_top_level_commas(in_list.strip()[1:-1]):
+                v = v.strip()
+                names.append(
+                    v[1:-1].replace("''", "'") if v.startswith("'") else v
+                )
+            proj = ", ".join(
+                [
+                    f"`{c}`" if re.match(r"^[A-Za-z_]\w*$", c) else c
+                    for c in keep_cols
+                ]
+                + [f"coalesce(`{nm}`, 0) AS `{nm}`" for nm in names]
+            )
+            return (
+                f"SELECT {proj} FROM ({pivot_sql}) __arnab_pvc "
+                f"{tail or ''}".rstrip()
+            )
+    return f"{pivot_sql} {tail or ''}".rstrip()
 
 
 _UNPIVOT_STMT = re.compile(
@@ -1122,7 +1316,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     """
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
-    sql = _rewrite_from_first(sql)
+    sql = _rewrite_from_first_arms(sql)
     sql = _rewrite_list_literals(sql)
     sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_subscripts(sql)

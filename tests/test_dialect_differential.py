@@ -212,3 +212,143 @@ def test_literal_subscript_fuzz_matches_duckdb(engines, expr):
     exp = con.execute(duck_sql).fetchone()[0]
     got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
     assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+
+
+# ----------------------------------------------- round-4 composed fuzz
+
+
+@st.composite
+def _spaced_subscript_expr(draw):
+    """Subscript shapes the round-3 walk silently skipped: whitespace
+    between base and bracket, function-call bases whose string args
+    contain brackets/parens, string-literal character picks, spaced
+    ARRAY constructors."""
+    kind = draw(st.sampled_from(["ws_list", "fn_base", "str_pick", "spaced_array"]))
+    ws = draw(st.sampled_from(["", " ", "  ", "\n"]))
+    if kind == "ws_list":
+        n = draw(st.integers(1, 4))
+        items = ", ".join(str(draw(st.integers(-9, 99))) for _ in range(n))
+        idx = draw(st.integers(1, n))
+        if draw(st.booleans()):
+            idx = idx - n - 1
+        return f"([{items}]){ws}[{idx}]"
+    if kind == "fn_base":
+        sep = draw(st.sampled_from(["(", ")", ",", "-", "x"]))
+        parts = [str(draw(st.integers(0, 9))) for _ in range(3)]
+        s = sep.join(parts)
+        idx = draw(st.integers(1, 3))
+        return f"string_split('{s}', '{sep}'){ws}[{idx}]"
+    if kind == "str_pick":
+        s = draw(st.text(alphabet="abcxyz", min_size=1, max_size=6))
+        idx = draw(st.integers(1, len(s)))
+        if draw(st.booleans()):
+            idx = idx - len(s) - 1
+        return f"'{s}'{ws}[{idx}]"
+    n = draw(st.integers(1, 3))
+    items = ", ".join(str(draw(st.integers(-9, 99))) for _ in range(n))
+    return f"ARRAY{ws or ' '}[{items}][{draw(st.integers(1, n))}]"
+
+
+@given(expr=_spaced_subscript_expr())
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_spaced_subscript_fuzz_matches_duckdb(engines, expr):
+    spark, con = engines
+    duck_sql = f"SELECT {expr} AS v"
+    exp = con.execute(duck_sql).fetchone()[0]
+    got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+    assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+
+
+@given(
+    first_arm_ff=st.booleans(),
+    second_arm_ff=st.booleans(),
+    setop=st.sampled_from(("UNION ALL", "UNION", "INTERSECT", "EXCEPT")),
+    exclude=st.booleans(),
+    tail=st.sampled_from(("", " ORDER BY 1 LIMIT 2000000")),
+)
+@settings(max_examples=16, deadline=None)
+def test_from_first_setops_fuzz_matches_duckdb(
+    engines, first_arm_ff, second_arm_ff, setop, exclude, tail
+):
+    """FROM-first syntax composed with top-level set operators and
+    `* EXCLUDE` projections — each arm independently FROM-first or
+    SELECT-first, exactly as DuckDB parses it."""
+    spark, con = engines
+    proj = "* EXCLUDE (o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, o_custkey)" if exclude else "o_orderkey"
+
+    def arm(pred: str, ff: bool) -> str:
+        if ff:
+            return f"FROM orders SELECT {proj} WHERE {pred}"
+        return f"SELECT {proj} FROM orders WHERE {pred}"
+
+    sql = f"{arm('o_orderkey % 7 = 0', first_arm_ff)} {setop} {arm('o_orderkey % 5 = 0', second_arm_ff)}{tail}"
+    _match(spark, con, transpile_statement(sql), sql)
+
+
+@given(
+    part=st.sampled_from(KEYS),
+    order_col=st.sampled_from(ORDER_COLS),
+    n=st.integers(min_value=1, max_value=3),
+    exclude=st.booleans(),
+)
+@settings(max_examples=12, deadline=None)
+def test_qualify_inline_window_fuzz_matches_duckdb(engines, part, order_col, n, exclude):
+    """QUALIFY over an INLINE window function (no select-list alias),
+    composed with an EXCLUDE projection — the predicate must survive the
+    subquery rewrite with the window evaluated inside it. The window's
+    columns must survive the projection: a window over an EXCLUDE-d
+    column is the shim's documented out-of-reach shape (clear Spark
+    analysis error, tested in test_dialect_statements), so the
+    generator keeps part/order columns out of the EXCLUDE list."""
+    spark, con = engines
+    if exclude:
+        dropped = {"o_orderstatus", "o_totalprice", "o_orderdate"}
+        part = part if part not in dropped else "o_custkey"
+        order_col = order_col if order_col not in dropped else "o_orderkey"
+        proj = "* EXCLUDE (o_orderstatus, o_totalprice, o_orderdate)"
+    else:
+        proj = "*"
+    sql = (
+        f"SELECT {proj} FROM orders QUALIFY "
+        f"row_number() OVER (PARTITION BY {part} "
+        f"ORDER BY {order_col}, o_orderkey) <= {n}"
+    )
+    _match(spark, con, transpile_statement(sql, spark), sql)
+
+
+@given(
+    on_col=st.sampled_from(("o_orderstatus", "o_orderpriority")),
+    agg=st.sampled_from(("sum(o_totalprice)", "count(*)", "min(o_orderkey)")),
+    group=st.sampled_from((None, "o_orderstatus", "o_orderpriority")),
+    in_cte=st.booleans(),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_pivot_dynamic_fuzz_matches_duckdb(engines, on_col, agg, group, in_cte):
+    """Statement-form dynamic PIVOT (no IN list — keys enumerated at
+    bind time) over a plain table or a parenthesized subquery, with and
+    without GROUP BY. Compared column-name-aligned: both engines emit
+    the same column names but may order the non-group columns
+    differently."""
+    if group == on_col:
+        group = None
+    spark, con = engines
+    rel = (
+        "(SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 3 = 0)"
+        if in_cte
+        else "orders"
+    )
+    keep = group or (
+        "o_orderkey" if "o_orderkey" not in agg else "o_totalprice"
+    )
+    # pin the kept columns via GROUP BY so both engines agree on output
+    sql = f"PIVOT {rel} ON {on_col} USING {agg} GROUP BY {keep}"
+    sdf = spark.sql(transpile_statement(sql, spark)).toPandas()
+    ddf = con.execute(sql).fetchdf()
+    assert sorted(sdf.columns.str.lower()) == sorted(ddf.columns.str.lower()), sql
+    sdf.columns = sdf.columns.str.lower()
+    ddf.columns = ddf.columns.str.lower()
+    cols = sorted(sdf.columns)
+    got = sorted(map(tuple, sdf[cols].fillna(-1).to_numpy().tolist()))
+    exp = sorted(map(tuple, ddf[cols].fillna(-1).to_numpy().tolist()))
+    assert got == exp, sql
