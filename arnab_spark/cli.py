@@ -100,7 +100,10 @@ def cmd_run_file(args) -> int:
             with open(path, encoding="utf-8") as f:
                 src = f.read()
             for stmt in Node.split_statements(src):
-                df = spark.sql(transpile_statement(stmt, spark))
+                stmt = transpile_statement(stmt, spark)
+                if not stmt.strip():
+                    continue  # consumed by the shim (e.g. CREATE MACRO)
+                df = spark.sql(stmt)
                 if Node.will_produce_records(stmt):
                     # force full execution: spark.sql alone only analyzes
                     # (the reference's execute_batch runs every statement,

@@ -26,6 +26,9 @@ rewrites the purely syntactic gaps so those models run unchanged:
 - statement-form ``UNPIVOT … ON … INTO NAME … VALUE …`` → Spark
   relation-suffix UNPIVOT
 - ``USING SAMPLE n% / n ROWS [(method, seed)]`` → ``TABLESAMPLE``
+- ``CREATE [OR REPLACE] [TEMP] MACRO`` (scalar and TABLE) → registered
+  per session and expanded inline at call sites (DuckDB's own bind-time
+  behavior); the CREATE statement itself transpiles to ``""``
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -1223,6 +1226,173 @@ def _rewrite_using_sample(sql: str) -> str:
     return _USING_SAMPLE.sub(sub, sql)
 
 
+# ------------------------------------------------------- DuckDB macros
+#
+# DuckDB's CREATE MACRO registers a named SQL template expanded at bind
+# time (scalar: an expression; TABLE: a query). The reference reaches
+# it through the verbatim passthrough (node.rs:176 / main.rs:165). The
+# shim mirrors bind-time expansion textually: a CREATE MACRO statement
+# registers the template (scoped per SparkSession, matching DuckDB's
+# in-memory-database scope) and transpiles to the empty statement;
+# every later statement has its call sites expanded inline before the
+# other rewrites run. Unsupported shapes (default parameters `p := v`)
+# are left untouched so Spark rejects the MACRO keyword loudly.
+
+_CREATE_MACRO = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"([A-Za-z_]\w*)\s*\("
+)
+_MACRO_FALLBACK: dict[str, tuple[list[str], str, bool]] = {}
+
+try:  # WeakKeyDictionary so a closed session's macros are collectable
+    from weakref import WeakKeyDictionary
+
+    _MACRO_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _MACRO_BY_SESSION = {}
+
+
+def _macros_for(spark) -> dict[str, tuple[list[str], str, bool]]:
+    if spark is None:
+        return _MACRO_FALLBACK
+    reg = _MACRO_BY_SESSION.get(spark)
+    if reg is None:
+        reg = {}
+        _MACRO_BY_SESSION[spark] = reg
+    return reg
+
+
+def reset_macros(spark=None) -> None:
+    """Drop registered macros (the ``spark=None`` fallback registry is
+    process-global — tests exercising sessionless transpile reset it)."""
+    _macros_for(spark).clear()
+
+
+def _parse_create_macro(sql: str):
+    m = _CREATE_MACRO.match(sql)
+    if not m:
+        return None
+    name = m.group(1)
+    # matching close paren of the parameter list (quote-aware)
+    depth, i, quote = 1, m.end(), None
+    n = len(sql)
+    while i < n and depth:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    raw_params = sql[m.end(): i - 1].strip()
+    params = (
+        [p.strip() for p in _split_top_level_commas(raw_params)] if raw_params else []
+    )
+    if any(not re.match(r"^[A-Za-z_]\w*$", p) for p in params):
+        return None  # default params / exotic shapes: leave → loud
+    am = re.match(r"(?is)^\s*AS\s+(TABLE\s+)?(.*)$", sql[i:], re.DOTALL)
+    if not am:
+        return None
+    return name, params, am.group(2).strip().rstrip(";").strip(), bool(am.group(1))
+
+
+def _replace_param(body: str, param: str, arg: str) -> str:
+    """Whole-word, quote-aware substitution of ``param`` with ``(arg)``
+    — skipping qualified references (``t.param`` is a column of t, not
+    the parameter, exactly as DuckDB binds macro bodies)."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (body[j].isalnum() or body[j] == "_"):
+                j += 1
+            tok = body[i:j]
+            prev = out[-1] if out else ""
+            if tok.lower() == param.lower() and prev != ".":
+                out.append(f"({arg})")
+            else:
+                out.append(tok)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _expand_macros(sql: str, macros: dict) -> str:
+    """Inline every registered macro call (rescanning, so macros may
+    call macros; 50-round guard). A call whose argument count mismatches
+    is left in place → Spark reports an unresolved function loudly."""
+    guard = 0
+    while guard < 50:
+        guard += 1
+        replaced = False
+        for name, (params, body, _is_table) in macros.items():
+            pat = re.compile(rf"(?is)\b{re.escape(name)}\s*\(")
+            pos = 0
+            while True:
+                m = pat.search(sql, pos)
+                if not m:
+                    break
+                # reject call sites inside quotes or qualified (x.name())
+                before = sql[: m.start()]
+                if before.count("'") % 2 or before.rstrip().endswith("."):
+                    pos = m.end()
+                    continue
+                depth, i, quote = 1, m.end(), None
+                n = len(sql)
+                while i < n and depth:
+                    ch = sql[i]
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch in ("'", '"', "`"):
+                        quote = ch
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    break
+                raw_args = sql[m.end(): i - 1].strip()
+                args = _split_top_level_commas(raw_args) if raw_args else []
+                if len(args) != len(params):
+                    pos = m.end()
+                    continue
+                subst = body
+                for p, a in zip(params, args):
+                    subst = _replace_param(subst, p, a.strip())
+                sql = sql[: m.start()] + f"({subst})" + sql[i:]
+                replaced = True
+                break
+            if replaced:
+                break
+        if not replaced:
+            return sql
+    return sql
+
+
 _CLAUSE_AFTER_ON = (
     "where",
     "group",
@@ -1314,6 +1484,14 @@ def transpile_statement(sql: str, spark=None) -> str:
     to headerless-string semantics (round-2 fix — the silent fallback
     produced wrong column names/types with no signal).
     """
+    macros = _macros_for(spark)
+    created = _parse_create_macro(sql)
+    if created is not None:
+        name, params, body, is_table = created
+        macros[name.lower()] = (params, body, is_table)
+        return ""  # statement fully consumed — callers skip empties
+    if macros:
+        sql = _expand_macros(sql, macros)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first_arms(sql)

@@ -248,6 +248,8 @@ class Node:
                 # transpile inside the try: remote fetches / csv sniffing
                 # can fail and deserve the same statement+path context
                 stmt = transpile_statement(stmt, spark)
+                if not stmt.strip():
+                    continue  # consumed by the shim (e.g. CREATE MACRO)
                 if self.will_produce_records(stmt):
                     wrapped, parquet_path = self.materialization_sql(stmt, db_path)
                     if parquet_path is None:

@@ -165,7 +165,7 @@ CURATED_FIRST: tuple[str, ...] = (
     # Arrow-matmul scoring path lands under the brute-force knn and the
     # similarity family it shares operators with
     "knn_cosine_brute",
-    "ann_ivf_cells",
+    "ann_ivf_recall",
     "ann_ivf_refined",
     # sessionize window-fusion investigation (verdict item 4)
     "sessionize_gaps",

@@ -170,3 +170,19 @@ def test_ngram_guard_on_short_docs(spark):
     assert sorted((r.doc_id, r.ngram) for r in got) == sorted(exp)
     assert {r.doc_id for r in got} == {3, 4}
     assert len(got) == 3
+
+
+def test_ivf_recall_grade_config_hits_080(spark):
+    """The registered recall-grade IVF config (8-of-16 probed cells +
+    2 Lloyd steps, `ann_ivf_recall`) must keep recall@5 >= 0.8 vs brute
+    force — the round-4 verdict bar. Sweep data behind the config is in
+    the query docstring."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in REG["knn_cosine_brute"].fn(spark, SF).collect()
+    }
+    rows = REG["ann_ivf_recall"].fn(spark, SF).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got) == len(rows), "duplicate (query, neighbor) pairs"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, f"recall-grade IVF below bar: {recall:.2f}"

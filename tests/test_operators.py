@@ -269,3 +269,28 @@ def test_bucketed_cosine_pairs_string_bucket(spark):
     for r in rows:
         assert r["grp"].startswith("g")
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the closure to reliable checkpoint():
+    same fixpoint as the localCheckpoint default, and checkpoint files
+    actually land in the directory (durable blocks — the mode a lossy
+    cluster needs)."""
+    import os
+
+    from arnab_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (3, 4)], "src bigint, dst bigint"
+    )
+    local = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    ckdir = str(tmp_path / "ck")
+    reliable = {
+        (r.node, r.comp)
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    assert {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)} == reliable
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"

@@ -142,10 +142,12 @@ def test_idle_rich_scalar_average_broadcasts(spark):
 NESTED_LOOP_ALLOWED = {
     "join_cross",              # the deliberate CROSS JOIN corpus entry
     "join_theta_range",        # non-equi theta join: BNLJ with broadcast side IS the plan
-    "knn_cosine_brute",        # documented exact baseline; ann_* are the scale path
+    # (knn_cosine_brute left this list in round 4: the Arrow-matmul
+    # path scores in mapInPandas — no nested-loop join in the plan.)
     "join_idle_rich_customers",  # 1-row broadcast scalar average (Q22 threshold)
     "ann_ivf_cells",           # constant-k centroid side broadcasts for cell argmax
     "ann_ivf_refined",         # same centroid broadcast, once per Lloyd step
+    "ann_ivf_recall",          # same centroid broadcast, 2 Lloyd steps + wider probe
     "agg_important_part_value",  # 1-row broadcast scalar total (Q11 fraction threshold)
     # (join_top_supplier_revenue's scalar-MAX equality is NOT here:
     # Catalyst rewrites the 1-row cross join + units == max_units filter
