@@ -1490,6 +1490,13 @@ def transpile_statement(sql: str, spark=None) -> str:
         name, params, body, is_table = created
         macros[name.lower()] = (params, body, is_table)
         return ""  # statement fully consumed — callers skip empties
+    dropped = re.match(
+        r"(?is)^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        sql,
+    )
+    if dropped is not None:
+        macros.pop(dropped.group(1).lower(), None)
+        return ""
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)

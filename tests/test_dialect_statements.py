@@ -439,3 +439,37 @@ def test_run_file_script_with_macro(spark, tmp_path):
         assert main(["run-file", str(script)]) == 0
     finally:
         dialect.reset_macros(spark)
+
+
+def test_drop_macro_unregisters():
+    from arnab_spark import dialect
+
+    dialect.reset_macros()
+    try:
+        assert transpile_statement("CREATE MACRO f(x) AS x + 1") == ""
+        assert transpile_statement("SELECT f(1) AS v") == "SELECT ((1) + 1) AS v"
+        assert transpile_statement("DROP MACRO f") == ""
+        assert transpile_statement("SELECT f(1) AS v") == "SELECT f(1) AS v"
+        assert transpile_statement("DROP MACRO IF EXISTS nothere") == ""
+    finally:
+        dialect.reset_macros()
+
+
+def test_run_file_native_ddl_script(spark, tmp_path):
+    """CREATE TABLE AS / INSERT INTO / DROP TABLE are native Spark SQL —
+    a DuckDB-style DDL script runs through the run-file loop without any
+    shim involvement (passthrough parity with execute_batch,
+    reference: main.rs:165)."""
+    from arnab_spark.cli import main
+
+    script = tmp_path / "ddl.sql"
+    script.write_text(
+        "CREATE TABLE IF NOT EXISTS arnab_ddl_smoke AS SELECT 1 AS x;\n"
+        "INSERT INTO arnab_ddl_smoke VALUES (2);\n"
+        "SELECT count(*) AS n FROM arnab_ddl_smoke;\n"
+        "DROP TABLE arnab_ddl_smoke;\n"
+    )
+    try:
+        assert main(["run-file", str(script)]) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS arnab_ddl_smoke")
