@@ -291,11 +291,16 @@ def _rewrite_list_literals(sql: str) -> str:
     return "".join(out)
 
 
-#: DuckDB list_* names whose Spark array_* twin has IDENTICAL argument
-#: order and null semantics. Deliberately excludes the lookalikes that
-#: differ (list_sort: nulls first vs array_sort: nulls last;
-#: list_position: NULL-when-missing vs array_position: 0) — those fail
-#: loudly as unknown functions instead of silently diverging.
+#: DuckDB list_* names whose Spark twin has IDENTICAL argument order
+#: and null semantics — every row here is pinned by a differential
+#: test against DuckDB's native answer (incl. NULL/missing cases).
+#: Round 2 excluded list_sort/list_position on older-docs semantics;
+#: round-4 probes showed the pinned DuckDB resolves them exactly like
+#: Spark (list_sort: ASC NULLS LAST since DuckDB 0.8 ≡ array_sort;
+#: list_position: 1-based, 0 when missing, NULL on NULL needle ≡
+#: array_position), so they map cleanly. Multi-arg list_sort('DESC')
+#: hits array_sort's lambda signature → loud analysis error, never a
+#: silent wrong order.
 _LIST_FN_MAP = {
     "list_value": "array",
     "list_contains": "array_contains",
@@ -307,6 +312,11 @@ _LIST_FN_MAP = {
     "list_cat": "concat",
     "list_transform": "transform",
     "list_filter": "filter",
+    "list_sort": "array_sort",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_reverse": "reverse",
+    "array_length": "size",
 }
 _LIST_FN = re.compile(
     r"\b(" + "|".join(_LIST_FN_MAP) + r")(\s*\()", re.IGNORECASE
@@ -315,6 +325,90 @@ _LIST_FN = re.compile(
 
 def _rewrite_list_functions(sql: str) -> str:
     return _LIST_FN.sub(lambda m: _LIST_FN_MAP[m.group(1).lower()] + m.group(2), sql)
+
+
+def _call_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
+    """Top-level argument list of the call whose ``(`` sits at
+    ``open_paren``; returns (args, index_after_close) or None when the
+    parens never balance."""
+    depth, i, quote = 1, open_paren + 1, None
+    n = len(sql)
+    while i < n and depth:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    raw = sql[open_paren + 1: i - 1].strip()
+    return ([a.strip() for a in _split_top_level_commas(raw)] if raw else []), i
+
+
+#: DuckDB list functions whose Spark translation needs argument
+#: surgery, not just a rename. Null contract verified differentially:
+#: DuckDB's set predicates IGNORE null elements but return NULL on a
+#: NULL input array — hence the filter() strip + explicit NULL guard.
+_ARG_CALL_REWRITES = {
+    "list_reverse_sort": (
+        1,
+        lambda a: f"sort_array({a[0]}, false)",
+    ),
+    "list_has_any": (
+        2,
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"ELSE arrays_overlap(filter({a[0]}, __ae -> __ae IS NOT NULL), "
+            f"filter({a[1]}, __ae -> __ae IS NOT NULL)) END"
+        ),
+    ),
+    "list_has_all": (
+        2,
+        # array_except rather than forall+array_contains: the latter
+        # type-errors when the needle side is an all-NULL (void-typed)
+        # literal, while array_except coerces and the null-stripped
+        # needle list makes "nothing left outside a" ≡ has_all
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"ELSE size(array_except(filter({a[1]}, __ae -> __ae IS NOT NULL), "
+            f"{a[0]})) = 0 END"
+        ),
+    ),
+}
+_ARG_CALL = re.compile(
+    r"\b(" + "|".join(_ARG_CALL_REWRITES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_arg_transform_calls(sql: str) -> str:
+    """Expand the list functions in :data:`_ARG_CALL_REWRITES`
+    innermost-last (rescan after each substitution so nested calls
+    resolve); an arg-count mismatch leaves the call for Spark to
+    reject loudly."""
+    guard = 0
+    pos = 0
+    while guard < 200:
+        guard += 1
+        m = _ARG_CALL.search(sql, pos)
+        if not m:
+            return sql
+        parsed = _call_args(sql, m.end() - 1)
+        if parsed is None:
+            return sql
+        args, end = parsed
+        arity, build = _ARG_CALL_REWRITES[m.group(1).lower()]
+        if len(args) != arity:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + build(args) + sql[end:]
+        pos = m.start()
+    return sql
 
 
 _STRUCT_PAIR = re.compile(r"^\s*'([^'\\]*)'\s*:(.*)$", re.DOTALL)
@@ -1505,6 +1599,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_list_literals(sql)
     sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_subscripts(sql)
+    sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_list_functions(sql)
     sql = _rewrite_string_split(sql)
     sql = _rewrite_copy(sql)

@@ -473,3 +473,44 @@ def test_run_file_native_ddl_script(spark, tmp_path):
         assert main(["run-file", str(script)]) == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS arnab_ddl_smoke")
+
+
+def test_list_function_semantics_match_duckdb(spark, con):
+    """Round-4 mapping widening: list_sort / list_position /
+    list_indexof / list_reverse / array_length are exact name swaps on
+    the pinned DuckDB (NULL and missing-element cases included), and
+    list_reverse_sort / list_has_any / list_has_all get argument
+    surgery with DuckDB's ignore-null-elements + NULL-input contract."""
+    cases = [
+        "list_sort([3, NULL, 1])",
+        "list_sort([])",
+        "list_reverse_sort([3, NULL, 1])",
+        "list_position([7,8,9], 9)",
+        "list_position([7,8,9], 5)",
+        "list_position([7,8,9], NULL)",
+        "list_indexof([5,6], 6)",
+        "list_reverse([1,2,3])",
+        "array_length([1,2,3])",
+        "array_length(NULL)",
+        "list_has_any([1,2], [2,3])",
+        "list_has_any([1], [2])",
+        "list_has_any([1,NULL], [NULL])",
+        # NULL input arrays must be TYPED (as any real column is) —
+        # a bare literal NULL is VOID-typed and fails loudly at Spark
+        # analysis, which is the documented fail-loud posture
+        "list_has_any(CASE WHEN 1=0 THEN [1] ELSE NULL END, [1])",
+        "list_has_all([1,2,3], [2,3])",
+        "list_has_all([1,2], [NULL])",
+        "list_has_all([1,2], [2,NULL])",
+        "list_has_all([1,2], [])",
+        "list_has_all(CASE WHEN 1=0 THEN [1] ELSE NULL END, [1])",
+        "list_has_all([1,2], [3])",
+        # nested: arg-surgery calls inside each other and inside maps
+        "list_has_any(list_reverse_sort([2,1]), [1])",
+        "list_position(list_sort([9,7,8]), 8)",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
