@@ -317,6 +317,10 @@ _LIST_FN_MAP = {
     "list_indexof": "array_position",
     "list_reverse": "reverse",
     "array_length": "size",
+    # scalar names verified argument- and null-identical (same regex
+    # caveat as everywhere: patterns are the Java∩RE2 common subset)
+    "strpos": "instr",
+    "regexp_matches": "regexp_like",
 }
 _LIST_FN = re.compile(
     r"\b(" + "|".join(_LIST_FN_MAP) + r")(\s*\()", re.IGNORECASE
@@ -359,6 +363,18 @@ _ARG_CALL_REWRITES = {
     "list_reverse_sort": (
         1,
         lambda a: f"sort_array({a[0]}, false)",
+    ),
+    # DuckDB's one-arg log() is BASE-10 (Postgres heritage); Spark's is
+    # natural log — the nastiest silent-wrongness trap in the scalar
+    # namespace. Two-arg log(base, x) is identical in both engines and
+    # passes through via the arity check.
+    "log": (
+        1,
+        lambda a: f"log10({a[0]})",
+    ),
+    "sha256": (
+        1,
+        lambda a: f"sha2({a[0]}, 256)",
     ),
     "list_has_any": (
         2,

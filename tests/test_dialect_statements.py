@@ -514,3 +514,28 @@ def test_list_function_semantics_match_duckdb(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+
+
+def test_scalar_function_parity_log_strpos_sha256(spark, con):
+    """Scalar-name parity (round 4): DuckDB's one-arg log() is BASE-10
+    while Spark's is natural log — rewritten to log10; two-arg
+    log(base, x) is identical and passes through. strpos→instr,
+    sha256→sha2(·,256), regexp_matches→regexp_like."""
+    cases = [
+        "log(100)",
+        "log(1000.0)",
+        "log(2, 8)",
+        "log10(100)",
+        "log(10, 100)",
+        "strpos('hello', 'l')",
+        "strpos('hello', 'z')",
+        "sha256('abc')",
+        "contains('hello', 'ell')",
+        "regexp_matches('abc123', '[0-9]+')",
+        "regexp_matches('abc', '^z')",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
