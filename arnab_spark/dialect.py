@@ -397,6 +397,89 @@ _ARG_CALL_REWRITES = {
         ),
     ),
 }
+#: C-style (strftime) directive → Spark/Java datetime pattern. Only
+#: directives with an exact Java twin are mapped; any other % code makes
+#: the whole call pass through untouched → loud UNRESOLVED_ROUTINE.
+_STRF_MAP = {
+    "Y": "yyyy",
+    "y": "yy",
+    "m": "MM",
+    "d": "dd",
+    "H": "HH",
+    "I": "hh",
+    "M": "mm",
+    "S": "ss",
+    "f": "SSSSSS",
+    "g": "SSS",
+    "p": "a",
+    "j": "DDD",
+    "a": "EEE",
+    "A": "EEEE",
+    "b": "MMM",
+    "B": "MMMM",
+}
+
+
+def _c_format_to_java(fmt: str) -> str | None:
+    """Translate a C-style strftime format to a Java datetime pattern,
+    quoting literal runs (Java treats bare letters as pattern chars).
+    Returns None when any directive has no exact Java equivalent."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            run = "".join(lit)
+            if any(c.isalpha() or c == "'" for c in run):
+                out.append("'" + run.replace("'", "''") + "'")
+            else:
+                out.append(run)
+            lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= n:
+                return None
+            code = fmt[i + 1]
+            if code == "%":
+                lit.append("%")
+            elif code in _STRF_MAP:
+                flush()
+                out.append(_STRF_MAP[code])
+            else:
+                return None
+            i += 2
+            continue
+        lit.append(ch)
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def _strf_rewrite(spark_fn: str):
+    """strftime/strptime: rewrite only when arg 2 is a PLAIN string
+    literal whose every directive maps exactly; anything else is left
+    for Spark to reject loudly."""
+
+    def build(a: list[str]) -> str | None:
+        m = _PLAIN_STR_LIT.match(a[1])
+        if not m:
+            return None
+        java = _c_format_to_java(m.group(1))
+        if java is None:
+            return None
+        # the Java pattern may contain single quotes (literal-run
+        # escaping) — double them for the SQL string literal
+        return f"{spark_fn}({a[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+
+    return build
+
+
+_ARG_CALL_REWRITES["strftime"] = (2, _strf_rewrite("date_format"))
+_ARG_CALL_REWRITES["strptime"] = (2, _strf_rewrite("to_timestamp"))
+
 _ARG_CALL = re.compile(
     r"\b(" + "|".join(_ARG_CALL_REWRITES) + r")\s*\(", re.IGNORECASE
 )
@@ -419,10 +502,11 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
             return sql
         args, end = parsed
         arity, build = _ARG_CALL_REWRITES[m.group(1).lower()]
-        if len(args) != arity:
+        repl = build(args) if len(args) == arity else None
+        if repl is None:  # arity mismatch / untranslatable: leave, loud
             pos = m.end()
             continue
-        sql = sql[: m.start()] + build(args) + sql[end:]
+        sql = sql[: m.start()] + repl + sql[end:]
         pos = m.start()
     return sql
 

@@ -539,3 +539,28 @@ def test_scalar_function_parity_log_strpos_sha256(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+
+
+def test_strftime_strptime_literal_formats(spark, con):
+    """strftime/strptime with literal C-style formats translate to
+    date_format/to_timestamp with the Java pattern (literal runs
+    quoted, quotes SQL-escaped); any unmapped %-directive leaves the
+    call untouched for a loud UNRESOLVED_ROUTINE."""
+    cases = [
+        "strftime(TIMESTAMP '2024-03-07 14:05:09.123456', '%Y-%m-%d')",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', '%Y-%m-%dT%H:%M:%S')",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', 'at %H hours')",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', '%j %a %A %b %B %p')",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09.123456', '%H:%M:%S.%f')",
+        "strftime(DATE '2024-01-31', '%d/%m/%y')",
+        "CAST(strptime('07/03/2024', '%d/%m/%Y') AS TIMESTAMP)",
+        "CAST(strptime('2024-03-07 14:05:09', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+    # unmapped directive (%-d: no-padding) and dynamic formats: loud
+    assert "strftime" in transpile_statement("SELECT strftime(ts, '%-d') FROM t")
+    assert "strftime" in transpile_statement("SELECT strftime(ts, fmt) FROM t")
