@@ -376,6 +376,20 @@ _ARG_CALL_REWRITES = {
         1,
         lambda a: f"sha2({a[0]}, 256)",
     ),
+    # DuckDB epoch(ts) returns DOUBLE seconds WITH the fraction; both
+    # engines then perform the identical exact-int-to-double divide
+    "epoch": (
+        1,
+        lambda a: f"(CAST(unix_micros(CAST({a[0]} AS TIMESTAMP)) AS DOUBLE) / 1000000)",
+    ),
+    "epoch_ms": (
+        1,
+        lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
+    ),
+    "epoch_us": (
+        1,
+        lambda a: f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
+    ),
     "list_has_any": (
         2,
         lambda a: (
@@ -479,6 +493,24 @@ def _strf_rewrite(spark_fn: str):
 
 _ARG_CALL_REWRITES["strftime"] = (2, _strf_rewrite("date_format"))
 _ARG_CALL_REWRITES["strptime"] = (2, _strf_rewrite("to_timestamp"))
+
+
+def _datediff_day(a: list[str]) -> str | None:
+    """DuckDB 3-arg date_diff/datediff: only the 'day' unit has an
+    exact Spark twin (datediff truncates both sides to DATE = day-
+    boundary count, DuckDB's semantics). Sub-day and supra-day units
+    count BOUNDARY CROSSINGS in DuckDB, which months_between /
+    timestampdiff do NOT replicate — those stay loud. Note the
+    argument flip: DuckDB is (unit, start, end), Spark is (end,
+    start)."""
+    m = _PLAIN_STR_LIT.match(a[0])
+    if not m or m.group(1).lower() not in ("day", "days", "d", "dayofmonth"):
+        return None
+    return f"datediff({a[2]}, {a[1]})"
+
+
+_ARG_CALL_REWRITES["date_diff"] = (3, _datediff_day)
+_ARG_CALL_REWRITES["datediff"] = (3, _datediff_day)
 
 _ARG_CALL = re.compile(
     r"\b(" + "|".join(_ARG_CALL_REWRITES) + r")\s*\(", re.IGNORECASE

@@ -564,3 +564,27 @@ def test_strftime_strptime_literal_formats(spark, con):
     # unmapped directive (%-d: no-padding) and dynamic formats: loud
     assert "strftime" in transpile_statement("SELECT strftime(ts, '%-d') FROM t")
     assert "strftime" in transpile_statement("SELECT strftime(ts, fmt) FROM t")
+
+
+def test_epoch_and_datediff_day_parity(spark, con):
+    """epoch family → unix_* (exact integer micros; the fractional
+    seconds divide is the same IEEE op in both engines), and 3-arg
+    date_diff/datediff with the 'day' unit → Spark datediff with the
+    argument order flipped. Non-day units stay loud (DuckDB counts
+    boundary crossings, which Spark's month/hour arithmetic does not)."""
+    cases = [
+        "epoch(TIMESTAMP '2024-03-07 14:05:09')",
+        "epoch(TIMESTAMP '2024-03-07 14:05:09.5')",
+        "epoch_ms(TIMESTAMP '2024-03-07 14:05:09.123')",
+        "epoch_us(TIMESTAMP '2024-03-07 14:05:09.123456')",
+        "date_diff('day', DATE '2024-01-30', DATE '2024-02-02')",
+        "datediff('day', DATE '2024-01-30', DATE '2024-02-02')",
+        "date_diff('day', TIMESTAMP '2024-01-30 23:59:00', TIMESTAMP '2024-01-31 00:01:00')",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+    # non-day units: left untouched → loud
+    assert "date_diff" in transpile_statement("SELECT date_diff('month', a, b) FROM t")
