@@ -60,12 +60,56 @@ def record_model(
     os.replace(tmp, _catalog_path(db_path))
 
 
+MACROS_FILE = "_arnab_macros.json"
+
+
+def record_macros(db_path: str, macros: dict) -> None:
+    """Persist the session's NON-TEMP DuckDB-style macros (parity: the
+    reference's CREATE MACRO lands in the db_path DuckDB file and is
+    visible to every later process, while CREATE TEMP MACRO dies with
+    the connection). Snapshot-write is idempotent; atomic rename."""
+    persistent = {
+        name: {"params": params, "body": body, "is_table": is_table}
+        for name, (params, body, is_table, is_temp) in macros.items()
+        if not is_temp
+    }
+    if not persistent:
+        return
+    os.makedirs(db_path, exist_ok=True)
+    path = os.path.join(db_path, MACROS_FILE)
+    existing = {}
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as f:
+            existing = json.load(f)
+    existing.update(persistent)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(existing, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _attach_macros(spark, db_path: str) -> list[str]:
+    path = os.path.join(db_path, MACROS_FILE)
+    if not os.path.isfile(path):
+        return []
+    from arnab_spark.dialect import _macros_for
+
+    with open(path, encoding="utf-8") as f:
+        stored = json.load(f)
+    reg = _macros_for(spark)
+    for name, e in stored.items():
+        reg.setdefault(name, (e["params"], e["body"], e["is_table"], False))
+    return sorted(stored)
+
+
 def attach_warehouse(spark, db_path: str) -> list[str]:
     """Re-expose every cataloged model in ``spark``'s session — the
     Spark twin of reopening the reference's DuckDB file. Returns the
     attached model ids; broken entries (e.g. a table dir deleted out
     from under the catalog) are warned and skipped, never fatal."""
     attached: list[str] = []
+    # macros first: a cataloged view's SELECT may call one
+    _attach_macros(spark, db_path)
     for model_id, entry in load_catalog(db_path).items():
         try:
             if entry["materialize"] in ("table", "incremental"):

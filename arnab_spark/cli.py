@@ -114,6 +114,11 @@ def cmd_run_file(args) -> int:
         except Exception as exc:
             print(f"{path}: ERROR {exc}")
             rc = 1 if args.strict else rc
+    if cfg.db_path:
+        from arnab_spark.catalog import record_macros
+        from arnab_spark.dialect import _macros_for
+
+        record_macros(cfg.db_path, _macros_for(spark))
     return rc
 
 

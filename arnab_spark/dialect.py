@@ -1465,7 +1465,7 @@ def _rewrite_using_sample(sql: str) -> str:
 # are left untouched so Spark rejects the MACRO keyword loudly.
 
 _CREATE_MACRO = re.compile(
-    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?MACRO\s+"
     r"([A-Za-z_]\w*)\s*\("
 )
 _MACRO_FALLBACK: dict[str, tuple[list[str], str, bool]] = {}
@@ -1478,7 +1478,7 @@ except Exception:  # pragma: no cover
     _MACRO_BY_SESSION = {}
 
 
-def _macros_for(spark) -> dict[str, tuple[list[str], str, bool]]:
+def _macros_for(spark) -> dict[str, tuple[list[str], str, bool, bool]]:
     if spark is None:
         return _MACRO_FALLBACK
     reg = _MACRO_BY_SESSION.get(spark)
@@ -1498,7 +1498,8 @@ def _parse_create_macro(sql: str):
     m = _CREATE_MACRO.match(sql)
     if not m:
         return None
-    name = m.group(1)
+    is_temp = bool(m.group(1))
+    name = m.group(2)
     # matching close paren of the parameter list (quote-aware)
     depth, i, quote = 1, m.end(), None
     n = len(sql)
@@ -1525,7 +1526,7 @@ def _parse_create_macro(sql: str):
     am = re.match(r"(?is)^\s*AS\s+(TABLE\s+)?(.*)$", sql[i:], re.DOTALL)
     if not am:
         return None
-    return name, params, am.group(2).strip().rstrip(";").strip(), bool(am.group(1))
+    return name, params, am.group(2).strip().rstrip(";").strip(), bool(am.group(1)), is_temp
 
 
 def _replace_param(body: str, param: str, arg: str) -> str:
@@ -1573,7 +1574,7 @@ def _expand_macros(sql: str, macros: dict) -> str:
     while guard < 50:
         guard += 1
         replaced = False
-        for name, (params, body, _is_table) in macros.items():
+        for name, (params, body, *_rest) in macros.items():
             pat = re.compile(rf"(?is)\b{re.escape(name)}\s*\(")
             pos = 0
             while True:
@@ -1713,8 +1714,8 @@ def transpile_statement(sql: str, spark=None) -> str:
     macros = _macros_for(spark)
     created = _parse_create_macro(sql)
     if created is not None:
-        name, params, body, is_table = created
-        macros[name.lower()] = (params, body, is_table)
+        name, params, body, is_table, is_temp = created
+        macros[name.lower()] = (params, body, is_table, is_temp)
         return ""  # statement fully consumed — callers skip empties
     dropped = re.match(
         r"(?is)^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",

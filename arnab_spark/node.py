@@ -280,6 +280,13 @@ class Node:
                 raise
             except Exception as exc:
                 raise StatementExecutionError(str(exc), stmt, self.path) from exc
+        if db_path:
+            # non-TEMP CREATE MACROs persist in the warehouse like the
+            # reference's macros persist in the DuckDB file
+            from arnab_spark.catalog import record_macros
+            from arnab_spark.dialect import _macros_for
+
+            record_macros(db_path, _macros_for(spark))
         if self.materialize in ("table", "incremental"):
             # row-count readback (reference: node.rs:179-189)
             return NodeExecutionResult(spark.table(self.id).count(), self.materialize)

@@ -79,3 +79,26 @@ def test_rerun_keeps_topological_position(spark, tmp_path):
     assert list(load_catalog(cfg.db_path)) == ["base", "doubled"]
     with open(os.path.join(cfg.db_path, CATALOG_FILE), encoding="utf-8") as f:
         assert json.load(f)  # valid JSON on disk
+
+
+def test_macros_persist_across_sessions_via_warehouse(spark, tmp_path):
+    """Non-TEMP CREATE MACROs recorded in the warehouse are visible
+    after attach (reference parity: macros live in the DuckDB file);
+    TEMP macros are session-scoped and not persisted."""
+    from arnab_spark import dialect
+    from arnab_spark.catalog import attach_warehouse, record_macros
+
+    db = str(tmp_path / "wh")
+    dialect.reset_macros(spark)
+    try:
+        assert dialect.transpile_statement("CREATE MACRO keep(x) AS x * 10", spark) == ""
+        assert dialect.transpile_statement("CREATE TEMP MACRO gone(x) AS x", spark) == ""
+        record_macros(db, dialect._macros_for(spark))
+        # simulate a fresh session: clear the registry, re-attach
+        dialect.reset_macros(spark)
+        attach_warehouse(spark, db)
+        out = dialect.transpile_statement("SELECT keep(4) AS v", spark)
+        assert out == "SELECT ((4) * 10) AS v"
+        assert "gone(" in dialect.transpile_statement("SELECT gone(1) AS v", spark)
+    finally:
+        dialect.reset_macros(spark)
