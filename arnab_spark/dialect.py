@@ -1699,6 +1699,40 @@ def _rewrite_asof_join(sql: str) -> str:
     return sql[:idx] + lateral + tail
 
 
+#: read_parquet/read_csv/read_json with a LIST of path literals —
+#: DuckDB's multi-file scan. Spark's file-query syntax takes one path,
+#: so the list form substitutes a temp view built by the multi-path
+#: DataFrame reader (needs a live session; without one it is left for
+#: Spark to reject loudly).
+_READ_LIST = re.compile(
+    r"\bread_(parquet|csv|json)\s*\(\s*\[([^\]]+)\]\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_read_file_lists(sql: str, spark) -> str:
+    if spark is None:
+        return sql
+
+    def sub(m: re.Match) -> str:
+        fmt = m.group(1).lower()
+        paths = []
+        for item in _split_top_level_commas(m.group(2)):
+            lm = _PLAIN_STR_LIT.match(item)
+            if not lm:
+                return m.group(0)  # dynamic/exotic entry: leave, loud
+            paths.append(_resolve_path(lm.group(1)))
+        import hashlib
+
+        view = (
+            "_arnab_src_"
+            + hashlib.md5(f"{fmt}|{'|'.join(paths)}".encode()).hexdigest()[:12]
+        )
+        getattr(spark.read, fmt)(*paths).createOrReplaceTempView(view)
+        return view
+
+    return _READ_LIST.sub(sub, sql)
+
+
 def transpile_statement(sql: str, spark=None) -> str:
     """Apply the DuckDB→Spark rewrites to one statement.
 
@@ -1729,6 +1763,9 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first_arms(sql)
+    # before the list-literal pass, which would otherwise turn the
+    # path list into an array(...) constructor
+    sql = _rewrite_read_file_lists(sql, spark)
     sql = _rewrite_list_literals(sql)
     sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_subscripts(sql)

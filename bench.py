@@ -206,6 +206,25 @@ def main() -> None:
         dd.append(time.perf_counter() - start)
     dedup_family_wall = round(min(dd), 4)
 
+    # ANN / similarity family (round 4: Arrow-matmul knn + recall-grade
+    # IVF config) — measured as its own pass so plan regressions in the
+    # similarity operators are bench-visible
+    ann_family = [
+        "ann_lsh_bucketed",
+        "ann_ivf_cells",
+        "ann_ivf_refined",
+        "ann_ivf_recall",
+    ]
+    for n in ann_family:
+        _run(n)
+    av = []
+    for _ in range(2):
+        start = time.perf_counter()
+        for n in ann_family:
+            _run(n)
+        av.append(time.perf_counter() - start)
+    ann_family_wall = round(min(av), 4)
+
     # TPC-H-shaped composite pass: the SAME 8 shapes benched since round
     # 1 (Q3/Q4/Q5/Q10/Q14/Q19/Q21/Q22 analogues), pinned by name so the
     # metric stays comparable across rounds even as the corpus grows.
@@ -312,6 +331,7 @@ def main() -> None:
                 "concurrent_wall_clock_4way": concurrent_wall,
                 "training_ops_wall_clock": pipeline_wall,
                 "dedup_family_wall_clock": dedup_family_wall,
+                "ann_family_wall_clock": ann_family_wall,
                 "tpch_composites_wall_clock": tpch_wall,
                 "tpch_composites_concurrent_4way": tpch_concurrent,
                 "tpch_full22_wall_clock": tpch_full_wall,

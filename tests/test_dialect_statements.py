@@ -588,3 +588,17 @@ def test_epoch_and_datediff_day_parity(spark, con):
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
     # non-day units: left untouched → loud
     assert "date_diff" in transpile_statement("SELECT date_diff('month', a, b) FROM t")
+
+
+def test_read_parquet_file_list(spark, con):
+    """DuckDB's multi-file scan read_parquet(['a','b']) substitutes a
+    temp view over Spark's multi-path reader; row counts and contents
+    must match DuckDB reading the same list."""
+    sql = (
+        f"SELECT count(*) AS n FROM "
+        f"read_parquet(['{SF}/region.parquet', '{SF}/nation.parquet'])"
+    )
+    spark_pdf = spark.sql(transpile_statement(sql, spark)).toPandas()
+    _duck_spark_match("read_list", spark, con, sql, spark_pdf)
+    # sessionless: left for Spark to reject loudly, never silently empty
+    assert "read_parquet" in transpile_statement(sql)
