@@ -171,13 +171,17 @@ CURATED_FIRST: tuple[str, ...] = (
     "sessionize_gaps",
     # connected-components reliable-checkpoint option (verdict item 7)
     "dedup_connected_groups",
-    # headline bench staples re-verified alongside the perf work
-    "agg_pricing_summary",
-    "join_star_revenue",
+    # queries NEW in round 4: the dialect-shim parity trio (the Spark
+    # side runs transpile_statement over the oracle's own DuckDB text,
+    # so their green rows driver-verify the shim itself) — first-round
+    # driver evidence for the strftime/list/scalar rewrites
+    "dialect_strftime_datetime",
+    "dialect_list_scalar_parity",
+    "dialect_epoch_datediff",
+    # headline bench staple + llm_text representative
     "text_token_count",
-    "asof_join",
     # one representative each from the remaining modules so the window
-    # keeps spanning all 11 (oldest evidence within each module)
+    # keeps spanning all modules (oldest evidence within each)
     "scan_project_filter",
     "window_running_frame",
     "multimodal_metadata",
@@ -191,6 +195,7 @@ def all_queries() -> dict[str, Query]:
     from arnab_spark.queries import (  # noqa: F401
         aggregates,
         dedup,
+        dialect_parity,
         functions_corpus,
         joins,
         llm_text,

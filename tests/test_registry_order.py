@@ -21,6 +21,7 @@ _REGISTRY = all_queries()
 ALL_MODULES = {
     "aggregates",
     "dedup",
+    "dialect_parity",
     "functions_corpus",
     "joins",
     "llm_text",
