@@ -352,3 +352,47 @@ def test_pivot_dynamic_fuzz_matches_duckdb(engines, on_col, agg, group, in_cte):
     got = sorted(map(tuple, sdf[cols].fillna(-1).to_numpy().tolist()))
     exp = sorted(map(tuple, ddf[cols].fillna(-1).to_numpy().tolist()))
     assert got == exp, sql
+
+
+@given(
+    op=st.sampled_from(("+", "*", "-")),
+    nest=st.booleans(),
+    arg1=st.integers(-5, 9),
+    arg2=st.integers(-5, 9),
+    temp_kw=st.sampled_from(("", "TEMP ", "OR REPLACE ")),
+    spaced=st.booleans(),
+)
+@settings(max_examples=20, deadline=None)
+def test_macro_expansion_fuzz_matches_duckdb(engines, op, nest, arg1, arg2, temp_kw, spaced):
+    """Generated CREATE MACRO scripts (binary-op bodies, nested macro
+    calls, TEMP/OR REPLACE variants, spacing) executed by DuckDB
+    natively and by Spark through register-and-expand — scalar results
+    must agree exactly."""
+    from arnab_spark import dialect
+
+    spark, con = engines
+    ws = "  " if spaced else ""
+    script = [
+        f"CREATE {temp_kw}MACRO inner1(x) AS x * 2",
+        f"CREATE {temp_kw}MACRO outer1(a, b) AS a {op} b",
+        (
+            f"SELECT outer1{ws}(inner1({arg1}), {arg2}) AS v"
+            if nest
+            else f"SELECT outer1{ws}({arg1}, {arg2}) AS v"
+        ),
+    ]
+    lcon = duckdb.connect()  # fresh: macro DDL must not leak across examples
+    dialect.reset_macros(spark)
+    try:
+        got = None
+        for stmt in script:
+            out = transpile_statement(stmt, spark)
+            if out.strip():
+                got = spark.sql(out).collect()[0][0]
+        for stmt in script[:-1]:
+            lcon.execute(stmt)
+        exp = lcon.execute(script[-1]).fetchone()[0]
+        assert got == exp, script
+    finally:
+        dialect.reset_macros(spark)
+        lcon.close()
