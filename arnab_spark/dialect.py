@@ -1210,7 +1210,7 @@ _COPY_STMT = re.compile(
 _COPY_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".ndjson": "json"}
 
 
-def _rewrite_copy(sql: str) -> str:
+def _rewrite_copy(sql: str, spark=None) -> str:
     """Rewrite DuckDB's export statement (reachable reference surface —
     model SQL goes to DuckDB verbatim, node.rs:176)
 
@@ -1254,6 +1254,10 @@ def _rewrite_copy(sql: str) -> str:
             options["sep"] = val
         elif key == "compression":
             options["compression"] = val.lower()
+        elif key == "partition_by":
+            options["__partition_by"] = val.strip()
+        elif key in ("overwrite_or_ignore", "overwrite"):
+            pass  # both map to the overwrite directory semantics below
         else:
             return sql  # option outside the conservative subset
     if fmt is None:
@@ -1265,6 +1269,28 @@ def _rewrite_copy(sql: str) -> str:
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"  # DuckDB's COPY ... (FORMAT CSV) default
     query = _strip_outer_parens(source) if source.startswith("(") else f"SELECT * FROM {source}"
+    part_raw = options.pop("__partition_by", None)
+    if part_raw is not None:
+        # Hive-style partitioned export — DuckDB's PARTITION_BY writes
+        # path/col=value/... with the partition columns dropped from the
+        # files, exactly Spark's write.partitionBy. INSERT OVERWRITE
+        # DIRECTORY cannot partition, so the write executes through the
+        # DataFrame API here (needs a session; the statement's entire
+        # meaning IS the side effect) and the statement is consumed.
+        if spark is None:
+            return sql  # no session: leave for Spark to reject loudly
+        cols = [
+            c.strip()
+            for c in _split_top_level_commas(part_raw.strip().strip("()"))
+            if c.strip()
+        ]
+        if not cols or any(not re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+            return sql
+        writer = spark.sql(query).write.mode("overwrite").partitionBy(*cols)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.format(fmt).save(path)
+        return ""
     opt_sql = (
         " OPTIONS (" + ", ".join(f"'{k}' = '{v}'" for k, v in sorted(options.items())) + ")"
         if options
@@ -1772,7 +1798,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_list_functions(sql)
     sql = _rewrite_string_split(sql)
-    sql = _rewrite_copy(sql)
+    sql = _rewrite_copy(sql, spark)
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_using_sample(sql)
 

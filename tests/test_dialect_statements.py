@@ -602,3 +602,36 @@ def test_read_parquet_file_list(spark, con):
     _duck_spark_match("read_list", spark, con, sql, spark_pdf)
     # sessionless: left for Spark to reject loudly, never silently empty
     assert "read_parquet" in transpile_statement(sql)
+
+
+def test_copy_partition_by_hive_layout(spark, con, tmp_path):
+    """COPY ... (FORMAT PARQUET, PARTITION_BY (col)): Spark executes the
+    export through write.partitionBy (INSERT OVERWRITE DIRECTORY cannot
+    partition) producing the same hive col=value layout DuckDB writes,
+    with identical data read back hive-partitioned. Sessionless
+    transpile leaves the statement loud."""
+    _views(spark)
+    inner = (
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        "WHERE o_orderkey < 200"
+    )
+    duck_out = tmp_path / "duck"
+    spark_out = tmp_path / "spark"
+    con.execute(
+        f"COPY ({inner}) TO '{duck_out}' (FORMAT PARQUET, PARTITION_BY (o_orderstatus))"
+    )
+    stmt = (
+        f"COPY ({inner}) TO '{spark_out}' (FORMAT PARQUET, PARTITION_BY (o_orderstatus))"
+    )
+    assert transpile_statement(stmt, spark) == ""  # side effect performed
+    assert transpile_statement(stmt).startswith("COPY")  # sessionless: loud
+    back = con.execute(
+        f"SELECT * FROM read_parquet('{spark_out}/*/*.parquet', hive_partitioning=1)"
+    ).fetchdf()
+    expected = con.execute(
+        f"SELECT * FROM read_parquet('{duck_out}/*/*.parquet', hive_partitioning=1)"
+    ).fetchdf()
+    back["o_orderstatus"] = back["o_orderstatus"].astype(str)
+    expected["o_orderstatus"] = expected["o_orderstatus"].astype(str)
+    r = compare_frames("copy_partitioned", back, expected)
+    assert r.ok, str(r)
