@@ -178,8 +178,9 @@ CURATED_FIRST: tuple[str, ...] = (
     "dialect_strftime_datetime",
     "dialect_list_scalar_parity",
     "dialect_epoch_datediff",
-    # headline bench staple + llm_text representative
-    "text_token_count",
+    # NEW in round 4 (llm_text representative): per-doc TF-IDF keyword
+    # extraction — first-round driver evidence
+    "text_tfidf_top_terms",
     # one representative each from the remaining modules so the window
     # keeps spanning all modules (oldest evidence within each)
     "scan_project_filter",

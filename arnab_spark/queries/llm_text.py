@@ -689,3 +689,83 @@ ORDER BY n_docs DESC, ngram
 LIMIT 20
 """
     )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF keyword extraction (round 4)
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000 + 0.5)
+              AS BIGINT) AS tfidf_u
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_u DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf_u, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF — the keyword-extraction /
+    topic-tagging primitive of a corpus-prep pipeline. Two aggregations
+    over ONE tokenize pass (per-doc term counts; corpus document
+    frequencies), then the DF side joins back into the per-doc ranking.
+
+    Scale shape: the DF table is |vocab| rows — broadcastable at ANY
+    corpus size (vocabularies don't grow with corpus rows), so the
+    join back adds no fact-table shuffle; the per-doc top-3 is one
+    window over the (doc, term) partials. IDF's ln() is transcendental
+    (libm vs JVM differ in the final ulp — see queries/dialect_parity),
+    so the score is quantized to 1e-6 in BOTH engines; ranking ties
+    break on the token for a total order."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH tokens AS (
+          SELECT doc_id, explode(split(text, ' ')) AS token FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 CAST(tf.tf AS BIGINT) AS tf,
+                 CAST(df.df AS BIGINT) AS df,
+                 CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000 + 0.5)
+                      AS BIGINT) AS tfidf_u
+          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf_u DESC, token) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, token, tf, df, tfidf_u, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+        """
+    )
