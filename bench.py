@@ -214,6 +214,7 @@ def main() -> None:
         "ann_ivf_cells",
         "ann_ivf_refined",
         "ann_ivf_recall",
+        "ann_pq_adc",
     ]
     for n in ann_family:
         _run(n)
