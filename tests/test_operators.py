@@ -294,3 +294,33 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert reliable == local
     assert {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)} == reliable
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"
+
+
+def test_pq_encode_generic_subspaces_match_numpy(spark):
+    """pq_encode with a NON-default subspace shape (m=4, d=16) must
+    agree with a direct numpy argmin per subspace — exact integer
+    distances, ties to the lowest centroid id."""
+    import numpy as np
+
+    from arnab_spark.operators import pq_encode, quantize_embeddings
+
+    e = quantize_embeddings(load_table(spark, SF, "embeddings"), "embedding", 64)
+    sample = e.filter(F.col("vec_id") < 40)
+    cents = (
+        e.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 44))
+        .select(F.col("vec_id").alias("cid"), F.col("iv").alias("civ"))
+    )
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(sample, cents, m=4, d=16).collect()
+    }
+    vecs = {r.vec_id: np.array(r.iv, dtype=np.int64) for r in sample.collect()}
+    cs = {r.cid: np.array(r.civ, dtype=np.int64) for r in cents.collect()}
+    cids = sorted(cs)
+    for vid, iv in vecs.items():
+        expect = []
+        for m in range(4):
+            sl = slice(m * 16, (m + 1) * 16)
+            dists = [(int(((iv[sl] - cs[c][sl]) ** 2).sum()), c) for c in cids]
+            expect.append(min(dists)[1])
+        assert got[vid] == expect, (vid, got[vid], expect)
