@@ -195,3 +195,19 @@ def test_range_join_is_hash_equi_join(spark):
     audit = audit_plan(REG["range_join_bucketed"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in audit.plan_text, audit.plan_text[:800]
     assert "CartesianProduct" not in audit.plan_text, audit.plan_text[:800]
+
+
+def test_tfidf_df_side_broadcasts(spark):
+    """TF-IDF: the document-frequency side is vocab-sized (does not
+    grow with corpus rows) and must hash-broadcast into the per-doc
+    ranking — the 1-row corpus count is the only nested loop."""
+    audit = audit_plan(REG["text_tfidf_top_terms"].fn(spark, SF))
+    assert "BroadcastHashJoin" in audit.joins, audit.joins
+
+
+def test_pq_rerank_broadcasts_shortlist(spark):
+    """PQ two-stage search: the exact re-rank must broadcast the
+    shortlist side (constant x k rows per query) so the corpus streams
+    through a hash join — full vectors never shuffle for re-ranking."""
+    audit = audit_plan(REG["ann_pq_adc"].fn(spark, SF))
+    assert "BroadcastHashJoin" in audit.joins, audit.joins
