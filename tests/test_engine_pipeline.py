@@ -609,3 +609,56 @@ def test_group_by_all_order_by_all_model_file(spark, tmp_path):
     got = [tuple(r) for r in spark.table("status_counts").collect()]
     exp = [tuple(r) for r in duckdb.sql(body).fetchall()]
     assert got == exp  # ORDER BY ALL: same total order in both engines
+
+
+def test_duckdb_dialect_example_project(spark, tmp_path):
+    """The shipped examples/duckdb_dialect project — macros, FROM-first,
+    QUALIFY, strftime, zero-arg count(), read_parquet — runs end-to-end
+    through the engine and its top_months view matches DuckDB computing
+    the same pipeline natively."""
+    import shutil
+
+    import duckdb
+
+    from arnab_spark import dialect
+    from arnab_spark.config import load_config
+    from arnab_spark.session import Session
+
+    src = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "examples", "duckdb_dialect")
+    proj = tmp_path / "proj"
+    shutil.copytree(src, proj, ignore=shutil.ignore_patterns("warehouse"))
+    dialect.reset_macros(spark)
+    try:
+        cfg = load_config(str(proj))
+        cfg.db_path = str(proj / "warehouse")
+        report = Session(cfg, spark).run(quiet=True)
+        assert not report.errors, report.errors
+        got = sorted(
+            tuple(r) for r in spark.table("top_months").collect()
+        )
+        con = duckdb.connect()
+        for stmt in (
+            "CREATE MACRO add_tax(p) AS p * 1.1",
+            "CREATE VIEW orders_src AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/orders.parquet')",
+            """CREATE VIEW daily_revenue AS
+               FROM orders_src
+               SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+                      count() AS n_orders,
+                      CAST(SUM(CAST(add_tax(o_totalprice) AS DECIMAL(18,6))) AS DOUBLE)
+                        AS taxed_revenue
+               GROUP BY ALL""",
+        ):
+            con.execute(stmt)
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT month, n_orders, taxed_revenue, "
+                "CAST(row_number() OVER (ORDER BY taxed_revenue DESC, month) AS BIGINT) AS rnk "
+                "FROM daily_revenue QUALIFY rnk <= 3"
+            ).fetchall()
+        )
+        assert got == exp
+    finally:
+        dialect.reset_macros(spark)
