@@ -118,6 +118,13 @@ def davg(col: Column | str, alias: str) -> Column:
 #: `tests/test_registry_order.py` pins the window against both the
 #: stale-evidence list and this round's touched modules so an import
 #: reorder or an unrotated rewrite fails CI, not the judge.
+#:
+#: QUEUED FOR THE R05 WINDOW (no slot left this round — every one is
+#: pytest-differential-green at sf0.001/0.01 meanwhile):
+#: `dedup_incremental` (new in r4), plus re-rotation of the staples
+#: rotated out for the new queries (`dedup_connected_groups`,
+#: `agg_pricing_summary`, `join_star_revenue`, `asof_join`,
+#: `text_token_count`).
 CURATED_FIRST: tuple[str, ...] = (
     # --- slots 1-3: round-3 rewrites shipping on round-1 evidence ---
     "dedup_simhash",

@@ -436,3 +436,60 @@ HAVING COUNT(*) >= {CC_MIN_BANDS}
     return comps.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------
+# incremental (cross-snapshot) dedup — round 4
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH prev AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 10 = 0
+),
+new_batch AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 10 <> 0
+),
+new_dedup AS (
+  SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM new_batch GROUP BY content_hash
+)
+SELECT d.keep_id, d.content_hash, CAST(d.n_copies AS BIGINT) AS n_copies
+FROM new_dedup d
+WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.content_hash = d.content_hash)
+""",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Cross-snapshot dedup — the shape every recurring crawl ingest
+    runs: dedupe the NEW batch internally (hash groupBy, keep the
+    smallest id), then anti-join against the previously-ingested
+    corpus's digest set so only genuinely new content survives. The
+    held-out convention (doc_id % 10 = 0 = "previous snapshot") matches
+    text_decontaminate.
+
+    Scale shape: both sides reduce to 16-byte digests before any join —
+    the anti-join shuffles ~40-byte rows on the digest, not documents,
+    and at 100 TB the "seen" side is itself a digest table that never
+    rematerializes document text. No broadcast assumption: a
+    multi-year seen-set outgrows any broadcast threshold, so the
+    shuffle anti-join IS the right plan (AQE will still broadcast it
+    while it is small)."""
+    from pyspark.sql import functions as F
+
+    from arnab_spark.spark_utils import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    prev = hashed.filter(F.col("doc_id") % 10 == 0).select("content_hash").distinct()
+    new_dedup = (
+        hashed.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return new_dedup.join(prev, on="content_hash", how="left_anti").select(
+        "keep_id", "content_hash", "n_copies"
+    )
