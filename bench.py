@@ -188,6 +188,7 @@ def main() -> None:
     # extraction): the non-headline corpus-prep ops measured so plan
     # regressions here are bench-visible, not just correctness-visible.
     dedup_family = [
+        "dedup_incremental",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_connected_groups",
