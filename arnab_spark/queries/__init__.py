@@ -121,7 +121,8 @@ def davg(col: Column | str, alias: str) -> Column:
 #:
 #: QUEUED FOR THE R05 WINDOW (no slot left this round — every one is
 #: pytest-differential-green at sf0.001/0.01 meanwhile):
-#: `dedup_incremental` (new in r4), plus re-rotation of the staples
+#: `dedup_incremental` and `stream_session_counts_materialized` (new
+#: in r4), plus re-rotation of the staples
 #: rotated out for the new queries (`dedup_connected_groups`,
 #: `agg_pricing_summary`, `join_star_revenue`, `asof_join`,
 #: `text_token_count`).

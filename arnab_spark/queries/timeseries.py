@@ -454,3 +454,47 @@ def stream_tumbling_counts_materialized(spark, sf_dir):
 
     sink = f"arnab_stream_mat_{uuid.uuid4().hex[:12]}"
     return run_stream_to_memory(stream_tumbling_counts(spark, sf_dir), sink)
+
+
+@query(
+    "stream_session_counts_materialized",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS w_start,
+       MAX(ts) + INTERVAL 15 MINUTE AS w_end,
+       COUNT(*) AS n
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("timeseries", "streaming"),
+)
+def stream_session_counts_materialized(spark, sf_dir):
+    """SECOND driver-verifiable Structured Streaming run (round 4):
+    native session windows (15-min gap) execute as a real stream —
+    file source → watermark → session_window agg (merging session
+    state) → memory sink under Trigger.AvailableNow, complete mode —
+    and the materialized sink returns as a batch frame, so the driver's
+    DuckDB gaps-and-islands oracle hashes an ACTUAL streaming
+    sessionization. This is the stateful-merge streaming shape (session
+    windows coalesce as events arrive), one notch harder than the
+    tumbling twin's append-only windows; stream ≡ batch
+    (`session_window_native`) ≡ oracle."""
+    import uuid
+
+    from arnab_spark.streaming.jobs import run_stream_to_memory, stream_sessionized
+
+    sink = f"arnab_stream_sess_{uuid.uuid4().hex[:12]}"
+    return run_stream_to_memory(stream_sessionized(spark, sf_dir), sink)
