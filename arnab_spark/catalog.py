@@ -102,23 +102,77 @@ def _attach_macros(spark, db_path: str) -> list[str]:
     return sorted(stored)
 
 
-def attach_warehouse(spark, db_path: str) -> list[str]:
+def _replace_model_ref(sql: str, name: str, repl: str) -> str:
+    """Replace whole-word, unqualified, non-call references to model
+    ``name`` in ``sql`` with ``repl`` — quote-aware, skipping ``x.name``
+    member access and ``name(...)`` function calls."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            tok = sql[i:j]
+            prev = next((c for c in reversed(out) if not c.isspace()), "")
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            nxt = sql[k] if k < n else ""
+            if tok.lower() == name.lower() and prev != "." and nxt != "(":
+                out.append(repl)
+            else:
+                out.append(tok)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def attach_warehouse(spark, db_path: str, prefix: str = "") -> list[str]:
     """Re-expose every cataloged model in ``spark``'s session — the
     Spark twin of reopening the reference's DuckDB file. Returns the
     attached model ids; broken entries (e.g. a table dir deleted out
-    from under the catalog) are warned and skipped, never fatal."""
+    from under the catalog) are warned and skipped, never fatal.
+
+    ``prefix`` namespaces the registered views (the ATTACH … AS alias
+    path registers ``alias__model``): view-model SELECTs get their
+    sibling-model references rewritten to the prefixed names so the
+    chain still resolves (the same over-approximate-then-intersect dep
+    extraction the engine uses, reference: node.rs:94-98)."""
     attached: list[str] = []
     # macros first: a cataloged view's SELECT may call one
     _attach_macros(spark, db_path)
-    for model_id, entry in load_catalog(db_path).items():
+    cat = load_catalog(db_path)
+    for model_id, entry in cat.items():
         try:
             if entry["materialize"] in ("table", "incremental"):
                 dest = os.path.join(db_path, model_id)
-                spark.read.parquet(dest).createOrReplaceTempView(model_id)
+                spark.read.parquet(dest).createOrReplaceTempView(prefix + model_id)
             else:
+                select = entry["select"]
+                if prefix:
+                    from arnab_spark.depparse import get_sql_references
+
+                    for ref in get_sql_references(select) & set(cat):
+                        select = _replace_model_ref(select, ref, prefix + ref)
                 spark.sql(
-                    f"CREATE OR REPLACE TEMPORARY VIEW {model_id} "
-                    f"AS ({entry['select']})"
+                    f"CREATE OR REPLACE TEMPORARY VIEW {prefix + model_id} "
+                    f"AS ({select})"
                 )
             attached.append(model_id)
         except Exception as exc:  # noqa: BLE001 — attach is best-effort

@@ -29,6 +29,9 @@ rewrites the purely syntactic gaps so those models run unchanged:
 - ``CREATE [OR REPLACE] [TEMP] MACRO`` (scalar and TABLE) → registered
   per session and expanded inline at call sites (DuckDB's own bind-time
   behavior); the CREATE statement itself transpiles to ``""``
+- ``ATTACH '<warehouse-dir>' AS alias`` / ``DETACH alias`` → cataloged
+  models register as ``alias__model`` views and ``alias.model``
+  references rewrite to them; non-warehouse paths stay loud
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -1520,6 +1523,89 @@ def reset_macros(spark=None) -> None:
     _macros_for(spark).clear()
 
 
+# ---------------------------------------------------- ATTACH / DETACH
+#
+# DuckDB's ATTACH opens another database file whose objects resolve as
+# ``alias.name`` (reachable reference surface: run-file scripts go to
+# DuckDB verbatim, main.rs:165). The Spark twin attaches another
+# arnab-spark WAREHOUSE directory: its cataloged models register as
+# ``alias__model`` temp views (Spark temp views cannot be dotted) and
+# every later ``alias.model`` reference is rewritten to that name.
+# Macros persisted in the attached warehouse load too.
+
+_ATTACH_STMT = re.compile(
+    r"(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_]\w*)"
+    r"\s*(?:\(\s*READ_ONLY\s*\))?\s*;?\s*$"
+)
+_DETACH_STMT = re.compile(
+    r"(?is)^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*;?\s*$"
+)
+_ATTACH_FALLBACK: dict[str, set[str]] = {}
+try:
+    _ATTACHED_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _ATTACHED_BY_SESSION = {}
+
+
+def _attached_for(spark) -> dict[str, set[str]]:
+    if spark is None:
+        return _ATTACH_FALLBACK
+    reg = _ATTACHED_BY_SESSION.get(spark)
+    if reg is None:
+        reg = {}
+        _ATTACHED_BY_SESSION[spark] = reg
+    return reg
+
+
+def reset_attached(spark=None) -> None:
+    _attached_for(spark).clear()
+
+
+def _rewrite_attached_refs(sql: str, attached: dict[str, set[str]]) -> str:
+    """``alias.model`` → ``alias__model`` for every (alias, model) pair
+    actually attached — quote-aware, whole-word both sides, so a table
+    alias that happens to share the name is untouched unless it
+    dereferences a real attached model."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            tok = sql[i:j]
+            models = attached.get(tok.lower())
+            prev = next((c for c in reversed(out) if not c.isspace()), "")
+            if models is not None and prev != "." and j < n and sql[j] == ".":
+                k = j + 1
+                while k < n and (sql[k].isalnum() or sql[k] == "_"):
+                    k += 1
+                member = sql[j + 1: k]
+                if member.lower() in models:
+                    out.append(f"{tok}__{member}")
+                    i = k
+                    continue
+            out.append(tok)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _parse_create_macro(sql: str):
     m = _CREATE_MACRO.match(sql)
     if not m:
@@ -1784,6 +1870,32 @@ def transpile_statement(sql: str, spark=None) -> str:
     if dropped is not None:
         macros.pop(dropped.group(1).lower(), None)
         return ""
+    am = _ATTACH_STMT.match(sql)
+    if am is not None and spark is not None:
+        import os as _os
+
+        from arnab_spark.catalog import CATALOG_FILE, attach_warehouse
+
+        path, alias = am.group(1), am.group(2)
+        if not _os.path.isfile(_os.path.join(path, CATALOG_FILE)):
+            # not an arnab-spark warehouse (e.g. a real .duckdb file):
+            # leave the statement → Spark rejects ATTACH loudly
+            return sql
+        ids = attach_warehouse(spark, path, prefix=f"{alias}__")
+        _attached_for(spark)[alias.lower()] = {i.lower() for i in ids}
+        return ""
+    dm = _DETACH_STMT.match(sql)
+    if dm is not None and spark is not None:
+        alias = dm.group(1).lower()
+        for model in _attached_for(spark).pop(alias, set()):
+            try:
+                spark.catalog.dropTempView(f"{alias}__{model}")
+            except Exception:
+                pass
+        return ""
+    attached = _attached_for(spark)
+    if attached:
+        sql = _rewrite_attached_refs(sql, attached)
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)

@@ -102,3 +102,59 @@ def test_macros_persist_across_sessions_via_warehouse(spark, tmp_path):
         assert "gone(" in dialect.transpile_statement("SELECT gone(1) AS v", spark)
     finally:
         dialect.reset_macros(spark)
+
+
+def test_attach_statement_namespaces_warehouse_models(spark, tmp_path):
+    """DuckDB's ATTACH ... AS alias, mapped to warehouse attach: models
+    register as alias__model views, alias.model references rewrite to
+    them (view-model SELECTs get sibling refs rewritten so chains
+    resolve), DETACH drops them, and attaching a non-warehouse path
+    stays loud."""
+    import os
+
+    from arnab_spark import dialect
+    from arnab_spark.config import Config
+    from arnab_spark.session import Session
+
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "base_orders.sql").write_text(
+        "SELECT * FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    (models / "status_counts.sql").write_text(
+        "SELECT o_orderstatus, count() AS n FROM base_orders GROUP BY o_orderstatus"
+    )
+    cfg = Config(
+        models_dir=str(models),
+        db_path=str(tmp_path / "wh"),
+        models={"base_orders": {"materialize": "table"}},
+    )
+    report = Session(cfg, spark).run(quiet=True)
+    assert not report.errors, report.errors
+    for v in ("base_orders", "status_counts"):
+        spark.catalog.dropTempView(v)
+    dialect.reset_macros(spark)
+    dialect.reset_attached(spark)
+    try:
+        assert dialect.transpile_statement(f"ATTACH '{cfg.db_path}' AS prev", spark) == ""
+        rows = spark.sql(
+            dialect.transpile_statement(
+                "SELECT o_orderstatus, n FROM prev.status_counts "
+                "ORDER BY o_orderstatus", spark
+            )
+        ).collect()
+        assert [r.o_orderstatus for r in rows] == ["F", "O", "P"]
+        assert sum(r.n for r in rows) == spark.sql(
+            dialect.transpile_statement(
+                "SELECT count(*) AS n FROM prev.base_orders", spark
+            )
+        ).collect()[0][0]
+        assert dialect.transpile_statement("DETACH prev", spark) == ""
+        # a non-warehouse path must stay loud, never silently attach
+        out = dialect.transpile_statement(
+            f"ATTACH '{tmp_path}/nope.duckdb' AS x", spark
+        )
+        assert out.upper().startswith("ATTACH")
+    finally:
+        dialect.reset_attached(spark)
+        dialect.reset_macros(spark)
