@@ -29,9 +29,11 @@ rewrites the purely syntactic gaps so those models run unchanged:
 - ``CREATE [OR REPLACE] [TEMP] MACRO`` (scalar and TABLE) → registered
   per session and expanded inline at call sites (DuckDB's own bind-time
   behavior); the CREATE statement itself transpiles to ``""``
-- ``ATTACH '<warehouse-dir>' AS alias`` / ``DETACH alias`` → cataloged
-  models register as ``alias__model`` views and ``alias.model``
-  references rewrite to them; non-warehouse paths stay loud
+- ``ATTACH '<warehouse-dir | file.duckdb>' AS alias`` / ``DETACH`` →
+  warehouse models (or a real DuckDB file's tables+views, exported once
+  to a local parquet cache) register as ``alias__model`` views and
+  ``alias.model`` references rewrite to them; unreadable paths stay
+  loud
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -1561,6 +1563,54 @@ def reset_attached(spark=None) -> None:
     _attached_for(spark).clear()
 
 
+def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
+    """Attach a REAL DuckDB database file — the reference's own
+    persistence format (main.rs:126-132): every table and view exports
+    once through DuckDB to a content-addressed local parquet cache
+    (keyed on path + mtime, so re-ATTACH after a file change
+    re-exports) and registers as an ``alias__name`` Spark view. The
+    export is a one-time driver-local bridge — afterwards Spark scans
+    parquet natively with pushdown/pruning; bounded by local disk, the
+    honest limit of bridging an in-process single-file engine into a
+    distributed one. Returns None when the file is not a readable
+    DuckDB database (caller leaves the statement loud)."""
+    import hashlib as _hl
+    import os as _os
+
+    try:
+        import duckdb
+    except Exception:  # pragma: no cover
+        return None
+    try:
+        con = duckdb.connect(path, read_only=True)
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main' ORDER BY table_name"
+            ).fetchall()
+        ]
+    except Exception:
+        return None
+    key = f"{_os.path.abspath(path)}|{_os.path.getmtime(path)}"
+    cache = _os.path.join(
+        "/tmp/arnab_spark_attach", _hl.sha256(key.encode()).hexdigest()[:20]
+    )
+    _os.makedirs(cache, exist_ok=True)
+    out: list[str] = []
+    for name in names:
+        dest = _os.path.join(cache, f"{name}.parquet")
+        if not _os.path.exists(dest):
+            quoted = name.replace('"', '""')
+            con.execute(
+                f'COPY (SELECT * FROM "{quoted}") TO \'{dest}\' (FORMAT PARQUET)'
+            )
+        spark.read.parquet(dest).createOrReplaceTempView(f"{alias}__{name}")
+        out.append(name)
+    con.close()
+    return out
+
+
 def _rewrite_attached_refs(sql: str, attached: dict[str, set[str]]) -> str:
     """``alias.model`` → ``alias__model`` for every (alias, model) pair
     actually attached — quote-aware, whole-word both sides, so a table
@@ -1877,13 +1927,18 @@ def transpile_statement(sql: str, spark=None) -> str:
         from arnab_spark.catalog import CATALOG_FILE, attach_warehouse
 
         path, alias = am.group(1), am.group(2)
-        if not _os.path.isfile(_os.path.join(path, CATALOG_FILE)):
-            # not an arnab-spark warehouse (e.g. a real .duckdb file):
-            # leave the statement → Spark rejects ATTACH loudly
-            return sql
-        ids = attach_warehouse(spark, path, prefix=f"{alias}__")
-        _attached_for(spark)[alias.lower()] = {i.lower() for i in ids}
-        return ""
+        if _os.path.isfile(_os.path.join(path, CATALOG_FILE)):
+            ids = attach_warehouse(spark, path, prefix=f"{alias}__")
+            _attached_for(spark)[alias.lower()] = {i.lower() for i in ids}
+            return ""
+        if _os.path.isfile(path):
+            ids = _attach_duckdb_file(spark, path, alias)
+            if ids is not None:
+                _attached_for(spark)[alias.lower()] = {i.lower() for i in ids}
+                return ""
+        # neither a warehouse nor a readable DuckDB file: leave the
+        # statement → Spark rejects ATTACH loudly
+        return sql
     dm = _DETACH_STMT.match(sql)
     if dm is not None and spark is not None:
         alias = dm.group(1).lower()

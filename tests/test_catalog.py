@@ -158,3 +158,35 @@ def test_attach_statement_namespaces_warehouse_models(spark, tmp_path):
     finally:
         dialect.reset_attached(spark)
         dialect.reset_macros(spark)
+
+
+def test_attach_real_duckdb_file(spark, tmp_path):
+    """ATTACH of the reference's own persistence format — a .duckdb
+    database file: its tables AND views export once to a local parquet
+    cache and register as alias__name Spark views; values must match
+    what DuckDB reads from the same file."""
+    import duckdb
+
+    from arnab_spark import dialect
+
+    db = str(tmp_path / "legacy.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE items AS SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, name)")
+    con.execute("CREATE VIEW big_items AS SELECT * FROM items WHERE id > 1")
+    con.close()
+    dialect.reset_attached(spark)
+    try:
+        assert dialect.transpile_statement(f"ATTACH '{db}' AS legacy", spark) == ""
+        rows = spark.sql(
+            dialect.transpile_statement(
+                "SELECT id, name FROM legacy.items ORDER BY id", spark
+            )
+        ).collect()
+        assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+        view_rows = spark.sql(
+            dialect.transpile_statement("SELECT name FROM legacy.big_items", spark)
+        ).collect()
+        assert [r.name for r in view_rows] == ["b"]
+        assert dialect.transpile_statement("DETACH legacy", spark) == ""
+    finally:
+        dialect.reset_attached(spark)
