@@ -34,6 +34,7 @@ rewrites the purely syntactic gaps so those models run unchanged:
   to a local parquet cache) register as ``alias__model`` views and
   ``alias.model`` references rewrite to them; unreadable paths stay
   loud
+- ``SUMMARIZE <rel>`` → generated per-column stats in DuckDB's layout
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -1611,6 +1612,63 @@ def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
     return out
 
 
+_SUMMARIZE_STMT = re.compile(r"(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$")
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+
+def _rewrite_summarize(sql: str, spark) -> str:
+    """DuckDB's ``SUMMARIZE <table | (query)>`` → a generated per-column
+    aggregate UNION in DuckDB's exact column layout (column_name,
+    column_type, min, max, approx_unique, avg, std, q25/q50/q75, count,
+    null_percentage). min/max/avg/std/quantiles render as strings like
+    DuckDB's output; distinct counts are approximate in BOTH engines
+    (HLL), so this statement's contract is inspection, not hash
+    equality. Needs a session to resolve the relation's schema;
+    without one the statement stays loud."""
+    m = _SUMMARIZE_STMT.match(sql)
+    if not m or spark is None:
+        return sql
+    rel = m.group(1).strip()
+    rel_sql = (
+        _strip_outer_parens(rel) if rel.startswith("(") else f"SELECT * FROM {rel}"
+    )
+    try:
+        fields = spark.sql(f"SELECT * FROM ({rel_sql}) __arnab_sz WHERE 1=0").schema
+    except Exception:
+        return sql  # unresolvable relation: leave → loud
+    parts = []
+    for f in fields:
+        c = f"`{f.name}`"
+        t = f.dataType.simpleString()
+        is_num = t.lower().startswith(_NUMERIC_PREFIXES)
+        num = (
+            f"CAST(avg({c}) AS STRING) AS avg, "
+            f"CAST(stddev({c}) AS STRING) AS std, "
+            f"CAST(percentile_approx({c}, 0.25) AS STRING) AS q25, "
+            f"CAST(percentile_approx({c}, 0.5) AS STRING) AS q50, "
+            f"CAST(percentile_approx({c}, 0.75) AS STRING) AS q75, "
+            if is_num
+            else (
+                "CAST(NULL AS STRING) AS avg, CAST(NULL AS STRING) AS std, "
+                "CAST(NULL AS STRING) AS q25, CAST(NULL AS STRING) AS q50, "
+                "CAST(NULL AS STRING) AS q75, "
+            )
+        )
+        parts.append(
+            f"SELECT '{f.name}' AS column_name, '{t}' AS column_type, "
+            f"CAST(min({c}) AS STRING) AS min, CAST(max({c}) AS STRING) AS max, "
+            f"approx_count_distinct({c}) AS approx_unique, "
+            f"{num}"
+            f"count(*) AS count, "
+            f"CAST(100.0 * (count(*) - count({c})) / greatest(count(*), 1) AS DOUBLE) "
+            f"AS null_percentage "
+            f"FROM ({rel_sql}) __arnab_sz"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def _rewrite_attached_refs(sql: str, attached: dict[str, set[str]]) -> str:
     """``alias.model`` → ``alias__model`` for every (alias, model) pair
     actually attached — quote-aware, whole-word both sides, so a table
@@ -1953,6 +2011,7 @@ def transpile_statement(sql: str, spark=None) -> str:
         sql = _rewrite_attached_refs(sql, attached)
     if macros:
         sql = _expand_macros(sql, macros)
+    sql = _rewrite_summarize(sql, spark)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first_arms(sql)

@@ -635,3 +635,24 @@ def test_copy_partition_by_hive_layout(spark, con, tmp_path):
     expected["o_orderstatus"] = expected["o_orderstatus"].astype(str)
     r = compare_frames("copy_partitioned", back, expected)
     assert r.ok, str(r)
+
+
+def test_summarize_statement_layout_and_values(spark, con):
+    """SUMMARIZE maps to a generated per-column aggregate in DuckDB's
+    exact column layout. Exact fields (column_name, min/max, count,
+    null_percentage) must equal DuckDB's; approx_unique is approximate
+    in BOTH engines (HLL) so only its presence is asserted. Sessionless
+    transpile stays loud."""
+    _views(spark)
+    stmt = "SUMMARIZE (SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders)"
+    got = spark.sql(transpile_statement(stmt, spark)).toPandas().set_index("column_name")
+    exp = con.execute(stmt).fetchdf().set_index("column_name")
+    assert list(got.columns) == list(exp.columns)
+    assert set(got.index) == set(exp.index)
+    for col in exp.index:
+        assert str(got.loc[col, "min"]) == str(exp.loc[col, "min"])
+        assert str(got.loc[col, "max"]) == str(exp.loc[col, "max"])
+        assert int(got.loc[col, "count"]) == int(exp.loc[col, "count"])
+        assert float(got.loc[col, "null_percentage"]) == float(exp.loc[col, "null_percentage"])
+        assert int(got.loc[col, "approx_unique"]) > 0
+    assert transpile_statement(stmt).upper().startswith("SUMMARIZE")
