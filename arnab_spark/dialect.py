@@ -1738,21 +1738,29 @@ def _parse_create_macro(sql: str):
     if depth:
         return None
     raw_params = sql[m.end(): i - 1].strip()
-    params = (
-        [p.strip() for p in _split_top_level_commas(raw_params)] if raw_params else []
-    )
-    if any(not re.match(r"^[A-Za-z_]\w*$", p) for p in params):
-        return None  # default params / exotic shapes: leave → loud
+    params: list[tuple[str, str | None]] = []
+    for p in _split_top_level_commas(raw_params) if raw_params else []:
+        p = p.strip()
+        dm = re.match(r"(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$", p)
+        if dm:
+            params.append((dm.group(1), dm.group(2).strip()))
+        elif re.match(r"^[A-Za-z_]\w*$", p):
+            params.append((p, None))
+        else:
+            return None  # exotic parameter shapes: leave → loud
     am = re.match(r"(?is)^\s*AS\s+(TABLE\s+)?(.*)$", sql[i:], re.DOTALL)
     if not am:
         return None
     return name, params, am.group(2).strip().rstrip(";").strip(), bool(am.group(1)), is_temp
 
 
-def _replace_param(body: str, param: str, arg: str) -> str:
-    """Whole-word, quote-aware substitution of ``param`` with ``(arg)``
-    — skipping qualified references (``t.param`` is a column of t, not
-    the parameter, exactly as DuckDB binds macro bodies)."""
+def _replace_params(body: str, values: dict[str, str]) -> str:
+    """Whole-word, quote-aware SIMULTANEOUS substitution of every
+    parameter in ``values`` (lowercased name → argument text) with its
+    parenthesized argument — one pass, so an argument that itself names
+    another parameter is never re-substituted (classic capture), and
+    qualified references (``t.param`` is a column of t) are skipped,
+    exactly as DuckDB binds macro bodies."""
     out: list[str] = []
     quote: str | None = None
     i, n = 0, len(body)
@@ -1775,7 +1783,8 @@ def _replace_param(body: str, param: str, arg: str) -> str:
                 j += 1
             tok = body[i:j]
             prev = out[-1] if out else ""
-            if tok.lower() == param.lower() and prev != ".":
+            arg = values.get(tok.lower())
+            if arg is not None and prev != ".":
                 out.append(f"({arg})")
             else:
                 out.append(tok)
@@ -1786,9 +1795,49 @@ def _replace_param(body: str, param: str, arg: str) -> str:
     return "".join(out)
 
 
+def _bind_macro_args(
+    params: list, args: list[str]
+) -> dict[str, str] | None:
+    """Bind call arguments to macro parameters: positionals fill
+    left-to-right, ``name := value`` named args fill/override by name
+    (DuckDB's rule for defaulted parameters), declared defaults fill the
+    rest. Returns lowercased name → argument text, or None when the
+    call cannot bind (left in place → loud)."""
+    # registry round-trips through JSON (warehouse persistence), so a
+    # param may arrive as a 2-list instead of a tuple
+    norm = [(p[0], p[1]) if not isinstance(p, str) else (p, None) for p in params]
+    names = [n.lower() for n, _ in norm]
+    positional: list[str] = []
+    named: dict[str, str] = {}
+    for a in args:
+        nm = re.match(r"(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$", a.strip())
+        if nm:
+            named[nm.group(1).lower()] = nm.group(2).strip()
+        elif named:
+            return None  # positional after named
+        else:
+            positional.append(a.strip())
+    # DuckDB's binder rules, verified empirically on the pinned build:
+    # positional args bind EXACTLY the non-default parameters (passing
+    # a default param positionally is a Binder Error), and named args
+    # may name ONLY defaulted parameters.
+    required = [n.lower() for n, d in norm if d is None]
+    defaulted = {n.lower(): d for n, d in norm if d is not None}
+    if len(positional) != len(required):
+        return None
+    values: dict[str, str] = dict(zip(required, positional))
+    for k, v in named.items():
+        if k not in defaulted or k in values:
+            return None
+        values[k] = v
+    for k, d in defaulted.items():
+        values.setdefault(k, d)
+    return values
+
+
 def _expand_macros(sql: str, macros: dict) -> str:
     """Inline every registered macro call (rescanning, so macros may
-    call macros; 50-round guard). A call whose argument count mismatches
+    call macros; 50-round guard). A call that cannot bind its arguments
     is left in place → Spark reports an unresolved function loudly."""
     guard = 0
     while guard < 50:
@@ -1824,12 +1873,11 @@ def _expand_macros(sql: str, macros: dict) -> str:
                     break
                 raw_args = sql[m.end(): i - 1].strip()
                 args = _split_top_level_commas(raw_args) if raw_args else []
-                if len(args) != len(params):
+                values = _bind_macro_args(params, args)
+                if values is None:
                     pos = m.end()
                     continue
-                subst = body
-                for p, a in zip(params, args):
-                    subst = _replace_param(subst, p, a.strip())
+                subst = _replace_params(body, values)
                 sql = sql[: m.start()] + f"({subst})" + sql[i:]
                 replaced = True
                 break

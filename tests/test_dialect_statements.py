@@ -416,8 +416,15 @@ def test_create_macro_qualified_and_mismatched_calls_left_loud(spark):
         assert transpile_statement("CREATE MACRO f(x) AS x + 1") == ""
         assert "f(" in transpile_statement("SELECT f(1, 2) AS v")  # mismatch: untouched
         assert transpile_statement("SELECT t.f FROM t") == "SELECT t.f FROM t"
-        # default parameters are out of conservative reach: loud passthrough
-        assert transpile_statement("CREATE MACRO g(p := 1) AS p").startswith("CREATE MACRO")
+        # default parameters (round 4): DuckDB's binder rules exactly —
+        # named args fill defaults; positional-for-default stays loud
+        assert transpile_statement("CREATE MACRO g(a, p := 10) AS a + p") == ""
+        assert transpile_statement("SELECT g(3) AS v") == "SELECT ((3) + (10)) AS v"
+        assert transpile_statement("SELECT g(3, p := 1) AS v") == "SELECT ((3) + (1)) AS v"
+        assert "g(" in transpile_statement("SELECT g(3, 1) AS v")  # positional-for-default: loud
+        # an argument naming ANOTHER parameter must not be re-substituted
+        assert transpile_statement("CREATE MACRO h(a, b) AS a + b") == ""
+        assert transpile_statement("SELECT h(b, 2) AS v FROM t") == "SELECT ((b) + (2)) AS v FROM t"
     finally:
         dialect.reset_macros()
 
