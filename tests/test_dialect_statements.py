@@ -593,8 +593,10 @@ def test_epoch_and_datediff_day_parity(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
-    # non-day units: left untouched → loud
-    assert "date_diff" in transpile_statement("SELECT date_diff('month', a, b) FROM t")
+    # round-4 widening: calendar/sub-day units expand to verified
+    # boundary-crossing arithmetic; unverified units (week) stay loud
+    assert "year(b)" in transpile_statement("SELECT date_diff('month', a, b) FROM t")
+    assert "date_diff" in transpile_statement("SELECT date_diff('week', a, b) FROM t")
 
 
 def test_read_parquet_file_list(spark, con):
@@ -663,3 +665,27 @@ def test_summarize_statement_layout_and_values(spark, con):
         assert float(got.loc[col, "null_percentage"]) == float(exp.loc[col, "null_percentage"])
         assert int(got.loc[col, "approx_unique"]) > 0
     assert transpile_statement(stmt).upper().startswith("SUMMARIZE")
+
+
+def test_date_diff_all_units_match_duckdb(spark, con):
+    """3-arg date_diff across every supported unit: DuckDB counts
+    boundary crossings, and each unit's integer-arithmetic expansion
+    must agree exactly (incl. the calendar units months_between would
+    get WRONG: Jan-31 → Feb-01 is one month boundary)."""
+    pairs = [
+        ("1997-01-31 23:59:59", "1997-02-01 00:00:01"),
+        ("2001-12-31 23:00:00", "2002-01-01 01:00:00"),
+        ("1999-03-28 10:15:00", "1995-11-02 23:45:30"),
+        ("2000-06-15 00:00:00", "2000-06-15 00:00:00"),
+    ]
+    units = ("day", "month", "year", "quarter", "hour", "minute",
+             "second", "millisecond", "microsecond")
+    for a, b in pairs:
+        for unit in units:
+            q = (
+                f"SELECT CAST(date_diff('{unit}', TIMESTAMP '{a}', "
+                f"TIMESTAMP '{b}') AS BIGINT) AS v"
+            )
+            exp = con.execute(q).fetchone()[0]
+            got = spark.sql(transpile_statement(q)).collect()[0][0]
+            assert int(got) == int(exp), (unit, a, b, got, exp)
