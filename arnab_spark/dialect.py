@@ -437,6 +437,15 @@ _STRF_MAP = {
     "A": "EEEE",
     "b": "MMM",
     "B": "MMMM",
+    # %-X no-padding variants: Java's single pattern letter means
+    # minimum-width (no zero pad) — verified equal output
+    "-d": "d",
+    "-m": "M",
+    "-H": "H",
+    "-I": "h",
+    "-M": "m",
+    "-S": "s",
+    "-j": "D",
 }
 
 
@@ -463,6 +472,11 @@ def _c_format_to_java(fmt: str) -> str | None:
             if i + 1 >= n:
                 return None
             code = fmt[i + 1]
+            if code == "-" and i + 2 < n and ("-" + fmt[i + 2]) in _STRF_MAP:
+                flush()
+                out.append(_STRF_MAP["-" + fmt[i + 2]])
+                i += 3
+                continue
             if code == "%":
                 lit.append("%")
             elif code in _STRF_MAP:

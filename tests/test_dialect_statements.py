@@ -568,8 +568,11 @@ def test_strftime_strptime_literal_formats(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
-    # unmapped directive (%-d: no-padding) and dynamic formats: loud
-    assert "strftime" in transpile_statement("SELECT strftime(ts, '%-d') FROM t")
+    # no-padding %-X directives map to Java's min-width single letters
+    out = transpile_statement("SELECT strftime(ts, '%-d/%-m') FROM t")
+    assert "date_format(ts, 'd/M')" in out
+    # unmapped directives and dynamic formats: loud
+    assert "strftime" in transpile_statement("SELECT strftime(ts, '%U') FROM t")
     assert "strftime" in transpile_statement("SELECT strftime(ts, fmt) FROM t")
 
 
