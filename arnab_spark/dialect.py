@@ -551,7 +551,18 @@ def _datediff_units(a: list[str]) -> str | None:
         inner = f"FLOOR({us(e)} / 1000) - FLOOR({us(s)} / 1000)"
     elif unit in ("microsecond", "microseconds", "us"):
         inner = f"{us(e)} - {us(s)}"
-    else:  # week/decade/century/…: unverified boundary rules stay loud
+    elif unit in ("decade", "decades"):
+        inner = f"FLOOR(year({e}) / 10) - FLOOR(year({s}) / 10)"
+    elif unit in ("century", "centuries"):
+        inner = f"FLOOR(year({e}) / 100) - FLOOR(year({s}) / 100)"
+    elif unit in ("millennium", "millennia"):
+        inner = f"FLOOR(year({e}) / 1000) - FLOOR(year({s}) / 1000)"
+    else:
+        # 'week' stays loud DELIBERATELY: probing the pinned DuckDB
+        # shows its week diff is asymmetric across the 1970 epoch
+        # (date_diff('week', a, b) != -date_diff('week', b, a) for
+        # epoch-crossing spans — trunc-vs-floor artifacts in its own
+        # arithmetic), so there is no consistent contract to match.
         return None
     return f"CAST(({inner}) AS BIGINT)"
 

@@ -682,7 +682,8 @@ def test_date_diff_all_units_match_duckdb(spark, con):
         ("2000-06-15 00:00:00", "2000-06-15 00:00:00"),
     ]
     units = ("day", "month", "year", "quarter", "hour", "minute",
-             "second", "millisecond", "microsecond")
+             "second", "millisecond", "microsecond", "decade", "century",
+             "millennium")
     for a, b in pairs:
         for unit in units:
             q = (
