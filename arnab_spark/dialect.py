@@ -1902,9 +1902,12 @@ def _expand_macros(sql: str, macros: dict) -> str:
                 m = pat.search(sql, pos)
                 if not m:
                     break
-                # reject call sites inside quotes or qualified (x.name())
-                before = sql[: m.start()]
-                if before.count("'") % 2 or before.rstrip().endswith("."):
+                # reject call sites inside quoted regions (span-exact,
+                # not quote-parity — '' escapes would fool parity) or
+                # qualified (x.name())
+                if any(
+                    s0 <= m.start() <= e0 for s0, e0 in _quoted_spans(sql)
+                ) or sql[: m.start()].rstrip().endswith("."):
                     pos = m.end()
                     continue
                 depth, i, quote = 1, m.end(), None
