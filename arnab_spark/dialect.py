@@ -337,6 +337,28 @@ def _rewrite_list_functions(sql: str) -> str:
     return _LIST_FN.sub(lambda m: _LIST_FN_MAP[m.group(1).lower()] + m.group(2), sql)
 
 
+_UNNEST_CALL = re.compile(r"(?is)\bunnest\s*\(")
+
+
+def _rewrite_single_unnest(sql: str) -> str:
+    """``unnest(x)`` → ``explode(x)`` — but ONLY when the statement
+    contains exactly one unnest call outside quotes. Multiple unnests
+    in one select ZIP positionally in DuckDB while multiple explodes
+    CARTESIAN-product in Spark 4 (verified both) — a silent-wrongness
+    trap, so multi-unnest statements are left whole for Spark to
+    reject as an unresolved routine."""
+    spans = _quoted_spans(sql)
+    sites = [
+        m
+        for m in _UNNEST_CALL.finditer(sql)
+        if not any(s <= m.start() <= e for s, e in spans)
+    ]
+    if len(sites) != 1:
+        return sql
+    m = sites[0]
+    return sql[: m.start()] + "explode(" + sql[m.end():]
+
+
 def _call_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
     """Top-level argument list of the call whose ``(`` sits at
     ``open_paren``; returns (args, index_after_close) or None when the
@@ -2126,6 +2148,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_single_unnest(sql)
     sql = _rewrite_string_split(sql)
     sql = _rewrite_copy(sql, spark)
     sql = _rewrite_unpivot(sql)

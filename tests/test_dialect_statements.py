@@ -693,3 +693,18 @@ def test_date_diff_all_units_match_duckdb(spark, con):
             exp = con.execute(q).fetchone()[0]
             got = spark.sql(transpile_statement(q)).collect()[0][0]
             assert int(got) == int(exp), (unit, a, b, got, exp)
+
+
+def test_unnest_maps_to_explode(spark, con):
+    """Single select-list unnest ≡ explode, differentially. Multiple
+    unnests ZIP in DuckDB but multiple explodes CARTESIAN-product in
+    Spark 4 (verified both) — so multi-unnest statements are NOT
+    rewritten and fail as unresolved routines, never silently."""
+    sql = (
+        "SELECT v FROM (SELECT unnest([10, 20, 30]) AS v) t ORDER BY v"
+    )
+    got = [r.v for r in spark.sql(transpile_statement(sql)).collect()]
+    exp = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == exp == [10, 20, 30]
+    multi = transpile_statement("SELECT unnest([1,2]) AS a, unnest([3,4]) AS b")
+    assert multi.lower().count("unnest") == 2  # left whole -> loud
