@@ -537,6 +537,42 @@ _ARG_CALL_REWRITES["strftime"] = (2, _strf_rewrite("date_format"))
 _ARG_CALL_REWRITES["strptime"] = (2, _strf_rewrite("to_timestamp"))
 
 
+def _substr_zero(a: list[str]) -> str | None:
+    """Postgres/DuckDB ``substr(s, 0, n)`` counts position 0 against the
+    length (result 'ab' for ('abcdef', 0, 3)) while Spark clamps 0 to 1
+    (result 'abc') — rewrite the literal-zero case; other starts agree
+    (1-based, negative = from the end, both engines)."""
+    if a[1].strip() != "0":
+        return None
+    if len(a) == 2:
+        return f"substr({a[0]}, 1)"
+    return f"substr({a[0]}, 1, greatest(({a[2]}) - 1, 0))"
+
+
+_ARG_CALL_REWRITES["substr"] = ((2, 3), _substr_zero)
+_ARG_CALL_REWRITES["substring"] = ((2, 3), _substr_zero)
+
+
+def _left_right_negative(side: str):
+    """DuckDB's negative count drops |n| characters from the OTHER end
+    (left('abc', -1) = 'ab'); Spark returns ''. Rewritten for integer
+    literals; dynamic counts keep Spark's semantics (documented)."""
+
+    def build(a: list[str]) -> str | None:
+        lit = a[1].strip()
+        if not re.match(r"^-\d+$", lit):
+            return None
+        if side == "left":
+            return f"substr({a[0]}, 1, greatest(length({a[0]}) + ({lit}), 0))"
+        return f"substr({a[0]}, 1 - ({lit}))"
+
+    return build
+
+
+_ARG_CALL_REWRITES["left"] = (2, _left_right_negative("left"))
+_ARG_CALL_REWRITES["right"] = (2, _left_right_negative("right"))
+
+
 def _datediff_units(a: list[str]) -> str | None:
     """DuckDB 3-arg date_diff/datediff counts BOUNDARY CROSSINGS per
     unit — not elapsed intervals, so Spark's months_between /
@@ -614,7 +650,8 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
             return sql
         args, end = parsed
         arity, build = _ARG_CALL_REWRITES[m.group(1).lower()]
-        repl = build(args) if len(args) == arity else None
+        arities = arity if isinstance(arity, tuple) else (arity,)
+        repl = build(args) if len(args) in arities else None
         if repl is None:  # arity mismatch / untranslatable: leave, loud
             pos = m.end()
             continue

@@ -708,3 +708,28 @@ def test_unnest_maps_to_explode(spark, con):
     assert got == exp == [10, 20, 30]
     multi = transpile_statement("SELECT unnest([1,2]) AS a, unnest([3,4]) AS b")
     assert multi.lower().count("unnest") == 2  # left whole -> loud
+
+
+def test_substr_zero_and_negative_left_right(spark, con):
+    """Edge semantics found by the round-4 shared-name audit:
+    substr(s, 0, n) counts position 0 against the length in DuckDB
+    (Spark clamps to 1), and negative left/right counts drop from the
+    other end (Spark returns '') — literal cases rewritten, verified
+    differentially; the agreeing cases (negative substr starts) pass
+    through."""
+    cases = [
+        "substr('abcdef', 0, 3)",
+        "substr('abcdef', 0)",
+        "substr('abcdef', -2, 2)",
+        "substr('abcdef', 2, 3)",
+        "left('abc', -1)",
+        "left('abc', 2)",
+        "right('abc', -1)",
+        "right('abcdef', -10)",
+        "left('abc', -10)",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
