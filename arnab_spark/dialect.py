@@ -327,6 +327,8 @@ _LIST_FN_MAP = {
     # caveat as everywhere: patterns are the Java∩RE2 common subset)
     "strpos": "instr",
     "regexp_matches": "regexp_like",
+    # ISO week number in both engines (edge 2018-12-31 -> 1 verified)
+    "week": "weekofyear",
 }
 _LIST_FN = re.compile(
     r"\b(" + "|".join(_LIST_FN_MAP) + r")(\s*\()", re.IGNORECASE
@@ -571,6 +573,44 @@ def _left_right_negative(side: str):
 
 _ARG_CALL_REWRITES["left"] = (2, _left_right_negative("left"))
 _ARG_CALL_REWRITES["right"] = (2, _left_right_negative("right"))
+
+# Day-numbering parity (round-4 audit): DuckDB dayofweek/'dow' is
+# Sunday=0..Saturday=6 while Spark's is Sunday=1..7 — a weekend filter
+# like `dayofweek(d) IN (0, 6)` silently selects Friday+Saturday on
+# Spark. Replacements spell the shifted value via extract/weekday so
+# the rescan loop cannot re-match them.
+_ARG_CALL_REWRITES["dayofweek"] = (
+    1,
+    lambda a: f"(extract(DOW FROM {a[0]}) - 1)",
+)
+_ARG_CALL_REWRITES["isodow"] = (
+    1,
+    lambda a: f"(weekday({a[0]}) + 1)",  # Mon=1..Sun=7 in DuckDB
+)
+_ARG_CALL_REWRITES["monthname"] = (
+    1,
+    lambda a: f"date_format({a[0]}, 'MMMM')",
+)
+_ARG_CALL_REWRITES["dayname"] = (
+    1,
+    lambda a: f"date_format({a[0]}, 'EEEE')",
+)
+
+
+def _date_part_fields(a: list[str]) -> str | None:
+    m = _PLAIN_STR_LIT.match(a[0])
+    if not m:
+        return None
+    field = m.group(1).lower()
+    if field in ("dow", "dayofweek", "weekday"):
+        return f"(extract(DOW FROM {a[1]}) - 1)"
+    if field == "isodow":
+        return f"(weekday({a[1]}) + 1)"
+    return None  # every other field verified value-identical — passthrough
+
+
+_ARG_CALL_REWRITES["date_part"] = (2, _date_part_fields)
+_ARG_CALL_REWRITES["datepart"] = (2, _date_part_fields)
 
 
 def _datediff_units(a: list[str]) -> str | None:

@@ -733,3 +733,26 @@ def test_substr_zero_and_negative_left_right(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+
+
+def test_day_numbering_parity(spark, con):
+    """DuckDB dayofweek/'dow' is Sunday=0..6, Spark's Sunday=1..7 — a
+    weekend filter would silently shift a day without the rewrite.
+    isodow (Mon=1..Sun=7), monthname/dayname and ISO week also map."""
+    cases = [
+        "dayofweek(DATE '2024-03-10')",   # Sunday: 0 in DuckDB
+        "dayofweek(DATE '2024-03-09')",   # Saturday: 6
+        "isodow(DATE '2024-03-10')",      # Sunday: 7
+        "isodow(DATE '2024-03-04')",      # Monday: 1
+        "date_part('dow', DATE '2024-03-10')",
+        "date_part('isodow', DATE '2024-03-10')",
+        "monthname(DATE '2024-03-07')",
+        "dayname(DATE '2024-03-07')",
+        "week(DATE '2018-12-31')",        # ISO edge: week 1 of 2019
+        "date_part('doy', DATE '2024-03-07')",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert str(got) == str(exp), f"{expr}: spark={got!r} duck={exp!r}"
