@@ -329,6 +329,10 @@ _LIST_FN_MAP = {
     "regexp_matches": "regexp_like",
     # ISO week number in both engines (edge 2018-12-31 -> 1 verified)
     "week": "weekofyear",
+    # string length; DuckDB's len() also covers lists, where Spark's
+    # length() rejects arrays loudly — never a silent divergence
+    "strlen": "length",
+    "len": "length",
 }
 _LIST_FN = re.compile(
     r"\b(" + "|".join(_LIST_FN_MAP) + r")(\s*\()", re.IGNORECASE
@@ -611,6 +615,16 @@ def _date_part_fields(a: list[str]) -> str | None:
 
 _ARG_CALL_REWRITES["date_part"] = (2, _date_part_fields)
 _ARG_CALL_REWRITES["datepart"] = (2, _date_part_fields)
+
+# count of distinct non-null elements; NULL in → NULL, [] → 0
+# (all three cases verified against the pinned DuckDB)
+for _name in ("list_unique", "array_unique"):
+    _ARG_CALL_REWRITES[_name] = (
+        1,
+        lambda a: (
+            f"size(array_distinct(filter({a[0]}, __ae -> __ae IS NOT NULL)))"
+        ),
+    )
 
 
 def _datediff_units(a: list[str]) -> str | None:

@@ -756,3 +756,20 @@ def test_day_numbering_parity(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert str(got) == str(exp), f"{expr}: spark={got!r} duck={exp!r}"
+
+
+def test_strlen_len_list_unique(spark, con):
+    """strlen/len → length (strings; DuckDB's list-capable len stays
+    loud for arrays on Spark), list_unique/array_unique → distinct
+    non-null count with DuckDB's NULL-in/empty contract."""
+    for expr in [
+        "strlen('abcd')",
+        "len('ab')",
+        "CAST(list_unique([1,1,2,NULL]) AS BIGINT)",
+        "CAST(list_unique([]) AS BIGINT)",
+        "CAST(array_unique([5,5]) AS BIGINT)",
+    ]:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert str(got) == str(exp), f"{expr}: spark={got!r} duck={exp!r}"
