@@ -81,61 +81,92 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: Queries whose LATEST driver evidence is round 1 (computed from the
-#: CORRECTNESS_r0{1,2,3}.json union during r4 planning — latest round
-#: wins per query). The first three were REWRITTEN in round 3, so their
-#: round-1 green rows predate the code; they lead the window.
-R04_STALEST_EVIDENCE = {
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "agg_arg_minmax",
-    "agg_count_distinct_multi",
-    "agg_count_star_zeroarg",
-    "agg_cube",
-    "agg_filter_clause",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_orders_per_product",
-    "agg_percentile_exact",
-    "agg_rollup",
-    "agg_salted_skew",
-    "agg_stats_exact",
-    "agg_string_agg",
-    "agg_unpivot",
-    "fn_datetime",
-    "fn_explode_unnest",
-    "fn_hash",
-    "fn_json",
-    "fn_map_higher_order",
-    "fn_math",
-    "fn_regex",
-    "fn_string",
-    "fn_struct_map",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_large_orders_customers",
-    "join_lateral",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_theta_range",
-    "join_using",
-    "join_volume_shipping",
+#: Queries whose LATEST driver evidence is round 2 (computed from the
+#: CORRECTNESS_r0{1..4}.json union during r5 planning — latest round
+#: wins per query). After the r05 run no registry query's evidence is
+#: older than two rounds.
+R05_STALEST_EVIDENCE = {
+    "agg_collect_set_array",
+    "agg_percentile_approx",
+    "agg_stats_native",
+    "ann_lsh_bucketed",
+    "case_coalesce",
+    "cast_try_cast",
+    "cte_chain",
+    "distinct_on",
+    "distinct_rows",
+    "filter_ilike_nullsafe",
+    "filter_predicates",
+    "fn_array",
+    "fn_array_higher_order",
+    "fn_math_native",
+    "fn_nondeterministic",
+    "in_subquery",
+    "intersect_except",
+    "intersect_except_all",
+    "join_min_cost_supplier",
+    "join_waiting_suppliers",
+    "order_limit_offset",
+    "order_nulls_first_last",
+    "qualify_topn_per_group",
+    "range_generator",
+    "range_join_bucketed",
+    "recursive_cte",
+    "rollup_time_hierarchy",
+    "scalar_subquery_correlated",
+    "select_exclude_replace",
+    "session_window_native",
+    "sliding_window",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "tumbling_window",
+    "union_all",
+    "union_distinct_by_name",
+    "values_inline",
+    "window_navigation",
+    "window_range_frame",
 }
 
 
-def test_r04_window_covers_all_stale_evidence_queries():
-    """An import reorder or window edit must not silently drop one of the
-    r01-evidence queries out of the checked window — slots 1-3 are the
-    round-3 rewrites whose driver evidence predates their code."""
-    assert list(CURATED_FIRST[:3]) == [
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_embedding_cosine",
+def test_r05_window_covers_never_run_and_stale_evidence_queries():
+    """Slots 1-2 are the round-4 additions that have never held a driver
+    slot (the r4 verdict's #1 ask); slots 8-47 are the entire remaining
+    round-2-evidence set, so after r05 no query's driver evidence is
+    older than two rounds."""
+    assert list(CURATED_FIRST[:2]) == [
+        "dedup_incremental",
+        "stream_session_counts_materialized",
     ]
-    assert set(CURATED_FIRST[:37]) == R04_STALEST_EVIDENCE
+    assert R05_STALEST_EVIDENCE <= set(CURATED_FIRST)
+
+
+def test_never_driver_verified_queries_hold_window_slots():
+    """THE never-run gate (round-4 verdict item 4): any registry query
+    with NO green row in any committed CORRECTNESS_r*.json must hold a
+    slot in the verification window. The source-hash gate below only
+    catches *changed* queries — this catches *new* ones, the exact hole
+    the two round-4 additions fell through."""
+    evidence: set[str] = set()
+    for f in sorted(os.listdir(REPO)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            with open(os.path.join(REPO, f)) as fh:
+                for name, row in json.load(fh).items():
+                    if (
+                        row.get("rows_match")
+                        and row.get("schema_match", True)
+                        and row.get("hash_match", True)
+                    ):
+                        evidence.add(name)
+    if not evidence:
+        pytest.skip("no correctness snapshot yet")
+    never_run = [
+        n for n in _REGISTRY if n not in evidence and n not in CURATED_FIRST
+    ]
+    assert not never_run, (
+        f"queries with no driver evidence in any CORRECTNESS_r*.json "
+        f"must be in CURATED_FIRST: {never_run}"
+    )
 
 
 # ---------------------------------------------------------------------
