@@ -266,3 +266,47 @@ def run_sessionize_stream(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_sessionize_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    dest: str,
+    checkpoint: str,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> None:
+    """:func:`stream_sessionize_timeout` → parquet file sink with a
+    checkpoint — the production persistence shape for the STATEFUL
+    session job, whose state (open sessions + event-time timers) is the
+    fragile kind across restarts. The checkpoint carries the state
+    store, the watermark, and the file-source progress; the file-sink
+    manifest gives exactly-once output. Restart parity is proven in
+    tests by a stop/extend/restart cycle against a single-pass run:
+    identical session BOUNDARIES (user, start, end, n_events) with no
+    duplicates. ``closed_by`` labels may legitimately differ across the
+    cut ("timeout" in the first run where a single pass would say
+    "gap"): a session that times out before the restart stays closed —
+    by construction an event landing after the cut is past the gap
+    anyway, so the boundaries are unaffected."""
+    from arnab_spark.spark_utils import configure, normalize_events_ts
+    from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
+
+    configure(spark)
+    stream = normalize_events_ts(
+        spark.readStream.schema(_EVENTS_SCHEMA).parquet(source_dir)
+    ).withWatermark("ts", watermark)
+    sessions = stream_sessionize_timeout(stream, gap_minutes)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # termination includes the timer-firing no-data batch
+        q.awaitTermination(600)
+    finally:
+        q.stop()

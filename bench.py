@@ -163,6 +163,28 @@ def main() -> None:
         conc.append(time.perf_counter() - start)
     concurrent_wall = round(min(conc), 4)
 
+    def _family_pass(qs: list[str], iters: int = 2):
+        """Warm each query once, then run the family ``iters`` times.
+        Returns (family wall clock = min over iterations of the summed
+        pass, per-query min timings) — per-query numbers so a regression
+        INSIDE a family pass is attributable, not just visible
+        (round-4 verdict item 8)."""
+        for n in qs:
+            _run(n)
+        walls = []
+        per: dict[str, float] = {}
+        for _ in range(iters):
+            t_pass = 0.0
+            for n in qs:
+                start = time.perf_counter()
+                _run(n)
+                dt = time.perf_counter() - start
+                t_pass += dt
+                if n not in per or dt < per[n]:
+                    per[n] = dt
+            walls.append(t_pass)
+        return round(min(walls), 4), {n: round(t, 4) for n, t in per.items()}
+
     # Training-data pipeline pass: the beyond-reference ops a 100 TB
     # corpus-prep job chains (split → quality filter → PII scrub →
     # stratified sample → sequence packing), timed as one sequential
@@ -174,15 +196,7 @@ def main() -> None:
         "sample_stratified",
         "text_pack_sequences",
     ]
-    for n in pipeline:
-        _run(n)
-    pipe = []
-    for _ in range(2):
-        start = time.perf_counter()
-        for n in pipeline:
-            _run(n)
-        pipe.append(time.perf_counter() - start)
-    pipeline_wall = round(min(pipe), 4)
+    pipeline_wall, pipeline_queries = _family_pass(pipeline)
 
     # Dedup / fingerprint family (round 3: all shuffle-free signature
     # extraction): the non-headline corpus-prep ops measured so plan
@@ -197,15 +211,7 @@ def main() -> None:
         "text_decontaminate",
         "text_boilerplate_ngrams",
     ]
-    for n in dedup_family:
-        _run(n)
-    dd = []
-    for _ in range(2):
-        start = time.perf_counter()
-        for n in dedup_family:
-            _run(n)
-        dd.append(time.perf_counter() - start)
-    dedup_family_wall = round(min(dd), 4)
+    dedup_family_wall, dedup_family_queries = _family_pass(dedup_family)
 
     # ANN / similarity family (round 4: Arrow-matmul knn + recall-grade
     # IVF config) — measured as its own pass so plan regressions in the
@@ -217,15 +223,7 @@ def main() -> None:
         "ann_ivf_recall",
         "ann_pq_adc",
     ]
-    for n in ann_family:
-        _run(n)
-    av = []
-    for _ in range(2):
-        start = time.perf_counter()
-        for n in ann_family:
-            _run(n)
-        av.append(time.perf_counter() - start)
-    ann_family_wall = round(min(av), 4)
+    ann_family_wall, ann_family_queries = _family_pass(ann_family)
 
     # TPC-H-shaped composite pass: the SAME 8 shapes benched since round
     # 1 (Q3/Q4/Q5/Q10/Q14/Q19/Q21/Q22 analogues), pinned by name so the
@@ -240,15 +238,7 @@ def main() -> None:
         "join_waiting_suppliers",
         "join_idle_rich_customers",
     ]
-    for n in tpch:
-        _run(n)
-    tp = []
-    for _ in range(2):
-        start = time.perf_counter()
-        for n in tpch:
-            _run(n)
-        tp.append(time.perf_counter() - start)
-    tpch_wall = round(min(tp), 4)
+    tpch_wall, tpch_queries = _family_pass(tpch)
     tpc = []
     for _ in range(2):
         start = time.perf_counter()
@@ -262,15 +252,7 @@ def main() -> None:
     # automatically. Reported separately from the pinned-8 metric above
     # precisely so growing this set can't masquerade as a regression.
     full22 = sorted(n for n, q in registry.items() if "tpch" in q.tags)
-    for n in full22:
-        _run(n)
-    fl = []
-    for _ in range(2):
-        start = time.perf_counter()
-        for n in full22:
-            _run(n)
-        fl.append(time.perf_counter() - start)
-    tpch_full_wall = round(min(fl), 4)
+    tpch_full_wall, tpch_full_queries = _family_pass(full22)
     flc = []
     for _ in range(2):
         start = time.perf_counter()
@@ -332,11 +314,16 @@ def main() -> None:
                 "session_warmup_sec": session_warmup,
                 "concurrent_wall_clock_4way": concurrent_wall,
                 "training_ops_wall_clock": pipeline_wall,
+                "training_ops_queries": pipeline_queries,
                 "dedup_family_wall_clock": dedup_family_wall,
+                "dedup_family_queries": dedup_family_queries,
                 "ann_family_wall_clock": ann_family_wall,
+                "ann_family_queries": ann_family_queries,
                 "tpch_composites_wall_clock": tpch_wall,
+                "tpch_composites_queries": tpch_queries,
                 "tpch_composites_concurrent_4way": tpch_concurrent,
                 "tpch_full22_wall_clock": tpch_full_wall,
+                "tpch_full22_queries": tpch_full_queries,
                 "tpch_full22_concurrent_4way": tpch_full_concurrent,
                 "tpch_full22_concurrent_8way": tpch_full_concurrent8,
                 "tpch_full22_n_queries": len(full22),
