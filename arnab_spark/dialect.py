@@ -536,7 +536,7 @@ def _strf_rewrite(spark_fn: str):
     for Spark to reject loudly."""
 
     def build(a: list[str]) -> str | None:
-        m = _PLAIN_STR_LIT.match(a[1])
+        m = _lit_match(a[1])
         if not m:
             return None
         java = _c_format_to_java(m.group(1))
@@ -622,7 +622,7 @@ _ARG_CALL_REWRITES["dayname"] = (
 
 
 def _date_part_fields(a: list[str]) -> str | None:
-    m = _PLAIN_STR_LIT.match(a[0])
+    m = _lit_match(a[0])
     if not m:
         return None
     field = m.group(1).lower()
@@ -656,6 +656,48 @@ def _extract_field(a: list[str]) -> str | None:
 
 _ARG_CALL_REWRITES["extract"] = (1, _extract_field)
 
+# DuckDB type names Spark spells differently in CAST position (round-5
+# composition fuzz: `CAST(x AS VARCHAR)` is idiomatic DuckDB but Spark's
+# bare VARCHAR demands a length). Value-identical mappings only:
+# DuckDB VARCHAR/TEXT ≡ Spark STRING, DuckDB BLOB/BYTEA ≡ Spark BINARY.
+# VARCHAR(n) stays untouched (Spark accepts it). Scope is CAST/TRY_CAST
+# and `::type` — DDL column types stay loud.
+_CAST_TYPE_MAP = {"varchar": "STRING", "text": "STRING", "blob": "BINARY", "bytea": "BINARY"}
+
+
+def _cast_type_rewrite(fn_name: str):
+    def build(a: list[str]) -> str | None:
+        m = re.match(r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", a[0])
+        if not m:
+            return None
+        repl = _CAST_TYPE_MAP.get(m.group(2).lower())
+        if repl is None:
+            return None  # every other type passes through (incl. STRING)
+        return f"{fn_name}({m.group(1)} AS {repl})"
+
+    return build
+
+
+_ARG_CALL_REWRITES["cast"] = (1, _cast_type_rewrite("CAST"))
+_ARG_CALL_REWRITES["try_cast"] = (1, _cast_type_rewrite("TRY_CAST"))
+
+_POSTFIX_CAST_TYPE = re.compile(
+    r"(?is)::\s*(varchar|text|blob|bytea)\b(?!\s*\()"
+)
+
+
+def _rewrite_postfix_cast_types(sql: str) -> str:
+    """``x::VARCHAR`` → ``x::STRING`` (same mapping as CAST, same
+    quote-awareness)."""
+    spans = _quoted_spans(sql)
+
+    def sub(m: re.Match) -> str:
+        if any(s <= m.start() <= e for s, e in spans):
+            return m.group(0)
+        return "::" + _CAST_TYPE_MAP[m.group(1).lower()]
+
+    return _POSTFIX_CAST_TYPE.sub(sub, sql)
+
 # count of distinct non-null elements; NULL in → NULL, [] → 0
 # (all three cases verified against the pinned DuckDB)
 for _name in ("list_unique", "array_unique"):
@@ -676,7 +718,7 @@ def _datediff_units(a: list[str]) -> str | None:
     via year/month/quarter components, sub-day units via floor-divided
     epoch micros. Unknown units stay loud. Note the argument flip:
     DuckDB is (unit, start, end)."""
-    m = _PLAIN_STR_LIT.match(a[0])
+    m = _lit_match(a[0])
     if not m:
         return None
     unit = m.group(1).lower()
@@ -1023,6 +1065,23 @@ _STRING_SPLIT = re.compile(r"\b(string_split|str_split|string_to_array)\s*\(", r
 _PLAIN_STR_LIT = re.compile(r"^\s*'([^'\\]*)'\s*$")
 
 
+def _lit_match(s: str):
+    """Match a plain string literal, seeing through redundant FULL-COVER
+    outer parens — macro expansion parenthesizes every spliced argument
+    (``date_diff((u), …)`` after ``u := 'day'`` binds), and a literal
+    wrapped in parens must still rewrite (round-5 composition fuzz
+    finding). ``('a') || ('b')`` style expressions survive untouched:
+    _strip_outer_parens only strips when the opening paren's match is
+    the final character."""
+    s = s.strip()
+    while True:
+        stripped = _strip_outer_parens(s).strip()
+        if stripped == s:
+            break
+        s = stripped
+    return _PLAIN_STR_LIT.match(s)
+
+
 def _rewrite_string_split(sql: str) -> str:
     """``string_split(x, 'sep')`` → ``split(x, '<regex-escaped sep>')``.
 
@@ -1058,7 +1117,7 @@ def _rewrite_string_split(sql: str) -> str:
                     break
             j += 1
         args = _split_top_level_commas(sql[m.end(): j])
-        lit = _PLAIN_STR_LIT.match(args[1]) if len(args) == 2 else None
+        lit = _lit_match(args[1]) if len(args) == 2 else None
         if lit is None:
             out.append(sql[pos: j + 1])
         else:
@@ -2267,7 +2326,7 @@ def _rewrite_read_file_lists(sql: str, spark) -> str:
         fmt = m.group(1).lower()
         paths = []
         for item in _split_top_level_commas(m.group(2)):
-            lm = _PLAIN_STR_LIT.match(item)
+            lm = _lit_match(item)
             if not lm:
                 return m.group(0)  # dynamic/exotic entry: leave, loud
             paths.append(_resolve_path(lm.group(1)))
@@ -2354,6 +2413,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_arg_transform_calls(sql)
+    sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
     sql = _rewrite_single_unnest(sql)
     sql = _rewrite_string_split(sql)

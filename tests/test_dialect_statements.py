@@ -838,3 +838,23 @@ def test_copy_partition_by_refuses_existing_target(spark, con, tmp_path):
     ).fetchdf()
     expected = con.execute(inner).fetchdf()
     assert len(back) == len(expected)
+
+
+def test_cast_type_aliases(spark, con):
+    """DuckDB-idiom type names in CAST position: VARCHAR/TEXT map to
+    Spark STRING and BLOB to BINARY (value-identical), in both CAST()
+    and ::type spellings; VARCHAR(n) passes through (Spark accepts
+    it) and literals stay untouched (round-5 composition-fuzz fix)."""
+    q = (
+        "SELECT CAST(o_orderkey * 2 AS VARCHAR) AS a, "
+        "try_cast(o_totalprice AS TEXT) AS b, "
+        "o_orderkey::VARCHAR AS c, "
+        "CAST('x AS VARCHAR' AS VARCHAR) AS d, "
+        "CAST(o_orderkey AS VARCHAR(20)) AS e "
+        "FROM orders WHERE o_orderkey < 30"
+    )
+    _views(spark)
+    t = transpile_statement(q)
+    assert "'x AS VARCHAR'" in t  # literal untouched
+    assert "VARCHAR(20)" in t  # sized type passes through
+    _duck_spark_match("cast_aliases", spark, con, q, spark.sql(t).toPandas())
