@@ -64,7 +64,10 @@ _FORMAT_MAP = {
     "json_auto": "json",
 }
 
-_REMOTE_CACHE = "/tmp/arnab_spark_remote_cache"
+def _remote_cache_base() -> str:
+    """Per-user 0700 ownership-verified fetch cache for https
+    ``read_parquet`` sources — see :func:`_user_cache_base`."""
+    return _user_cache_base("remote")
 
 
 def _resolve_path(path: str) -> str:
@@ -81,10 +84,10 @@ def _resolve_path(path: str) -> str:
     import os
     import urllib.request
 
-    os.makedirs(_REMOTE_CACHE, exist_ok=True)
+    cache = _remote_cache_base()
     suffix = os.path.splitext(path.split("?")[0])[1] or ".bin"
     dest = os.path.join(
-        _REMOTE_CACHE, hashlib.sha256(path.encode()).hexdigest()[:24] + suffix
+        cache, hashlib.sha256(path.encode()).hexdigest()[:24] + suffix
     )
     if not os.path.exists(dest):
         tmp = dest + ".part"
@@ -777,8 +780,16 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
     guard = 0
     pos = 0
     spans = _quoted_spans(sql)
-    while guard < 200:
+    while True:
         guard += 1
+        if guard > 2000:
+            # a silent partial transpile is exactly the failure mode
+            # this module promises not to have (round-5 advice): fail
+            # loudly instead of returning a half-rewritten statement.
+            raise ValueError(
+                "dialect rewrite did not converge after 2000 substitutions; "
+                "statement too pathological to transpile safely"
+            )
         m = _ARG_CALL.search(sql, pos)
         if not m:
             return sql
@@ -797,8 +808,23 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
             continue
         sql = sql[: m.start()] + repl + sql[end:]
         pos = m.start()
-        spans = _quoted_spans(sql)
-    return sql
+        # Incremental span maintenance instead of a full-statement
+        # rescan per substitution (round-5 advice: the rescan made long
+        # many-call statements O(n²)). The replaced region's endpoints
+        # are both outside quotes (the match start was span-checked and
+        # _call_args closes the call at quote-aware depth 0), so spans
+        # before the edit are untouched, spans inside it are replaced
+        # by repl's own (locally lexed, offset), and spans after shift
+        # by the length delta.
+        delta = len(repl) - (end - m.start())
+        repl_spans = [
+            (s + m.start(), e + m.start()) for s, e in _quoted_spans(repl)
+        ]
+        spans = (
+            [(s, e) for s, e in spans if e < m.start()]
+            + repl_spans
+            + [(s + delta, e + delta) for s, e in spans if s >= end]
+        )
 
 
 _STRUCT_PAIR = re.compile(r"^\s*'([^'\\]*)'\s*:(.*)$", re.DOTALL)
@@ -1532,8 +1558,15 @@ def _rewrite_copy(sql: str, spark=None) -> str:
         elif key == "partition_by":
             options["__partition_by"] = val.strip()
         elif key in ("overwrite_or_ignore", "overwrite"):
-            # explicit opt-in to replacing an existing partitioned target
-            options["__overwrite"] = "true"
+            # explicit opt-in to replacing an existing partitioned
+            # target. DuckDB treats these as boolean options: a bare
+            # key or `true`/`1` enables, `false`/`0` is the same as
+            # absent (refuse an existing target) — parse the value like
+            # the header option instead of enabling unconditionally
+            # (round-5 advice: `OVERWRITE_OR_IGNORE false` must NOT
+            # silently delete an existing export).
+            if val.lower() in ("", "true", "1"):
+                options["__overwrite"] = key
         else:
             return sql  # option outside the conservative subset
     if fmt is None:
@@ -1546,7 +1579,7 @@ def _rewrite_copy(sql: str, spark=None) -> str:
         options["header"] = "true"  # DuckDB's COPY ... (FORMAT CSV) default
     query = _strip_outer_parens(source) if source.startswith("(") else f"SELECT * FROM {source}"
     part_raw = options.pop("__partition_by", None)
-    part_overwrite = options.pop("__overwrite", None) is not None
+    part_overwrite = options.pop("__overwrite", None)
     if part_raw is not None:
         # Hive-style partitioned export — DuckDB's PARTITION_BY writes
         # path/col=value/... with the partition columns dropped from the
@@ -1567,12 +1600,29 @@ def _rewrite_copy(sql: str, spark=None) -> str:
         # OVERWRITE/OVERWRITE_OR_IGNORE is given — match that: the
         # default must never silently delete pre-existing data
         # (round-5 advice). errorifexists raises on an existing path,
-        # which is DuckDB's refusal, loudly.
+        # which is DuckDB's refusal, loudly. The two opt-in keys also
+        # differ (round-5 advice #2): OVERWRITE replaces the whole
+        # target (Spark's static overwrite), while OVERWRITE_OR_IGNORE
+        # overwrites files in place and PRESERVES partitions absent
+        # from the new write — Spark spells that
+        # partitionOverwriteMode=dynamic, set for this write only and
+        # restored after so the session default is untouched.
         mode = "overwrite" if part_overwrite else "errorifexists"
-        writer = spark.sql(query).write.mode(mode).partitionBy(*cols)
-        for k, v in options.items():
-            writer = writer.option(k, v)
-        writer.format(fmt).save(path)
+        pom_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_pom = spark.conf.get(pom_key, None)
+        try:
+            if part_overwrite == "overwrite_or_ignore":
+                spark.conf.set(pom_key, "dynamic")
+            writer = spark.sql(query).write.mode(mode).partitionBy(*cols)
+            for k, v in options.items():
+                writer = writer.option(k, v)
+            writer.format(fmt).save(path)
+        finally:
+            if part_overwrite == "overwrite_or_ignore":
+                if prev_pom is None:
+                    spark.conf.unset(pom_key)
+                else:
+                    spark.conf.set(pom_key, prev_pom)
         return ""
     opt_sql = (
         " OPTIONS (" + ", ".join(f"'{k}' = '{v}'" for k, v in sorted(options.items())) + ")"
@@ -1865,17 +1915,20 @@ def reset_attached(spark=None) -> None:
     _attached_for(spark).clear()
 
 
-def _attach_cache_base() -> str:
-    """Per-user export-cache directory for attached ``.duckdb`` files,
+def _user_cache_base(kind: str) -> str:
+    """Per-user cache directory (``$TMPDIR/arnab_spark_<kind>_<uid>``),
     created 0700 and ownership-verified before reuse. If a same-named
     path exists but is a symlink or owned by someone else (a squatting
     attack on multi-user hosts), fall back to a fresh ``mkdtemp`` —
-    correctness over cache reuse."""
+    correctness over cache reuse. Shared by the ATTACH export cache and
+    the https ``read_parquet`` fetch cache (round-5 advice: the scheme
+    was applied to ATTACH only, leaving the remote fetch cache on a
+    world-shared predictable path)."""
     import os as _os
     import tempfile as _tf
 
     uid = _os.getuid() if hasattr(_os, "getuid") else 0
-    base = _os.path.join(_tf.gettempdir(), f"arnab_spark_attach_{uid}")
+    base = _os.path.join(_tf.gettempdir(), f"arnab_spark_{kind}_{uid}")
     try:
         _os.makedirs(base, mode=0o700, exist_ok=True)
         stb = _os.lstat(base)
@@ -1890,7 +1943,11 @@ def _attach_cache_base() -> str:
             return base
     except OSError:
         pass
-    return _tf.mkdtemp(prefix="arnab_spark_attach_")
+    return _tf.mkdtemp(prefix=f"arnab_spark_{kind}_")
+
+
+def _attach_cache_base() -> str:
+    return _user_cache_base("attach")
 
 
 def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:

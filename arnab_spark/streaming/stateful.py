@@ -306,7 +306,15 @@ def run_sessionize_to_parquet(
         .start()
     )
     try:
-        # termination includes the timer-firing no-data batch
-        q.awaitTermination(600)
+        # termination includes the timer-firing no-data batch; a False
+        # return means the availableNow run is still going — the
+        # finally-stop() would then kill it mid-batch and silently
+        # leave partial output, so fail loudly instead (round-5
+        # advice).
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                "sessionize availableNow run exceeded 600s; output at "
+                f"{dest} is incomplete (checkpoint {checkpoint} can resume it)"
+            )
     finally:
         q.stop()

@@ -840,6 +840,99 @@ def test_copy_partition_by_refuses_existing_target(spark, con, tmp_path):
     assert len(back) == len(expected)
 
 
+def test_copy_overwrite_flag_value_parsed(spark, tmp_path):
+    """`OVERWRITE_OR_IGNORE false` (and `0`) must behave like the flag
+    being absent — refuse an existing target — instead of enabling
+    overwrite unconditionally (round-5 advice: the value was discarded,
+    so a user explicitly DISABLING overwrite still lost data)."""
+    _views(spark)
+    out = tmp_path / "exp"
+    inner = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 40"
+    stmt = f"COPY ({inner}) TO '{out}' (FORMAT PARQUET, PARTITION_BY (o_orderstatus))"
+    assert transpile_statement(stmt, spark) == ""  # first write: ok
+    for flag_val in ("false", "0"):
+        with pytest.raises(Exception):
+            transpile_statement(
+                f"COPY ({inner}) TO '{out}' (FORMAT PARQUET, "
+                f"PARTITION_BY (o_orderstatus), OVERWRITE_OR_IGNORE {flag_val})",
+                spark,
+            )
+    # `true` spelled explicitly still overwrites
+    assert (
+        transpile_statement(
+            f"COPY ({inner}) TO '{out}' (FORMAT PARQUET, "
+            "PARTITION_BY (o_orderstatus), OVERWRITE_OR_IGNORE true)",
+            spark,
+        )
+        == ""
+    )
+
+
+def test_copy_overwrite_or_ignore_preserves_unrelated_partitions(spark, con, tmp_path):
+    """OVERWRITE_OR_IGNORE overwrites files in place (DuckDB semantics:
+    partitions absent from the new write survive); OVERWRITE replaces
+    the whole target. Round-5 advice: the shim mapped both to Spark's
+    static full overwrite, silently deleting unrelated partitions."""
+    _views(spark)
+    out = tmp_path / "exp"
+    full = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 200"
+    one_status = full + " AND o_orderstatus = 'F'"
+    assert (
+        transpile_statement(
+            f"COPY ({full}) TO '{out}' (FORMAT PARQUET, PARTITION_BY (o_orderstatus))",
+            spark,
+        )
+        == ""
+    )
+    statuses_before = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT o_orderstatus FROM "
+            f"read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
+        ).fetchall()
+    }
+    assert len(statuses_before) > 1
+    # dynamic: rewrite only the F partition, others survive
+    assert (
+        transpile_statement(
+            f"COPY ({one_status}) TO '{out}' (FORMAT PARQUET, "
+            "PARTITION_BY (o_orderstatus), OVERWRITE_OR_IGNORE)",
+            spark,
+        )
+        == ""
+    )
+    after_dynamic = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT o_orderstatus FROM "
+            f"read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
+        ).fetchall()
+    }
+    assert after_dynamic == statuses_before
+    # the session default is restored after the scoped write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
+    # full OVERWRITE: the whole target is replaced — only F remains
+    assert (
+        transpile_statement(
+            f"COPY ({one_status}) TO '{out}' (FORMAT PARQUET, "
+            "PARTITION_BY (o_orderstatus), OVERWRITE)",
+            spark,
+        )
+        == ""
+    )
+    after_full = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT o_orderstatus FROM "
+            f"read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
+        ).fetchall()
+    }
+    assert after_full == {"F"}
+
+
 def test_cast_type_aliases(spark, con):
     """DuckDB-idiom type names in CAST position: VARCHAR/TEXT map to
     Spark STRING and BLOB to BINARY (value-identical), in both CAST()

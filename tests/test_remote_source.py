@@ -10,7 +10,10 @@ import threading
 
 import pytest
 
-from arnab_spark.dialect import _REMOTE_CACHE, transpile_statement
+import os
+import stat
+
+from arnab_spark.dialect import _remote_cache_base, transpile_statement
 
 
 @pytest.fixture()
@@ -28,11 +31,18 @@ def http_root(tmp_path):
 
 
 def test_http_read_parquet_model(spark, http_root):
-    shutil.rmtree(_REMOTE_CACHE, ignore_errors=True)
+    cache = _remote_cache_base()
+    shutil.rmtree(cache, ignore_errors=True)
     sql = transpile_statement(
         f"SELECT count() AS n FROM read_parquet('{http_root}/region.parquet')"
     )
-    assert "parquet.`/tmp/arnab_spark_remote_cache/" in sql and "count(*)" in sql
+    # fetch lands in the per-user 0700 ownership-verified cache (the
+    # world-shared /tmp path was the round-5 advice's poisoning class)
+    cache = _remote_cache_base()
+    assert f"parquet.`{cache}/" in sql and "count(*)" in sql
+    st = os.lstat(cache)
+    assert stat.S_ISDIR(st.st_mode) and stat.S_IMODE(st.st_mode) == 0o700
+    assert st.st_uid == os.getuid()
     assert spark.sql(sql).collect()[0].n == 5
     # second transpile hits the cache (no new fetch needed — same path)
     sql2 = transpile_statement(
