@@ -364,8 +364,10 @@ def _rewrite_single_unnest(sql: str) -> str:
     contains exactly one unnest call outside quotes. Multiple unnests
     in one select ZIP positionally in DuckDB while multiple explodes
     CARTESIAN-product in Spark 4 (verified both) — a silent-wrongness
-    trap, so multi-unnest statements are left whole for Spark to
-    reject as an unresolved routine."""
+    trap, so multi-unnest select lists go through
+    :func:`_rewrite_multi_unnest` (explode-of-arrays_zip) and anything
+    that rewrite can't prove whole-item is left for Spark to reject as
+    an unresolved routine."""
     spans = _quoted_spans(sql)
     sites = [
         m
@@ -376,6 +378,126 @@ def _rewrite_single_unnest(sql: str) -> str:
         return sql
     m = sites[0]
     return sql[: m.start()] + "explode(" + sql[m.end():]
+
+
+_UNNEST_TAIL_BLOCKERS = ("group", "having", "qualify", "window",
+                         "union", "intersect", "except")
+_UNNEST_ALIAS = re.compile(
+    r'(?is)^\s*(?:AS\s+)?(?:([A-Za-z_]\w*)|"([^"]+)")\s*$'
+)
+
+
+def _rewrite_multi_unnest(sql: str) -> str:
+    """N≥2 ``unnest(...)`` select-list items ZIP positionally in DuckDB
+    (shorter lists NULL-padded to the longest; a NULL list behaves like
+    an empty one and pads; all-empty yields zero rows — all probed).
+    Spark's positional zip is ``explode(arrays_zip(...))``, so the
+    select list
+
+        SELECT c, unnest(a) AS x, unnest(b) AS y FROM t [ORDER …/LIMIT …]
+
+    becomes a three-layer rewrite with deterministic zip-field names
+    (arrays_zip names struct fields after plain column references, so
+    each unnest argument is first aliased ``__u<i>``):
+
+        SELECT c, __unn['__u0'] AS x, __unn['__u1'] AS y FROM (
+          SELECT *, explode(arrays_zip(__u0, __u1)) AS __unn FROM (
+            SELECT *, coalesce((a), array()) AS __u0,
+                      coalesce((b), array()) AS __u1 FROM t))
+        [ORDER …/LIMIT …]
+
+    ``coalesce(…, array())`` reproduces DuckDB's NULL-list padding
+    (arrays_zip of a NULL array is NULL → zero rows, which would drop
+    rows DuckDB keeps). Applied ONLY when every unnest call is an
+    entire select-list item of a plain ``SELECT … FROM …`` (no
+    DISTINCT, set operations, GROUP BY/HAVING/QUALIFY/WINDOW, and no
+    unnest outside the select list); anything else is left whole for
+    Spark to reject loudly — a wrong silent zip is worse than a clear
+    error."""
+    spans = _quoted_spans(sql)
+    sites = [
+        m
+        for m in _UNNEST_CALL.finditer(sql)
+        if not any(s <= m.start() <= e for s, e in spans)
+    ]
+    if len(sites) < 2:
+        return sql
+    if re.match(r"(?is)^\s*WITH\b", sql):
+        # CTE prefix: the main SELECT is the first top-level one (CTE
+        # bodies sit inside parens); CTEs stay visible inside the
+        # rewrite's subqueries, so rewrite the main body and re-prefix.
+        sel_idx, _ = _scan_top_level(sql, ("select",))
+        if sel_idx <= 0:
+            return sql
+        body = _rewrite_multi_unnest(sql[sel_idx:])
+        return sql if body == sql[sel_idx:] else sql[:sel_idx] + body
+    head = re.match(r"(?is)^\s*SELECT\s+", sql)
+    if not head or re.match(r"(?is)^\s*SELECT\s+DISTINCT\b", sql):
+        return sql
+    list_start = head.end()
+    from_idx, _ = _scan_top_level(sql, ("from",), list_start)
+    if from_idx < 0:
+        select_list, tail = sql[list_start:], ""
+    else:
+        select_list, tail = sql[list_start:from_idx], sql[from_idx:]
+    # ORDER/LIMIT/OFFSET split off to the outer query (they follow the
+    # select list directly in FROM-less statements); blockers abort
+    suffix = ""
+    seg_for_split = tail if tail else select_list
+    b_idx, b_word = _scan_top_level(
+        seg_for_split, _UNNEST_TAIL_BLOCKERS + ("order", "limit", "offset"),
+        1 if tail else 0,
+    )
+    if b_idx >= 0:
+        if b_word in _UNNEST_TAIL_BLOCKERS:
+            return sql
+        suffix = seg_for_split[b_idx:]
+        if tail:
+            tail = tail[:b_idx]
+        else:
+            select_list = select_list[:b_idx]
+    # every unnest site must sit inside the select list
+    list_end = (
+        from_idx if from_idx >= 0 else list_start + len(select_list)
+    )
+    if any(m.start() < list_start or m.start() >= list_end for m in sites):
+        return sql
+    items = _split_top_level_commas(select_list)
+    unnest_args: list[str] = []
+    out_items: list[str] = []
+    for item in items:
+        um = re.match(r"(?is)^\s*unnest\s*\(", item)
+        if um is None:
+            if _UNNEST_CALL.search(item):
+                return sql  # unnest nested in a bigger expression
+            out_items.append(item.strip())
+            continue
+        parsed = _call_args(item, um.end() - 1)
+        if parsed is None:
+            return sql
+        args, end = parsed
+        rest = item[end:]
+        if len(args) != 1 or ":=" in args[0]:
+            return sql  # recursive/struct unnest options: out of scope
+        alias_m = _UNNEST_ALIAS.match(rest) if rest.strip() else None
+        if rest.strip() and alias_m is None:
+            return sql  # trailing expression text: not a whole item
+        if alias_m:
+            alias = alias_m.group(1) or alias_m.group(2)
+        else:
+            alias = item.strip().replace("`", "")
+        idx = len(unnest_args)
+        unnest_args.append(args[0])
+        out_items.append(f"__unn['__u{idx}'] AS `{alias}`")
+    if len(unnest_args) < 2:
+        return sql
+    defs = ", ".join(
+        f"coalesce(({a}), array()) AS __u{i}" for i, a in enumerate(unnest_args)
+    )
+    zipped = ", ".join(f"__u{i}" for i in range(len(unnest_args)))
+    inner1 = f"SELECT *, {defs} {tail}" if tail else f"SELECT {defs}"
+    inner2 = f"SELECT *, explode(arrays_zip({zipped})) AS __unn FROM ({inner1})"
+    return f"SELECT {', '.join(out_items)} FROM ({inner2}) {suffix}".rstrip()
 
 
 def _call_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
@@ -2472,6 +2594,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_multi_unnest(sql)
     sql = _rewrite_single_unnest(sql)
     sql = _rewrite_string_split(sql)
     sql = _rewrite_copy(sql, spark)

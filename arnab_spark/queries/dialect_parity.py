@@ -83,6 +83,30 @@ def dialect_list_scalar_parity(spark, sf_dir):
     return _run(spark, sf_dir, ("documents",), _LIST_SCALAR_SQL)
 
 
+_UNNEST_ZIP_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS words,
+         string_split(text, 'e') AS parts
+  FROM documents WHERE doc_id % 37 = 0
+)
+SELECT doc_id, unnest(words) AS word, unnest(parts) AS part FROM w
+"""
+
+
+@query("dialect_unnest_zip", oracle=_UNNEST_ZIP_SQL, tags=("dialect", "list"))
+def dialect_unnest_zip(spark, sf_dir):
+    """Multi-``unnest`` select lists ZIP positionally in DuckDB with
+    NULL-padding to the longest list; the shim maps that to
+    ``explode(arrays_zip(...))`` (Spark's positional zip) through a
+    whole-item rewrite (round-5 verdict's last implementable dialect
+    residue). The two split arrays here have different per-row lengths,
+    so the padding path is exercised on every row; one shared SQL text,
+    two engines, exact hash match. Reachable through the reference's
+    verbatim model passthrough (reference: node.rs:176)."""
+    return _run(spark, sf_dir, ("documents",), _UNNEST_ZIP_SQL)
+
+
 _EPOCH_SQL = """
 SELECT o_orderkey,
        epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s,

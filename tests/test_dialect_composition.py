@@ -208,6 +208,109 @@ def test_macro_calling_macro_in_from_first_setop(engines):
     )
 
 
+def _run_pair_unordered(spark, con, stmt):
+    """One statement, both engines, multiset compare (str-keyed sort —
+    zip padding produces NULLs, which plain tuple sort can't order)."""
+    t = transpile_statement(stmt, spark)
+    assert "unnest" not in t.lower(), f"not rewritten: {t}"
+    got = sorted((tuple(r) for r in spark.sql(t).collect()), key=str)
+    exp = sorted((tuple(r) for r in con.execute(stmt).fetchall()), key=str)
+    assert got == exp, f"{stmt}\nspark={got[:6]}\nduck={exp[:6]}"
+
+
+def test_unnest_zip_literal_padding(engines):
+    """Multi-unnest of literal lists: positional zip, NULL padding to
+    the longest, FROM-less ORDER BY/LIMIT suffixes, and three-way zip
+    (round-6: the last implementable dialect residue from the round-5
+    verdict)."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT unnest([1,2,3]) AS x, unnest(['a','b']) AS y",
+        "SELECT 5 AS c, unnest([1,2]) AS x, unnest([10,20,30]) AS y ORDER BY y DESC",
+        "SELECT unnest([1,2]) AS x, unnest([3,4]) AS y, unnest([5]) AS z",
+        "SELECT unnest([1,2]) AS x, unnest([3,4]) AS y LIMIT 3",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+
+
+@given(
+    arrays=st.lists(
+        st.sampled_from(
+            [
+                "string_split(o_orderpriority, '-')",
+                "string_split(o_orderpriority, 'R')",
+                "string_split(CAST(o_orderdate AS VARCHAR), '-')",
+                "[o_orderkey, o_custkey]",
+                "[o_custkey]",
+            ]
+        ),
+        min_size=2,
+        max_size=3,
+        unique=True,
+    ),
+    scalar=st.booleans(),
+    suffix=st.sampled_from(["", " ORDER BY o_orderkey LIMIT 40", " LIMIT 25"]),
+    lim=st.integers(min_value=10, max_value=80),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_unnest_zip_fuzz_table(engines, arrays, scalar, suffix, lim):
+    """Fuzzed multi-unnest over the orders fixture: split arrays of
+    genuinely different per-row lengths (padding on nearly every row),
+    optional interleaved scalar column, optional ORDER BY/LIMIT split
+    to the outer query."""
+    spark, con, _ = engines
+    items = [f"unnest({a}) AS u{i}" for i, a in enumerate(arrays)]
+    if scalar:
+        items.insert(1, "o_orderkey")
+    stmt = (
+        f"SELECT {', '.join(items)} FROM orders "
+        f"WHERE o_orderkey < {lim}{suffix}"
+    )
+    _run_pair_unordered(spark, con, stmt)
+
+
+def test_unnest_zip_through_macro_and_cte(engines):
+    """Composition: the unnest args come out of a macro expansion
+    inside a CTE — the zip rewrite runs after the expander and must
+    find the main SELECT past the WITH prefix."""
+    spark, con, _ = engines
+    dialect.reset_macros(spark)
+    fresh = duckdb.connect()
+    fresh.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    try:
+        mac = "CREATE MACRO pieces(s, d) AS string_split(CAST(s AS VARCHAR), d)"
+        assert transpile_statement(mac, spark) == ""
+        fresh.execute(mac)
+        stmt = (
+            "WITH w AS (SELECT o_orderkey, pieces(o_orderpriority, '-') AS ws, "
+            "pieces(o_orderdate, '-') AS cs FROM orders WHERE o_orderkey < 30) "
+            "SELECT o_orderkey, unnest(ws) AS w, unnest(cs) AS c FROM w"
+        )
+        t = transpile_statement(stmt, spark)
+        got = sorted((tuple(r) for r in spark.sql(t).collect()), key=str)
+        exp = sorted((tuple(r) for r in fresh.execute(stmt).fetchall()), key=str)
+        assert got == exp
+    finally:
+        fresh.close()
+        dialect.reset_macros(spark)
+
+
+def test_unnest_zip_guards_stay_loud(engines):
+    """Shapes the whole-item rewrite can't prove safe must be left
+    verbatim (Spark rejects unnest as an unresolved routine) — never a
+    silent wrong zip."""
+    for stmt in [
+        "SELECT unnest(a) + 1, unnest(b) FROM t",          # in expression
+        "SELECT DISTINCT unnest(a) AS x, unnest(b) AS y FROM t",
+        "SELECT unnest(a) AS x, unnest(b) AS y FROM t GROUP BY 1, 2",
+        "SELECT unnest(a) AS x FROM t UNION ALL SELECT unnest(b) FROM t",
+        "SELECT unnest(a) AS x, unnest(b, recursive := true) AS y FROM t",
+    ]:
+        assert "unnest" in transpile_statement(stmt).lower(), stmt
+
+
 def test_summarize_of_macro_projection(engines):
     """SUMMARIZE over a subquery whose projection is a macro call —
     the summarize rewrite must run AFTER macro expansion."""

@@ -81,64 +81,32 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: Queries whose LATEST driver evidence is round 2 (computed from the
-#: CORRECTNESS_r0{1..4}.json union during r5 planning — latest round
-#: wins per query). After the r05 run no registry query's evidence is
-#: older than two rounds.
-R05_STALEST_EVIDENCE = {
-    "agg_collect_set_array",
-    "agg_percentile_approx",
-    "agg_stats_native",
-    "ann_lsh_bucketed",
-    "case_coalesce",
-    "cast_try_cast",
-    "cte_chain",
-    "distinct_on",
-    "distinct_rows",
-    "filter_ilike_nullsafe",
-    "filter_predicates",
-    "fn_array",
-    "fn_array_higher_order",
-    "fn_math_native",
-    "fn_nondeterministic",
-    "in_subquery",
-    "intersect_except",
-    "intersect_except_all",
-    "join_min_cost_supplier",
-    "join_waiting_suppliers",
-    "order_limit_offset",
-    "order_nulls_first_last",
-    "qualify_topn_per_group",
-    "range_generator",
-    "range_join_bucketed",
-    "recursive_cte",
-    "rollup_time_hierarchy",
-    "scalar_subquery_correlated",
-    "select_exclude_replace",
-    "session_window_native",
-    "sliding_window",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "tumbling_window",
-    "union_all",
-    "union_distinct_by_name",
-    "values_inline",
-    "window_navigation",
-    "window_range_frame",
-}
-
-
-def test_r05_window_covers_never_run_and_stale_evidence_queries():
-    """Slots 1-2 are the round-4 additions that have never held a driver
-    slot (the r4 verdict's #1 ask); slots 8-47 are the entire remaining
-    round-2-evidence set, so after r05 no query's driver evidence is
-    older than two rounds."""
-    assert list(CURATED_FIRST[:2]) == [
-        "dedup_incremental",
-        "stream_session_counts_materialized",
-    ]
-    assert R05_STALEST_EVIDENCE <= set(CURATED_FIRST)
+def test_r06_window_covers_stale_evidence_queries():
+    """The r6 window holds the ENTIRE round-3-latest-evidence cohort —
+    computed from the committed CORRECTNESS_r0{1..5}.json union (latest
+    green round wins per query), not hand-maintained — so after the r06
+    run no registry query's driver evidence is older than two rounds
+    (the invariant r5 established). Slot 1 is the round-6 addition
+    (never-run gate); slot 2 is knn_cosine_brute (r5 verdict ask #2);
+    all four dialect-parity queries are windowed because the shim
+    changed this round."""
+    latest: dict[str, int] = {}
+    for f in sorted(os.listdir(REPO)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            rnd = int(f[len("CORRECTNESS_r"):-len(".json")])
+            if rnd > 5:
+                continue  # this pin describes the r6 rotation input
+            with open(os.path.join(REPO, f)) as fh:
+                for name in json.load(fh):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    if not latest:
+        pytest.skip("no correctness snapshot yet")
+    stale = {n for n, r in latest.items() if r <= 3}
+    assert stale <= set(CURATED_FIRST), sorted(stale - set(CURATED_FIRST))
+    assert CURATED_FIRST[0] == "dialect_unnest_zip"
+    assert CURATED_FIRST[1] == "knn_cosine_brute"
+    dialect_qs = {n for n, q in _REGISTRY.items() if _module(q) == "dialect_parity"}
+    assert dialect_qs <= set(CURATED_FIRST)
 
 
 def test_never_driver_verified_queries_hold_window_slots():
