@@ -462,6 +462,18 @@ def _rewrite_multi_unnest(sql: str) -> str:
     )
     if any(m.start() < list_start or m.start() >= list_end for m in sites):
         return sql
+    # window functions evaluate BEFORE unnest in DuckDB (probed:
+    # row_number() OVER () repeats per pre-unnest row) — the outer-query
+    # rewrite would compute them post-explode, silently diverging, so
+    # any OVER clause in the select list aborts. (Bare aggregates also
+    # pre-collapse in DuckDB, but the rewrite turns those into a loud
+    # Spark grouping error, never a silent wrong zip.)
+    lsp = _quoted_spans(select_list)
+    if any(
+        not any(s <= m.start() <= e for s, e in lsp)
+        for m in re.finditer(r"(?is)\bover\s*\(", select_list)
+    ):
+        return sql
     items = _split_top_level_commas(select_list)
     unnest_args: list[str] = []
     out_items: list[str] = []

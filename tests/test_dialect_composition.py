@@ -307,6 +307,9 @@ def test_unnest_zip_guards_stay_loud(engines):
         "SELECT unnest(a) AS x, unnest(b) AS y FROM t GROUP BY 1, 2",
         "SELECT unnest(a) AS x FROM t UNION ALL SELECT unnest(b) FROM t",
         "SELECT unnest(a) AS x, unnest(b, recursive := true) AS y FROM t",
+        # window fns evaluate PRE-unnest in DuckDB (probed) — the
+        # outer-query rewrite would compute them post-explode
+        "SELECT row_number() OVER () AS rn, unnest(a) AS x, unnest(b) AS y FROM t",
     ]:
         assert "unnest" in transpile_statement(stmt).lower(), stmt
 

@@ -697,17 +697,23 @@ def test_date_diff_all_units_match_duckdb(spark, con):
 
 def test_unnest_maps_to_explode(spark, con):
     """Single select-list unnest ≡ explode, differentially. Multiple
-    unnests ZIP in DuckDB but multiple explodes CARTESIAN-product in
-    Spark 4 (verified both) — so multi-unnest statements are NOT
-    rewritten and fail as unresolved routines, never silently."""
+    whole-item unnests ZIP in DuckDB; since round 6 those map to
+    explode(arrays_zip(...)) (fuzz + guards in
+    test_dialect_composition.py) — multiple raw explodes would
+    CARTESIAN-product in Spark 4 (verified), which is why the rewrite
+    zips instead of substituting per-call."""
     sql = (
         "SELECT v FROM (SELECT unnest([10, 20, 30]) AS v) t ORDER BY v"
     )
     got = [r.v for r in spark.sql(transpile_statement(sql)).collect()]
     exp = [r[0] for r in con.execute(sql).fetchall()]
     assert got == exp == [10, 20, 30]
-    multi = transpile_statement("SELECT unnest([1,2]) AS a, unnest([3,4]) AS b")
-    assert multi.lower().count("unnest") == 2  # left whole -> loud
+    multi_sql = "SELECT unnest([1,2]) AS a, unnest([3,4]) AS b"
+    multi = transpile_statement(multi_sql)
+    assert "arrays_zip" in multi and "unnest" not in multi.lower()
+    assert sorted(tuple(r) for r in spark.sql(multi).collect()) == sorted(
+        tuple(r) for r in con.execute(multi_sql).fetchall()
+    )
 
 
 def test_substr_zero_and_negative_left_right(spark, con):
