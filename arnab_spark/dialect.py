@@ -35,6 +35,12 @@ rewrites the purely syntactic gaps so those models run unchanged:
   ``alias.model`` references rewrite to them; unreadable paths stay
   loud
 - ``SUMMARIZE <rel>`` → generated per-column stats in DuckDB's layout
+- ``a ^ b`` / ``a ** b`` (DuckDB POWER; Spark ``^`` is XOR — silent
+  wrong numbers on passthrough) → ``power(a, b)``; ``a ^@ b`` →
+  ``startswith(a, b)``; ``xor(a, b)`` → Spark's ``^``
+- ``a // b`` → ``a DIV b`` (truncating int division on both)
+- list comprehensions ``[expr FOR x IN src IF cond]`` →
+  ``transform(filter(src, x -> cond), x -> expr)``
 
 Each rewrite is conservative: it either applies cleanly or leaves the
 text alone so Spark raises a clear parse error — a wrong silent
@@ -900,6 +906,13 @@ def _datediff_units(a: list[str]) -> str | None:
 
 _ARG_CALL_REWRITES["date_diff"] = (3, _datediff_units)
 _ARG_CALL_REWRITES["datediff"] = (3, _datediff_units)
+# DuckDB's xor() FUNCTION is Spark's ^ OPERATOR (and DuckDB's ^
+# operator is power — see _rewrite_power_ops, which runs BEFORE this
+# pass so the ^ emitted here survives as XOR).
+_ARG_CALL_REWRITES["xor"] = (
+    2,
+    lambda a: f"(({a[0].strip()}) ^ ({a[1].strip()}))",
+)
 
 _ARG_CALL = re.compile(
     r"\b(" + "|".join(_ARG_CALL_REWRITES) + r")\s*\(", re.IGNORECASE
@@ -1219,6 +1232,343 @@ def _top_level_colon(text: str) -> bool:
         elif ch == ":" and depth == 0:
             return True
     return False
+
+
+def _balanced_fwd(sql: str, i: int) -> int | None:
+    """Exclusive end index of the balanced ``(…)`` / ``[…]`` group
+    opening at ``i`` (quote-aware), or None when it never closes."""
+    depth, quote = 0, None
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch in ("(", "["):
+            depth += 1
+        elif ch in (")", "]"):
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+#: words that, when they END just before a +/- sign, mark it as UNARY
+#: (operand of the sign, not a binary subtraction) — clause keywords and
+#: connectives a value expression can directly follow.
+_SIGN_UNARY_WORDS = frozenset(
+    "select where and or not in when then else by distinct all having on "
+    "case between is like ilike union intersect except values return "
+    "returning from limit offset set as if".split()
+)
+
+#: forward-scan words that must NOT be captured as a power right
+#: operand (composite expressions whose extent a primary walk cannot
+#: judge — leave the operator alone, Spark raises a loud parse error).
+_POWER_RIGHT_STOP = frozenset("case not exists select interval".split())
+
+_NUM_FWD = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+_SCI_SPLIT = re.compile(r"(?:\d+\.?\d*|\.\d+)[eE][+-]\Z")
+
+
+def _sign_is_unary(sql: str, k: int) -> bool:
+    """True when the ``+``/``-`` at index ``k`` is a unary sign: it is
+    preceded (skipping whitespace) by nothing, an operator/opening
+    punctuation, or a clause keyword from :data:`_SIGN_UNARY_WORDS`."""
+    j = k - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0:
+        return True
+    c = sql[j]
+    if c in "([{,=<>+-*/%|&^:":
+        return True
+    if c.isalnum() or c == "_":
+        e = j
+        while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+            j -= 1
+        return sql[j + 1 : e + 1].lower() in _SIGN_UNARY_WORDS
+    return False
+
+
+def _power_left_start(sql: str, op_idx: int, spans) -> int | None:
+    """Start index of the left operand of the power operator at
+    ``op_idx`` — the tightest-binding primary (postfix chain walked by
+    :func:`_subscript_base_start`), extended over a split scientific
+    literal (``1e-3``) and a UNARY sign (DuckDB parses ``-2 ^ 2`` as
+    ``(-2) ^ 2`` — measured, not assumed: probed against the pinned
+    DuckDB alongside left associativity and the ``^``-over-``*``/``%``
+    precedence this pass encodes)."""
+    start, end = _subscript_base_start(sql, op_idx, spans)
+    if start is None or end < start or not sql[start : end + 1].strip():
+        return None
+    m = _SCI_SPLIT.search(sql, 0, start)
+    if m is not None and m.end() == start:
+        start = m.start()
+    j = start - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j >= 0 and sql[j] in "+-" and _sign_is_unary(sql, j):
+        start = j
+    return start
+
+
+def _power_right_end(sql: str, pos: int) -> int | None:
+    """Exclusive end index of the power right operand starting at
+    ``pos``: optional unary signs, then one primary (number, identifier
+    chain, quoted identifier/literal, or parenthesized group) plus its
+    postfix chain (``.member``, call/subscript groups, ``::type``).
+    None when the operand is not a primary (CASE/NOT/… — the operator
+    is left alone, loud)."""
+    n = len(sql)
+    i = pos
+    while i < n and sql[i].isspace():
+        i += 1
+    while i < n and sql[i] in "+-":
+        i += 1
+        while i < n and sql[i].isspace():
+            i += 1
+    if i >= n:
+        return None
+    c = sql[i]
+    if c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):
+        m = _NUM_FWD.match(sql, i)
+        i = m.end()
+    elif c in ("'", '"', "`"):
+        j = sql.find(c, i + 1)
+        if j < 0:
+            return None
+        i = j + 1
+    elif c.isalpha() or c == "_":
+        w = i
+        while i < n and (sql[i].isalnum() or sql[i] == "_"):
+            i += 1
+        if sql[w:i].lower() in _POWER_RIGHT_STOP:
+            return None
+    elif c == "(":
+        j = _balanced_fwd(sql, i)
+        if j is None:
+            return None
+        i = j
+    else:
+        return None
+    while i < n:
+        if sql[i] == "." and i + 1 < n and (sql[i + 1].isalnum() or sql[i + 1] == "_"):
+            i += 1
+            while i < n and (sql[i].isalnum() or sql[i] == "_"):
+                i += 1
+        elif sql[i] in ("(", "["):
+            j = _balanced_fwd(sql, i)
+            if j is None:
+                return None
+            i = j
+        elif sql.startswith("::", i):
+            i += 2
+            while i < n and (sql[i].isalnum() or sql[i] == "_"):
+                i += 1
+            if i < n and sql[i] == "(":
+                j = _balanced_fwd(sql, i)
+                if j is None:
+                    return None
+                i = j
+        else:
+            break
+    return i
+
+
+def _rewrite_power_ops(sql: str) -> str:
+    """DuckDB's exponent operators → Spark calls.
+
+    In DuckDB ``^`` and ``**`` are POWER (always DOUBLE); in Spark
+    ``^`` is bitwise XOR — the worst kind of gap, syntactically valid
+    on both engines with different meaning, so a passthrough model
+    would return silently wrong numbers. ``a ^ b`` / ``a ** b`` →
+    ``power(a, b)``; ``a ^@ b`` (DuckDB starts-with) →
+    ``startswith(a, b)``.
+
+    Probed operator facts this pass encodes (see
+    tests/test_dialect_composition.py): left associativity
+    (``2^3^2 = 64``), binds tighter than ``*``/``%`` (``1+2^2*3 = 13``,
+    ``10%4^2 = 10``), unary minus binds tighter still (``-2^2 = 4``
+    but ``0-2^2 = -4``), DOUBLE result. Leftmost-first replacement
+    preserves associativity: ``power(l, r)`` becomes the next
+    occurrence's left primary. Operands that are not primaries
+    (``2 ^ CASE …``) leave the operator in place → Spark parse error,
+    loud — never a silent mis-grouping."""
+    guard = 0
+    pos = 0
+    while True:
+        guard += 1
+        if guard > 500:
+            raise ValueError(
+                "power-operator rewrite did not converge (>500 sites); "
+                "statement too pathological to transpile safely"
+            )
+        spans = _quoted_spans(sql)
+        hat = sql.find("^", pos)
+        star = sql.find("**", pos)
+        if hat < 0 and star < 0:
+            return sql
+        idx = hat if star < 0 or (0 <= hat < star) else star
+        op = "^" if idx == hat else "**"
+        if any(s <= idx <= e for s, e in spans):
+            pos = idx + len(op)
+            continue
+        if op == "^" and sql.startswith("^@", idx):
+            op = "^@"
+        left = _power_left_start(sql, idx, spans)
+        right = _power_right_end(sql, idx + len(op))
+        if left is None or right is None:
+            pos = idx + len(op)  # not a primary-bounded site: leave, loud
+            continue
+        lhs = sql[left:idx].strip()
+        rhs = sql[idx + len(op) : right].strip()
+        fn = "startswith" if op == "^@" else "power"
+        repl = f"{fn}({lhs}, {rhs})"
+        sql = sql[:left] + repl + sql[right:]
+        pos = left
+    return sql
+
+
+def _rewrite_intdiv(sql: str) -> str:
+    """DuckDB's ``//`` → Spark's ``DIV``.
+
+    Probed parity: both truncate toward zero on integral operands
+    (``-7 // 2 = -3`` on both engines) and both promote to BIGINT-wide
+    results. DOCUMENTED DIVERGENCE: DuckDB's ``//`` on a non-integral
+    operand degrades to plain division (``7.5 // 2 = 3.75``) because
+    its overload resolution picks the numeric ``/``; Spark's ``DIV``
+    truncates any numeric input. A text-level pass cannot see operand
+    types, and the integral reading is the one a model author writing
+    ``//`` means — the decimal case is matched only in sign, not
+    fraction. (A live-session typed rewrite would close this; revisit
+    if a real model trips it.)"""
+    spans = _quoted_spans(sql)
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        if (
+            sql.startswith("//", i)
+            and not any(s <= i <= e for s, e in spans)
+        ):
+            out.append(" DIV ")
+            i += 2
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+def _top_level_keyword(text: str, word: str) -> int:
+    """Index of the first depth-0, quote-outside, word-boundary match
+    of ``word`` in ``text``, or -1."""
+    depth, quote = 0, None
+    wl = len(word)
+    low = text.lower()
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch in ("(", "["):
+            depth += 1
+        elif ch in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith(word, i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + wl >= len(text)
+                or not (text[i + wl].isalnum() or text[i + wl] == "_")
+            )
+        ):
+            return i
+    return -1
+
+
+def _rewrite_comprehensions(sql: str) -> str:
+    """DuckDB list comprehensions → Spark higher-order functions.
+
+    ``[expr FOR x IN src]`` → ``transform(src, x -> expr)``;
+    ``[expr FOR x IN src IF cond]`` →
+    ``transform(filter(src, x -> cond), x -> expr)`` — the same
+    element-order, NULL-element-preserving pipeline DuckDB evaluates
+    (probed: ``[x+1 FOR x IN [1,NULL,3]]`` keeps the NULL slot on both
+    engines once mapped this way).
+
+    MUST run before :func:`_rewrite_list_literals`: that pass would
+    otherwise rewrite the comprehension's brackets into an ``array(…)``
+    constructor around unparseable ``FOR`` text. Bracket detection
+    reuses the literal pass's token predicate so ``x[1]`` subscripts
+    are never touched; nested comprehensions resolve via recursion on
+    the extracted pieces."""
+    out: list[str] = []
+    quote: str | None = None
+    prev = ""
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            prev = "'"
+            i += 1
+            continue
+        if ch == "[" and (
+            prev == ""
+            or prev in _BEFORE_LIST_LITERAL_CHARS
+            or prev.lower() in _BEFORE_LIST_LITERAL_WORDS
+        ):
+            end = _balanced_fwd(sql, i)
+            inner = sql[i + 1 : end - 1] if end is not None else None
+            # anchor on the DEPTH-0 FOR — a nested comprehension in the
+            # element expression carries its own (deeper) FOR
+            fidx = (
+                _top_level_keyword(inner, "for") if inner is not None else -1
+            )
+            if fidx > 0:
+                expr = inner[:fidx]
+                tm = re.match(
+                    r"(?is)^FOR\s+([A-Za-z_]\w*)\s+IN\b(.+)$", inner[fidx:]
+                )
+                if tm is not None:
+                    var, src = tm.group(1), tm.group(2)
+                    cidx = _top_level_keyword(src, "if")
+                    if cidx >= 0:
+                        cond = _rewrite_comprehensions(src[cidx + 2 :].strip())
+                        srcx = _rewrite_comprehensions(src[:cidx].strip())
+                        seq = f"filter({srcx}, {var} -> {cond})"
+                    else:
+                        seq = _rewrite_comprehensions(src.strip())
+                    body = _rewrite_comprehensions(expr.strip())
+                    out.append(f"transform({seq}, {var} -> {body})")
+                    prev = ")"
+                    i = end
+                    continue
+        if not ch.isspace():
+            if ch.isalnum() or ch == "_":
+                j = i
+                while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                out.append(sql[i:j])
+                prev = sql[i:j]
+                i = j
+                continue
+            prev = ch
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 _STRING_SPLIT = re.compile(r"\b(string_split|str_split|string_to_array)\s*\(", re.IGNORECASE)
@@ -2600,9 +2950,14 @@ def transpile_statement(sql: str, spark=None) -> str:
     # before the list-literal pass, which would otherwise turn the
     # path list into an array(...) constructor
     sql = _rewrite_read_file_lists(sql, spark)
+    sql = _rewrite_comprehensions(sql)
     sql = _rewrite_list_literals(sql)
     sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_subscripts(sql)
+    sql = _rewrite_intdiv(sql)
+    # power BEFORE arg-transforms: xor() expands to Spark's ^ and must
+    # not be re-read as DuckDB power
+    sql = _rewrite_power_ops(sql)
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
