@@ -419,7 +419,19 @@ def _rewrite_multi_unnest(sql: str) -> str:
     DISTINCT, set operations, GROUP BY/HAVING/QUALIFY/WINDOW, and no
     unnest outside the select list); anything else is left whole for
     Spark to reject loudly — a wrong silent zip is worse than a clear
-    error."""
+    error.
+
+    Star select items: the inner subqueries add ``__u<i>``/``__unn``
+    helper columns, so a verbatim ``*`` in the outer list would leak
+    them (the round-6 silent-schema-divergence bug). A bare ``*`` (or
+    ``* EXCEPT (…)``, which is what the EXCLUDE pass emits before this
+    one runs) is therefore rewritten to ``* EXCEPT (<helpers>)`` —
+    Spark's star-exclusion expands against the wrapped relation, so
+    the output is exactly DuckDB's ``[t-columns…, zip aliases…]``.
+    Qualified stars (``t.*``) and other star modifiers (``* REPLACE``)
+    can't be proven to cover the wrapped columns once the FROM alias
+    is swallowed by the subquery — those abort the rewrite and stay
+    loud."""
     spans = _quoted_spans(sql)
     sites = [
         m
@@ -483,12 +495,28 @@ def _rewrite_multi_unnest(sql: str) -> str:
     items = _split_top_level_commas(select_list)
     unnest_args: list[str] = []
     out_items: list[str] = []
+    star_slots: list[tuple[int, str | None]] = []  # (out_items idx, EXCEPT cols)
     for item in items:
         um = re.match(r"(?is)^\s*unnest\s*\(", item)
         if um is None:
             if _UNNEST_CALL.search(item):
                 return sql  # unnest nested in a bigger expression
-            out_items.append(item.strip())
+            stripped = item.strip()
+            if stripped.startswith("*") or stripped.endswith("*"):
+                # star item: must not leak the __u<i>/__unn helpers
+                if stripped == "*":
+                    star_slots.append((len(out_items), None))
+                    out_items.append(stripped)
+                    continue
+                em = re.match(r"(?is)^\*\s*EXCEPT\s*\((.+)\)$", stripped)
+                if em is not None:
+                    star_slots.append((len(out_items), em.group(1).strip()))
+                    out_items.append(stripped)
+                    continue
+                # t.* / * REPLACE / anything else star-shaped: coverage
+                # unprovable once the FROM alias is wrapped — stay loud
+                return sql
+            out_items.append(stripped)
             continue
         parsed = _call_args(item, um.end() - 1)
         if parsed is None:
@@ -509,6 +537,12 @@ def _rewrite_multi_unnest(sql: str) -> str:
         out_items.append(f"__unn['__u{idx}'] AS `{alias}`")
     if len(unnest_args) < 2:
         return sql
+    helpers = ", ".join(
+        [f"__u{i}" for i in range(len(unnest_args))] + ["__unn"]
+    )
+    for slot, existing in star_slots:
+        merged = f"{existing}, {helpers}" if existing else helpers
+        out_items[slot] = f"* EXCEPT ({merged})"
     defs = ", ".join(
         f"coalesce(({a}), array()) AS __u{i}" for i, a in enumerate(unnest_args)
     )

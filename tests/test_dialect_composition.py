@@ -233,6 +233,34 @@ def test_unnest_zip_literal_padding(engines):
         _run_pair_unordered(spark, con, stmt)
 
 
+def test_unnest_zip_star_items(engines):
+    """``SELECT *`` / ``* EXCLUDE (…)`` alongside multiple unnests
+    (the round-6 verdict's #1 defect: the rewrite leaked its
+    __u0/__u1/__unn helper columns into the star). DuckDB's expected
+    output for ``SELECT *, unnest(a) AS x, unnest(b) AS y FROM t`` is
+    ``[t-columns…, x, y]`` — the helpers must never appear. Columns
+    AND order are asserted, not just values."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT *, unnest(string_split(o_orderpriority, '-')) AS x, "
+        "unnest([o_orderkey, o_custkey]) AS y FROM orders WHERE o_orderkey < 40",
+        "SELECT * EXCLUDE (o_orderstatus, o_orderpriority), "
+        "unnest(string_split(o_orderpriority, '-')) AS x, "
+        "unnest(string_split(CAST(o_orderdate AS VARCHAR), '-')) AS y "
+        "FROM orders WHERE o_orderkey < 40",
+        "SELECT o_orderkey, *, unnest([o_orderkey]) AS x, "
+        "unnest([o_custkey, o_orderkey]) AS y FROM orders WHERE o_orderkey < 30",
+    ]:
+        t = transpile_statement(stmt, spark)
+        assert "unnest" not in t.lower(), f"not rewritten: {t}"
+        sdf = spark.sql(t)
+        rel = con.sql(stmt)
+        assert [f.name for f in sdf.schema.fields] == list(rel.columns), stmt
+        got = sorted((tuple(r) for r in sdf.collect()), key=str)
+        exp = sorted((tuple(r) for r in rel.fetchall()), key=str)
+        assert got == exp, f"{stmt}\nspark={got[:6]}\nduck={exp[:6]}"
+
+
 @given(
     arrays=st.lists(
         st.sampled_from(
@@ -249,19 +277,23 @@ def test_unnest_zip_literal_padding(engines):
         unique=True,
     ),
     scalar=st.booleans(),
+    star=st.sampled_from([None, "*", "* EXCLUDE (o_orderstatus)"]),
     suffix=st.sampled_from(["", " ORDER BY o_orderkey LIMIT 40", " LIMIT 25"]),
     lim=st.integers(min_value=10, max_value=80),
 )
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-def test_unnest_zip_fuzz_table(engines, arrays, scalar, suffix, lim):
+@settings(max_examples=14, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_unnest_zip_fuzz_table(engines, arrays, scalar, star, suffix, lim):
     """Fuzzed multi-unnest over the orders fixture: split arrays of
     genuinely different per-row lengths (padding on nearly every row),
-    optional interleaved scalar column, optional ORDER BY/LIMIT split
-    to the outer query."""
+    optional interleaved scalar column, optional star / EXCLUDE-star
+    item (the round-6 helper-leak regression arm), optional ORDER
+    BY/LIMIT split to the outer query."""
     spark, con, _ = engines
     items = [f"unnest({a}) AS u{i}" for i, a in enumerate(arrays)]
     if scalar:
         items.insert(1, "o_orderkey")
+    if star:
+        items.insert(0, star)
     stmt = (
         f"SELECT {', '.join(items)} FROM orders "
         f"WHERE o_orderkey < {lim}{suffix}"
@@ -310,6 +342,11 @@ def test_unnest_zip_guards_stay_loud(engines):
         # window fns evaluate PRE-unnest in DuckDB (probed) — the
         # outer-query rewrite would compute them post-explode
         "SELECT row_number() OVER () AS rn, unnest(a) AS x, unnest(b) AS y FROM t",
+        # qualified / modified stars: coverage unprovable once the FROM
+        # alias is wrapped — must abort, not leak or guess
+        "SELECT t.*, unnest(a) AS x, unnest(b) AS y FROM t",
+        'SELECT "t".*, unnest(a) AS x, unnest(b) AS y FROM t',
+        "SELECT * REPLACE (c + 1 AS c), unnest(a) AS x, unnest(b) AS y FROM t",
     ]:
         assert "unnest" in transpile_statement(stmt).lower(), stmt
 
