@@ -1073,6 +1073,42 @@ def _quoted_spans(sql: str) -> list[tuple[int, int]]:
     return spans
 
 
+def _comment_spans(sql: str) -> list[tuple[int, int]]:
+    """Inclusive [start, end] spans of ``-- …\\n`` and ``/* … */``
+    comments, quote-aware (a ``--`` inside a string literal is data,
+    not a comment). The engine strips comments from model SQL before
+    transpiling (node.py, mirroring node.rs:68-77), but
+    ``transpile_statement`` is also a public entry point — the
+    operator-shaped passes (``//``, ``^``) consult these spans so a
+    ``/*c*//`` sequence can never have its comment terminator eaten
+    by an operator rewrite (round-6 advice)."""
+    spans: list[tuple[int, int]] = []
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            i += 1
+        elif ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            end = n - 1 if j < 0 else j
+            spans.append((i, end))
+            i = end + 1
+        elif ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            end = n - 1 if j < 0 else j + 1
+            spans.append((i, end))
+            i = end + 1
+        else:
+            i += 1
+    return spans
+
+
 def _find_subscript(sql: str, min_idx: int) -> int:
     """Index of the first subscript-opening ``[`` at ≥ ``min_idx``.
     Scans from 0 so quote state and the preceding-token judgment are
@@ -1308,6 +1344,17 @@ _NUM_FWD = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 _SCI_SPLIT = re.compile(r"(?:\d+\.?\d*|\.\d+)[eE][+-]\Z")
 
 
+def _is_comment_trivia(seg: str) -> bool:
+    """True when ``seg`` is nothing but comments and whitespace."""
+    spans = _comment_spans(seg)
+    kept = "".join(
+        c
+        for i, c in enumerate(seg)
+        if not any(s <= i <= e for s, e in spans)
+    )
+    return bool(seg.strip()) and not kept.strip()
+
+
 def _sign_is_unary(sql: str, k: int) -> bool:
     """True when the ``+``/``-`` at index ``k`` is a unary sign: it is
     preceded (skipping whitespace) by nothing, an operator/opening
@@ -1331,14 +1378,52 @@ def _sign_is_unary(sql: str, k: int) -> bool:
 def _power_left_start(sql: str, op_idx: int, spans) -> int | None:
     """Start index of the left operand of the power operator at
     ``op_idx`` — the tightest-binding primary (postfix chain walked by
-    :func:`_subscript_base_start`), extended over a split scientific
-    literal (``1e-3``) and a UNARY sign (DuckDB parses ``-2 ^ 2`` as
+    :func:`_subscript_base_start`), extended back over ``::type`` cast
+    chains (``::`` binds tighter than ``^`` — probed: ``2::INT ^ 2``
+    is 4.0 in DuckDB, so ``x::int ^ 2`` must capture ``x::int``, not
+    mangle to ``x::power(int, 2)``), a split scientific literal
+    (``1e-3``) and a UNARY sign (DuckDB parses ``-2 ^ 2`` as
     ``(-2) ^ 2`` — measured, not assumed: probed against the pinned
     DuckDB alongside left associativity and the ``^``-over-``*``/``%``
     precedence this pass encodes)."""
     start, end = _subscript_base_start(sql, op_idx, spans)
     if start is None or end < start or not sql[start : end + 1].strip():
         return None
+    # when the captured chunk is ONLY comment trivia (`2 /*c*/ ^ 3` —
+    # the walk breaks at the whitespace inside the chain), resume the
+    # primary walk before the comment; a REAL captured primary stops
+    # here, so a comment BEFORE the operand (`SELECT /*c*/ 2 ^ 3`)
+    # never swallows preceding keywords
+    guard = 0
+    while _is_comment_trivia(sql[start : end + 1]):
+        guard += 1
+        if guard > 20:
+            return None
+        nstart, nend = _subscript_base_start(sql, start, spans)
+        if nstart is None or nend < nstart or not sql[nstart : nend + 1].strip():
+            return None
+        start, end = nstart, nend
+    while True:
+        # `::` postfix on the left: the walked primary may be the TYPE
+        # of a cast — mirror _power_right_end's `::` handling by
+        # stepping back over `::` plus its base primary (chained casts
+        # loop: x::int::double)
+        j = start - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 1 and sql[j] == ":" and sql[j - 1] == ":":
+            base_start, base_end = _subscript_base_start(sql, j - 1, spans)
+            if (
+                base_start is None
+                or base_end < base_start
+                or not sql[base_start : base_end + 1].strip()
+            ):
+                return None  # dangling `::` — leave the operator, loud
+            start = base_start
+            continue
+        if j >= 0 and sql[j] == ":":
+            return None  # single `:` (slice / named arg) — leave, loud
+        break
     m = _SCI_SPLIT.search(sql, 0, start)
     if m is not None and m.end() == start:
         start = m.start()
@@ -1441,7 +1526,10 @@ def _rewrite_power_ops(sql: str) -> str:
                 "power-operator rewrite did not converge (>500 sites); "
                 "statement too pathological to transpile safely"
             )
-        spans = _quoted_spans(sql)
+        # comment spans ride along with quoted ones: a ^ inside a
+        # comment is never an operator site, and the operand walks
+        # treat a comment as an opaque chunk of the postfix chain
+        spans = _quoted_spans(sql) + _comment_spans(sql)
         hat = sql.find("^", pos)
         star = sql.find("**", pos)
         if hat < 0 and star < 0:
@@ -1480,7 +1568,7 @@ def _rewrite_intdiv(sql: str) -> str:
     ``//`` means — the decimal case is matched only in sign, not
     fraction. (A live-session typed rewrite would close this; revisit
     if a real model trips it.)"""
-    spans = _quoted_spans(sql)
+    spans = _quoted_spans(sql) + _comment_spans(sql)
     out = []
     i, n = 0, len(sql)
     while i < n:
@@ -1566,6 +1654,11 @@ def _rewrite_comprehensions(sql: str) -> str:
         ):
             end = _balanced_fwd(sql, i)
             inner = sql[i + 1 : end - 1] if end is not None else None
+            if inner is not None and _comment_spans(inner):
+                # a comment inside the brackets could hide or fake a
+                # FOR/IN/IF keyword — leave the bracket for the list-
+                # literal pass (comments stay intact, never corrupted)
+                inner = None
             # anchor on the DEPTH-0 FOR — a nested comprehension in the
             # element expression carries its own (deeper) FOR
             fidx = (
@@ -1579,6 +1672,13 @@ def _rewrite_comprehensions(sql: str) -> str:
                 if tm is not None:
                     var, src = tm.group(1), tm.group(2)
                     cidx = _top_level_keyword(src, "if")
+                    if cidx >= 0 and not src[:cidx].strip():
+                        # the IF opens the source expression itself —
+                        # it is DuckDB's if() FUNCTION (e.g. `FOR x IN
+                        # if(c, a, b)`), not a filter clause; the real
+                        # filter IF (if any) is a later top-level one
+                        nxt = _top_level_keyword(src[cidx + 2 :], "if")
+                        cidx = cidx + 2 + nxt if nxt >= 0 else -1
                     if cidx >= 0:
                         cond = _rewrite_comprehensions(src[cidx + 2 :].strip())
                         srcx = _rewrite_comprehensions(src[:cidx].strip())

@@ -379,3 +379,148 @@ def test_summarize_of_macro_projection(engines):
     finally:
         fresh.close()
         dialect.reset_macros(spark)
+
+
+# ---------------------------------------------------------------------
+# Operator-rewrite differentials (round-7: the power/intdiv/xor/
+# comprehension passes' probed facts were cited in docstrings but had
+# no tests — round-6 advice items 2-4; items 1/3/4 are the `::` left
+# operand, if()-as-source and comment-awareness fixes).
+
+
+def _pair_stmt(spark, con, stmt, transpiled_has=None, transpiled_lacks=None):
+    """One statement, both engines, multiset compare (str-keyed sort so
+    list-valued cells order)."""
+    t = transpile_statement(stmt, spark)
+    if transpiled_has:
+        assert transpiled_has in t, f"{transpiled_has!r} not in: {t}"
+    if transpiled_lacks:
+        assert transpiled_lacks not in t, f"{transpiled_lacks!r} in: {t}"
+    got = sorted((tuple(r) for r in spark.sql(t).collect()), key=str)
+    exp = sorted((tuple(r) for r in con.execute(stmt).fetchall()), key=str)
+    assert got == exp, f"{stmt}\n-> {t}\nspark={got[:6]}\nduck={exp[:6]}"
+
+
+def test_power_operator_probed_facts(engines):
+    """The exact probe set the _rewrite_power_ops docstring cites:
+    unary-minus binding (-2^2=4, 0-2^2=-4), left associativity
+    (2^3^2=64), ^ over * and % (1+2^2*3=13, 10%4^2=10), ** synonym,
+    and the DOUBLE result type — differentially against DuckDB."""
+    spark, con, _ = engines
+    _pair_stmt(
+        spark, con,
+        "SELECT -2^2 AS a, 0-2^2 AS b, 2^3^2 AS c, 1+2^2*3 AS d, "
+        "10%4^2 AS e, 2**3 AS f, 1e-1^2 AS g",
+        transpiled_lacks="^",
+    )
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey, o_totalprice ^ 2 AS sq, -o_orderkey ^ 2 AS nsq "
+        "FROM orders WHERE o_orderkey < 40",
+        transpiled_lacks="^",
+    )
+
+
+def test_power_cast_left_operand(engines):
+    """Round-6 advice item 1 (medium): `::` binds tighter than `^`
+    (probed: 2::INT ^ 2 = 4.0), so the left-operand walk must capture
+    the whole cast chain — `x::int ^ 2` used to mangle into
+    `x::power(int, 2)`."""
+    spark, con, _ = engines
+    _pair_stmt(
+        spark, con,
+        "SELECT 2::INT ^ 2 AS a, (1+1)::BIGINT ^ 3 AS b, "
+        "2::INT::DOUBLE ^ 2 AS c",
+        transpiled_lacks="^",
+    )
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey, (o_orderkey + 1)::BIGINT ^ 2 AS sq "
+        "FROM orders WHERE o_orderkey < 40",
+        transpiled_lacks="^",
+    )
+
+
+def test_startswith_and_xor_function(engines):
+    """`a ^@ b` (DuckDB starts-with) → startswith(a, b); DuckDB's
+    xor() FUNCTION → Spark's ^ operator — both differentially."""
+    spark, con, _ = engines
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey, o_orderpriority ^@ '1' AS sw "
+        "FROM orders WHERE o_orderkey < 60",
+    )
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey, xor(o_orderkey, 5) AS x "
+        "FROM orders WHERE o_orderkey < 60",
+    )
+
+
+def test_intdiv_probed_facts(engines):
+    """`//` → DIV: truncation toward zero on integral operands
+    (-7//2 = -3 on both engines) and BIGINT-wide results."""
+    spark, con, _ = engines
+    _pair_stmt(
+        spark, con,
+        "SELECT -7 // 2 AS a, 7 // 2 AS b, "
+        "o_orderkey // 3 AS c FROM orders WHERE o_orderkey < 60",
+        transpiled_has="DIV",
+    )
+
+
+def test_comprehension_probed_facts(engines):
+    """List comprehensions → transform/filter: element order, the
+    NULL-slot-preserving map ([x+1 FOR x IN [1,NULL,3]]), an IF
+    filter, and nesting."""
+    spark, con, _ = engines
+    _pair_stmt(spark, con, "SELECT [x + 1 FOR x IN [1, NULL, 3]] AS l")
+    _pair_stmt(
+        spark, con,
+        "SELECT [x * 2 FOR x IN [1, 2, 3, 4] IF x > 1] AS l",
+    )
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey, "
+        "[len(w) FOR w IN string_split(o_orderpriority, '-') IF len(w) > 1] AS l "
+        "FROM orders WHERE o_orderkey < 60",
+    )
+
+
+def test_comprehension_if_function_source(engines):
+    """Round-6 advice item 3: a top-level if() FUNCTION call as the
+    comprehension source was misread as the IF filter clause, emitting
+    malformed SQL — the leading-IF-with-empty-prefix case now resolves
+    to the function (and a LATER top-level IF is still the filter)."""
+    spark, con, _ = engines
+    _pair_stmt(
+        spark, con,
+        "SELECT [x FOR x IN if(1 = 1, [1, 2, 3], [9])] AS l",
+    )
+    _pair_stmt(
+        spark, con,
+        "SELECT [x FOR x IN if(1 = 2, [1, 2, 3], [7, 8, 9]) IF x > 7] AS l",
+    )
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey, "
+        "[w FOR w IN if(o_orderkey % 2 = 0, string_split(o_orderpriority, '-'), "
+        "['odd']) IF len(w) > 2] AS l "
+        "FROM orders WHERE o_orderkey < 60",
+    )
+
+
+def test_operator_passes_comment_aware(engines):
+    """Round-6 advice item 4: `a /*c*// b` must keep its comment
+    terminator (the straddling `//` is comment-close + division, not
+    intdiv), `//`/`^` inside comments stay untouched, and a bracketed
+    list whose comment contains FOR is not misread as a comprehension."""
+    spark, con, _ = engines
+    _pair_stmt(spark, con, "SELECT 7 /*half*// 2 AS d, 8 /*c*/ // 3 AS e")
+    _pair_stmt(
+        spark, con,
+        "SELECT o_orderkey // 4 AS q FROM orders -- int // div ^ note\nWHERE o_orderkey < 60",
+        transpiled_has="DIV",
+    )
+    _pair_stmt(spark, con, "SELECT [1, 2 /* FOR x IN y */] AS l")
+    _pair_stmt(spark, con, "SELECT 2 /*c*/ ^ 3 AS p", transpiled_lacks="^")
