@@ -46,6 +46,30 @@ regression. The headline loop's min-of-5 plus a dedicated min-of-15
 steady series (``knn_steady15``, full series in the detail file) and
 os.getloadavg() at start/end make box state attributable from the
 artifact alone.
+
+LOAD GATE (round-6 verdict item 2): r6's committed artifact failed
+both published pass criteria with loadavg 12.3 at end — external box
+load, not a code regression (Spark's side was best-ever committed;
+DuckDB's denominators ran 20% fast). Every timed section now starts
+with a quiet gate: if the 1-min loadavg exceeds
+$ARNAB_BENCH_LOADGATE (default 5) the bench sleeps in 5 s steps (up
+to 120 s per section) and records the section's entry loadavg +
+waited seconds in ``load_sections`` — so a loaded-box run is
+attributable per-section from the artifact alone. Section ORDER keeps
+the honesty constraint from round 3's measurement (DuckDB beside an
+idle 32-thread JVM runs 2-5x slower, so ALL DuckDB timing must
+precede the Spark session) while still putting the Spark headline +
+concurrent sections before the Spark-side sf1/sf10 scale blocks; the
+quiet gate between the DuckDB sf1 block and the Spark headline
+section is what separates the ~2 min of sf1 DuckDB churn from the
+graded measurements.
+
+THIRD DECADE (round-6 verdict item 4): the tpch8 slope gains an sf10
+point (tools/gen_scale.generate_sf10 — 10x the sf1 point, TPC-H
+tables only, one parquet row group per copy). The dedup family stays
+capped at sf1: its DuckDB side already costs ~2 min there and the
+projected ~20 min at sf10 would dominate the whole bench — stated
+here and in the artifact (``scale_slope.dedup.sf10_skipped``).
 """
 
 from __future__ import annotations
@@ -108,20 +132,40 @@ def main() -> None:
     sf_dir = DEFAULT_SF_DIR
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
+    # Quiet gate (round-6 verdict item 2): every timed section records
+    # its entry 1-min loadavg and, when the box is loaded, waits
+    # (bounded) for the load to drain before the clock starts.
+    load_sections: dict[str, dict] = {}
+    load_thresh = float(os.environ.get("ARNAB_BENCH_LOADGATE", "5"))
+
+    def _quiet_gate(section: str, cap_sec: int = 120) -> None:
+        waited = 0
+        la = os.getloadavg()[0]
+        while la > load_thresh and waited < cap_sec:
+            time.sleep(5)
+            waited += 5
+            la = os.getloadavg()[0]
+        load_sections[section] = {"loadavg1": round(la, 2), "waited_sec": waited}
+
     registry = all_queries()
     names = sorted(name for name, q in registry.items() if q.headline)
 
-    # 10x scale point, generated (idempotent) BEFORE any engine runs
+    # 10x / 100x scale points, generated (idempotent) BEFORE any engine
+    # runs — generation is heavy pandas/parquet churn and must never
+    # overlap a timed section
     sf1_dir = None
+    sf10_dir = None
     if (
         os.environ.get("ARNAB_BENCH_SCALE", "true") != "false"
         and os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
     ):
         try:
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from tools.gen_scale import generate
+            from tools.gen_scale import generate, generate_sf10
 
             sf1_dir = generate(src=sf_dir)
+            if os.environ.get("ARNAB_BENCH_SCALE3", "true") != "false":
+                sf10_dir = generate_sf10(sf1_dir)
         except Exception as exc:
             print(f"scale point skipped: {exc}", file=sys.stderr)
 
@@ -136,6 +180,7 @@ def main() -> None:
     try:
         from arnab_spark.oracle import duckdb_connection
 
+        _quiet_gate("duckdb_headline")
         con = duckdb_connection(sf_dir)
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus and cpus.isdigit():
@@ -167,10 +212,14 @@ def main() -> None:
             return round(min(walls), 4)
 
         if sf1_dir:
+            _quiet_gate("duckdb_scale")
             duck_scale["tpch8"] = {
                 "sf0.1": _duck_family(sf_dir, TPCH8, 2),
                 "sf1": _duck_family(sf1_dir, TPCH8, 2),
             }
+            if sf10_dir:
+                # third decade (TPC-H tables only — see module docstring)
+                duck_scale["tpch8"]["sf10"] = _duck_family(sf10_dir, TPCH8, 1)
             duck_scale["dedup"] = {
                 "sf0.1": _duck_family(sf_dir, DEDUP_FAMILY, 2),
                 # single pass: the text-op oracles cost ~2 min at sf1
@@ -180,6 +229,7 @@ def main() -> None:
         print(f"duckdb side skipped: {exc}", file=sys.stderr)
     duck_total = round(sum(duck_timings.values()), 4) or None
 
+    _quiet_gate("spark_session")
     warmup_start = time.perf_counter()
     spark = get_spark("arnab_spark_bench")
     # sized-for-scale shuffle parallelism: 16 partitions at sf0.1 —
@@ -208,6 +258,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     alt_timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    _quiet_gate("spark_headline")
     for qi, name in enumerate(names):
         start = time.perf_counter()
         _run(name)
@@ -249,6 +300,7 @@ def main() -> None:
     # overhead, not machine throughput.
     from concurrent.futures import ThreadPoolExecutor
 
+    _quiet_gate("spark_concurrent")
     conc = []
     for _ in range(2):
         start = time.perf_counter()
@@ -278,6 +330,7 @@ def main() -> None:
             walls.append(t_pass)
         return round(min(walls), 4), {n: round(t, 4) for n, t in per.items()}
 
+    _quiet_gate("spark_families")
     pipeline_wall, pipeline_queries = _family_pass(PIPELINE)
     dedup_family_wall, dedup_family_queries = _family_pass(DEDUP_FAMILY)
     ann_family_wall, ann_family_queries = _family_pass(ANN_FAMILY)
@@ -317,6 +370,7 @@ def main() -> None:
     spark_scale: dict[str, dict[str, float]] = {}
     scale_detail: dict[str, dict] = {}
     if sf1_dir and duck_scale:
+        _quiet_gate("spark_scale_sf1")
         spark.conf.set("spark.sql.shuffle.partitions", "64")
         for fam, qs, iters in (
             ("tpch8", TPCH8, 2),
@@ -327,6 +381,14 @@ def main() -> None:
             w1, d1 = _family_pass(qs, sf1_dir, iters=iters)
             spark_scale[fam] = {"sf0.1": tpch_wall if fam == "tpch8" else dedup_family_wall, "sf1": w1}
             scale_detail[fam] = {"sf1_queries": d1}
+        if sf10_dir and "sf10" in duck_scale.get("tpch8", {}):
+            # third decade: shuffle parallelism scales with the data
+            # again (64 -> 128 — the same knob a real cluster turns)
+            _quiet_gate("spark_scale_sf10")
+            spark.conf.set("spark.sql.shuffle.partitions", "128")
+            w10, d10 = _family_pass(TPCH8, sf10_dir, iters=1)
+            spark_scale["tpch8"]["sf10"] = w10
+            scale_detail["tpch8"]["sf10_queries"] = d10
         spark.conf.set(
             "spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "16")
         )
@@ -342,7 +404,19 @@ def main() -> None:
                     "ratio": round(spark_scale[fam][s] / duck_scale[fam][s], 2),
                 }
                 for s in ("sf0.1", "sf1")
+                if s in spark_scale[fam] and s in duck_scale[fam]
             }
+        if "sf10" in spark_scale.get("tpch8", {}):
+            scale_slope["tpch8"]["sf10"] = {
+                "spark": spark_scale["tpch8"]["sf10"],
+                "duckdb": duck_scale["tpch8"]["sf10"],
+                "ratio": round(
+                    spark_scale["tpch8"]["sf10"] / duck_scale["tpch8"]["sf10"], 2
+                ),
+            }
+            # dedup deliberately stops at sf1 (DuckDB side ~2 min there,
+            # ~20 min projected at sf10 — would dominate the bench)
+            scale_slope["dedup"]["sf10_skipped"] = "duckdb_side_cost"
 
     # Floor probe: the same 2-stage aggregation at sf0.001 (100x less
     # data). The sf0.001 number is the per-query fixed cost (job submit
@@ -353,6 +427,7 @@ def main() -> None:
     floor_breakdown: dict[str, float] | None = None
     tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny_dir):
+        _quiet_gate("floor_probe")
         q = registry["agg_pricing_summary"]
         _noop(q.fn(spark, tiny_dir))
         probe = []
@@ -424,6 +499,8 @@ def main() -> None:
         "floor_breakdown": floor_breakdown,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
+        "load_sections": load_sections,
+        "load_gate_threshold": load_thresh,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "bench_detail.json"), "w") as fh:
@@ -450,6 +527,9 @@ def main() -> None:
         },
         "scale_slope": scale_slope,
         "loadavg": loadavg_start + loadavg_end,
+        # per-section entry loadavg (compact: just the 1-min numbers;
+        # waited seconds + threshold in the detail file)
+        "load_sections": {k: v["loadavg1"] for k, v in load_sections.items()},
         "knn_steady15": knn_steady15,
         "floor_probe_pricing_sf0001": floor_probe,
         "floor_breakdown": floor_breakdown,

@@ -1,13 +1,14 @@
-"""Generate a 10x scale point (``sf1``) from the driver's sf0.1
-fixtures, for the empirical scale-slope measurement in bench.py
-(round-5 verdict item 6: one 10x datapoint turns the "per-query floor
-amortizes at scale" argument from arithmetic into measurement).
+"""Generate 10x scale points (``sf1``, and ``sf10`` from sf1) from the
+driver's sf0.1 fixtures, for the empirical scale-slope measurement in
+bench.py (round-5 verdict item 6: a 10x datapoint turns the "per-query
+floor amortizes at scale" argument from arithmetic into measurement;
+round-6 verdict item 4 adds the third decade for the TPC-H family).
 
-The testdata tree is read-only, so sf1 lands repo-local at
-``.scaledata/sf1`` (gitignored; regenerated on demand, content is a
-pure function of the sf0.1 inputs). Scaling is 10 key-shifted copies —
-NOT 10 verbatim copies, which would distort the workloads being
-measured:
+The testdata tree is read-only, so scale points land repo-local at
+``.scaledata/sf1`` / ``.scaledata/sf10`` (gitignored; regenerated on
+demand, content is a pure function of the sf0.1 inputs). Scaling is 10
+key-shifted copies — NOT 10 verbatim copies, which would distort the
+workloads being measured:
 
 - fact/dim keys shift by ``copy * (max_key + 1)`` so cardinalities and
   join fan-outs scale linearly (10 verbatim copies would keep the same
@@ -25,6 +26,19 @@ measured:
   similarity unstructured.
 
 nation/region are dimension tables and copy verbatim.
+
+Copies are STREAMED to the parquet file one at a time (pyarrow
+ParquetWriter, one row group per copy) so peak memory is one copy of
+one table, not the whole scaled table — at sf10 the lineitem table
+alone is ~60M rows, which a pd.concat materialization would hold
+fully in RAM. One row group per copy also gives downstream engines
+clean parallel scan units.
+
+``tables=`` restricts generation to a subset (the sf10 point only
+needs the TPC-H tables for the tpch8 slope; the dedup family's DuckDB
+side is already ~2 min at sf1 — projected ~20 min at sf10 — so the
+third decade deliberately covers TPC-H only, stated in-band in the
+bench artifact).
 """
 
 from __future__ import annotations
@@ -33,12 +47,17 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_DEFAULT = "/root/testdata/sf0.1"
-DEST_DEFAULT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaledata", "sf1"
-)
+DEST_DEFAULT = os.path.join(REPO, ".scaledata", "sf1")
 COPIES = 10
+
+TPCH_TABLES = (
+    "orders", "lineitem", "customer", "supplier", "part", "nation", "region",
+)
 
 #: per-table (shift_columns_by_their_own_stride, name_suffix_columns)
 _KEYED = {
@@ -70,77 +89,118 @@ _OWNER_TABLE = {
 }
 
 
-def generate(src: str = SRC_DEFAULT, dest: str = DEST_DEFAULT, copies: int = COPIES) -> str:
+def _stream_copies(path: str, copies: int, make_copy) -> None:
+    """Write ``copies`` dataframes (``make_copy(i)``) to one parquet
+    file, one row group per copy — peak memory is a single copy."""
+    writer = None
+    try:
+        for i in range(copies):
+            table = pa.Table.from_pandas(make_copy(i), preserve_index=False)
+            if writer is None:
+                writer = pq.ParquetWriter(path, table.schema)
+            writer.write_table(table)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
+def generate(
+    src: str = SRC_DEFAULT,
+    dest: str = DEST_DEFAULT,
+    copies: int = COPIES,
+    tables: tuple[str, ...] | None = None,
+) -> str:
     """Idempotent: a ``_SCALE_OK`` marker short-circuits regeneration."""
     marker = os.path.join(dest, "_SCALE_OK")
     if os.path.exists(marker):
         return dest
     os.makedirs(dest, exist_ok=True)
 
+    def wanted(t: str) -> bool:
+        return tables is None or t in tables
+
     # strides from the key-owning tables (max + 1 keeps keys disjoint)
     strides: dict[str, int] = {}
     for owner_col, table in _OWNER_TABLE.items():
+        if not wanted(table):
+            continue
         s = pd.read_parquet(os.path.join(src, f"{table}.parquet"), columns=[owner_col])
         strides[owner_col] = int(s[owner_col].max()) + 1
 
     for table, (key_cols, name_cols) in _KEYED.items():
+        if not wanted(table):
+            continue
         df = pd.read_parquet(os.path.join(src, f"{table}.parquet"))
-        parts = []
-        for i in range(copies):
-            c = df.copy(deep=False) if i == 0 else df.copy()
-            if i:
-                for col in key_cols:
-                    c[col] = c[col] + i * strides[_KEY_OWNER_COL[col]]
-                for col in name_cols:
-                    c[col] = c[col] + f"#{i}"
-            parts.append(c)
-        pd.concat(parts, ignore_index=True).to_parquet(
-            os.path.join(dest, f"{table}.parquet"), index=False
-        )
 
-    docs = pd.read_parquet(os.path.join(src, "documents.parquet"))
-    doc_stride = int(docs["doc_id"].max()) + 1
-    parts = []
-    for i in range(copies):
-        c = docs.copy(deep=False) if i == 0 else docs.copy()
-        if i:
+        def copy_keyed(i: int, df=df, key_cols=key_cols, name_cols=name_cols):
+            if i == 0:
+                return df
+            c = df.copy()
+            for col in key_cols:
+                c[col] = c[col] + i * strides[_KEY_OWNER_COL[col]]
+            for col in name_cols:
+                c[col] = c[col] + f"#{i}"
+            return c
+
+        _stream_copies(os.path.join(dest, f"{table}.parquet"), copies, copy_keyed)
+        del df
+
+    if wanted("documents"):
+        docs = pd.read_parquet(os.path.join(src, "documents.parquet"))
+        doc_stride = int(docs["doc_id"].max()) + 1
+
+        def copy_docs(i: int):
+            if i == 0:
+                return docs
+            c = docs.copy()
             c["doc_id"] = c["doc_id"] + i * doc_stride
             c["text"] = c["text"].str.replace(" ", f" q{i}", regex=False)
             c["n_chars"] = c["text"].str.len()
-        parts.append(c)
-    pd.concat(parts, ignore_index=True).to_parquet(
-        os.path.join(dest, "documents.parquet"), index=False
-    )
+            return c
 
-    emb = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
-    vec_stride = int(emb["vec_id"].max()) + 1
-    mat = np.stack(emb["embedding"].to_numpy())
-    parts = []
-    for i in range(copies):
-        c = emb.copy(deep=False) if i == 0 else emb.copy()
-        if i:
+        _stream_copies(os.path.join(dest, "documents.parquet"), copies, copy_docs)
+
+    if wanted("embeddings"):
+        emb = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
+        vec_stride = int(emb["vec_id"].max()) + 1
+        mat = np.stack(emb["embedding"].to_numpy())
+
+        def copy_emb(i: int):
+            if i == 0:
+                return emb
+            c = emb.copy()
             c["vec_id"] = c["vec_id"] + i * vec_stride
             c["embedding"] = list(np.roll(mat, i, axis=1))
-        parts.append(c)
-    pd.concat(parts, ignore_index=True).to_parquet(
-        os.path.join(dest, "embeddings.parquet"), index=False
-    )
+            return c
+
+        _stream_copies(os.path.join(dest, "embeddings.parquet"), copies, copy_emb)
 
     for table in ("nation", "region"):
-        pd.read_parquet(os.path.join(src, f"{table}.parquet")).to_parquet(
-            os.path.join(dest, f"{table}.parquet"), index=False
-        )
+        if wanted(table):
+            pd.read_parquet(os.path.join(src, f"{table}.parquet")).to_parquet(
+                os.path.join(dest, f"{table}.parquet"), index=False
+            )
     # events isn't used by the scale-slope families but a missing file
     # would break register_views-style whole-directory loads — copy it.
     ev_src = os.path.join(src, "events.parquet")
-    if os.path.exists(ev_src):
+    if wanted("events") and os.path.exists(ev_src):
         pd.read_parquet(ev_src).to_parquet(
             os.path.join(dest, "events.parquet"), index=False
         )
 
     with open(marker, "w") as fh:
-        fh.write(f"copies={copies} src={src}\n")
+        fh.write(f"copies={copies} src={src} tables={tables or 'all'}\n")
     return dest
+
+
+def generate_sf10(sf1_dir: str) -> str:
+    """The third decade: 10x the sf1 point, TPC-H tables only."""
+    return generate(
+        src=sf1_dir,
+        dest=os.path.join(REPO, ".scaledata", "sf10"),
+        copies=COPIES,
+        tables=TPCH_TABLES,
+    )
 
 
 if __name__ == "__main__":
