@@ -15,11 +15,18 @@ AQE interleave totals, family per-query timings, the knn steady-run
 series, scale-slope raw numbers — is written to ``bench_detail.json``
 at the repo root, which the round commit picks up.
 
-Settings follow BASELINE.md: shuffle partitions ≈16 at sf0.1 (the knob
-scales with data volume — the sf1 scale passes below use 64), session
-reused across queries so JVM/codegen warmup is paid once — mirroring
-how both the reference (one DuckDB connection per run, reference:
-main.rs:126-132) and a production deployment amortize setup.
+Settings follow BASELINE.md: shuffle partitions 8 at sf0.1 (the knob
+scales with data volume — the sf1/sf10 scale passes below use 64/128),
+session reused across queries so JVM/codegen warmup is paid once —
+mirroring how both the reference (one DuckDB connection per run,
+reference: main.rs:126-132) and a production deployment amortize
+setup. History of the partitions knob: round 3 measured p=16 > p=8 on
+the then-current plans; re-measured round 7 config-interleaved
+per-query (the AQE protocol) on today's plans: p=8 beats p=16 by ~7%
+total (2.23 s vs 2.41 s), −14..16% on agg_pricing_summary /
+dedup_minhash_lsh / sessionize_gaps, within noise elsewhere; p=4 ties
+p=8 overall but loses on asof_join/knn. 8 is the new sf0.1 default
+(override: ARNAB_BENCH_SHUFFLE).
 
 AQE is ON in the benched config (override: ARNAB_BENCH_AQE=false),
 matching the shipped session default (spark_utils.get_spark). History
@@ -232,10 +239,10 @@ def main() -> None:
     _quiet_gate("spark_session")
     warmup_start = time.perf_counter()
     spark = get_spark("arnab_spark_bench")
-    # sized-for-scale shuffle parallelism: 16 partitions at sf0.1 —
-    # round-3 measurement on the 32-core box: p=16 beats p=8 by ~7% on
-    # the shuffle-heavy headliners and p=4 loses both ways
-    spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "16"))
+    # sized-for-scale shuffle parallelism: 8 partitions at sf0.1 —
+    # re-measured round 7, config-interleaved per query (see module
+    # docstring): p=8 beats p=16 by ~7% on today's plans
+    spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "8"))
     benched_aqe = os.environ.get("ARNAB_BENCH_AQE", "true")
     spark.conf.set("spark.sql.adaptive.enabled", benched_aqe)
     # warm the JVM + parquet footer caches with a trivial action so the
@@ -390,7 +397,7 @@ def main() -> None:
             spark_scale["tpch8"]["sf10"] = w10
             scale_detail["tpch8"]["sf10_queries"] = d10
         spark.conf.set(
-            "spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "16")
+            "spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "8")
         )
 
     scale_slope = None
