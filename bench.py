@@ -225,8 +225,11 @@ def main() -> None:
                 "sf1": _duck_family(sf1_dir, TPCH8, 2),
             }
             if sf10_dir:
-                # third decade (TPC-H tables only — see module docstring)
-                duck_scale["tpch8"]["sf10"] = _duck_family(sf10_dir, TPCH8, 1)
+                # third decade (TPC-H tables only — see module
+                # docstring); 2 passes so DuckDB gets the same
+                # warm-then-measure treatment the Spark side's
+                # _family_pass gives
+                duck_scale["tpch8"]["sf10"] = _duck_family(sf10_dir, TPCH8, 2)
             duck_scale["dedup"] = {
                 "sf0.1": _duck_family(sf_dir, DEDUP_FAMILY, 2),
                 # single pass: the text-op oracles cost ~2 min at sf1
@@ -356,15 +359,19 @@ def main() -> None:
     # growing this set can't masquerade as a regression.
     full22 = sorted(n for n, q in registry.items() if "tpch" in q.tags)
     tpch_full_wall, tpch_full_queries = _family_pass(full22)
+    # min-of-3 for the concurrent sweeps: measured same-config spread on
+    # these passes is 2-4x (22 queries racing over one scheduler), so
+    # two passes under-sample the distribution (r7 measurement: c8 at a
+    # fixed config ranged 2.7-10.4 s across four back-to-back runs)
     flc = []
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         with ThreadPoolExecutor(4) as ex:
             list(ex.map(_run, full22))
         flc.append(time.perf_counter() - start)
     tpch_full_concurrent = round(min(flc), 4)
     fl8 = []
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         with ThreadPoolExecutor(8) as ex:
             list(ex.map(_run, full22))
@@ -379,6 +386,14 @@ def main() -> None:
     if sf1_dir and duck_scale:
         _quiet_gate("spark_scale_sf1")
         spark.conf.set("spark.sql.shuffle.partitions", "64")
+        # second data-scaled knob: past sf1 the dimension tables outgrow
+        # the stock 10 MB broadcast threshold (customer.parquet is 21 MB
+        # at sf10) and every star join silently flips to sort-merge —
+        # measured at sf10: 65 s -> ~41 s family wall just from raising
+        # the threshold (256m > 64m, both probed repeatedly). This is
+        # the same executor-memory-sized knob any real cluster job sets;
+        # no-op at sf1 where the dims are still under 10 MB.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
         for fam, qs, iters in (
             ("tpch8", TPCH8, 2),
             # single measured pass after warm: the family costs minutes
@@ -399,6 +414,7 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "8")
         )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     scale_slope = None
     if sf1_dir and duck_scale:

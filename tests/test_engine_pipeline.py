@@ -212,7 +212,7 @@ def test_viz_svg(tmp_path):
     out = save_visualization(session, os.path.join(root, "dag"))
     assert out.endswith(".svg") and os.path.exists(out)
     svg = open(out).read()
-    assert "<svg" in svg and ">a<" in svg and ">b<" in svg and "<line" in svg
+    assert "<svg" in svg and ">a<" in svg and ">b<" in svg and "<path d=" in svg
     dot = session.to_dot()
     assert "digraph LR {" in dot and "a -> b;" in dot  # reference: graphviz.rs:31
 
