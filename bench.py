@@ -303,6 +303,51 @@ def main() -> None:
         knn_runs.append(round(time.perf_counter() - start, 4))
     knn_steady15 = min(knn_runs)
 
+    # Floor probe: the same 2-stage aggregation at sf0.001 — measured
+    # HERE, adjacent to the headline section it adjusts (r7: when it
+    # ran last, after the sf10 block's heap churn, it read 0.15 s vs
+    # 0.10 s mid-run — inflating the probe flatters the
+    # floor-adjusted criterion, so it shares the headline's JVM state) (100x less
+    # data). The sf0.001 number is the per-query fixed cost (job submit
+    # + stage scheduling + sink commit) that amortizes to noise at
+    # cluster scale — in-band evidence for SCALE.md's floor analysis;
+    # decomposition per round-4 verdict item 3 (full notes: BASELINE.md).
+    floor_probe = None
+    floor_breakdown: dict[str, float] | None = None
+    tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny_dir):
+        _quiet_gate("floor_probe")
+        q = registry["agg_pricing_summary"]
+        _noop(q.fn(spark, tiny_dir))
+        probe = []
+        for _ in range(3):
+            start = time.perf_counter()
+            _noop(q.fn(spark, tiny_dir))
+            probe.append(time.perf_counter() - start)
+        floor_probe = round(min(probe), 4)
+
+        def _best(fn, n=7):
+            runs = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            return round(min(runs), 4)
+
+        dfq = q.fn(spark, tiny_dir)
+        dfq.collect()
+        r1 = spark.range(1)
+        r1.collect()
+        _noop(r1)
+        floor_breakdown = {
+            "construct": _best(lambda: q.fn(spark, tiny_dir)),
+            "noop_prebuilt": _best(lambda: _noop(dfq)),
+            "collect_prebuilt": _best(lambda: dfq.collect()),
+            "bare_job_collect": _best(lambda: r1.collect()),
+            "bare_job_noop": _best(lambda: _noop(r1)),
+        }
+
+
     # Throughput pass: the same 8 queries submitted CONCURRENTLY (4
     # threads, one shared session) — how a multi-query Spark app
     # actually runs: at sf0.1 a single tiny query leaves most of the 32
@@ -408,7 +453,9 @@ def main() -> None:
             # again (64 -> 128 — the same knob a real cluster turns)
             _quiet_gate("spark_scale_sf10")
             spark.conf.set("spark.sql.shuffle.partitions", "128")
-            w10, d10 = _family_pass(TPCH8, sf10_dir, iters=1)
+            # 2 measured passes: single-pass sf10 readings spread 2x
+            # (40 s probe vs 78 s in-run) — min-of-2 tames the tail
+            w10, d10 = _family_pass(TPCH8, sf10_dir, iters=2)
             spark_scale["tpch8"]["sf10"] = w10
             scale_detail["tpch8"]["sf10_queries"] = d10
         spark.conf.set(
@@ -440,46 +487,6 @@ def main() -> None:
             # dedup deliberately stops at sf1 (DuckDB side ~2 min there,
             # ~20 min projected at sf10 — would dominate the bench)
             scale_slope["dedup"]["sf10_skipped"] = "duckdb_side_cost"
-
-    # Floor probe: the same 2-stage aggregation at sf0.001 (100x less
-    # data). The sf0.001 number is the per-query fixed cost (job submit
-    # + stage scheduling + sink commit) that amortizes to noise at
-    # cluster scale — in-band evidence for SCALE.md's floor analysis;
-    # decomposition per round-4 verdict item 3 (full notes: BASELINE.md).
-    floor_probe = None
-    floor_breakdown: dict[str, float] | None = None
-    tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(tiny_dir):
-        _quiet_gate("floor_probe")
-        q = registry["agg_pricing_summary"]
-        _noop(q.fn(spark, tiny_dir))
-        probe = []
-        for _ in range(3):
-            start = time.perf_counter()
-            _noop(q.fn(spark, tiny_dir))
-            probe.append(time.perf_counter() - start)
-        floor_probe = round(min(probe), 4)
-
-        def _best(fn, n=7):
-            runs = []
-            for _ in range(n):
-                t0 = time.perf_counter()
-                fn()
-                runs.append(time.perf_counter() - t0)
-            return round(min(runs), 4)
-
-        dfq = q.fn(spark, tiny_dir)
-        dfq.collect()
-        r1 = spark.range(1)
-        r1.collect()
-        _noop(r1)
-        floor_breakdown = {
-            "construct": _best(lambda: q.fn(spark, tiny_dir)),
-            "noop_prebuilt": _best(lambda: _noop(dfq)),
-            "collect_prebuilt": _best(lambda: dfq.collect()),
-            "bare_job_collect": _best(lambda: r1.collect()),
-            "bare_job_noop": _best(lambda: _noop(r1)),
-        }
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
