@@ -59,9 +59,10 @@ both published pass criteria with loadavg 12.3 at end — external box
 load, not a code regression (Spark's side was best-ever committed;
 DuckDB's denominators ran 20% fast). Every timed section now starts
 with a quiet gate: if the 1-min loadavg exceeds
-$ARNAB_BENCH_LOADGATE (default 5) the bench sleeps in 5 s steps (up
-to 120 s per section) and records the section's entry loadavg +
-waited seconds in ``load_sections`` — so a loaded-box run is
+$ARNAB_BENCH_LOADGATE (default 3 — r7 measured a section entered
+at loadavg 4.6 still running ~10% slow) the bench sleeps in 5 s steps
+(up to 90 s per section, 360 s cumulative) and records the section's
+entry loadavg + waited seconds in ``load_sections`` — so a loaded-box run is
 attributable per-section from the artifact alone. Section ORDER keeps
 the honesty constraint from round 3's measurement (DuckDB beside an
 idle 32-thread JVM runs 2-5x slower, so ALL DuckDB timing must
@@ -143,14 +144,22 @@ def main() -> None:
     # its entry 1-min loadavg and, when the box is loaded, waits
     # (bounded) for the load to drain before the clock starts.
     load_sections: dict[str, dict] = {}
-    load_thresh = float(os.environ.get("ARNAB_BENCH_LOADGATE", "5"))
+    # threshold 3 (r7: a section entered at loadavg 4.6 — under the
+    # original gate of 5 — still ran the headline ~10% slow; 1-min
+    # loadavg decays with a ~60 s constant, so a short sleep genuinely
+    # quiets entries after the bench's own bursts). Per-section cap
+    # 90 s, cumulative budget 360 s so a permanently-busy box can't
+    # stall the run — it proceeds and the artifact says so.
+    load_thresh = float(os.environ.get("ARNAB_BENCH_LOADGATE", "3"))
+    gate_budget = [360]
 
-    def _quiet_gate(section: str, cap_sec: int = 120) -> None:
+    def _quiet_gate(section: str, cap_sec: int = 90) -> None:
         waited = 0
         la = os.getloadavg()[0]
-        while la > load_thresh and waited < cap_sec:
+        while la > load_thresh and waited < cap_sec and gate_budget[0] > 0:
             time.sleep(5)
             waited += 5
+            gate_budget[0] -= 5
             la = os.getloadavg()[0]
         load_sections[section] = {"loadavg1": round(la, 2), "waited_sec": waited}
 
