@@ -10,11 +10,10 @@ any scale-dependent drift in the rounding contract (or in join
 fan-out-sensitive plans) surfaces here instead of at the judge's
 re-measure.
 
-Opt-in (``ARNAB_SF1_DIFF=1``): the pass costs minutes of two-engine
-sf1 execution, which would triple the default suite's wall clock. Run
-protocol: once per round after the bench (results recorded in
-SCALE.md); the scale point itself is the deterministic gen_scale
-output, so a green run attests the committed source at 10x data.
+Runs by default when ``.scaledata/sf1`` already exists (the bench
+materializes it; measured cost of the 12-query pass: ~49 s — r7).
+On a fresh clone without the scale point it skips unless
+``ARNAB_SF1_DIFF=1`` forces generation (~1 min of pandas/parquet).
 """
 
 import os
@@ -49,9 +48,9 @@ SF1_QUERIES = [
 ]
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("ARNAB_SF1_DIFF") != "1",
-    reason="sf1 differential is opt-in (ARNAB_SF1_DIFF=1): minutes of "
-    "two-engine 10x-scale execution",
+    os.environ.get("ARNAB_SF1_DIFF") != "1" and not os.path.isdir(SF1_DIR),
+    reason="no .scaledata/sf1 scale point on disk; set ARNAB_SF1_DIFF=1 "
+    "to generate it (~1 min) and run the 10x differential",
 )
 
 
