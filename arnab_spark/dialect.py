@@ -1403,6 +1403,11 @@ def _power_left_start(sql: str, op_idx: int, spans) -> int | None:
         if nstart is None or nend < nstart or not sql[nstart : nend + 1].strip():
             return None
         start, end = nstart, nend
+    if guard and sql[start : end + 1].strip().lower() in _SIGN_UNARY_WORDS:
+        # the resume walk landed on a clause keyword (`SELECT /*c*/ ^ 3`
+        # — `^` had no real left operand): bail rather than swallow the
+        # keyword into power(); the malformed input stays loud in Spark
+        return None
     while True:
         # `::` postfix on the left: the walked primary may be the TYPE
         # of a cast — mirror _power_right_end's `::` handling by

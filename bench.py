@@ -476,6 +476,10 @@ def main() -> None:
     if sf1_dir and duck_scale:
         scale_slope = {}
         for fam in ("tpch8", "dedup"):
+            # .get guards: if the DuckDB timing section raised mid-way
+            # (it is one try/except) duck_scale may hold tpch8 but not
+            # dedup — the slope must degrade to the families measured,
+            # not crash before bench_detail.json is written
             scale_slope[fam] = {
                 s: {
                     "spark": spark_scale[fam][s],
@@ -483,7 +487,7 @@ def main() -> None:
                     "ratio": round(spark_scale[fam][s] / duck_scale[fam][s], 2),
                 }
                 for s in ("sf0.1", "sf1")
-                if s in spark_scale[fam] and s in duck_scale[fam]
+                if s in spark_scale.get(fam, {}) and s in duck_scale.get(fam, {})
             }
         if "sf10" in spark_scale.get("tpch8", {}):
             scale_slope["tpch8"]["sf10"] = {
@@ -494,8 +498,9 @@ def main() -> None:
                 ),
             }
             # dedup deliberately stops at sf1 (DuckDB side ~2 min there,
-            # ~20 min projected at sf10 — would dominate the bench)
-            scale_slope["dedup"]["sf10_skipped"] = "duckdb_side_cost"
+            # ~20 min projected at sf10 — would dominate the bench);
+            # setdefault: dedup may be absent if its DuckDB side raised
+            scale_slope.setdefault("dedup", {})["sf10_skipped"] = "duckdb_side_cost"
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -441,6 +441,24 @@ def test_power_cast_left_operand(engines):
     )
 
 
+def test_power_comment_resume_never_swallows_keywords():
+    """Round-7 advice item 3 (low): when ``^`` has no real left operand
+    and only comment trivia precedes it (`SELECT /*c*/ ^ 3`), the
+    comment-resume walk used to capture the preceding clause KEYWORD as
+    the operand, emitting `power(SELECT /*c*/, 3)`. The resume now
+    bails on bare SQL keywords — the malformed input keeps its `^` and
+    fails loudly in Spark — while a real operand separated from `^` by
+    a comment (`2 /*c*/ ^ 3`) still rewrites."""
+    from arnab_spark.dialect import _rewrite_power_ops
+
+    assert _rewrite_power_ops("SELECT 2 /*c*/ ^ 3") == "SELECT power(2 /*c*/, 3)"
+    assert _rewrite_power_ops("SELECT /*c*/ ^ 3") == "SELECT /*c*/ ^ 3"
+    assert (
+        _rewrite_power_ops("SELECT a FROM t WHERE /*c*/ ^ 2 > 1")
+        == "SELECT a FROM t WHERE /*c*/ ^ 2 > 1"
+    )
+
+
 def test_startswith_and_xor_function(engines):
     """`a ^@ b` (DuckDB starts-with) → startswith(a, b); DuckDB's
     xor() FUNCTION → Spark's ^ operator — both differentially."""

@@ -161,6 +161,29 @@ def _query_src_hash(q) -> str:
     return hashlib.sha256(src.encode()).hexdigest()[:16]
 
 
+def test_manifest_round_label_is_current():
+    """Round-7 review (What's wrong #3): running the manifest generator
+    without a round number wrote ``rotated_for_round: "unspecified"``,
+    silently clobbering the label. The generator now REQUIRES
+    ``--round``; this test pins that the committed label is an integer
+    no older than the newest committed correctness snapshot (the window
+    a rotation targets is snapshot_round + 1, so >= holds before and
+    after the driver writes the round's snapshot)."""
+    with open(MANIFEST) as fh:
+        label = json.load(fh)["rotated_for_round"]
+    assert isinstance(label, int), f"manifest round label is {label!r}, not an int"
+    rounds = [
+        int(f[len("CORRECTNESS_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    ]
+    if rounds:
+        assert label >= max(rounds), (
+            f"EVIDENCE.json rotated_for_round={label} is older than the newest "
+            f"correctness snapshot r{max(rounds)} — the window was not rotated"
+        )
+
+
 def test_changed_queries_hold_verification_slots():
     """Every query whose (fn source + oracle) hash differs from the
     EVIDENCE.json manifest — written when the window was last rotated —

@@ -63,6 +63,29 @@ def sf1_dir():
     return SF1_DIR
 
 
+def test_scale_marker_records_and_enforces_table_subset(tmp_path):
+    """Round-7 advice item 2 (low): the ``_SCALE_OK`` short-circuit
+    used to ignore ``tables=`` — a dest generated with a narrower
+    subset silently satisfied a broader request. The marker's recorded
+    subset is now checked: covered requests short-circuit, uncovered
+    ones raise instead of returning a partial directory."""
+    from tools.gen_scale import generate
+
+    dest = tmp_path / "sfX"
+    dest.mkdir()
+    (dest / "_SCALE_OK").write_text(
+        "copies=10 src=s tables=('lineitem', 'orders')\n"
+    )
+    # covered narrower request short-circuits
+    assert generate(src="unused", dest=str(dest), tables=("lineitem",)) == str(dest)
+    # broader request must raise, not silently return the partial dir
+    with pytest.raises(RuntimeError, match="narrower table subset"):
+        generate(src="unused", dest=str(dest), tables=None)
+    # a full-set marker satisfies everything
+    (dest / "_SCALE_OK").write_text("copies=10 src=s tables=all\n")
+    assert generate(src="unused", dest=str(dest), tables=None) == str(dest)
+
+
 @pytest.mark.parametrize("name", SF1_QUERIES)
 def test_sf1_oracle_match(spark, sf1_dir, name):
     spark.conf.set("spark.sql.shuffle.partitions", "64")

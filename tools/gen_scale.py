@@ -110,10 +110,25 @@ def generate(
     copies: int = COPIES,
     tables: tuple[str, ...] | None = None,
 ) -> str:
-    """Idempotent: a ``_SCALE_OK`` marker short-circuits regeneration."""
+    """Idempotent: a ``_SCALE_OK`` marker short-circuits regeneration —
+    but only when the marker's recorded table subset covers the one
+    requested now (a dest generated with ``tables=TPCH_TABLES`` must
+    not silently satisfy a later ``tables=None`` full-set request)."""
     marker = os.path.join(dest, "_SCALE_OK")
     if os.path.exists(marker):
-        return dest
+        with open(marker) as fh:
+            recorded = fh.read()
+        covered = "tables=all" in recorded or (
+            tables is not None
+            and all(t in recorded for t in tables)
+        )
+        if covered:
+            return dest
+        raise RuntimeError(
+            f"{dest} was generated with a narrower table subset "
+            f"({recorded.strip()!r}) than requested ({tables or 'all'}); "
+            f"remove the directory to regenerate"
+        )
     os.makedirs(dest, exist_ok=True)
 
     def wanted(t: str) -> bool:
