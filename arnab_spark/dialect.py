@@ -393,6 +393,47 @@ _UNNEST_ALIAS = re.compile(
 )
 
 
+_IDENT = r'(?:[A-Za-z_]\w*|"[^"]+"|`[^`]+`)'
+
+
+def _single_relation_alias(tail: str) -> str | None:
+    """When ``tail`` is ``FROM <single plain relation> [WHERE …]``,
+    return the relation's effective alias — the explicit one, else the
+    terminal name of a dotted table reference. None (caller aborts,
+    loud) for joins, comma lists, subquery FROMs, and alias-less table
+    functions, where qualified-star coverage can't be proven."""
+    m = re.match(r"(?is)^\s*FROM\b(.*)$", tail.strip())
+    if m is None:
+        return None
+    rel = m.group(1)
+    w_idx, _ = _scan_top_level(rel, ("where",))
+    if w_idx >= 0:
+        rel = rel[:w_idx]
+    rel = rel.strip()
+    if not rel or not _balanced_outside_quotes(rel):
+        return None
+    # joins / comma lists / subqueries disqualify
+    spans = _quoted_spans(rel)
+    if any(
+        not any(s <= m2.start() <= e for s, e in spans)
+        for m2 in re.finditer(r"(?is)\b(?:join|lateral)\b|,|\(\s*select\b", rel)
+    ):
+        return None
+    am = re.match(
+        rf"(?is)^(?P<ref>{_IDENT}(?:\s*\.\s*{_IDENT})*(?:\s*\([^()]*\))?)"
+        rf"(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<alias>{_IDENT}))?\s*$",
+        rel,
+    )
+    if am is None:
+        return None
+    if am.group("alias"):
+        return am.group("alias").strip('"`')
+    if am.group("ref").rstrip().endswith(")"):
+        return None  # table function without an explicit alias
+    terminal = re.split(r"\s*\.\s*", am.group("ref"))[-1]
+    return terminal.strip('"`')
+
+
 def _rewrite_multi_unnest(sql: str) -> str:
     """N≥2 ``unnest(...)`` select-list items ZIP positionally in DuckDB
     (shorter lists NULL-padded to the longest; a NULL list behaves like
@@ -428,10 +469,20 @@ def _rewrite_multi_unnest(sql: str) -> str:
     one runs) is therefore rewritten to ``* EXCEPT (<helpers>)`` —
     Spark's star-exclusion expands against the wrapped relation, so
     the output is exactly DuckDB's ``[t-columns…, zip aliases…]``.
-    Qualified stars (``t.*``) and other star modifiers (``* REPLACE``)
-    can't be proven to cover the wrapped columns once the FROM alias
-    is swallowed by the subquery — those abort the rewrite and stay
-    loud."""
+
+    Qualified stars (``t.*`` / ``t.* EXCEPT (…)``, round 8): when the
+    FROM clause is a SINGLE plain relation whose alias is determinable
+    (explicit alias, or the terminal name of a dotted table ref), the
+    wrapped subquery is re-aliased with that name —
+    ``FROM (…) AS t`` — and the item becomes
+    ``t.* EXCEPT (<helpers>[, user cols])`` (Spark supports qualified
+    star-EXCEPT, probed). Single-relation-ness makes the coverage
+    proof trivial: t's columns ARE the wrapped columns minus helpers.
+    The re-alias also lets other outer references (``t.c`` in the
+    select list or the split-off ORDER BY) keep resolving. Joins,
+    subquery FROMs, alias-less table functions, and ``* REPLACE``
+    stay aborted — coverage is unprovable there, so the statement is
+    left whole for Spark to reject loudly."""
     spans = _quoted_spans(sql)
     sites = [
         m
@@ -496,6 +547,7 @@ def _rewrite_multi_unnest(sql: str) -> str:
     unnest_args: list[str] = []
     out_items: list[str] = []
     star_slots: list[tuple[int, str | None]] = []  # (out_items idx, EXCEPT cols)
+    qstar_slots: list[tuple[int, str, str | None]] = []  # (idx, qualifier, EXCEPT cols)
     for item in items:
         um = re.match(r"(?is)^\s*unnest\s*\(", item)
         if um is None:
@@ -513,8 +565,37 @@ def _rewrite_multi_unnest(sql: str) -> str:
                     star_slots.append((len(out_items), em.group(1).strip()))
                     out_items.append(stripped)
                     continue
-                # t.* / * REPLACE / anything else star-shaped: coverage
+                qm = re.match(
+                    r'(?is)^([A-Za-z_]\w*|"[^"]+"|`[^`]+`)\s*\.\s*\*\s*$',
+                    stripped,
+                )
+                if qm is not None:
+                    qstar_slots.append((len(out_items), qm.group(1), None))
+                    out_items.append(stripped)
+                    continue
+                # * REPLACE / anything else star-shaped: coverage
                 # unprovable once the FROM alias is wrapped — stay loud
+                return sql
+            qem = re.match(
+                r'(?is)^([A-Za-z_]\w*|"[^"]+"|`[^`]+`)\s*\.\s*\*\s*'
+                r"EXCEPT\s*\((.+)\)$",
+                stripped,
+            )
+            if qem is not None:
+                qstar_slots.append(
+                    (len(out_items), qem.group(1), qem.group(2).strip())
+                )
+                out_items.append(stripped)
+                continue
+            isp = _quoted_spans(stripped)
+            if any(
+                not any(s <= m.start() <= e for s, e in isp)
+                for m in re.finditer(r"(?s)\.\s*\*(?!\w)", stripped)
+            ):
+                # qualified star buried in a modifier we don't model
+                # (t.* REPLACE …) — never pass through: with the outer
+                # re-alias it would silently leak helpers (quoted '.*'
+                # regex literals are fine and skipped)
                 return sql
             out_items.append(stripped)
             continue
@@ -543,13 +624,26 @@ def _rewrite_multi_unnest(sql: str) -> str:
     for slot, existing in star_slots:
         merged = f"{existing}, {helpers}" if existing else helpers
         out_items[slot] = f"* EXCEPT ({merged})"
+    outer_alias = ""
+    if qstar_slots:
+        alias = _single_relation_alias(tail)
+        if alias is None:
+            return sql  # join / subquery / alias-less function: loud
+        for slot, qual, existing in qstar_slots:
+            if qual.strip('"`').lower() != alias.lower():
+                return sql  # qualifier isn't the FROM relation: loud
+            merged = f"{existing}, {helpers}" if existing else helpers
+            out_items[slot] = f"`{alias}`.* EXCEPT ({merged})"
+        outer_alias = f" AS `{alias}`"
     defs = ", ".join(
         f"coalesce(({a}), array()) AS __u{i}" for i, a in enumerate(unnest_args)
     )
     zipped = ", ".join(f"__u{i}" for i in range(len(unnest_args)))
     inner1 = f"SELECT *, {defs} {tail}" if tail else f"SELECT {defs}"
     inner2 = f"SELECT *, explode(arrays_zip({zipped})) AS __unn FROM ({inner1})"
-    return f"SELECT {', '.join(out_items)} FROM ({inner2}) {suffix}".rstrip()
+    return (
+        f"SELECT {', '.join(out_items)} FROM ({inner2}){outer_alias} {suffix}"
+    ).rstrip()
 
 
 def _call_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
@@ -928,12 +1022,33 @@ def _datediff_units(a: list[str]) -> str | None:
         inner = f"FLOOR(year({e}) / 100) - FLOOR(year({s}) / 100)"
     elif unit in ("millennium", "millennia"):
         inner = f"FLOOR(year({e}) / 1000) - FLOOR(year({s}) / 1000)"
+    elif unit in ("week", "weeks", "w", "weekofyear"):
+        # DuckDB 1.0 week diff is NOT pure Monday-boundary counting:
+        # it computes epoch_seconds(monday_of_week(d)) / SECS_PER_WEEK
+        # with C trunc-toward-zero division, so the Mondays 1969-12-29
+        # and 1970-01-05 BOTH land in week 0 and exactly one boundary
+        # is lost on every epoch-crossing span (probed round 8: the
+        # model below matches 2000/2000 random date pairs over ±164
+        # years and 500/500 random timestamps; the r4-era "asymmetric
+        # across the epoch" note does not reproduce on the pinned
+        # DuckDB — diff is antisymmetric by construction here). Spark
+        # spelling: days-from-epoch of the week's Monday, then DIV 7 —
+        # Spark DIV is Java integer division, i.e. the same
+        # trunc-toward-zero. Monday offset via extract(DOW_ISO)-1
+        # (Mon=1..Sun=7 → Mon=0): DOW_ISO is the TARGET spelling of the
+        # dow-family passes, so later rewrites leave it alone — a bare
+        # weekday() here would be re-interpreted as DuckDB's Sun=0
+        # weekday by the dow-family pass and shift the boundary.
+        def wk(x: str) -> str:
+            d = f"CAST({x} AS DATE)"
+            return (
+                f"((datediff({d}, DATE '1970-01-01') "
+                f"- (extract(DOW_ISO FROM {d}) - 1)) DIV 7)"
+            )
+
+        inner = f"{wk(e)} - {wk(s)}"
     else:
-        # 'week' stays loud DELIBERATELY: probing the pinned DuckDB
-        # shows its week diff is asymmetric across the 1970 epoch
-        # (date_diff('week', a, b) != -date_diff('week', b, a) for
-        # epoch-crossing spans — trunc-vs-floor artifacts in its own
-        # arithmetic), so there is no consistent contract to match.
+        # unknown units stay loud
         return None
     return f"CAST(({inner}) AS BIGINT)"
 

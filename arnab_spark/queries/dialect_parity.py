@@ -153,3 +153,60 @@ def dialect_epoch_datediff(spark, sf_dir):
     identical), day-unit date_diff with DuckDB's argument order, and
     sha256 — the scalar rewrites on the orders fixture."""
     return _run(spark, sf_dir, ("orders",), _EPOCH_SQL)
+
+
+_DATEDIFF_WEEK_SQL = """
+SELECT o_orderkey,
+       CAST(date_diff('week', DATE '1969-12-20', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS w_from_pre_epoch,
+       CAST(date_diff('week', CAST(o_orderdate AS DATE), DATE '1969-12-20') AS BIGINT)
+         AS w_to_pre_epoch,
+       CAST(date_diff('weeks', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS w_from_95,
+       CAST(date_diff('week', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1970-01-13 06:00:00') AS BIGINT)
+         AS w_ts_variant
+FROM orders
+WHERE o_orderkey % 59 = 0
+"""
+
+
+@query("dialect_datediff_week", oracle=_DATEDIFF_WEEK_SQL, tags=("dialect", "datetime"))
+def dialect_datediff_week(spark, sf_dir):
+    """Round-8 week-unit ``date_diff``: DuckDB numbers weeks by
+    trunc-toward-zero division of the week-Monday's epoch offset, so
+    the Mondays 1969-12-29 and 1970-01-05 SHARE week 0 and every
+    epoch-crossing span loses exactly one boundary (probed round 8
+    against 2000 random date pairs + 500 timestamps; the shim expands
+    to ``(datediff - (DOW_ISO-1)) DIV 7`` — Spark DIV is the same
+    Java trunc division). Both directions across the epoch plus a
+    modern-span and a timestamp-argument variant, hash-matched against
+    DuckDB executing the identical text. Reachable through the
+    reference's verbatim model passthrough (reference: node.rs:176)."""
+    return _run(spark, sf_dir, ("orders",), _DATEDIFF_WEEK_SQL)
+
+
+_UNNEST_QSTAR_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(text, ' ') AS words,
+         string_split(text, 'o') AS parts
+  FROM documents WHERE doc_id % 43 = 0
+)
+SELECT w.* EXCLUDE (words, parts), unnest(words) AS word, unnest(parts) AS part
+FROM w
+"""
+
+
+@query("dialect_unnest_qualified_star", oracle=_UNNEST_QSTAR_SQL, tags=("dialect", "list"))
+def dialect_unnest_qualified_star(spark, sf_dir):
+    """Round-8 lift of the last loud star arm: a QUALIFIED star
+    (``w.* EXCLUDE (…)``) beside multiple zipping unnests. Over a
+    single plain relation the zip rewrite re-aliases its wrapped
+    subquery with the FROM alias and emits
+    ``w.* EXCEPT (user cols, helpers)``, so the helper columns never
+    leak and qualified outer references keep resolving; joins,
+    subquery FROMs and ``* REPLACE`` still abort loud. One shared SQL
+    text, two engines, exact hash match (columns AND order). Reachable
+    through the reference's verbatim model passthrough (reference:
+    node.rs:176)."""
+    return _run(spark, sf_dir, ("documents",), _UNNEST_QSTAR_SQL)

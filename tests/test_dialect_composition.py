@@ -261,6 +261,41 @@ def test_unnest_zip_star_items(engines):
         assert got == exp, f"{stmt}\nspark={got[:6]}\nduck={exp[:6]}"
 
 
+def test_unnest_zip_qualified_star(engines):
+    """Round-8: ``t.*`` / ``t.* EXCLUDE (…)`` beside multiple unnests
+    over a SINGLE plain relation — the wrapped subquery is re-aliased
+    with the FROM alias (or the table's terminal name) and the item
+    becomes a qualified ``.* EXCEPT (<helpers>)``, so the helper
+    columns never leak and outer ``t.<col>`` references (including a
+    split-off ORDER BY) keep resolving. Columns AND order asserted."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT t.*, unnest(string_split(t.o_orderpriority, '-')) AS x, "
+        "unnest([t.o_orderkey, t.o_custkey]) AS y FROM orders t "
+        "WHERE t.o_orderkey < 40",
+        # bare table name as the qualifier
+        "SELECT orders.*, unnest(string_split(o_orderpriority, '-')) AS x, "
+        "unnest([o_orderkey]) AS y FROM orders WHERE o_orderkey < 30",
+        # EXCLUDE merges user columns with the helper exclusions
+        "SELECT t.* EXCLUDE (o_orderstatus, o_totalprice), "
+        "unnest(string_split(o_orderpriority, '-')) AS x, "
+        "unnest(string_split(CAST(o_orderdate AS VARCHAR), '-')) AS y "
+        "FROM orders AS t WHERE o_orderkey < 40",
+        # qualified refs in the outer ORDER BY survive the re-alias
+        "SELECT t.*, unnest([o_orderkey, o_custkey]) AS x, "
+        "unnest(string_split(o_orderpriority, '-')) AS y FROM orders t "
+        "WHERE t.o_orderkey < 40 ORDER BY t.o_orderkey LIMIT 30",
+    ]:
+        t = transpile_statement(stmt, spark)
+        assert "unnest" not in t.lower(), f"not rewritten: {t}"
+        sdf = spark.sql(t)
+        rel = con.sql(stmt)
+        assert [f.name for f in sdf.schema.fields] == list(rel.columns), stmt
+        got = sorted((tuple(r) for r in sdf.collect()), key=str)
+        exp = sorted((tuple(r) for r in rel.fetchall()), key=str)
+        assert got == exp, f"{stmt}\nspark={got[:6]}\nduck={exp[:6]}"
+
+
 @given(
     arrays=st.lists(
         st.sampled_from(
@@ -277,7 +312,15 @@ def test_unnest_zip_star_items(engines):
         unique=True,
     ),
     scalar=st.booleans(),
-    star=st.sampled_from([None, "*", "* EXCLUDE (o_orderstatus)"]),
+    star=st.sampled_from(
+        [
+            None,
+            "*",
+            "* EXCLUDE (o_orderstatus)",
+            "orders.*",
+            "orders.* EXCLUDE (o_orderstatus)",
+        ]
+    ),
     suffix=st.sampled_from(["", " ORDER BY o_orderkey LIMIT 40", " LIMIT 25"]),
     lim=st.integers(min_value=10, max_value=80),
 )
@@ -342,11 +385,21 @@ def test_unnest_zip_guards_stay_loud(engines):
         # window fns evaluate PRE-unnest in DuckDB (probed) — the
         # outer-query rewrite would compute them post-explode
         "SELECT row_number() OVER () AS rn, unnest(a) AS x, unnest(b) AS y FROM t",
-        # qualified / modified stars: coverage unprovable once the FROM
-        # alias is wrapped — must abort, not leak or guess
-        "SELECT t.*, unnest(a) AS x, unnest(b) AS y FROM t",
-        'SELECT "t".*, unnest(a) AS x, unnest(b) AS y FROM t',
+        # modified stars / unprovable qualified stars: since round 8
+        # t.* over a SINGLE plain relation rewrites (see
+        # test_unnest_zip_qualified_star); everything whose coverage
+        # can't be proven must still abort, not leak or guess
         "SELECT * REPLACE (c + 1 AS c), unnest(a) AS x, unnest(b) AS y FROM t",
+        "SELECT t.* REPLACE (c + 1 AS c), unnest(a) AS x, unnest(b) AS y FROM t",
+        # qualifier doesn't name the FROM relation
+        "SELECT z.*, unnest(a) AS x, unnest(b) AS y FROM t",
+        # join: which side t.* covers is not provable once wrapped
+        "SELECT t.*, unnest(a) AS x, unnest(b) AS y FROM t JOIN u ON t.c = u.c",
+        # subquery FROM / alias-less table function: no alias to re-bind
+        "SELECT t.*, unnest(a) AS x, unnest(b) AS y FROM (SELECT * FROM z) t2",
+        "SELECT t.*, unnest(a) AS x, unnest(b) AS y FROM read_parquet('f.parquet')",
+        # schema-qualified star: out of the single-ident qualifier model
+        "SELECT s.tbl.*, unnest(a) AS x, unnest(b) AS y FROM s.tbl",
     ]:
         assert "unnest" in transpile_statement(stmt).lower(), stmt
 

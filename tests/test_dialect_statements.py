@@ -597,9 +597,12 @@ def test_epoch_and_datediff_day_parity(spark, con):
         got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
     # round-4 widening: calendar/sub-day units expand to verified
-    # boundary-crossing arithmetic; unverified units (week) stay loud
+    # boundary-crossing arithmetic; round 8 added week (probed model:
+    # trunc-toward-zero epoch-week of the Monday — see _datediff_units)
     assert "year(b)" in transpile_statement("SELECT date_diff('month', a, b) FROM t")
-    assert "date_diff" in transpile_statement("SELECT date_diff('week', a, b) FROM t")
+    assert "DOW_ISO" in transpile_statement("SELECT date_diff('week', a, b) FROM t")
+    # genuinely unknown units still pass through loud
+    assert "date_diff" in transpile_statement("SELECT date_diff('era', a, b) FROM t")
 
 
 def test_read_parquet_file_list(spark, con):
@@ -680,10 +683,17 @@ def test_date_diff_all_units_match_duckdb(spark, con):
         ("2001-12-31 23:00:00", "2002-01-01 01:00:00"),
         ("1999-03-28 10:15:00", "1995-11-02 23:45:30"),
         ("2000-06-15 00:00:00", "2000-06-15 00:00:00"),
+        # epoch-crossing spans: DuckDB's week numbering merges the
+        # Mondays 1969-12-29 and 1970-01-05 into week 0 (trunc-vs-floor
+        # on negative epoch seconds) — the week expansion must lose the
+        # same boundary, in both directions
+        ("1969-12-20 12:00:00", "1970-01-13 12:00:00"),
+        ("1970-01-13 12:00:00", "1969-12-20 12:00:00"),
+        ("1931-11-04 08:00:00", "2056-01-16 20:00:00"),
     ]
     units = ("day", "month", "year", "quarter", "hour", "minute",
              "second", "millisecond", "microsecond", "decade", "century",
-             "millennium")
+             "millennium", "week", "weeks", "weekofyear")
     for a, b in pairs:
         for unit in units:
             q = (
@@ -693,6 +703,36 @@ def test_date_diff_all_units_match_duckdb(spark, con):
             exp = con.execute(q).fetchone()[0]
             got = spark.sql(transpile_statement(q)).collect()[0][0]
             assert int(got) == int(exp), (unit, a, b, got, exp)
+
+
+def test_date_diff_week_random_sweep(spark, con):
+    """Round-8 week-unit model pin: DuckDB's week diff is
+    trunc-toward-zero division of the week-Monday's epoch offset (the
+    Mondays 1969-12-29 and 1970-01-05 share week 0). 64 seeded random
+    date pairs over ±160 years, compared in ONE statement per engine so
+    the sweep stays fast; offline validation of the same model covered
+    2000 date pairs + 500 timestamps at round 8."""
+    import datetime
+    import random
+
+    rng = random.Random(8)
+    base = datetime.date(1970, 1, 1)
+    pairs = [
+        (
+            base + datetime.timedelta(days=rng.randint(-58000, 58000)),
+            base + datetime.timedelta(days=rng.randint(-58000, 58000)),
+        )
+        for _ in range(64)
+    ]
+    exprs = ", ".join(
+        f"CAST(date_diff('week', DATE '{a}', DATE '{b}') AS BIGINT) AS v{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    q = f"SELECT {exprs}"
+    exp = con.execute(q).fetchone()
+    got = spark.sql(transpile_statement(q)).collect()[0]
+    for i, (a, b) in enumerate(pairs):
+        assert int(got[i]) == int(exp[i]), (a, b, got[i], exp[i])
 
 
 def test_unnest_maps_to_explode(spark, con):
