@@ -455,12 +455,23 @@ def _rewrite_multi_unnest(sql: str) -> str:
 
     ``coalesce(…, array())`` reproduces DuckDB's NULL-list padding
     (arrays_zip of a NULL array is NULL → zero rows, which would drop
-    rows DuckDB keeps). Applied ONLY when every unnest call is an
-    entire select-list item of a plain ``SELECT … FROM …`` (no
-    DISTINCT, set operations, GROUP BY/HAVING/QUALIFY/WINDOW, and no
-    unnest outside the select list); anything else is left whole for
-    Spark to reject loudly — a wrong silent zip is worse than a clear
-    error.
+    rows DuckDB keeps). Applied when every unnest call is either an
+    entire select-list item or EMBEDDED in a select-item expression
+    (round 8 — ``unnest(a) + 1``, ``length(unnest(s))``,
+    ``unnest(a) + unnest(b)``: DuckDB zips every unnest in the list
+    positionally and evaluates the surrounding expression per element,
+    probed, incl. NULL-pad through the expression), of a plain
+    ``SELECT … FROM …`` (no DISTINCT, set operations, GROUP
+    BY/HAVING/QUALIFY/WINDOW, and no unnest outside the select list).
+    Embedded substitution aborts — leaving the statement whole for
+    Spark to reject loudly — on nested ``unnest(unnest(…))`` and
+    aggregate-wrapped unnest (both BinderErrors in DuckDB itself:
+    rejecting them IS parity) and on sub-selects inside the item
+    (substitution would hoist the call out of scope). A single
+    whole-item unnest keeps the cheaper explode path in
+    :func:`_rewrite_single_unnest`; a single embedded one takes the
+    zip rewrite here. Anything else unprovable is left whole — a
+    wrong silent zip is worse than a clear error.
 
     Star select items: the inner subqueries add ``__u<i>``/``__unn``
     helper columns, so a verbatim ``*`` in the outer list would leak
@@ -489,7 +500,7 @@ def _rewrite_multi_unnest(sql: str) -> str:
         for m in _UNNEST_CALL.finditer(sql)
         if not any(s <= m.start() <= e for s, e in spans)
     ]
-    if len(sites) < 2:
+    if not sites:
         return sql
     if re.match(r"(?is)^\s*WITH\b", sql):
         # CTE prefix: the main SELECT is the first top-level one (CTE
@@ -546,13 +557,98 @@ def _rewrite_multi_unnest(sql: str) -> str:
     items = _split_top_level_commas(select_list)
     unnest_args: list[str] = []
     out_items: list[str] = []
+    embedded_any = False
     star_slots: list[tuple[int, str | None]] = []  # (out_items idx, EXCEPT cols)
     qstar_slots: list[tuple[int, str, str | None]] = []  # (idx, qualifier, EXCEPT cols)
+
+    def _substitute_embedded(item: str) -> str | None:
+        """Expression-embedded unnest (round 8): replace every
+        ``unnest(<arg>)`` call in the item with its ``__unn['__u<i>']``
+        zip-field reference, registering the argument as a helper —
+        DuckDB evaluates the surrounding expression per unnested
+        element (probed: ``unnest([1,2,3]) + 10`` → 11,12,13;
+        ``unnest(a) + unnest(b)`` zips THEN adds; a plain column
+        beside it repeats laterally), which is exactly what the
+        substituted expression computes over the exploded zip rows.
+        Returns the rewritten item, or None when parity can't be
+        proven, aborting the whole statement (loud): nested
+        ``unnest(unnest(…))`` (two-level flatten, out of scope),
+        ``:=`` options, a sub-select inside the item (substitution
+        would hoist the call out of its scope), or an aggregate
+        wrapping the call."""
+        isp = _quoted_spans(item)
+
+        def _outside(m):
+            return not any(s <= m.start() <= e for s, e in isp)
+
+        if any(_outside(m) for m in re.finditer(r"(?is)\(\s*select\b", item)):
+            return None
+        in_sites = [m for m in _UNNEST_CALL.finditer(item) if _outside(m)]
+        parsed_sites: list[tuple[int, int, str]] = []
+        for m in in_sites:
+            parsed = _call_args(item, m.end() - 1)
+            if parsed is None:
+                return None
+            args, end = parsed
+            if len(args) != 1 or ":=" in args[0]:
+                return None
+            parsed_sites.append((m.start(), end, args[0]))
+        for s0, e0, _a in parsed_sites:
+            for s1, e1, _b in parsed_sites:
+                if s0 < s1 and e1 <= e0:
+                    return None  # nested unnest
+        # aggregate wrapping an unnest: DuckDB REJECTS it ("aggregate
+        # function calls cannot contain UNNEST", probed) — substituting
+        # would make Spark compute a value DuckDB's dialect refuses, so
+        # the statement stays whole and Spark rejects the raw unnest
+        if parsed_sites and re.search(
+            r"(?is)\b(?:sum|min|max|avg|count|stddev\w*|var\w*|corr|"
+            r"covar\w*|median|mode|string_agg|array_agg|list|first|last|"
+            r"arg_(?:min|max)|bit_\w+|bool_(?:and|or)|product|"
+            r"approx_\w+|percentile\w*|quantile\w*)\s*\(",
+            item,
+        ):
+            outer = [
+                m
+                for m in re.finditer(
+                    r"(?is)\b(?:sum|min|max|avg|count|stddev\w*|var\w*|"
+                    r"corr|covar\w*|median|mode|string_agg|array_agg|"
+                    r"list|first|last|arg_(?:min|max)|bit_\w+|"
+                    r"bool_(?:and|or)|product|approx_\w+|percentile\w*|"
+                    r"quantile\w*)\s*\(",
+                    item,
+                )
+                if _outside(m)
+            ]
+            for am in outer:
+                ap = _call_args(item, am.end() - 1)
+                if ap is None:
+                    return None
+                _aargs, aend = ap
+                if any(
+                    am.end() - 1 < s0 and e0 <= aend
+                    for s0, e0, _a in parsed_sites
+                ):
+                    return None
+        new_item = item
+        indexed = []
+        for s0, e0, arg in parsed_sites:  # left-to-right index assignment
+            indexed.append((s0, e0, len(unnest_args)))
+            unnest_args.append(arg)
+        for s0, e0, idx in sorted(indexed, reverse=True):
+            new_item = new_item[:s0] + f"__unn['__u{idx}']" + new_item[e0:]
+        return new_item
+
     for item in items:
         um = re.match(r"(?is)^\s*unnest\s*\(", item)
         if um is None:
             if _UNNEST_CALL.search(item):
-                return sql  # unnest nested in a bigger expression
+                sub = _substitute_embedded(item)
+                if sub is None:
+                    return sql  # unprovable embedding: stay loud
+                embedded_any = True
+                out_items.append(sub.strip())
+                continue
             stripped = item.strip()
             if stripped.startswith("*") or stripped.endswith("*"):
                 # star item: must not leak the __u<i>/__unn helpers
@@ -606,9 +702,19 @@ def _rewrite_multi_unnest(sql: str) -> str:
         rest = item[end:]
         if len(args) != 1 or ":=" in args[0]:
             return sql  # recursive/struct unnest options: out of scope
+        if _UNNEST_CALL.search(args[0]):
+            return sql  # nested unnest(unnest(…)): DuckDB rejects too
         alias_m = _UNNEST_ALIAS.match(rest) if rest.strip() else None
         if rest.strip() and alias_m is None:
-            return sql  # trailing expression text: not a whole item
+            # leading unnest with trailing expression text — e.g.
+            # ``unnest(a) + 1`` or ``unnest(a) + unnest(b) AS v`` — is
+            # an embedded expression, not a whole item
+            sub = _substitute_embedded(item)
+            if sub is None:
+                return sql
+            embedded_any = True
+            out_items.append(sub.strip())
+            continue
         if alias_m:
             alias = alias_m.group(1) or alias_m.group(2)
         else:
@@ -616,7 +722,9 @@ def _rewrite_multi_unnest(sql: str) -> str:
         idx = len(unnest_args)
         unnest_args.append(args[0])
         out_items.append(f"__unn['__u{idx}'] AS `{alias}`")
-    if len(unnest_args) < 2:
+    if len(unnest_args) < 2 and not embedded_any:
+        # a single whole-item unnest stays with the cheaper explode
+        # rewrite (no subquery wrap) in _rewrite_single_unnest
         return sql
     helpers = ", ".join(
         [f"__u{i}" for i in range(len(unnest_args))] + ["__unn"]
@@ -1303,6 +1411,41 @@ def _subscript_base_start(
 _INT_LITERAL = re.compile(r"-?\d+\Z")
 
 
+_ARRAY_TYPE_SPELLING = re.compile(
+    r"(?is)\b([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+    r"((?:\s*\[\s*\])+)"
+)
+
+
+def _rewrite_array_type_spellings(sql: str) -> str:
+    """DuckDB's postfix array-type spelling ``T[]`` — including nested
+    ``T[][]`` and parameterized ``DECIMAL(18,6)[]`` — → Spark's
+    ``ARRAY<T>``, with the element name routed through the same
+    VARCHAR/TEXT/BLOB mapping the CAST pass uses (``VARCHAR[]`` →
+    ``ARRAY<STRING>``: Spark's bare VARCHAR demands a length). The
+    spelling is unambiguous: an EMPTY bracket pair is invalid as a
+    subscript in both engines, so ``ident[]`` can only be a type
+    (quoted spans skipped). Without this pass the subscript rewrite
+    mangled ``CAST(NULL AS INT[])`` into ``element_at(INT, )`` —
+    still a loud parse error, but an incomprehensible one for a
+    legitimate DuckDB idiom. Fixed-size ``T[3]`` has no Spark
+    equivalent and stays loud; ``STRUCT(…)[]`` (non-numeric parens)
+    is out of the token model and stays loud too."""
+    spans = _quoted_spans(sql)
+
+    def sub(m: re.Match) -> str:
+        if any(s <= m.start() <= e for s, e in spans):
+            return m.group(0)
+        base = m.group(1).strip()
+        bare = re.match(r"(?is)^([A-Za-z_]\w*)$", base)
+        if bare:
+            base = _CAST_TYPE_MAP.get(bare.group(1).lower(), base)
+        depth = m.group(2).count("[")
+        return "ARRAY<" * depth + base + ">" * depth
+
+    return _ARRAY_TYPE_SPELLING.sub(sub, sql)
+
+
 def _rewrite_subscripts(sql: str) -> str:
     """Non-string-key, non-slice subscripts → ``element_at(base, idx)``.
 
@@ -1359,6 +1502,9 @@ def _rewrite_subscripts(sql: str) -> str:
         if j >= len(sql):
             return sql  # unterminated subscript: Spark's parser rejects it
         content = sql[idx + 1: j]
+        if not content.strip():
+            pos = j + 1  # empty brackets: a type spelling the array-
+            continue     # type pass didn't model — leave whole, loud
         if content.strip().startswith("'") or _top_level_colon(content):
             pos = j + 1  # string-key access / slice — preserved as-is
             continue
@@ -3205,6 +3351,9 @@ def transpile_statement(sql: str, spark=None) -> str:
     # path list into an array(...) constructor
     sql = _rewrite_read_file_lists(sql, spark)
     sql = _rewrite_comprehensions(sql)
+    # array-type spellings BEFORE the literal/subscript passes, which
+    # would otherwise misread the empty bracket pair
+    sql = _rewrite_array_type_spellings(sql)
     sql = _rewrite_list_literals(sql)
     sql = _unmask_braces(_rewrite_struct_literals(sql))
     sql = _rewrite_subscripts(sql)

@@ -210,3 +210,33 @@ def dialect_unnest_qualified_star(spark, sf_dir):
     through the reference's verbatim model passthrough (reference:
     node.rs:176)."""
     return _run(spark, sf_dir, ("documents",), _UNNEST_QSTAR_SQL)
+
+
+_UNNEST_EMBED_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         string_split(text, 'e') AS parts
+  FROM documents WHERE doc_id % 47 = 0
+)
+SELECT doc_id,
+       length(unnest(words)) AS word_len,
+       coalesce(CAST(unnest(parts) AS VARCHAR), '?') || '!' AS shouted,
+       CASE WHEN length(unnest(words)) > 4 THEN 'long' ELSE 'short' END AS bucket
+FROM w
+"""
+
+
+@query("dialect_unnest_embedded", oracle=_UNNEST_EMBED_SQL, tags=("dialect", "list"))
+def dialect_unnest_embedded(spark, sf_dir):
+    """Round-8 lift: ``unnest`` EMBEDDED in select-item expressions —
+    DuckDB zips every unnest in the list positionally (here three
+    sites across two arrays of different per-row lengths, so the
+    NULL-pad flows through length()/coalesce()/CASE on most rows) and
+    evaluates the surrounding expression per element. The shim
+    substitutes each call with its ``__unn['__u<i>']`` zip-field and
+    keeps the expression text; aggregate-wrapped and nested unnest
+    stay loud (BinderErrors in DuckDB itself — rejecting them IS
+    parity). One shared SQL text, two engines, exact hash match.
+    Reachable through the reference's verbatim model passthrough
+    (reference: node.rs:176)."""
+    return _run(spark, sf_dir, ("documents",), _UNNEST_EMBED_SQL)

@@ -61,9 +61,18 @@ DuckDB's denominators ran 20% fast). Every timed section now starts
 with a quiet gate: if the 1-min loadavg exceeds
 $ARNAB_BENCH_LOADGATE (default 3 — r7 measured a section entered
 at loadavg 4.6 still running ~10% slow) the bench sleeps in 5 s steps
-(up to 90 s per section, 360 s cumulative) and records the section's
+(up to 90 s per section, 900 s cumulative) and records the section's
 entry loadavg + waited seconds in ``load_sections`` — so a loaded-box run is
-attributable per-section from the artifact alone. Section ORDER keeps
+attributable per-section from the artifact alone. Round 8 tightened
+the GRADED sections (spark_session/spark_headline and the late
+re-pass) to threshold 1.5 with a 240 s cap: an A/B showed the 90 s/3
+gate admitting the headline at residue ~2.5-2.8 right after the
+DuckDB sf10 churn, with the early sections then reading 2-4x slow
+while every late section matched a quiet box. The same A/B added the
+LATE HEADLINE RE-PASS: headline + per-query floors are measured a
+second time after the concurrency sweeps and the compact value takes
+the per-query min of the two passes (both passes in the detail file),
+bounding transient contamination on either side. Section ORDER keeps
 the honesty constraint from round 3's measurement (DuckDB beside an
 idle 32-thread JVM runs 2-5x slower, so ALL DuckDB timing must
 precede the Spark session) while still putting the Spark headline +
@@ -78,6 +87,14 @@ tables only, one parquet row group per copy). The dedup family stays
 capped at sf1: its DuckDB side already costs ~2 min there and the
 projected ~20 min at sf10 would dominate the whole bench — stated
 here and in the artifact (``scale_slope.dedup.sf10_skipped``).
+
+ASOF SLOPE (round-8, r7 verdict ask #7): asof_join — the headline
+query whose floor-adjusted grade (3.3x) is pure constant-cost
+arithmetic — gets its own measured family at all three decades.
+gen_scale v2 scales events keyed (user_id/event_id strides: new users
+with identical per-user series), so the carry-forward design's one
+shuffle grows linearly in key cardinality with constant per-key
+fan-out; events at sf10 is ~10M rows, cheap on both engines.
 """
 
 from __future__ import annotations
@@ -125,6 +142,15 @@ PIPELINE = [
     "text_pack_sequences",
 ]
 
+# round-8 (r7 verdict ask #7): the asof headliner — 3.3x floor-adjusted
+# at sf0.1, i.e. exactly a constant-dominated grade — gets the same
+# measured-slope treatment as TPC-H and dedup. Single-query family so
+# the slope is attributable to the asof operator itself; gen_scale now
+# scales events keyed (new users, identical per-user series), so the
+# carry-forward join's shuffle-key cardinality grows linearly while
+# per-key fan-out stays constant.
+ASOF_FAMILY = ["asof_join"]
+
 
 def main() -> None:
     # the bench session lives through ~60 queries x multiple passes of
@@ -151,7 +177,7 @@ def main() -> None:
     # 90 s, cumulative budget 360 s so a permanently-busy box can't
     # stall the run — it proceeds and the artifact says so.
     load_thresh = float(os.environ.get("ARNAB_BENCH_LOADGATE", "3"))
-    gate_budget = [360]
+    gate_budget = [900]
 
     # exit loadavg (round-7 verdict item 2): the entry gate cannot see
     # load arriving MID-section — the sf10 block runs ~9 min and r7's
@@ -169,11 +195,22 @@ def main() -> None:
             )
             _open_section.clear()
 
-    def _quiet_gate(section: str, cap_sec: int = 90) -> None:
+    def _quiet_gate(
+        section: str, cap_sec: int = 90, thresh: float | None = None
+    ) -> None:
+        # per-section threshold override (round 8): the graded headline
+        # sections follow ~4 min of 32-thread DuckDB sf10 churn whose
+        # loadavg residue decays with a 60 s constant — the default
+        # gate (3, 90 s cap) admitted the headline at residue 2.5-2.8,
+        # and that full run measured the EARLY Spark sections 2-4x slow
+        # while the late sections matched a quiet box exactly. The
+        # graded sections gate to 1.5 with a cap that lets 12.5 -> 1.5
+        # decay complete (~130 s).
+        th = load_thresh if thresh is None else thresh
         _close_section()
         waited = 0
         la = os.getloadavg()[0]
-        while la > load_thresh and waited < cap_sec and gate_budget[0] > 0:
+        while la > th and waited < cap_sec and gate_budget[0] > 0:
             time.sleep(5)
             waited += 5
             gate_budget[0] -= 5
@@ -262,11 +299,19 @@ def main() -> None:
                 # single pass: the text-op oracles cost ~2 min at sf1
                 "sf1": _duck_family(sf1_dir, DEDUP_FAMILY, 1),
             }
+            duck_scale["asof"] = {
+                "sf0.1": _duck_family(sf_dir, ASOF_FAMILY, 3),
+                "sf1": _duck_family(sf1_dir, ASOF_FAMILY, 3),
+            }
+            if sf10_dir:
+                duck_scale["asof"]["sf10"] = _duck_family(
+                    sf10_dir, ASOF_FAMILY, 2
+                )
     except Exception as exc:  # bench must still emit its JSON line
         print(f"duckdb side skipped: {exc}", file=sys.stderr)
     duck_total = round(sum(duck_timings.values()), 4) or None
 
-    _quiet_gate("spark_session")
+    _quiet_gate("spark_session", cap_sec=240, thresh=1.5)
     warmup_start = time.perf_counter()
     spark = get_spark("arnab_spark_bench")
     # sized-for-scale shuffle parallelism: 8 partitions at sf0.1 —
@@ -295,7 +340,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     alt_timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    _quiet_gate("spark_headline")
+    _quiet_gate("spark_headline", cap_sec=240, thresh=1.5)
     for qi, name in enumerate(names):
         start = time.perf_counter()
         _run(name)
@@ -437,6 +482,10 @@ def main() -> None:
     dedup_family_wall, dedup_family_queries = _family_pass(DEDUP_FAMILY)
     ann_family_wall, ann_family_queries = _family_pass(ANN_FAMILY)
     tpch_wall, tpch_queries = _family_pass(TPCH8)
+    # asof sf0.1 point measured with the SAME _family_pass protocol its
+    # sf1/sf10 points use (the headline loop's min-of-5 would mix
+    # protocols inside one slope)
+    asof_family_wall, _asof_q = _family_pass(ASOF_FAMILY)
     tpc = []
     for _ in range(2):
         start = time.perf_counter()
@@ -470,6 +519,45 @@ def main() -> None:
         fl8.append(time.perf_counter() - start)
     tpch_full_concurrent8 = round(min(fl8), 4)
 
+    # LATE HEADLINE RE-PASS (round 8): the full-run A/B that motivated
+    # the tighter graded-section gates showed the EARLY Spark sections
+    # (warmup, headline, floors) reading 2-4x slow after the DuckDB
+    # sf10 churn while every late section matched a quiet box exactly —
+    # transient box state, invisible to a single early pass. The same 8
+    # queries and their sf0.001 floors are re-measured here, ~10 min of
+    # run later; the compact line's steady value takes the per-query
+    # MIN of the two passes (still "steady best-of-N", now robust to a
+    # transient on either side), and BOTH passes land in the detail
+    # file so early-run contamination is attributable in-band.
+    _quiet_gate("spark_headline_late", cap_sec=240, thresh=1.5)
+    late_timings: dict[str, float] = {}
+    for name in names:
+        _run(name)
+        runs = []
+        for _ in range(5):
+            start = time.perf_counter()
+            _run(name)
+            runs.append(time.perf_counter() - start)
+        late_timings[name] = round(min(runs), 4)
+    late_floors: dict[str, float] = {}
+    if os.path.isdir(tiny_dir):
+        for name in names:
+            _run(name, tiny_dir)
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                _run(name, tiny_dir)
+                runs.append(time.perf_counter() - start)
+            late_floors[name] = round(min(runs), 4)
+    early_timings = dict(timings)
+    early_floors = dict(floor_per_query)
+    for name in names:
+        if name in late_timings:
+            timings[name] = min(timings[name], late_timings[name])
+        if name in late_floors and name in floor_per_query:
+            floor_per_query[name] = min(floor_per_query[name], late_floors[name])
+    total = round(sum(timings.values()), 4)
+
     # Spark side of the scale slope: same two families at sf1, shuffle
     # parallelism scaled with the data (64 partitions — the same knob a
     # real cluster scales; AQE coalesces the small side at runtime).
@@ -486,25 +574,36 @@ def main() -> None:
         # the same executor-memory-sized knob any real cluster job sets;
         # no-op at sf1 where the dims are still under 10 MB.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
+        sf01_family_walls = {
+            "tpch8": tpch_wall,
+            "dedup": dedup_family_wall,
+            "asof": asof_family_wall,
+        }
         for fam, qs, iters in (
             ("tpch8", TPCH8, 2),
             # single measured pass after warm: the family costs minutes
             # at sf1 and the slope needs the trend, not 1% precision
             ("dedup", DEDUP_FAMILY, 1),
+            ("asof", ASOF_FAMILY, 2),
         ):
             w1, d1 = _family_pass(qs, sf1_dir, iters=iters)
-            spark_scale[fam] = {"sf0.1": tpch_wall if fam == "tpch8" else dedup_family_wall, "sf1": w1}
+            spark_scale[fam] = {"sf0.1": sf01_family_walls[fam], "sf1": w1}
             scale_detail[fam] = {"sf1_queries": d1}
-        if sf10_dir and "sf10" in duck_scale.get("tpch8", {}):
+        if sf10_dir:
             # third decade: shuffle parallelism scales with the data
             # again (64 -> 128 — the same knob a real cluster turns)
             _quiet_gate("spark_scale_sf10")
             spark.conf.set("spark.sql.shuffle.partitions", "128")
-            # 2 measured passes: single-pass sf10 readings spread 2x
-            # (40 s probe vs 78 s in-run) — min-of-2 tames the tail
-            w10, d10 = _family_pass(TPCH8, sf10_dir, iters=2)
-            spark_scale["tpch8"]["sf10"] = w10
-            scale_detail["tpch8"]["sf10_queries"] = d10
+            if "sf10" in duck_scale.get("tpch8", {}):
+                # 2 measured passes: single-pass sf10 readings spread 2x
+                # (40 s probe vs 78 s in-run) — min-of-2 tames the tail
+                w10, d10 = _family_pass(TPCH8, sf10_dir, iters=2)
+                spark_scale["tpch8"]["sf10"] = w10
+                scale_detail["tpch8"]["sf10_queries"] = d10
+            if "sf10" in duck_scale.get("asof", {}):
+                w10a, d10a = _family_pass(ASOF_FAMILY, sf10_dir, iters=2)
+                spark_scale["asof"]["sf10"] = w10a
+                scale_detail["asof"]["sf10_queries"] = d10a
         spark.conf.set(
             "spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "8")
         )
@@ -513,7 +612,7 @@ def main() -> None:
     scale_slope = None
     if sf1_dir and duck_scale:
         scale_slope = {}
-        for fam in ("tpch8", "dedup"):
+        for fam in ("tpch8", "dedup", "asof"):
             # .get guards: if the DuckDB timing section raised mid-way
             # (it is one try/except) duck_scale may hold tpch8 but not
             # dedup — the slope must degrade to the families measured,
@@ -527,14 +626,18 @@ def main() -> None:
                 for s in ("sf0.1", "sf1")
                 if s in spark_scale.get(fam, {}) and s in duck_scale.get(fam, {})
             }
+        for fam in ("tpch8", "asof"):
+            if "sf10" in spark_scale.get(fam, {}) and "sf10" in duck_scale.get(
+                fam, {}
+            ):
+                scale_slope[fam]["sf10"] = {
+                    "spark": spark_scale[fam]["sf10"],
+                    "duckdb": duck_scale[fam]["sf10"],
+                    "ratio": round(
+                        spark_scale[fam]["sf10"] / duck_scale[fam]["sf10"], 2
+                    ),
+                }
         if "sf10" in spark_scale.get("tpch8", {}):
-            scale_slope["tpch8"]["sf10"] = {
-                "spark": spark_scale["tpch8"]["sf10"],
-                "duckdb": duck_scale["tpch8"]["sf10"],
-                "ratio": round(
-                    spark_scale["tpch8"]["sf10"] / duck_scale["tpch8"]["sf10"], 2
-                ),
-            }
             # dedup deliberately stops at sf1 (DuckDB side ~2 min there,
             # ~20 min projected at sf10 — would dominate the bench);
             # setdefault: dedup may be absent if its DuckDB side raised
@@ -553,6 +656,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": timings,
+        "queries_early_pass": early_timings,
+        "queries_late_pass": late_timings,
         "cold_queries": cold,
         "duckdb_queries": duck_timings,
         "duckdb_total": duck_total,
@@ -576,11 +681,14 @@ def main() -> None:
         "tpch_full22_concurrent_4way": tpch_full_concurrent,
         "tpch_full22_concurrent_8way": tpch_full_concurrent8,
         "tpch_full22_n_queries": len(full22),
+        "asof_family_wall_clock": asof_family_wall,
         "scale_slope": scale_slope,
         "scale_slope_detail": scale_detail or None,
         "floor_probe_pricing_sf0001": floor_probe,
         "floor_breakdown": floor_breakdown,
         "floor_per_query": floor_per_query or None,
+        "floor_per_query_early_pass": early_floors or None,
+        "floor_per_query_late_pass": late_floors or None,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
         "load_sections": load_sections,
@@ -608,6 +716,7 @@ def main() -> None:
             "tpch22": tpch_full_wall,
             "tpch22_c4": tpch_full_concurrent,
             "tpch22_c8": tpch_full_concurrent8,
+            "asof": asof_family_wall,
         },
         "scale_slope": scale_slope,
         "loadavg": loadavg_start + loadavg_end,

@@ -296,6 +296,33 @@ def test_unnest_zip_qualified_star(engines):
         assert got == exp, f"{stmt}\nspark={got[:6]}\nduck={exp[:6]}"
 
 
+def test_unnest_embedded_expressions(engines):
+    """Round-8: unnest embedded in select-item expressions — DuckDB
+    zips every unnest in the list positionally and evaluates the
+    surrounding expression per element (all shapes probed against
+    DuckDB 1.x directly). Arithmetic, two unnests inside ONE
+    expression, function wrap, CASE, NULL-list padding THROUGH the
+    expression, lateral repeat beside a plain column, and the mix of
+    whole-item + embedded items."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT unnest([1,2,3]) + 10 AS v",
+        "SELECT unnest([1,2]) AS x, unnest([10,20,30]) + 1 AS y",
+        "SELECT unnest([1,2]) + unnest([10,20]) AS v",
+        "SELECT CASE WHEN unnest([1,5]) > 2 THEN 'hi' ELSE 'lo' END AS v",
+        "SELECT o_orderkey, unnest([o_orderkey, o_custkey]) * 2 AS v "
+        "FROM orders WHERE o_orderkey < 40",
+        "SELECT length(unnest(string_split(o_orderpriority, '-'))) AS v, "
+        "unnest([o_orderkey]) AS k FROM orders WHERE o_orderkey < 40",
+        # NULL zip-pad flows through the arithmetic (probed: DuckDB
+        # pads the NULL list and the + yields NULL per row)
+        "SELECT unnest([1,2]) + unnest(CAST(NULL AS INT[])) AS v",
+        "SELECT unnest([1,2]) + 1 AS v, unnest(['a','b','c']) AS w "
+        "ORDER BY w DESC",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+
+
 @given(
     arrays=st.lists(
         st.sampled_from(
@@ -311,6 +338,7 @@ def test_unnest_zip_qualified_star(engines):
         max_size=3,
         unique=True,
     ),
+    embed=st.booleans(),
     scalar=st.booleans(),
     star=st.sampled_from(
         [
@@ -325,14 +353,22 @@ def test_unnest_zip_qualified_star(engines):
     lim=st.integers(min_value=10, max_value=80),
 )
 @settings(max_examples=14, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-def test_unnest_zip_fuzz_table(engines, arrays, scalar, star, suffix, lim):
+def test_unnest_zip_fuzz_table(engines, arrays, embed, scalar, star, suffix, lim):
     """Fuzzed multi-unnest over the orders fixture: split arrays of
     genuinely different per-row lengths (padding on nearly every row),
-    optional interleaved scalar column, optional star / EXCLUDE-star
-    item (the round-6 helper-leak regression arm), optional ORDER
-    BY/LIMIT split to the outer query."""
+    optional expression-embedded first unnest (round 8), optional
+    interleaved scalar column, optional star / EXCLUDE-star item (the
+    round-6 helper-leak regression arm), optional ORDER BY/LIMIT split
+    to the outer query."""
     spark, con, _ = engines
     items = [f"unnest({a}) AS u{i}" for i, a in enumerate(arrays)]
+    if embed:
+        # type-safe wrap for both VARCHAR and BIGINT element types;
+        # coalesce exercises NULL-pad flowing through the expression
+        items[0] = (
+            f"coalesce(CAST(unnest({arrays[0]}) AS VARCHAR), 'pad') "
+            f"|| '_e' AS u0"
+        )
     if scalar:
         items.insert(1, "o_orderkey")
     if star:
@@ -377,7 +413,16 @@ def test_unnest_zip_guards_stay_loud(engines):
     verbatim (Spark rejects unnest as an unresolved routine) — never a
     silent wrong zip."""
     for stmt in [
-        "SELECT unnest(a) + 1, unnest(b) FROM t",          # in expression
+        # aggregate-wrapped unnest: a BinderError in DuckDB itself —
+        # rejecting it IS parity (round 8: plain in-expression unnest
+        # now rewrites; see test_unnest_embedded_expressions)
+        "SELECT sum(unnest(a)) AS s, unnest(b) AS y FROM t",
+        "SELECT count(unnest(a) + 1) AS s, unnest(b) AS y FROM t",
+        # nested unnest: DuckDB demands recursive := true, Spark rejects
+        "SELECT unnest(unnest(a)) AS v, unnest(b) AS y FROM t",
+        # sub-select inside the item: substitution would hoist the
+        # call out of its scope
+        "SELECT (SELECT unnest(a) LIMIT 1) AS v, unnest(b) AS y FROM t",
         "SELECT DISTINCT unnest(a) AS x, unnest(b) AS y FROM t",
         "SELECT unnest(a) AS x, unnest(b) AS y FROM t GROUP BY 1, 2",
         "SELECT unnest(a) AS x FROM t UNION ALL SELECT unnest(b) FROM t",

@@ -997,3 +997,29 @@ def test_cast_type_aliases(spark, con):
     assert "'x AS VARCHAR'" in t  # literal untouched
     assert "VARCHAR(20)" in t  # sized type passes through
     _duck_spark_match("cast_aliases", spark, con, q, spark.sql(t).toPandas())
+
+
+def test_array_type_spellings_match_duckdb(spark, con):
+    """Round-8: DuckDB's postfix array-type spelling ``T[]`` (nested,
+    parameterized, and the VARCHAR element mapping) → ``ARRAY<T>``.
+    Previously the subscript pass mangled it into ``element_at(T, )``
+    — loud, but incomprehensible for a legitimate DuckDB idiom. The
+    values differential pins the full cast semantics, not just the
+    parse."""
+    stmt = (
+        "SELECT CAST(NULL AS INT[]) AS a, "
+        "[1,2]::BIGINT[] AS b, "
+        "CAST(['x','y'] AS VARCHAR[]) AS c, "
+        "CAST([[1],[2,3]] AS INT[][]) AS d, "
+        "CAST([1.5] AS DECIMAL(18,6)[]) AS e, "
+        "'INT[]' AS quoted"
+    )
+    t = transpile_statement(stmt, spark)
+    assert "element_at" not in t and "'INT[]'" in t, t
+    got = [tuple(map(str, r)) for r in spark.sql(t).collect()]
+    exp = [tuple(map(str, r)) for r in con.execute(stmt).fetchall()]
+    # stringified compare: list/Decimal container types differ between
+    # the two drivers but the rendered values must agree
+    assert [sorted(map(str, r)) for r in got] == [
+        sorted(map(str, r)) for r in exp
+    ], f"{got} != {exp}"

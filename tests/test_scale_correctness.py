@@ -47,7 +47,9 @@ SF1_QUERIES = [
     "join_bracketed_discounts",
 ]
 
-pytestmark = pytest.mark.skipif(
+# applies to the sf1 oracle differential only — the gen_scale marker
+# unit tests below run everywhere (they build their own tmp fixtures)
+needs_sf1 = pytest.mark.skipif(
     os.environ.get("ARNAB_SF1_DIFF") != "1" and not os.path.isdir(SF1_DIR),
     reason="no .scaledata/sf1 scale point on disk; set ARNAB_SF1_DIFF=1 "
     "to generate it (~1 min) and run the 10x differential",
@@ -81,11 +83,45 @@ def test_scale_marker_records_and_enforces_table_subset(tmp_path):
     # broader request must raise, not silently return the partial dir
     with pytest.raises(RuntimeError, match="narrower table subset"):
         generate(src="unused", dest=str(dest), tables=None)
-    # a full-set marker satisfies everything
-    (dest / "_SCALE_OK").write_text("copies=10 src=s tables=all\n")
+    # a full-set v2 marker satisfies everything
+    (dest / "_SCALE_OK").write_text("v=2 copies=10 src=s tables=all\n")
     assert generate(src="unused", dest=str(dest), tables=None) == str(dest)
+    # a pre-v2 marker still satisfies requests that don't want events
+    # (the v2 change only altered how events is generated)
+    (dest / "_SCALE_OK").write_text("copies=10 src=s tables=all\n")
+    assert generate(src="unused", dest=str(dest), tables=("lineitem",)) == str(
+        dest
+    )
 
 
+def test_scale_pre_v2_dir_regenerates_events_scaled(tmp_path):
+    """Round-8: events changed from a verbatim copy to a keyed-scaled
+    fact table (the asof scale family). A dir generated pre-v2 holds
+    sf0.1-sized events; when events are wanted it must regenerate in
+    place (content is a pure function of the inputs) — raising here
+    would make bench.py silently skip the whole scale section."""
+    import pandas as pd
+
+    from tools.gen_scale import generate
+
+    src = "/root/testdata/sf0.001"
+    dest = tmp_path / "sfY"
+    generate(src=src, dest=str(dest), copies=2)
+    marker = (dest / "_SCALE_OK").read_text()
+    assert "v=2" in marker
+    ev_src = pd.read_parquet(os.path.join(src, "events.parquet"))
+    ev = pd.read_parquet(dest / "events.parquet")
+    # keyed scaling: 2x rows, disjoint user/event keys per copy
+    assert len(ev) == 2 * len(ev_src)
+    assert ev["user_id"].nunique() == 2 * ev_src["user_id"].nunique()
+    assert ev["event_id"].is_unique
+    # stamp the marker pre-v2: a wanting-events request regenerates
+    (dest / "_SCALE_OK").write_text("copies=2 src=s tables=all\n")
+    generate(src=src, dest=str(dest), copies=2)
+    assert "v=2" in (dest / "_SCALE_OK").read_text()
+
+
+@needs_sf1
 @pytest.mark.parametrize("name", SF1_QUERIES)
 def test_sf1_oracle_match(spark, sf1_dir, name):
     spark.conf.set("spark.sql.shuffle.partitions", "64")

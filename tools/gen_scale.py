@@ -66,6 +66,14 @@ _KEYED = {
     "customer": (["c_custkey"], ["c_name"]),
     "supplier": (["s_suppkey"], ["s_name"]),
     "part": (["p_partkey"], ["p_name"]),
+    # events scales like a fact table (round-8: the asof scale family):
+    # shifting user_id adds NEW users with identical per-user series —
+    # more users, not longer histories — so the asof join's
+    # per-key fan-out stays constant while its shuffle-key cardinality
+    # grows linearly, the realistic scale model for event streams.
+    # Timestamps copy unchanged (the carry-forward window per user is
+    # what the operator sorts; wall-clock span is irrelevant to cost).
+    "events": (["event_id", "user_id"], []),
 }
 
 #: key columns must shift by the stride of the table that OWNS the key,
@@ -80,12 +88,16 @@ _KEY_OWNER_COL = {
     "p_partkey": "p_partkey",
     "l_suppkey": "s_suppkey",
     "s_suppkey": "s_suppkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
 }
 _OWNER_TABLE = {
     "o_orderkey": "orders",
     "c_custkey": "customer",
     "p_partkey": "part",
     "s_suppkey": "supplier",
+    "event_id": "events",
+    "user_id": "events",
 }
 
 
@@ -122,13 +134,25 @@ def generate(
             tables is not None
             and all(t in recorded for t in tables)
         )
-        if covered:
+        # v=2 (round-8): events changed from a verbatim copy to a
+        # keyed-scaled fact table; a pre-v2 dir holds sf0.1-sized
+        # events. Content is a pure function of the inputs, so a
+        # version-stale dir regenerates in place instead of raising
+        # (raising here would make bench.py skip the scale section).
+        if covered and "v=2" not in recorded and (
+            tables is None or "events" in tables
+        ):
+            import shutil
+
+            shutil.rmtree(dest)
+        elif covered:
             return dest
-        raise RuntimeError(
-            f"{dest} was generated with a narrower table subset "
-            f"({recorded.strip()!r}) than requested ({tables or 'all'}); "
-            f"remove the directory to regenerate"
-        )
+        else:
+            raise RuntimeError(
+                f"{dest} was generated with a narrower table subset "
+                f"({recorded.strip()!r}) than requested ({tables or 'all'}); "
+                f"remove the directory to regenerate"
+            )
     os.makedirs(dest, exist_ok=True)
 
     def wanted(t: str) -> bool:
@@ -195,26 +219,20 @@ def generate(
             pd.read_parquet(os.path.join(src, f"{table}.parquet")).to_parquet(
                 os.path.join(dest, f"{table}.parquet"), index=False
             )
-    # events isn't used by the scale-slope families but a missing file
-    # would break register_views-style whole-directory loads — copy it.
-    ev_src = os.path.join(src, "events.parquet")
-    if wanted("events") and os.path.exists(ev_src):
-        pd.read_parquet(ev_src).to_parquet(
-            os.path.join(dest, "events.parquet"), index=False
-        )
-
     with open(marker, "w") as fh:
-        fh.write(f"copies={copies} src={src} tables={tables or 'all'}\n")
+        fh.write(f"v=2 copies={copies} src={src} tables={tables or 'all'}\n")
     return dest
 
 
 def generate_sf10(sf1_dir: str) -> str:
-    """The third decade: 10x the sf1 point, TPC-H tables only."""
+    """The third decade: 10x the sf1 point — TPC-H tables for the tpch8
+    slope plus events (round-8) for the asof slope; documents/embeddings
+    stay sf1-capped (their DuckDB-side oracles would cost ~20 min)."""
     return generate(
         src=sf1_dir,
         dest=os.path.join(REPO, ".scaledata", "sf10"),
         copies=COPIES,
-        tables=TPCH_TABLES,
+        tables=TPCH_TABLES + ("events",),
     )
 
 
