@@ -382,7 +382,55 @@ def _rewrite_single_unnest(sql: str) -> str:
     ]
     if len(sites) != 1:
         return sql
+    # Round 8: a USER-written window in the SAME select scope as the
+    # unnest evaluates PRE-unnest in DuckDB (probed: rn repeats
+    # 1,1,2,2) while the blind explode would compute it post-explode
+    # (1,2,3,4) — a silent divergence, so such statements stay whole
+    # for Spark to reject. Scope = innermost enclosing paren interval:
+    # a window in an OUTER query over a CTE that unnests (the corpus's
+    # own TF-IDF model) is a different scope and untouched by the
+    # explode, so it must NOT abort. The zip rewrite handles the
+    # aliased same-scope shapes; the one exempt OVER is this shim's
+    # own DISTINCT ON marker (`… AS __arnab_rn`), whose post-explode
+    # evaluation IS the DISTINCT ON semantics (probed end-to-end).
     m = sites[0]
+    overs = [
+        om
+        for om in re.finditer(r"(?is)\bover\s*\(", sql)
+        if not any(s <= om.start() <= e for s, e in spans)
+    ]
+    if overs:
+        intervals: list[tuple[int, int]] = []
+        stack: list[int] = []
+        quote = None
+        for i, ch in enumerate(sql):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "(":
+                stack.append(i)
+            elif ch == ")" and stack:
+                intervals.append((stack.pop(), i))
+
+        def innermost(p: int) -> tuple[int, int] | None:
+            best = None
+            for s, e in intervals:
+                if s < p <= e and (best is None or e - s < best[1] - best[0]):
+                    best = (s, e)
+            return best
+
+        scope = innermost(m.start())
+        for om in overs:
+            if innermost(om.start()) != scope:
+                continue
+            close = _call_args(sql, om.end() - 1)
+            if close is None:
+                return sql
+            _args, after = close
+            if not re.match(r"(?is)\s*AS\s+__arnab_rn\b", sql[after:]):
+                return sql
     return sql[: m.start()] + "explode(" + sql[m.end():]
 
 
@@ -461,8 +509,12 @@ def _rewrite_multi_unnest(sql: str) -> str:
     ``unnest(a) + unnest(b)``: DuckDB zips every unnest in the list
     positionally and evaluates the surrounding expression per element,
     probed, incl. NULL-pad through the expression), of a plain
-    ``SELECT … FROM …`` (no DISTINCT, set operations, GROUP
-    BY/HAVING/QUALIFY/WINDOW, and no unnest outside the select list).
+    ``SELECT [DISTINCT] … FROM …`` (no GROUP BY/HAVING/QUALIFY/WINDOW
+    clause, no unnest outside the select list; DISTINCT dedupes the
+    projected rows POST-unnest in DuckDB — probed — which is exactly
+    the outer ``SELECT DISTINCT`` over the zip subquery). Set-op arms
+    are split and rewritten independently by
+    :func:`_rewrite_unnest_set_ops` before this pass sees them.
     Embedded substitution aborts — leaving the statement whole for
     Spark to reject loudly — on nested ``unnest(unnest(…))`` and
     aggregate-wrapped unnest (both BinderErrors in DuckDB itself:
@@ -511,9 +563,16 @@ def _rewrite_multi_unnest(sql: str) -> str:
             return sql
         body = _rewrite_multi_unnest(sql[sel_idx:])
         return sql if body == sql[sel_idx:] else sql[:sel_idx] + body
-    head = re.match(r"(?is)^\s*SELECT\s+", sql)
-    if not head or re.match(r"(?is)^\s*SELECT\s+DISTINCT\b", sql):
+    if re.match(r"(?is)^\s*SELECT\s+DISTINCT\s+ON\b", sql):
+        return sql  # DISTINCT ON: different construct, stays loud
+    head = re.match(r"(?is)^\s*SELECT\s+(DISTINCT\s+)?", sql)
+    if not head:
         return sql
+    # DISTINCT dedupes the PROJECTED rows post-unnest in DuckDB
+    # (probed: DISTINCT unnest([1,1,2]), unnest([5,5,9]) → (1,5),(2,9);
+    # pad rows and expression items dedupe the same way) — exactly
+    # what SELECT DISTINCT over the zip subquery computes.
+    distinct_kw = "DISTINCT " if head.group(1) else ""
     list_start = head.end()
     from_idx, _ = _scan_top_level(sql, ("from",), list_start)
     if from_idx < 0:
@@ -542,19 +601,39 @@ def _rewrite_multi_unnest(sql: str) -> str:
     )
     if any(m.start() < list_start or m.start() >= list_end for m in sites):
         return sql
-    # window functions evaluate BEFORE unnest in DuckDB (probed:
-    # row_number() OVER () repeats per pre-unnest row) — the outer-query
-    # rewrite would compute them post-explode, silently diverging, so
-    # any OVER clause in the select list aborts. (Bare aggregates also
-    # pre-collapse in DuckDB, but the rewrite turns those into a loud
-    # Spark grouping error, never a silent wrong zip.)
-    lsp = _quoted_spans(select_list)
-    if any(
-        not any(s <= m.start() <= e for s, e in lsp)
-        for m in re.finditer(r"(?is)\bover\s*\(", select_list)
-    ):
-        return sql
+    # Window functions evaluate BEFORE unnest in DuckDB (probed:
+    # rank() OVER (ORDER BY z) beside two zipping unnests repeats its
+    # value across every zip row INCLUDING pad rows). Round 8: aliased
+    # window items are therefore HOISTED into the inner subquery
+    # (computed pre-explode, re-projected by alias) instead of
+    # aborting. A window referencing an unnest item's alias is a
+    # BinderError in DuckDB itself ("UNNEST not supported here") —
+    # aborting those IS parity. The one post-explode window kept in
+    # the outer list is this shim's own DISTINCT ON marker
+    # (`__arnab_rn` — its PARTITION BY references the unnest output by
+    # design, resolved via Spark's lateral column aliases; probed
+    # end-to-end equal to DuckDB's DISTINCT ON-over-unnest). Unaliased
+    # window items abort: the hoist needs a name to re-project.
+    # (Bare aggregates still pre-collapse in DuckDB, but the rewrite
+    # turns those into a loud Spark grouping error, never a silent
+    # wrong zip.)
     items = _split_top_level_commas(select_list)
+
+    def _item_has_over(item: str) -> bool:
+        isp = _quoted_spans(item)
+        return any(
+            not any(s <= m.start() <= e for s, e in isp)
+            for m in re.finditer(r"(?is)\bover\s*\(", item)
+        )
+
+    # aliases of every unnest-bearing item, for the reference check
+    unnest_item_aliases: list[str] = []
+    for it in items:
+        if _UNNEST_CALL.search(it):
+            am = re.match(r"(?is)^.*\bAS\s+([A-Za-z_]\w*)\s*$", it.strip())
+            if am:
+                unnest_item_aliases.append(am.group(1))
+    window_defs: list[str] = []
     unnest_args: list[str] = []
     out_items: list[str] = []
     embedded_any = False
@@ -583,6 +662,8 @@ def _rewrite_multi_unnest(sql: str) -> str:
 
         if any(_outside(m) for m in re.finditer(r"(?is)\(\s*select\b", item)):
             return None
+        if _item_has_over(item):
+            return None  # window OF an unnest-bearing expression
         in_sites = [m for m in _UNNEST_CALL.finditer(item) if _outside(m)]
         parsed_sites: list[tuple[int, int, str]] = []
         for m in in_sites:
@@ -648,6 +729,30 @@ def _rewrite_multi_unnest(sql: str) -> str:
                     return sql  # unprovable embedding: stay loud
                 embedded_any = True
                 out_items.append(sub.strip())
+                continue
+            if _item_has_over(item):
+                stripped = item.strip()
+                wm = re.match(
+                    r"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$", stripped
+                )
+                if wm is None:
+                    return sql  # unaliased window item: nothing to
+                    # re-project by — stay loud
+                wexpr, walias = wm.group(1), wm.group(2)
+                if walias == "__arnab_rn":
+                    # this shim's DISTINCT ON marker: post-explode by
+                    # design (its PARTITION BY names the unnest output)
+                    out_items.append(stripped)
+                    continue
+                if any(
+                    re.search(rf"(?i)\b{re.escape(a)}\b", wexpr)
+                    for a in unnest_item_aliases
+                ):
+                    return sql  # window over an unnest alias: DuckDB
+                    # BinderError — rejecting IS parity
+                wi = len(window_defs)
+                window_defs.append(f"({wexpr}) AS __w{wi}")
+                out_items.append(f"__w{wi} AS `{walias}`")
                 continue
             stripped = item.strip()
             if stripped.startswith("*") or stripped.endswith("*"):
@@ -722,12 +827,16 @@ def _rewrite_multi_unnest(sql: str) -> str:
         idx = len(unnest_args)
         unnest_args.append(args[0])
         out_items.append(f"__unn['__u{idx}'] AS `{alias}`")
-    if len(unnest_args) < 2 and not embedded_any:
+    if len(unnest_args) < 2 and not embedded_any and not window_defs:
         # a single whole-item unnest stays with the cheaper explode
-        # rewrite (no subquery wrap) in _rewrite_single_unnest
+        # rewrite (no subquery wrap) in _rewrite_single_unnest; a
+        # hoisted window forces the wrap even for one site (the
+        # pre-unnest evaluation needs the inner projection)
         return sql
     helpers = ", ".join(
-        [f"__u{i}" for i in range(len(unnest_args))] + ["__unn"]
+        [f"__u{i}" for i in range(len(unnest_args))]
+        + [f"__w{i}" for i in range(len(window_defs))]
+        + ["__unn"]
     )
     for slot, existing in star_slots:
         merged = f"{existing}, {helpers}" if existing else helpers
@@ -744,14 +853,93 @@ def _rewrite_multi_unnest(sql: str) -> str:
             out_items[slot] = f"`{alias}`.* EXCEPT ({merged})"
         outer_alias = f" AS `{alias}`"
     defs = ", ".join(
-        f"coalesce(({a}), array()) AS __u{i}" for i, a in enumerate(unnest_args)
+        [
+            f"coalesce(({a}), array()) AS __u{i}"
+            for i, a in enumerate(unnest_args)
+        ]
+        + window_defs
     )
     zipped = ", ".join(f"__u{i}" for i in range(len(unnest_args)))
     inner1 = f"SELECT *, {defs} {tail}" if tail else f"SELECT {defs}"
     inner2 = f"SELECT *, explode(arrays_zip({zipped})) AS __unn FROM ({inner1})"
     return (
-        f"SELECT {', '.join(out_items)} FROM ({inner2}){outer_alias} {suffix}"
+        f"SELECT {distinct_kw}{', '.join(out_items)} FROM ({inner2})"
+        f"{outer_alias} {suffix}"
     ).rstrip()
+
+
+def _rewrite_unnest_set_ops(sql: str) -> str:
+    """Unnest inside set-operation arms (round 8): each arm of a
+    top-level ``UNION [ALL] [BY NAME]`` / ``INTERSECT`` / ``EXCEPT``
+    chain unnests INDEPENDENTLY in DuckDB (probed:
+    ``SELECT unnest([1,2]) UNION ALL SELECT unnest([3])`` → 1,2,3;
+    DISTINCT set ops dedupe post-unnest; a trailing ORDER BY/LIMIT
+    binds to the whole set-op result, probed with the asymmetric
+    ``… ORDER BY x LIMIT 3`` case). The statement splits on the
+    top-level set operators, each arm goes through the zip/explode
+    rewrites on its own, the operators are preserved verbatim, and the
+    last arm's trailing top-level ORDER/LIMIT/OFFSET is split off
+    FIRST so it stays bound to the whole chain (rewriting it into the
+    last arm's subquery would silently make it arm-local — the exact
+    wrongness class this pass exists to avoid). Arms the per-arm
+    rewrites can't prove stay verbatim: any remaining ``unnest`` is an
+    unresolved routine for Spark, so unprovable shapes fail loud,
+    never half-rewritten silently."""
+    spans = _quoted_spans(sql)
+    if not any(
+        not any(s <= m.start() <= e for s, e in spans)
+        for m in _UNNEST_CALL.finditer(sql)
+    ):
+        return sql
+    if re.match(r"(?is)^\s*WITH\b", sql):
+        sel_idx, _ = _scan_top_level(sql, ("select",))
+        if sel_idx <= 0:
+            return sql
+        body = _rewrite_unnest_set_ops(sql[sel_idx:])
+        return sql if body == sql[sel_idx:] else sql[:sel_idx] + body
+    ops: list[tuple[int, int]] = []
+    pos = 0
+    while True:
+        idx, _word = _scan_top_level(
+            sql, ("union", "intersect", "except"), pos
+        )
+        if idx < 0:
+            break
+        om = re.match(
+            r"(?is)(union|intersect|except)"
+            r"(\s+all|\s+distinct)?(\s+by\s+name)?",
+            sql[idx:],
+        )
+        ops.append((idx, idx + om.end()))
+        pos = idx + om.end()
+    if not ops:
+        return sql
+    arms: list[str] = []
+    last = 0
+    for s0, _e0 in ops:
+        arms.append(sql[last:s0])
+        last = _e0
+    tail_arm = sql[last:]
+    suffix = ""
+    b_idx, _bw = _scan_top_level(tail_arm, ("order", "limit", "offset"))
+    if b_idx >= 0:
+        suffix = tail_arm[b_idx:]
+        tail_arm = tail_arm[:b_idx]
+    arms.append(tail_arm)
+    new_arms = []
+    changed = False
+    for arm in arms:
+        r = _rewrite_multi_unnest(arm)
+        if r == arm:
+            r = _rewrite_single_unnest(arm)
+        changed = changed or r != arm
+        new_arms.append(r.strip())
+    if not changed:
+        return sql
+    out = new_arms[0]
+    for (s0, e0), arm in zip(ops, new_arms[1:]):
+        out += " " + sql[s0:e0] + " " + arm
+    return out + (" " + suffix if suffix else "")
 
 
 def _call_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
@@ -3364,6 +3552,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_unnest_set_ops(sql)
     sql = _rewrite_multi_unnest(sql)
     sql = _rewrite_single_unnest(sql)
     sql = _rewrite_string_split(sql)

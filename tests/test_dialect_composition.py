@@ -296,6 +296,52 @@ def test_unnest_zip_qualified_star(engines):
         assert got == exp, f"{stmt}\nspark={got[:6]}\nduck={exp[:6]}"
 
 
+def test_unnest_distinct_setops_and_window_hoist(engines):
+    """Round-8 lifts of the three remaining provable unnest contexts
+    (every shape probed against DuckDB first): DISTINCT dedupes the
+    projected rows POST-unnest; set-operation arms unnest
+    INDEPENDENTLY with a trailing ORDER BY/LIMIT bound to the whole
+    chain (the asymmetric ORDER BY x LIMIT 3 arm is the order-matters
+    regression case); aliased window items evaluate PRE-unnest and are
+    hoisted into the inner subquery (rank repeats across zip rows
+    including pad rows)."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT DISTINCT unnest([1,1,2]) AS x, unnest([5,5,9]) AS y",
+        "SELECT DISTINCT unnest([1,2,1]) AS x, unnest(['a','b']) AS y",
+        "SELECT DISTINCT unnest([1,1,2]) + 1 AS v",
+        "SELECT DISTINCT o_orderstatus, unnest(string_split(o_orderpriority, '-')) AS p "
+        "FROM orders WHERE o_orderkey < 200",
+        "SELECT unnest([1,2]) AS x UNION ALL SELECT unnest([3]) AS x",
+        "SELECT unnest([1,2]) AS x, unnest([5,6]) AS y "
+        "UNION ALL SELECT 0 AS x, 0 AS y",
+        "SELECT unnest([1,2]) AS x UNION SELECT unnest([2,2]) AS x",
+        "SELECT unnest([1,2]) AS x INTERSECT SELECT unnest([2,3]) AS x",
+        "SELECT unnest([5,6]) AS x EXCEPT SELECT unnest([5]) AS x",
+        "WITH c AS (SELECT [1,2] AS a) SELECT unnest(a) AS x FROM c "
+        "UNION ALL SELECT unnest([9]) AS x",
+        "SELECT rank() OVER (ORDER BY o_orderkey) AS r, "
+        "unnest(string_split(o_orderpriority, '-')) AS p, "
+        "unnest([o_custkey]) AS c FROM orders WHERE o_orderkey < 40",
+        "SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, "
+        "unnest(string_split(o_orderpriority, '-')) AS p "
+        "FROM orders WHERE o_orderkey < 40",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+    # trailing ORDER BY/LIMIT binds to the whole set-op chain, not the
+    # last arm — ORDERED compare (an arm-local ORDER BY would return
+    # (1,2,9) here instead of DuckDB's global (1,2,7))
+    stmt = (
+        "SELECT unnest([1,2]) AS x UNION ALL "
+        "SELECT unnest([9,8,7]) AS x ORDER BY x LIMIT 3"
+    )
+    t = transpile_statement(stmt, spark)
+    assert "unnest" not in t.lower(), t
+    got = [tuple(r) for r in spark.sql(t).collect()]
+    exp = [tuple(r) for r in con.execute(stmt).fetchall()]
+    assert got == exp, f"{got} != {exp}"
+
+
 def test_unnest_embedded_expressions(engines):
     """Round-8: unnest embedded in select-item expressions — DuckDB
     zips every unnest in the list positionally and evaluates the
@@ -423,13 +469,20 @@ def test_unnest_zip_guards_stay_loud(engines):
         # sub-select inside the item: substitution would hoist the
         # call out of its scope
         "SELECT (SELECT unnest(a) LIMIT 1) AS v, unnest(b) AS y FROM t",
-        "SELECT DISTINCT unnest(a) AS x, unnest(b) AS y FROM t",
+        # DISTINCT / set-op arms rewrite since round 8 (probed: both
+        # dedupe/assemble POST-unnest) — see the differential tests.
+        # GROUP BY beside unnest is a BinderError in DuckDB itself.
         "SELECT unnest(a) AS x, unnest(b) AS y FROM t GROUP BY 1, 2",
-        "SELECT unnest(a) AS x FROM t UNION ALL SELECT unnest(b) FROM t",
         "SELECT unnest(a) AS x, unnest(b, recursive := true) AS y FROM t",
-        # window fns evaluate PRE-unnest in DuckDB (probed) — the
-        # outer-query rewrite would compute them post-explode
-        "SELECT row_number() OVER () AS rn, unnest(a) AS x, unnest(b) AS y FROM t",
+        # windows HOIST pre-explode since round 8 (probed semantics),
+        # except the unprovable shapes, which must stay loud: a window
+        # referencing an unnest alias (DuckDB BinderError — parity),
+        # an unaliased window item (nothing to re-project by), and a
+        # window OF an unnest-bearing expression
+        "SELECT unnest(a) AS x, unnest(b) AS y, "
+        "row_number() OVER (ORDER BY x) AS rn FROM t",
+        "SELECT row_number() OVER (), unnest(a) AS x, unnest(b) AS y FROM t",
+        "SELECT sum(unnest(a)) OVER () AS s, unnest(b) AS y FROM t",
         # modified stars / unprovable qualified stars: since round 8
         # t.* over a SINGLE plain relation rewrites (see
         # test_unnest_zip_qualified_star); everything whose coverage
