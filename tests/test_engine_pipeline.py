@@ -715,5 +715,16 @@ def test_duckdb_dialect_example_project(spark, tmp_path):
             ).fetchall()
         )
         assert got == exp
+        # round-8 model: window-beside-unnest (pre-unnest hoist),
+        # embedded unnest, and a set-op arm — identical text on DuckDB
+        tp_sql = (proj / "models" / "token_parts.sql").read_text()
+        got_tp = sorted(
+            (tuple(r) for r in spark.table("token_parts").collect()),
+            key=str,
+        )
+        exp_tp = sorted(
+            (tuple(r) for r in con.execute(tp_sql).fetchall()), key=str
+        )
+        assert got_tp == exp_tp
     finally:
         dialect.reset_macros(spark)
