@@ -10,6 +10,8 @@ YAML shape kept from the reference::
     models:
       source_orders:
         materialize: table
+        partition_by: o_orderstatus      # hive dirs → planning-time pruning
+        cluster_by: o_custkey, o_orderdate  # row-group min/max clustering
 
 ``db_path`` in the reference is a DuckDB database file; here it is the
 warehouse *directory* where ``materialize: table`` models persist as

@@ -66,6 +66,12 @@ class Node:
     kind: NodeKind = NodeKind.SQL
     materialize: str = "view"
     unique_key: str | None = None  # incremental merge key(s), comma-separated
+    #: physical-layout hints for table/incremental materializations
+    #: (beyond-reference, essential at warehouse scale): hive-style
+    #: directory partitioning and within-partition clustering, both
+    #: comma-separated column lists
+    partition_by: str | None = None
+    cluster_by: str | None = None
     python_fn: object | None = None  # PYTHON models: (spark) -> DataFrame
 
     # -- rendering ---------------------------------------------------
@@ -182,6 +188,59 @@ class Node:
             f"unknown materialization '{self.materialize}' for model {self.id}"
         )  # reference: node.rs:170-173
 
+    def _layout(self, df):
+        """Apply the model's physical-layout hints ahead of a parquet
+        write; returns ``(df, partition_cols)``.
+
+        ``partition_by`` → hive-style directory layout
+        (``writer.partitionBy``) with a ``repartition`` on the
+        partition columns FIRST: without it every write task holds a
+        sliver of every partition value and writes its own small file
+        into every directory — the small-files explosion that kills
+        100 TB warehouse scans. With it, each partition value lands in
+        exactly one task → one well-sized file per directory, and
+        date/tenant filters prune at PLANNING time
+        (``PartitionFilters`` in the scan).
+
+        ``cluster_by`` → ``sortWithinPartitions`` on
+        (partition cols + cluster cols): rows with equal/adjacent
+        cluster keys become contiguous parquet row groups, so their
+        column min/max statistics prune row groups on point/range
+        filters — the poor man's Z-order, zero read-side cost.
+
+        Unknown columns RAISE (fail-loud doctrine, same as
+        unique_key)."""
+        pcols = (
+            [c.strip() for c in self.partition_by.split(",")]
+            if self.partition_by
+            else []
+        )
+        ccols = (
+            [c.strip() for c in self.cluster_by.split(",")]
+            if self.cluster_by
+            else []
+        )
+        missing = [c for c in pcols + ccols if c not in df.columns]
+        if missing:
+            raise ArnabError(
+                f"model {self.id}: partition_by/cluster_by column(s) "
+                f"{missing} not in output {df.columns}"
+            )
+        if pcols:
+            df = df.repartition(*pcols)
+        if ccols:
+            df = df.sortWithinPartitions(*(pcols + ccols))
+        return df, pcols
+
+    def _write_table(self, df, dest: str) -> None:
+        """Layout-applying overwrite write shared by the table path and
+        both incremental write sites."""
+        df, pcols = self._layout(df)
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(dest)
+
     def _write_incremental(self, spark, df, dest: str) -> None:
         """Incremental materialization — the reference's explicitly
         deferred roadmap item (reference: README.md:54-58), essential at
@@ -207,7 +266,7 @@ class Node:
             # materialization (that merge is lost, history is not)
             os.rename(old, dest)
         if not os.path.isdir(dest):
-            df.write.mode("overwrite").parquet(dest)
+            self._write_table(df, dest)
             return
         existing = spark.read.parquet(dest)
         if self.unique_key:
@@ -222,7 +281,7 @@ class Node:
         else:
             merged = existing.unionByName(df)
         staging = f"{dest}__staging"
-        merged.write.mode("overwrite").parquet(staging)
+        self._write_table(merged, staging)
         shutil.rmtree(old, ignore_errors=True)
         os.rename(dest, old)
         os.rename(staging, dest)
@@ -258,8 +317,7 @@ class Node:
                         self._write_incremental(spark, spark.sql(stmt), parquet_path)
                         spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
                     else:
-                        df = spark.sql(stmt)
-                        df.write.mode("overwrite").parquet(parquet_path)
+                        self._write_table(spark.sql(stmt), parquet_path)
                         spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
                     if db_path:
                         # persist the model in the warehouse catalog so
@@ -312,7 +370,7 @@ class Node:
             if self.materialize == "incremental":
                 self._write_incremental(spark, df, dest)
             else:
-                df.write.mode("overwrite").parquet(dest)
+                self._write_table(df, dest)
             spark.read.parquet(dest).createOrReplaceTempView(self.id)
             from arnab_spark.catalog import record_model
 

@@ -110,6 +110,8 @@ class Session:
                 kind=kind,
                 materialize=self.config.materialization_for(stem),
                 unique_key=(self.config.models.get(stem) or {}).get("unique_key"),
+                partition_by=(self.config.models.get(stem) or {}).get("partition_by"),
+                cluster_by=(self.config.models.get(stem) or {}).get("cluster_by"),
             )
         return nodes
 
