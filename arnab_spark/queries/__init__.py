@@ -113,11 +113,14 @@ def davg(col: Column | str, alias: str) -> Column:
 #: select-item expressions). Slots 4-6 re-verify three headline-bench
 #: staples whose latest evidence is r6 and whose floor-adjusted
 #: grades the round-7 verdict measured to a verdict
-#: (`agg_pricing_summary`, `join_star_revenue`, `knn_cosine_brute`)
-#: — fresh driver evidence accompanies the BREAKDOWN_r08 residual
-#: claim, and rotating them now shrinks the r9 mandatory cohort
-#: (dedup_exact stays on its r6 evidence, within the invariant
-#: through r8). Slots 7-50 are
+#: (`agg_pricing_summary`, `join_star_revenue`) — fresh driver
+#: evidence accompanies the BREAKDOWN_r08 residual claim — plus the
+#: round-8 STREAMING asof query `stream_asof_enriched_materialized`
+#: (never-run gate; its oracle is the batch asof_join's own DuckDB
+#: native ASOF JOIN text, so the driver hashes a real stateful
+#: streaming run against it). dedup_exact and knn_cosine_brute stay
+#: on their r6 evidence, within the invariant through r8. Slots 7-50
+#: are
 #: the ENTIRE round-5-latest-evidence cohort (44 queries, computed
 #: from the committed CORRECTNESS_r0{1..7}.json union) — after this
 #: run no registry query's driver evidence is older than two rounds,
@@ -131,10 +134,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "dialect_datediff_week",
     "dialect_unnest_qualified_star",
     "dialect_unnest_embedded",
-    # --- slots 4-6: headline staples, r6 evidence + BREAKDOWN_r08 focus ---
+    # --- slots 4-6: headline staples (r6 evidence, BREAKDOWN_r08
+    # focus) + the round-8 streaming asof addition (never-run gate) ---
     "agg_pricing_summary",
     "join_star_revenue",
-    "knn_cosine_brute",
+    "stream_asof_enriched_materialized",
     # --- slots 7-50: the full round-5-latest-evidence cohort ---
     "agg_collect_set_array",
     "agg_percentile_approx",

@@ -498,3 +498,33 @@ def stream_session_counts_materialized(spark, sf_dir):
 
     sink = f"arnab_stream_sess_{uuid.uuid4().hex[:12]}"
     return run_stream_to_memory(stream_sessionized(spark, sf_dir), sink)
+
+
+@query(
+    "stream_asof_enriched_materialized",
+    oracle=_ASOF_ORACLE,
+    tags=("timeseries", "streaming", "asof"),
+)
+def stream_asof_enriched_materialized(spark, sf_dir):
+    """STRUCTURED STREAMING asof, driver-verifiable (round 8): the
+    carry-forward enrichment runs as a real stateful stream
+    (file source → ``applyInPandasWithState`` latest-signup state →
+    memory sink, Trigger.AvailableNow) and the materialized sink is
+    returned as a batch frame — so the driver's oracle hashes an
+    actual streaming result against DuckDB's NATIVE ``ASOF LEFT
+    JOIN``, the same oracle text as the batch `asof_join` headliner.
+    Stream ≡ batch ≡ oracle; the multi-micro-batch state-carry proof
+    (3 time-ordered chunks, maxFilesPerTrigger=1, cross-batch match
+    asserted) lives in ``tests/test_streaming_stateful.py``. State is
+    one fixed-width row per user — O(distinct users), independent of
+    stream volume."""
+    import uuid
+
+    from arnab_spark.streaming.jobs import _read_events_stream, run_stream_to_memory
+    from arnab_spark.streaming.stateful import stream_asof_enrich
+
+    events = _read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    sink = f"arnab_asof_mat_{uuid.uuid4().hex[:12]}"
+    return run_stream_to_memory(stream_asof_enrich(events), sink, "append")

@@ -318,3 +318,138 @@ def run_sessionize_to_parquet(
             )
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------
+# Streaming AS-OF enrichment (round 8): the CDC/enrichment twin of the
+# batch `asof_join` headline query — each purchase is enriched with the
+# user's latest signup at-or-before its event time, with the latest
+# signup carried in the state store across micro-batches.
+
+_ASOF_OUTPUT = (
+    "event_id bigint, user_id bigint, ts timestamp, value double, "
+    "signup_id bigint, signup_ts timestamp"
+)
+#: latest signup per user: (event_id, event-time MICROS); -1 = none
+#: yet. Micros, not nanos: merge_asof promotes the time column to
+#: float64 when any purchase has no match (NaN), and ns epochs
+#: (~1.7e18) exceed float64's 2^53 exact-integer range — observed as
+#: 1 µs signup_ts drift. µs epochs (~1.7e15) stay exact to ~year 2255.
+_ASOF_STATE = "signup_id bigint, signup_us bigint"
+
+
+def _make_asof_enrich():
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sid, sus = state.get if state.exists else (-1, -1)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf["_us"] = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        )
+        sigs = pdf[pdf["event_type"] == "signup"][
+            ["event_id", "_us"]
+        ].rename(columns={"event_id": "signup_id", "_us": "_sus"})
+        if sid != -1:
+            sigs = pd.concat(
+                [pd.DataFrame({"signup_id": [sid], "_sus": [sus]}), sigs],
+                ignore_index=True,
+            )
+        # deterministic among equal-time signups: the later event_id
+        # wins (merge_asof backward picks the LAST row in sort order) —
+        # mirrors the batch carry-forward's last() over (ts, side) sort
+        sigs = sigs.sort_values(["_sus", "signup_id"], ignore_index=True)
+        purch = pdf[pdf["event_type"] == "purchase"].sort_values(
+            ["_us", "event_id"], ignore_index=True
+        )
+        if len(sigs):
+            state.update(
+                (int(sigs["signup_id"].iloc[-1]), int(sigs["_sus"].iloc[-1]))
+            )
+        else:
+            state.update((sid, sus))
+        if not len(purch):
+            return
+        merged = pd.merge_asof(
+            purch[["event_id", "user_id", "_us", "value"]],
+            sigs,
+            left_on="_us",
+            right_on="_sus",
+            direction="backward",
+            allow_exact_matches=True,  # signup at ts == purchase ts matches
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "ts": pd.to_datetime(merged["_us"], unit="us"),
+                "value": merged["value"],
+                "signup_id": pd.array(merged["signup_id"], dtype="Int64"),
+                "signup_ts": pd.to_datetime(merged["_sus"], unit="us"),
+            }
+        )
+
+    return fn
+
+
+def stream_asof_enrich(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``asof_join`` headline query: enrich
+    each purchase with the user's latest signup at-or-before its event
+    time (``NULL`` when none), via ``applyInPandasWithState``.
+
+    Semantics match the batch carry-forward exactly when each user's
+    events arrive in event-time order across micro-batches (file
+    sources dropping time-ordered files — the CDC shape; proven in
+    tests as stream ≡ batch ≡ DuckDB's native ASOF JOIN). Out-of-order
+    arrival within ONE micro-batch is handled (the batch is sorted and
+    merge_asof'd locally); a late signup arriving whole micro-batches
+    after a purchase it should have matched is the inherent streaming
+    asof limit — production hardening is a watermark-delay reorder
+    buffer in front, same state shape.
+
+    Scale: state is ONE fixed-width row per user (two bigints) —
+    O(distinct users), independent of stream volume; per-batch work is
+    a vectorized pandas merge_asof over that key's Arrow batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_asof_enrich(),
+        outputStructType=_ASOF_OUTPUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_asof_stream(
+    spark: SparkSession,
+    source_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drive :func:`stream_asof_enrich` over a parquet drop-zone to
+    completion (availableNow) and return the accumulated enriched
+    purchases as a batch DataFrame."""
+    from arnab_spark.spark_utils import configure, normalize_events_ts
+    from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
+
+    configure(spark)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = normalize_events_ts(reader.parquet(source_dir)).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    enriched = stream_asof_enrich(stream)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -241,3 +241,48 @@ def test_sessionize_restart_parity_exactly_once(spark):
         f"restart produced {len(a)} sessions vs single-pass {len(b)}"
     )
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_asof_stream_matches_batch_and_oracle(spark, split_source):
+    """Streaming asof enrichment over 3 time-ordered micro-batches must
+    equal the batch `asof_join` headline query on the same events —
+    which itself is hash-verified against DuckDB's native ASOF JOIN —
+    including purchases whose matching signup arrived in an EARLIER
+    micro-batch (the state carry) and purchases with no signup at all
+    (NULL enrichment)."""
+    from arnab_spark.queries import all_queries
+    from arnab_spark.streaming.stateful import run_asof_stream
+
+    got_df = run_asof_stream(
+        spark, split_source, "asof_enriched", max_files_per_trigger=1
+    )
+    got = {
+        r.event_id: (r.user_id, r.ts, r.value, r.signup_id, r.signup_ts)
+        for r in got_df.collect()
+    }
+    batch = all_queries()["asof_join"].fn(spark, SF)
+    exp = {
+        r.event_id: (r.user_id, r.ts, r.value, r.signup_id, r.signup_ts)
+        for r in batch.collect()
+    }
+    assert len(got) == len(exp) and got == exp
+    # the state carry actually happened: some purchase in batch 2/3
+    # matched a signup from batch 1 (cross-batch pair exists)
+    import duckdb
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    # the split files carry ts as int64 NANOS (see split_source)
+    b0_max = pd.Timestamp(
+        con.execute(
+            f"SELECT max(ts) FROM read_parquet('{split_source}/part0.parquet')"
+        ).fetchone()[0],
+        unit="ns",
+    )
+    crossed = [
+        eid
+        for eid, (_u, ts, _v, sid, sts) in got.items()
+        if sid is not None and sts <= b0_max < ts
+    ]
+    assert crossed, "no cross-micro-batch asof match — state carry unproven"
