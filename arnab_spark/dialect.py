@@ -966,6 +966,458 @@ def _call_args(sql: str, open_paren: int) -> tuple[list[str], int] | None:
     return ([a.strip() for a in _split_top_level_commas(raw)] if raw else []), i
 
 
+# ---------------------------------------------------------------------
+# unnest(recursive := true) and struct unnest (round 8).
+
+_UNNEST_FLAG = re.compile(r"(?is)^\s*(recursive|max_depth)\s*:=\s*(.+?)\s*$")
+_TRUE_SPELLINGS = frozenset({"true", "1", "'t'"})
+_FALSE_SPELLINGS = frozenset({"false", "0", "'f'"})
+
+try:
+    from weakref import WeakKeyDictionary as _WKD
+
+    _PROBE_BY_SESSION: "_WKD" = _WKD()
+except Exception:  # pragma: no cover
+    _PROBE_BY_SESSION = {}
+
+
+def _probe_expr_type(arg: str, probe_prefix: str, tail: str, spark):
+    """Spark DataType of ``arg`` in the statement's FROM context, found
+    by ANALYZING (never executing) a one-item probe SELECT; ``None``
+    when unprovable. The probe text gets the read-function / bare-path
+    relation rewrites the full pipeline would apply later, so a
+    ``FROM read_parquet('…')`` context still types; ``*_auto`` sources
+    need session-view substitution and bail to None. Results are
+    memoized per session keyed by the probe text — transpiling the same
+    statement again (bench loops, repeated models) pays zero analysis
+    calls."""
+    if spark is None:
+        return None
+    probe = f"{probe_prefix}SELECT ({arg}) AS __arnab_probe {tail}".strip()
+    if re.search(r"(?i)\bread_(?:csv_auto|json_auto)\s*\(", probe):
+        return None
+    # the probe runs MID-pipeline: apply the text-level passes that
+    # normally run after the unnest stage so a prefix/tail containing
+    # string_split / QUALIFY / DISTINCT ON / ASOF / SAMPLE / file
+    # relations still ANALYZES (any residue that still fails simply
+    # returns None — the statement then stays whole and loud)
+    probe = _rewrite_string_split(probe)
+    probe = _rewrite_using_sample(probe)
+    probe = _rewrite_qualify(probe)
+    probe = _rewrite_distinct_on(probe)
+    probe = _rewrite_asof_join(probe)
+    probe = _READ_FUNC.sub(
+        lambda m: f"{_FORMAT_MAP[m.group(1).lower()]}.`{_resolve_path(m.group(2))}`",
+        probe,
+    )
+
+    def _bare(m: re.Match) -> str:
+        path = _resolve_path(m.group(2))
+        low = path.lower()
+        fmt = "parquet" if ".parquet" in low else "csv" if ".csv" in low else "json"
+        return f"{m.group(1)} {fmt}.`{path}`"
+
+    probe = _BARE_PATH.sub(_bare, probe)
+    cache = _PROBE_BY_SESSION.setdefault(spark, {})
+    if probe in cache:
+        return cache[probe]
+    try:
+        dt = spark.sql(probe).schema[0].dataType
+    except Exception:
+        dt = None
+    cache[probe] = dt
+    return dt
+
+
+def _flatten_wrap(arg: str, times: int) -> str:
+    """``times`` levels of NULL-sublist-dropping flatten around ``arg``.
+    DuckDB's recursive unnest DROPS a NULL sublist (probed:
+    ``unnest([[1,2],NULL,[3]], recursive := true)`` → 1,2,3) while
+    Spark's ``flatten`` returns NULL for the whole array when any
+    element is NULL — hence the ``filter`` strip at every level."""
+    w = f"({arg})"
+    for _ in range(times):
+        w = f"flatten(filter({w}, __arnab_f -> __arnab_f IS NOT NULL))"
+    return w
+
+
+def _struct_leaf_items(base: str, dt, recursive: bool) -> list[str]:
+    """Projection items expanding struct ``base`` the way DuckDB's
+    struct unnest does: one column per field named AFTER the field
+    (aliases are ignored by DuckDB — probed), descending into nested
+    struct fields only when ``recursive`` (probed:
+    ``unnest({'a':1,'n':{'c':2,'d':3}}, recursive := true)`` → a,c,d;
+    non-recursive keeps ``n`` whole; LISTS inside structs stay lists
+    either way). Duplicate leaf names across nesting levels are kept
+    duplicated — DuckDB emits them side by side (probed: a, a)."""
+    from pyspark.sql.types import StructType
+
+    items: list[str] = []
+    for f in dt.fields:
+        q = f.name.replace("`", "``")
+        ref = f"{base}.`{q}`"
+        if recursive and isinstance(f.dataType, StructType):
+            items.extend(_struct_leaf_items(ref, f.dataType, True))
+        else:
+            items.append(f"{ref} AS `{q}`")
+    return items
+
+
+def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") -> str:
+    """DuckDB ``unnest(x, recursive := true)`` and struct unnest
+    (round 8) — the verdict's top remaining loud dialect gap. All
+    semantics probed against DuckDB in-process before this rewrite
+    existed (the probe-first method):
+
+    - ``unnest(list, recursive := true)`` fully flattens nested lists
+      (NULL sublists dropped at every level) and then behaves as a
+      plain unnest — rewritten to ``unnest(flatten(filter(…)))`` and
+      handed to the existing single/multi machinery, so embedding in
+      expressions, DISTINCT, and trailing ORDER/LIMIT compose for free
+      (probed: ``unnest([[1,2],[3]], recursive := true) + 1`` → 2,3,4).
+      Depth comes from the ANALYZED Spark type of the argument, never
+      from guessing. When the statement holds MORE THAN ONE unnest
+      site, DuckDB zips recursive unnests LEVEL-WISE — outer lists zip
+      first, then each row's inner lists zip again (probed:
+      ``unnest([10,20,30]), unnest([[1],[2,3]], recursive := true)``
+      repeats the plain item per INNER row, 6 rows) — which a
+      flatten-then-zip would silently mis-order, so multi-site
+      statements with a depth≥2 recursive site stay whole and fail
+      loud. A depth-1 recursive flag is a no-op (probed) and is safely
+      stripped even beside other sites.
+    - ``unnest(list_of_structs, recursive := true)`` explodes AND
+      unpacks each struct into columns named after its fields, nested
+      structs recursively, lists inside structs untouched, NULL
+      elements kept as all-NULL field rows, aliases ignored (all
+      probed) — rewritten to an ``explode(…) AS __arnab_ru`` wrapping
+      subquery plus leaf-field projections; a bare ``*`` item becomes
+      ``* EXCEPT (__arnab_ru)`` so the helper never leaks (the round-6
+      star-leak class). Requires the site to be a whole select item
+      and the only list-unnest site (zip with a column-expanding
+      unnest is unprovable); qualified stars abort.
+    - ``unnest(struct)`` — with or without the flag — is pure column
+      expansion with NO row multiplication: the item is replaced by
+      per-field references ``(arg).f AS f`` in place (probed: a NULL
+      struct still yields its row with NULL fields, matching plain
+      projection semantics). Expansion items are plain expressions, so
+      they compose with any other unnest in the list exactly like
+      DuckDB broadcasts them across zip/pad rows (probed:
+      ``unnest({'a':7}), unnest([1,2]), unnest([10])`` → a=7 on the
+      pad row too). Embedded struct unnest (``unnest(s).a``,
+      ``unnest(s) + 1``) is a DuckDB BinderError — staying loud IS
+      parity.
+
+    ``max_depth :=`` and unresolvable flag values stay whole (loud).
+    GROUP BY/HAVING/QUALIFY/WINDOW tails abort as in the sibling
+    passes; set-op arms split and rewrite independently; a WITH prefix
+    rides along as the probe prefix so CTE-sourced arguments type.
+    DuckDB rejects ORDER BY references to struct-expanded field names
+    (BinderError, probed) — the rewrite accepts them, a strict
+    superset on statements no working DuckDB corpus can contain."""
+    spans = _quoted_spans(sql)
+    sites = [
+        m
+        for m in _UNNEST_CALL.finditer(sql)
+        if not any(s <= m.start() <= e for s, e in spans)
+    ]
+    if not sites or spark is None:
+        return sql
+    # cheap pre-check: act only when a := flag is present OR a probe
+    # could reveal a struct — both need the session; flag detection is
+    # textual so unflagged statements only pay probes on their
+    # whole-item sites (cached per session).
+    if re.match(r"(?is)^\s*WITH\b", sql):
+        sel_idx, _ = _scan_top_level(sql, ("select",))
+        if sel_idx <= 0:
+            return sql
+        body = _rewrite_struct_recursive_unnest(
+            sql[sel_idx:], spark, probe_prefix=sql[:sel_idx]
+        )
+        return sql if body == sql[sel_idx:] else sql[:sel_idx] + body
+    # set-op chains: arms rewrite independently (probed in the sibling
+    # pass); trailing ORDER/LIMIT stays bound to the whole chain
+    ops: list[tuple[int, int]] = []
+    pos = 0
+    while True:
+        idx, _w = _scan_top_level(sql, ("union", "intersect", "except"), pos)
+        if idx < 0:
+            break
+        om = re.match(
+            r"(?is)(union|intersect|except)(\s+all|\s+distinct)?(\s+by\s+name)?",
+            sql[idx:],
+        )
+        ops.append((idx, idx + om.end()))
+        pos = idx + om.end()
+    if ops:
+        arms: list[str] = []
+        last = 0
+        for s0, _e0 in ops:
+            arms.append(sql[last:s0])
+            last = _e0
+        tail_arm = sql[last:]
+        suffix = ""
+        b_idx, _bw = _scan_top_level(tail_arm, ("order", "limit", "offset"))
+        if b_idx >= 0:
+            suffix = tail_arm[b_idx:]
+            tail_arm = tail_arm[:b_idx]
+        arms.append(tail_arm)
+        new_arms = [
+            _rewrite_struct_recursive_unnest(a, spark, probe_prefix)
+            for a in arms
+        ]
+        if all(n == a for n, a in zip(new_arms, arms)):
+            return sql
+        out = new_arms[0].strip()
+        for (s0, e0), arm in zip(ops, new_arms[1:]):
+            out += " " + sql[s0:e0] + " " + arm.strip()
+        return out + (" " + suffix if suffix else "")
+    if re.match(r"(?is)^\s*SELECT\s+DISTINCT\s+ON\b", sql):
+        return sql
+    head = re.match(r"(?is)^\s*SELECT\s+(DISTINCT\s+)?", sql)
+    if not head:
+        return sql
+    distinct_kw = "DISTINCT " if head.group(1) else ""
+    list_start = head.end()
+    from_idx, _ = _scan_top_level(sql, ("from",), list_start)
+    if from_idx < 0:
+        select_list, tail = sql[list_start:], ""
+    else:
+        select_list, tail = sql[list_start:from_idx], sql[from_idx:]
+    suffix = ""
+    seg = tail if tail else select_list
+    b_idx, b_word = _scan_top_level(
+        seg, _UNNEST_TAIL_BLOCKERS + ("order", "limit", "offset"),
+        1 if tail else 0,
+    )
+    if b_idx >= 0:
+        if b_word in _UNNEST_TAIL_BLOCKERS:
+            return sql
+        suffix = seg[b_idx:]
+        if tail:
+            tail = tail[:b_idx]
+        else:
+            select_list = select_list[:b_idx]
+    list_end = from_idx if from_idx >= 0 else list_start + len(select_list)
+    if any(m.start() < list_start or m.start() >= list_end for m in sites):
+        return sql  # unnest outside the select list (WHERE is a
+        #             DuckDB BinderError; FROM-unnest is a TVF shape
+        #             the sibling passes own)
+
+    from pyspark.sql.types import ArrayType, NullType, StructType
+
+    def _site_parts(text: str):
+        """(arg, flag_state, span) per unnest site in ``text``;
+        flag_state: None = no flag, True/False = recursive value,
+        'bad' = max_depth / unparseable."""
+        out = []
+        tspans = _quoted_spans(text)
+        for m in _UNNEST_CALL.finditer(text):
+            if any(s <= m.start() <= e for s, e in tspans):
+                continue
+            got = _call_args(text, m.end() - 1)
+            if got is None:
+                return None
+            args, after = got
+            if not args:
+                return None
+            flag = None
+            for extra in args[1:]:
+                fm = _UNNEST_FLAG.match(extra)
+                if not fm or fm.group(1).lower() == "max_depth":
+                    flag = "bad"
+                    break
+                val = fm.group(2).strip().lower()
+                if val in _TRUE_SPELLINGS:
+                    flag = True
+                elif val in _FALSE_SPELLINGS:
+                    flag = False
+                else:
+                    flag = "bad"
+                    break
+            out.append((args[0], flag, (m.start(), after)))
+        return out
+
+    items = _split_top_level_commas(select_list)
+    # pass 1: classify every site; count list-unnest sites that will
+    # REMAIN after struct expansion (the sole-site proof for the
+    # depth≥2 rewrites)
+    plan: list[tuple] = []  # (item_idx, kind, payload)
+    remaining_list_sites = 0
+    recursive_deep_sites = 0
+    any_change = False
+    for i, item in enumerate(items):
+        parts = _site_parts(item)
+        if parts is None:
+            return sql
+        if not parts:
+            continue
+        stripped = item.strip()
+        whole = None
+        if len(parts) == 1:
+            core = stripped
+            wm = re.match(r"(?is)^unnest\s*\(", core)
+            if wm:
+                got = _call_args(core, wm.end() - 1)
+                if got is not None:
+                    _args, after = got
+                    rest = core[after:]
+                    al = re.match(
+                        r'(?is)^(?:\s+(?:AS\s+)?(?:[A-Za-z_]\w*|"[^"]+"|`[^`]+`))?\s*$',
+                        rest,
+                    )
+                    if al is not None:
+                        whole = (rest.strip(), after)
+        arg, flag, _span = parts[0]
+        if whole is not None:
+            if flag == "bad":
+                return sql
+            # every whole-item site is typed (struct unnest has no
+            # textual marker); the per-session cache makes repeats free
+            dtype = _probe_expr_type(arg, probe_prefix, tail, spark)
+            if isinstance(dtype, StructType):
+                plan.append((i, "struct", (arg, bool(flag), dtype)))
+                any_change = True
+                continue
+            if isinstance(dtype, ArrayType):
+                depth, leaf = 0, dtype
+                while isinstance(leaf, ArrayType):
+                    depth += 1
+                    leaf = leaf.elementType
+                if flag is True and depth >= 1:
+                    if isinstance(leaf, StructType):
+                        plan.append(
+                            (i, "explode_struct", (arg, depth, leaf))
+                        )
+                        recursive_deep_sites += 1
+                        any_change = True
+                        continue
+                    if depth >= 2:
+                        plan.append((i, "flatten", (arg, depth, whole[0])))
+                        recursive_deep_sites += 1
+                        remaining_list_sites += 1
+                        any_change = True
+                        continue
+                # depth-1 recursive, or recursive := false: strip flag
+                if flag is not None:
+                    plan.append((i, "strip", (arg, whole[0])))
+                    remaining_list_sites += 1
+                    any_change = True
+                    continue
+                remaining_list_sites += 1
+                continue  # plain array unnest — existing machinery
+            if flag is not None:
+                return sql  # flagged but untypeable/NULL → stay loud
+            if isinstance(dtype, NullType):
+                remaining_list_sites += 1
+                continue
+            remaining_list_sites += 1  # unprobeable plain site: assume list
+            continue
+        # embedded site(s): only flagged ARRAY sites are rewritten here
+        # (flag-stripped / flattened in place); flagged struct or
+        # unprovable → whole statement stays loud; unflagged embedded
+        # sites flow to the existing zip machinery untouched
+        new_item = item
+        for arg, flag, (s0, e0) in sorted(
+            parts, key=lambda p: p[2][0], reverse=True
+        ):
+            if flag == "bad":
+                return sql
+            if flag is None:
+                remaining_list_sites += 1
+                continue
+            dtype = _probe_expr_type(arg, probe_prefix, tail, spark)
+            if not isinstance(dtype, ArrayType):
+                return sql  # embedded struct unnest is a DuckDB
+                #             BinderError; unprovable stays loud
+            depth, leaf = 0, dtype
+            while isinstance(leaf, ArrayType):
+                depth += 1
+                leaf = leaf.elementType
+            if isinstance(leaf, StructType):
+                return sql  # embedded column-expansion: unprovable
+            if flag is True and depth >= 2:
+                wrapped = _flatten_wrap(arg, depth - 1)
+                recursive_deep_sites += 1
+            else:
+                wrapped = f"({arg})"
+            new_item = new_item[:s0] + f"unnest({wrapped})" + new_item[e0:]
+            remaining_list_sites += 1
+            any_change = True
+        if new_item != item:
+            plan.append((i, "replace", new_item))
+    if not any_change:
+        return sql
+    if recursive_deep_sites and remaining_list_sites > 1:
+        return sql  # level-wise zip semantics — unprovable, stay loud
+    if recursive_deep_sites > 1:
+        return sql
+    # pass 2: apply
+    explode_wrap = None  # (wrapped_expr, leaf_struct)
+    new_items = list(items)
+    for i, kind, payload in plan:
+        if kind == "struct":
+            arg, rec, dtype = payload
+            new_items[i] = ", ".join(
+                _struct_leaf_items(f"({arg})", dtype, rec)
+            )
+        elif kind == "strip":
+            arg, alias_rest = payload
+            new_items[i] = f"unnest(({arg}))" + (
+                f" {alias_rest}" if alias_rest else ""
+            )
+        elif kind == "flatten":
+            arg, depth, alias_rest = payload
+            new_items[i] = f"unnest({_flatten_wrap(arg, depth - 1)})" + (
+                f" {alias_rest}" if alias_rest else ""
+            )
+        elif kind == "replace":
+            new_items[i] = payload
+        elif kind == "explode_struct":
+            arg, depth, leaf = payload
+            if explode_wrap is not None:
+                return sql
+            explode_wrap = (_flatten_wrap(arg, depth - 1), leaf)
+            new_items[i] = ", ".join(
+                _struct_leaf_items("__arnab_ru", leaf, True)
+            )
+    if explode_wrap is None:
+        rebuilt = (
+            sql[:list_start]
+            + ", ".join(x.strip() for x in new_items)
+            + (" " if tail or suffix else "")
+            + tail
+            + suffix
+        )
+        return rebuilt.rstrip()
+    # explode path: wrap the FROM, guard the stars
+    wrapped, _leaf = explode_wrap
+    for i, it in enumerate(new_items):
+        st = it.strip()
+        if re.match(rf"(?is)^{_IDENT}\s*\.\s*\*", st):
+            return sql  # qualified star: coverage unprovable here
+        sm = re.match(r"(?is)^\*\s*(?:EXCEPT\s*\((.*)\))?\s*$", st)
+        if sm:
+            cols = (sm.group(1) + ", " if sm.group(1) else "") + "__arnab_ru"
+            new_items[i] = f"* EXCEPT ({cols})"
+    for it in new_items:
+        isp = _quoted_spans(it)
+        if any(
+            not any(s <= mm.start() <= e for s, e in isp)
+            for mm in re.finditer(r"(?is)\bover\s*\(", it)
+        ):
+            return sql  # windows evaluate pre-unnest in DuckDB — the
+            #             hoist machinery lives in the zip pass, not here
+    inner = (
+        f"SELECT *, explode({wrapped}) AS __arnab_ru {tail}"
+        if tail
+        else f"SELECT explode({wrapped}) AS __arnab_ru"
+    )
+    return (
+        f"SELECT {distinct_kw}{', '.join(x.strip() for x in new_items)} "
+        f"FROM ({inner}){' ' + suffix if suffix else ''}"
+    ).rstrip()
+
+
 #: DuckDB list functions whose Spark translation needs argument
 #: surgery, not just a rename. Null contract verified differentially:
 #: DuckDB's set predicates IGNORE null elements but return NULL on a
@@ -3552,6 +4004,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_struct_recursive_unnest(sql, spark)
     sql = _rewrite_unnest_set_ops(sql)
     sql = _rewrite_multi_unnest(sql)
     sql = _rewrite_single_unnest(sql)

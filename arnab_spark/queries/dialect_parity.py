@@ -240,3 +240,42 @@ def dialect_unnest_embedded(spark, sf_dir):
     Reachable through the reference's verbatim model passthrough
     (reference: node.rs:176)."""
     return _run(spark, sf_dir, ("documents",), _UNNEST_EMBED_SQL)
+
+
+_UNNEST_RECURSIVE_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         [string_split(text, ' '), string_split(text, 'e')] AS nested,
+         [{'k2': CAST(n_chars AS BIGINT), 'v': lang},
+          {'k2': CAST(doc_id AS BIGINT), 'v': split_part(text, ' ', 1)}] AS recs
+  FROM documents WHERE doc_id % 43 = 0
+)
+SELECT doc_id, CAST(-1 AS BIGINT) AS k2, unnest(nested, recursive := true) AS v FROM w
+UNION ALL
+SELECT doc_id, unnest({'k2': CAST(n_chars AS BIGINT),
+                       'm': {'v': upper(lang)}}, recursive := true) FROM w
+UNION ALL
+SELECT doc_id, unnest(recs, recursive := true) FROM w
+"""
+
+
+@query("dialect_unnest_recursive", oracle=_UNNEST_RECURSIVE_SQL, tags=("dialect", "list"))
+def dialect_unnest_recursive(spark, sf_dir):
+    """Round-8 lift of the verdict's top remaining loud dialect gap:
+    ``unnest(…, recursive := true)`` and struct unnest, all three
+    rewrite surfaces in one statement via independently-rewritten
+    set-op arms. Arm 1 fully FLATTENS a nested list-of-lists (NULL
+    sublists would drop — probed) through the analyzed-type-driven
+    ``flatten(filter(…))`` wrap and rides the existing single-unnest
+    explode. Arm 2 expands a STRUCT (nested struct descended
+    recursively, no row multiplication) into per-field projections
+    named after the fields. Arm 3 EXPLODES a list-of-structs and
+    unpacks each element into columns via an ``explode … AS
+    __arnab_ru`` wrapping subquery. Argument types come from ANALYZING
+    a probe select against the statement's own FROM context (never
+    guessed, memoized per session); unprovable shapes — level-wise-zip
+    mixes, ``max_depth``, embedded struct unnest — stay whole and fail
+    loud. One shared SQL text, two engines, exact hash match.
+    Reachable through the reference's verbatim model passthrough
+    (reference: node.rs:176)."""
+    return _run(spark, sf_dir, ("documents",), _UNNEST_RECURSIVE_SQL)

@@ -693,3 +693,123 @@ def test_operator_passes_comment_aware(engines):
     )
     _pair_stmt(spark, con, "SELECT [1, 2 /* FOR x IN y */] AS l")
     _pair_stmt(spark, con, "SELECT 2 /*c*/ ^ 3 AS p", transpiled_lacks="^")
+
+
+def test_unnest_recursive_literals(engines):
+    """Round-8 ``recursive := true``: every probed literal fact from the
+    ``_rewrite_struct_recursive_unnest`` docstring, differentially —
+    full nested-list flattening, NULL-sublist dropping at every level,
+    triple nesting, the depth-1 no-op flag, ``recursive := false``,
+    expression-embedded recursive unnest, DISTINCT-post-flatten, and
+    a set-op chain of recursive arms."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT unnest([[1,2],[3]], recursive := true) AS x",
+        "SELECT unnest([[1,2],NULL,[3]], recursive := true) AS x",
+        "SELECT unnest([[[1,2]],[[3],[4,5]]], recursive := true) AS x",
+        "SELECT unnest([1,2], recursive := true) AS x",
+        "SELECT unnest([[1,2]], recursive := false) AS x",
+        "SELECT unnest([[1,2],[3]], recursive := true) + 1 AS x",
+        "SELECT DISTINCT unnest([[1,1],[1]], recursive := true) AS x",
+        "SELECT unnest([[2,9],[1]], recursive := true) AS x ORDER BY x LIMIT 2",
+        "SELECT unnest([[1,2],[3]], recursive := true) AS x "
+        "UNION ALL SELECT unnest([[9]], recursive := true) AS x",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+
+
+def test_unnest_struct_expansion(engines):
+    """Round-8 struct unnest: field expansion with no row
+    multiplication — one level without the flag, recursive descent into
+    nested structs with it, aliases ignored, duplicate leaf names kept,
+    NULL struct keeping its row, and broadcast across a zipping list
+    unnest's pad rows (all probed against DuckDB first)."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT unnest({'a': 1, 'b': 'x'})",
+        "SELECT unnest({'a': 1, 'n': {'c': 2, 'd': 3}}, recursive := true)",
+        "SELECT unnest({'a': 1, 'n': {'a': 2}}, recursive := true)",
+        "SELECT unnest({'my col': 1, 'b': 2})",
+        "SELECT unnest({'a':1,'b':2}) AS ignored_alias",
+        "SELECT unnest(CASE WHEN 1=0 THEN {'a':1,'b':2} END)",
+        "SELECT unnest({'a':7}), unnest([1,2]) AS x, unnest([10]) AS y",
+        "SELECT unnest({'k': o_orderkey, 'd': {'s': o_orderstatus}}, "
+        "recursive := true) FROM orders WHERE o_orderkey < 40",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+
+
+def test_unnest_recursive_structs_explode(engines):
+    """Round-8 list-of-structs ``recursive := true``: explode plus
+    field unpacking — scalar items and stars beside it, nested struct
+    leaves, NULL elements kept as all-NULL rows, WHERE pre-filtering,
+    and table-sourced structs (all probed)."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT unnest([{'a':1,'b':2},{'a':3,'b':4}], recursive := true)",
+        "SELECT unnest([{'a':1,'n':{'c':2,'d':3}}], recursive := true)",
+        "SELECT 42 AS k, unnest([{'a':1},{'a':2}], recursive := true)",
+        "SELECT unnest([{'a':1},NULL,{'a':3}], recursive := true)",
+        "SELECT DISTINCT unnest([{'a':1},{'a':1},{'a':2}], recursive := true)",
+        "SELECT o_orderkey, unnest([{'k': o_orderkey, 's': o_orderstatus},"
+        "{'k': o_custkey, 's': 'x'}], recursive := true) "
+        "FROM orders WHERE o_orderkey < 40",
+        "SELECT *, unnest([{'k': o_orderkey},{'k': o_custkey}], "
+        "recursive := true) FROM orders WHERE o_orderkey < 12",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+
+
+def test_unnest_recursive_guards_stay_loud(engines):
+    """Shapes the round-8 pass can NOT prove must stay whole so Spark
+    rejects them loudly: the level-wise zip of a deep recursive unnest
+    beside another unnest site (probed: DuckDB repeats the plain item
+    per INNER row — a flatten-then-zip would silently mis-pair),
+    ``max_depth``, embedded struct unnest (a DuckDB BinderError), and
+    an unresolvable flag value."""
+    spark, _con, _ = engines
+    import pytest as _pytest
+
+    for stmt in [
+        "SELECT unnest([10,20,30]) AS p, "
+        "unnest([[1],[2,3]], recursive := true) AS x",
+        "SELECT unnest([[1,2]], max_depth := 2) AS x",
+        "SELECT unnest({'a':1}) + 1",
+        "SELECT unnest([[1,2]], recursive := o_orderkey) AS x FROM orders",
+    ]:
+        t = transpile_statement(stmt, spark)
+        with _pytest.raises(Exception):
+            spark.sql(t).collect()
+
+
+def test_unnest_recursive_through_macro_and_cte(engines):
+    """Composition: recursive unnest over arrays built by a macro
+    inside a CTE — the WITH prefix must ride along as the type-probe's
+    prefix so the CTE-sourced argument types."""
+    spark, con, _ = engines
+    dialect.reset_macros(spark)
+    fresh = duckdb.connect()
+    fresh.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    try:
+        mac = ("CREATE MACRO two_splits(s, d1, d2) AS "
+               "[string_split(CAST(s AS VARCHAR), d1), "
+               "string_split(CAST(s AS VARCHAR), d2)]")
+        assert transpile_statement(mac, spark) == ""
+        fresh.execute(mac)
+        stmt = (
+            "WITH w AS (SELECT o_orderkey, "
+            "two_splits(o_orderpriority, '-', 'E') AS nested "
+            "FROM orders WHERE o_orderkey < 30) "
+            "SELECT o_orderkey, unnest(nested, recursive := true) AS piece "
+            "FROM w"
+        )
+        t = transpile_statement(stmt, spark)
+        assert "unnest" not in t.lower(), f"not rewritten: {t}"
+        got = sorted((tuple(r) for r in spark.sql(t).collect()), key=str)
+        exp = sorted((tuple(r) for r in fresh.execute(stmt).fetchall()), key=str)
+        assert got == exp
+    finally:
+        fresh.close()
+        dialect.reset_macros(spark)
