@@ -905,6 +905,13 @@ def _rewrite_unnest_set_ops(sql: str) -> str:
         )
         if idx < 0:
             break
+        # a projection `* EXCEPT (cols)` (the EXCLUDE pass's output,
+        # which runs BEFORE this one) is not a set operator — splitting
+        # on it would detach select-list items from their FROM and, for
+        # items with window functions, silently change evaluation scope
+        if not _is_set_op_at(sql, idx, _word):
+            pos = idx + len(_word)
+            continue
         om = re.match(
             r"(?is)(union|intersect|except)"
             r"(\s+all|\s+distinct)?(\s+by\s+name)?",
@@ -1142,6 +1149,11 @@ def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") ->
         idx, _w = _scan_top_level(sql, ("union", "intersect", "except"), pos)
         if idx < 0:
             break
+        # `* EXCEPT (cols)` projections are not set operators (see
+        # _rewrite_unnest_set_ops) — skip non-set-op hits
+        if not _is_set_op_at(sql, idx, _w):
+            pos = idx + len(_w)
+            continue
         om = re.match(
             r"(?is)(union|intersect|except)(\s+all|\s+distinct)?(\s+by\s+name)?",
             sql[idx:],

@@ -395,17 +395,20 @@ def test_unnest_embedded_expressions(engines):
             "orders.* EXCLUDE (o_orderstatus)",
         ]
     ),
+    star_after=st.booleans(),
     suffix=st.sampled_from(["", " ORDER BY o_orderkey LIMIT 40", " LIMIT 25"]),
     lim=st.integers(min_value=10, max_value=80),
 )
 @settings(max_examples=14, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-def test_unnest_zip_fuzz_table(engines, arrays, embed, scalar, star, suffix, lim):
+def test_unnest_zip_fuzz_table(engines, arrays, embed, scalar, star, star_after, suffix, lim):
     """Fuzzed multi-unnest over the orders fixture: split arrays of
     genuinely different per-row lengths (padding on nearly every row),
     optional expression-embedded first unnest (round 8), optional
     interleaved scalar column, optional star / EXCLUDE-star item (the
-    round-6 helper-leak regression arm), optional ORDER BY/LIMIT split
-    to the outer query."""
+    round-6 helper-leak regression arm) in EITHER position — a star
+    AFTER the unnest items puts the EXCLUDE→EXCEPT rewrite where the
+    round-9 set-op-splitter fix matters — optional ORDER BY/LIMIT
+    split to the outer query."""
     spark, con, _ = engines
     items = [f"unnest({a}) AS u{i}" for i, a in enumerate(arrays)]
     if embed:
@@ -418,12 +421,51 @@ def test_unnest_zip_fuzz_table(engines, arrays, embed, scalar, star, suffix, lim
     if scalar:
         items.insert(1, "o_orderkey")
     if star:
-        items.insert(0, star)
+        if star_after:
+            items.append(star)
+        else:
+            items.insert(0, star)
     stmt = (
         f"SELECT {', '.join(items)} FROM orders "
         f"WHERE o_orderkey < {lim}{suffix}"
     )
     _run_pair_unordered(spark, con, stmt)
+
+
+def test_unnest_star_exclude_after_unnest_not_a_set_op(engines):
+    """Round-9 regression (ADVICE high): the EXCLUDE pass rewrites
+    ``* EXCLUDE (c)`` to Spark's ``* EXCEPT (c)`` BEFORE the unnest
+    set-op splitters run; a splitter that scans for bare
+    union/intersect/except keywords would split the select list on the
+    projection EXCEPT, silently changing window evaluation scope (the
+    window fragment loses its unnest sibling and evaluates
+    post-explode) or emitting malformed SQL for the zip shapes. Both
+    originally-broken statements must now match DuckDB exactly."""
+    spark, con, _ = engines
+    for stmt in [
+        # window beside unnest with the EXCLUDE placed BETWEEN them:
+        # rn must be computed PRE-unnest (DuckDB semantics)
+        "SELECT unnest(string_split(o_orderpriority, '-')) AS w, "
+        "* EXCLUDE (o_orderstatus, o_totalprice), "
+        "row_number() OVER (ORDER BY o_orderkey) AS rn "
+        "FROM orders WHERE o_orderkey < 40",
+        # the round-7 star-zip surface with unnest items BEFORE the
+        # star (previously emitted dangling `EXCEPT (…) FROM …`)
+        "SELECT unnest(string_split(o_orderpriority, '-')) AS x, "
+        "unnest([o_orderkey, o_custkey]) AS y, "
+        "* EXCLUDE (o_orderstatus) FROM orders WHERE o_orderkey < 40",
+        # plain star after a single unnest
+        "SELECT unnest([o_orderkey, o_custkey]) AS k, * "
+        "FROM orders WHERE o_orderkey < 25",
+        # a REAL set-op chain whose arms carry post-unnest EXCLUDE
+        # stars — the splitter must still split on the genuine UNION
+        "SELECT unnest([o_orderkey]) AS k, * EXCLUDE (o_orderstatus) "
+        "FROM orders WHERE o_orderkey < 15 "
+        "UNION ALL "
+        "SELECT unnest([o_custkey]) AS k, * EXCLUDE (o_orderstatus) "
+        "FROM orders WHERE o_orderkey < 15",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
 
 
 def test_unnest_zip_through_macro_and_cte(engines):
