@@ -135,6 +135,38 @@ def dialect_unnest_zip_star(spark, sf_dir):
     return _run(spark, sf_dir, ("documents",), _UNNEST_ZIP_STAR_SQL)
 
 
+_UNNEST_STAR_WINDOW_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id % 41 = 0
+)
+SELECT unnest(words) AS word,
+       * EXCLUDE (words),
+       row_number() OVER (ORDER BY doc_id) AS rn
+FROM w
+"""
+
+
+@query(
+    "dialect_unnest_star_window",
+    oracle=_UNNEST_STAR_WINDOW_SQL,
+    tags=("dialect", "list"),
+)
+def dialect_unnest_star_window(spark, sf_dir):
+    """Round-9 regression surface: an ``* EXCLUDE`` star placed AFTER
+    the unnest item, beside a user window. The EXCLUDE pass emits
+    Spark's ``* EXCEPT (…)`` before the unnest set-op splitters run;
+    the splitters must recognize it as a projection (via
+    ``_is_set_op_at``), not a set operator — the round-8 code split
+    the select list on it, detaching ``rn`` from its unnest sibling
+    so Spark computed it POST-explode while DuckDB computes it
+    PRE-unnest (rn repeats across a doc's words). The hash gate pins
+    the pre-unnest evaluation end-to-end; ORDER BY doc_id is unique,
+    so row_number is deterministic. Reachable through the reference's
+    verbatim model passthrough (reference: node.rs:176)."""
+    return _run(spark, sf_dir, ("documents",), _UNNEST_STAR_WINDOW_SQL)
+
+
 _EPOCH_SQL = """
 SELECT o_orderkey,
        epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s,

@@ -81,31 +81,31 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-def test_r08_window_covers_stale_evidence_queries():
-    """The r8 window holds the ENTIRE round-5-latest-evidence cohort —
-    computed from the committed CORRECTNESS_r0{1..7}.json union (latest
-    green round wins per query), not hand-maintained — so after the r08
+def test_r09_window_covers_stale_evidence_queries():
+    """The r9 window holds the ENTIRE round-6-latest-evidence cohort —
+    computed from the committed CORRECTNESS_r0{1..8}.json union (latest
+    green round wins per query), not hand-maintained — so after the r09
     run no registry query's driver evidence is older than two rounds
-    (the invariant r5 established, maintained a fifth time). Slots 1-2
-    are the round-8 dialect additions (never-run gate); slots 3-6
-    re-verify the four headline staples whose residual BREAKDOWN_r08
-    decomposes, pairing the perf claim with fresh driver evidence."""
+    (the invariant r5 established, maintained a sixth time). Slot 1 is
+    the round-9 addition (never-run gate); slots 2-4 re-verify the
+    unnest-surface queries on the round-9 set-op-splitter fix; slot 5
+    refreshes the asof_join headline staple."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             rnd = int(f[len("CORRECTNESS_r"):-len(".json")])
-            if rnd > 7:
-                continue  # this pin describes the r8 rotation input
+            if rnd > 8:
+                continue  # this pin describes the r9 rotation input
             with open(os.path.join(REPO, f)) as fh:
                 for name in json.load(fh):
                     latest[name] = max(latest.get(name, 0), rnd)
     if not latest:
         pytest.skip("no correctness snapshot yet")
-    stale = {n for n, r in latest.items() if r <= 5}
+    stale = {n for n, r in latest.items() if r <= 6}
     assert stale <= set(CURATED_FIRST), sorted(stale - set(CURATED_FIRST))
-    assert CURATED_FIRST[0] == "dialect_datediff_week"
-    assert "dialect_unnest_qualified_star" in CURATED_FIRST[:2]
-    assert "agg_pricing_summary" in CURATED_FIRST[:6]
+    assert CURATED_FIRST[0] == "dialect_unnest_star_window"
+    assert "dialect_unnest_zip" in CURATED_FIRST[:4]
+    assert "asof_join" in CURATED_FIRST[:5]
 
 
 def test_never_driver_verified_queries_hold_window_slots():
