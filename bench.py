@@ -82,11 +82,24 @@ section is what separates the ~2 min of sf1 DuckDB churn from the
 graded measurements.
 
 THIRD DECADE (round-6 verdict item 4): the tpch8 slope gains an sf10
-point (tools/gen_scale.generate_sf10 — 10x the sf1 point, TPC-H
-tables only, one parquet row group per copy). The dedup family stays
-capped at sf1: its DuckDB side already costs ~2 min there and the
-projected ~20 min at sf10 would dominate the whole bench — stated
-here and in the artifact (``scale_slope.dedup.sf10_skipped``).
+point (tools/gen_scale.generate_sf10 — 10x the sf1 point, one parquet
+row group per copy). Round 9 (r8 verdict ask #4) extends the third
+decade to the dedup family's SPARK side (sf10 now includes
+documents/embeddings); the dedup DuckDB denominator stays capped at
+sf1 — it already costs ~2 min there and the projected ~20 min at sf10
+would dominate the whole bench — so ``scale_slope.dedup.sf10`` carries
+the real Spark wall plus an explicitly-labeled log-linear projection
+of the DuckDB side, never a fake measurement.
+
+SECTION ORDER (round 9, r8 verdict ask #2): every SEQUENTIAL Spark
+section (headline, floors, families, full-22) now precedes every
+CONCURRENT sweep, and the family sections run under the same tight
+gate (threshold 1.5, 240 s cap) as the graded headline sections — r8
+ran the families after the headline 4-way sweep on the loose gate and
+the section entered at loadavg 2.94 / exited 5.59, putting full-22
+14.04 s against a documented same-code spread of 10.68-12.24 s.
+Self-generated concurrency load can now only follow sequential
+measurements, never precede them.
 
 ASOF SLOPE (round-8, r7 verdict ask #7): asof_join — the headline
 query whose floor-adjusted grade (3.3x) is pure constant-cost
@@ -362,8 +375,6 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     alt_total = round(sum(alt_timings.values()), 4)
-    aqe_on_total = total if benched_aqe == "true" else alt_total
-    aqe_off_total = alt_total if benched_aqe == "true" else total
 
     # knn pin-down (round-5 verdict item 2): a dedicated min-of-15
     # steady series in a maximally-warm JVM, full series in the detail
@@ -440,22 +451,6 @@ def main() -> None:
             floor_per_query[name] = round(min(runs), 4)
 
 
-    # Throughput pass: the same 8 queries submitted CONCURRENTLY (4
-    # threads, one shared session) — how a multi-query Spark app
-    # actually runs: at sf0.1 a single tiny query leaves most of the 32
-    # cores idle, so sequential wall clock measures per-query fixed
-    # overhead, not machine throughput.
-    from concurrent.futures import ThreadPoolExecutor
-
-    _quiet_gate("spark_concurrent")
-    conc = []
-    for _ in range(2):
-        start = time.perf_counter()
-        with ThreadPoolExecutor(4) as ex:
-            list(ex.map(_run, names))
-        conc.append(time.perf_counter() - start)
-    concurrent_wall = round(min(conc), 4)
-
     def _family_pass(qs: list[str], d: str = sf_dir, iters: int = 2):
         """Warm each query once, then run the family ``iters`` times.
         Returns (family wall = min over iterations of the summed pass,
@@ -477,15 +472,48 @@ def main() -> None:
             walls.append(t_pass)
         return round(min(walls), 4), {n: round(t, 4) for n, t in per.items()}
 
-    _quiet_gate("spark_families")
+    # SEQUENTIAL family sections run BEFORE any concurrent sweep and
+    # under the tight graded-section gate (round-9, r8 verdict ask #2):
+    # r8 ran the families after the headline 4-way sweep on the loose
+    # gate (threshold 3) — the section entered at loadavg 2.94 and
+    # exited at 5.59, and full-22 read 14.04 s vs the documented
+    # same-code 10.68-12.24 s spread. All self-generated concurrency
+    # load now comes AFTER every sequential measurement.
+    _quiet_gate("spark_families", cap_sec=240, thresh=1.5)
     pipeline_wall, pipeline_queries = _family_pass(PIPELINE)
     dedup_family_wall, dedup_family_queries = _family_pass(DEDUP_FAMILY)
     ann_family_wall, ann_family_queries = _family_pass(ANN_FAMILY)
+    _quiet_gate("spark_tpch_families", cap_sec=240, thresh=1.5)
     tpch_wall, tpch_queries = _family_pass(TPCH8)
     # asof sf0.1 point measured with the SAME _family_pass protocol its
     # sf1/sf10 points use (the headline loop's min-of-5 would mix
     # protocols inside one slope)
     asof_family_wall, _asof_q = _family_pass(ASOF_FAMILY)
+    # Full TPC-H sweep: every one of the 22 classic shapes (23 queries —
+    # Q5 has two variants), selected by tag so newly added shapes join
+    # automatically; reported separately from the pinned-8 metric so
+    # growing this set can't masquerade as a regression.
+    full22 = sorted(n for n, q in registry.items() if "tpch" in q.tags)
+    tpch_full_wall, tpch_full_queries = _family_pass(full22)
+
+    # Throughput passes: the same queries submitted CONCURRENTLY
+    # (shared session) — how a multi-query Spark app actually runs: at
+    # sf0.1 a single tiny query leaves most of the 32 cores idle, so
+    # sequential wall clock measures per-query fixed overhead, not
+    # machine throughput. All concurrency sweeps are grouped here,
+    # after the last sequential section, so their loadavg residue can
+    # only contaminate other concurrency sweeps (which saturate the
+    # box by design) — never a sequential graded number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _quiet_gate("spark_concurrent")
+    conc = []
+    for _ in range(2):
+        start = time.perf_counter()
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(_run, names))
+        conc.append(time.perf_counter() - start)
+    concurrent_wall = round(min(conc), 4)
     tpc = []
     for _ in range(2):
         start = time.perf_counter()
@@ -493,17 +521,11 @@ def main() -> None:
             list(ex.map(_run, TPCH8))
         tpc.append(time.perf_counter() - start)
     tpch_concurrent = round(min(tpc), 4)
-
-    # Full TPC-H sweep: every one of the 22 classic shapes (23 queries —
-    # Q5 has two variants), selected by tag so newly added shapes join
-    # automatically; reported separately from the pinned-8 metric so
-    # growing this set can't masquerade as a regression.
-    full22 = sorted(n for n, q in registry.items() if "tpch" in q.tags)
-    tpch_full_wall, tpch_full_queries = _family_pass(full22)
-    # min-of-3 for the concurrent sweeps: measured same-config spread on
-    # these passes is 2-4x (22 queries racing over one scheduler), so
-    # two passes under-sample the distribution (r7 measurement: c8 at a
-    # fixed config ranged 2.7-10.4 s across four back-to-back runs)
+    # min-of-3 for the full-22 concurrent sweeps: measured same-config
+    # spread on these passes is 2-4x (22 queries racing over one
+    # scheduler), so two passes under-sample the distribution (r7
+    # measurement: c8 at a fixed config ranged 2.7-10.4 s across four
+    # back-to-back runs)
     flc = []
     for _ in range(3):
         start = time.perf_counter()
@@ -557,6 +579,15 @@ def main() -> None:
         if name in late_floors and name in floor_per_query:
             floor_per_query[name] = min(floor_per_query[name], late_floors[name])
     total = round(sum(timings.values()), 4)
+    # AQE totals, consistent with the min-merged headline (round-9,
+    # ADVICE item 3): the late re-pass runs at the BENCHED AQE setting,
+    # so only the benched side can be refreshed post-merge — the
+    # benched total IS the merged headline `total`; the alternate
+    # config was only measured in the early interleave, so its total
+    # keeps an explicit `_early_pass` provenance suffix instead of
+    # masquerading as comparable.
+    aqe_benched_total = total
+    aqe_alt_total_early_pass = alt_total
 
     # Spark side of the scale slope: same two families at sf1, shuffle
     # parallelism scaled with the data (64 partitions — the same knob a
@@ -604,6 +635,17 @@ def main() -> None:
                 w10a, d10a = _family_pass(ASOF_FAMILY, sf10_dir, iters=2)
                 spark_scale["asof"]["sf10"] = w10a
                 scale_detail["asof"]["sf10_queries"] = d10a
+            # round-9 (r8 verdict ask #4): the dedup family's SPARK side
+            # at sf10 — the strongest pro-Spark slope (0.63x at sf1)
+            # gets its third decade measured. The DuckDB denominator
+            # stays sf1-capped (measured ~2 min at sf1, projected ~20
+            # min at sf10 — it would dominate the whole bench); the
+            # slope entry carries a log-linear projection, explicitly
+            # labeled as such, never presented as a measurement.
+            if "dedup" in spark_scale:
+                w10d, d10d = _family_pass(DEDUP_FAMILY, sf10_dir, iters=1)
+                spark_scale["dedup"]["sf10"] = w10d
+                scale_detail["dedup"]["sf10_queries"] = d10d
         spark.conf.set(
             "spark.sql.shuffle.partitions", os.environ.get("ARNAB_BENCH_SHUFFLE", "8")
         )
@@ -637,11 +679,26 @@ def main() -> None:
                         spark_scale[fam]["sf10"] / duck_scale[fam]["sf10"], 2
                     ),
                 }
-        if "sf10" in spark_scale.get("tpch8", {}):
-            # dedup deliberately stops at sf1 (DuckDB side ~2 min there,
-            # ~20 min projected at sf10 — would dominate the bench);
-            # setdefault: dedup may be absent if its DuckDB side raised
-            scale_slope.setdefault("dedup", {})["sf10_skipped"] = "duckdb_side_cost"
+        if "sf10" in spark_scale.get("dedup", {}):
+            # the dedup DuckDB side deliberately stops at sf1 (~2 min
+            # there, ~20 min projected at sf10 — it would dominate the
+            # bench); the sf10 entry carries the REAL Spark wall and a
+            # log-linear projection of the DuckDB denominator
+            # (sf1 * (sf1/sf0.1)), labeled so it can never be read as
+            # a measurement.
+            d01 = duck_scale.get("dedup", {}).get("sf0.1")
+            d1 = duck_scale.get("dedup", {}).get("sf1")
+            proj = round(d1 * (d1 / d01), 1) if d01 and d1 else None
+            scale_slope.setdefault("dedup", {})["sf10"] = {
+                "spark": spark_scale["dedup"]["sf10"],
+                "duckdb_measured": False,
+                "duckdb_projected_loglinear": proj,
+                "ratio_vs_projection": (
+                    round(spark_scale["dedup"]["sf10"] / proj, 2)
+                    if proj
+                    else None
+                ),
+            }
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -662,8 +719,8 @@ def main() -> None:
         "duckdb_queries": duck_timings,
         "duckdb_total": duck_total,
         "benched_aqe": benched_aqe,
-        "aqe_on_total": aqe_on_total,
-        "aqe_off_total": aqe_off_total,
+        "aqe_benched_total": aqe_benched_total,
+        "aqe_alt_total_early_pass": aqe_alt_total_early_pass,
         "aqe_alt_queries": alt_timings,
         "knn_steady15_runs": knn_runs,
         "session_warmup_sec": session_warmup,

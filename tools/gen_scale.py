@@ -127,6 +127,7 @@ def generate(
     requested now (a dest generated with ``tables=TPCH_TABLES`` must
     not silently satisfy a later ``tables=None`` full-set request)."""
     marker = os.path.join(dest, "_SCALE_OK")
+    already: set[str] = set()
     if os.path.exists(marker):
         with open(marker) as fh:
             recorded = fh.read()
@@ -147,15 +148,25 @@ def generate(
             shutil.rmtree(dest)
         elif covered:
             return dest
-        else:
-            raise RuntimeError(
-                f"{dest} was generated with a narrower table subset "
-                f"({recorded.strip()!r}) than requested ({tables or 'all'}); "
-                f"remove the directory to regenerate"
+        elif "v=2" in recorded:
+            # round-9: a WIDER request than the recorded subset (e.g.
+            # the sf10 point gaining documents/embeddings for the dedup
+            # slope) generates only the MISSING tables — per-table
+            # content is a pure function of the inputs, so the existing
+            # files stay valid and the marker records the union.
+            all_known = tuple(_KEYED) + (
+                "documents", "embeddings", "nation", "region"
             )
+            already = {t for t in all_known if t in recorded}
+        else:
+            import shutil
+
+            shutil.rmtree(dest)
     os.makedirs(dest, exist_ok=True)
 
     def wanted(t: str) -> bool:
+        if t in already:
+            return False
         return tables is None or t in tables
 
     # strides from the key-owning tables (max + 1 keeps keys disjoint)
@@ -219,20 +230,26 @@ def generate(
             pd.read_parquet(os.path.join(src, f"{table}.parquet")).to_parquet(
                 os.path.join(dest, f"{table}.parquet"), index=False
             )
+    recorded_tables = (
+        "all" if tables is None else tuple(sorted(set(tables) | already))
+    )
     with open(marker, "w") as fh:
-        fh.write(f"v=2 copies={copies} src={src} tables={tables or 'all'}\n")
+        fh.write(f"v=2 copies={copies} src={src} tables={recorded_tables}\n")
     return dest
 
 
 def generate_sf10(sf1_dir: str) -> str:
     """The third decade: 10x the sf1 point — TPC-H tables for the tpch8
-    slope plus events (round-8) for the asof slope; documents/embeddings
-    stay sf1-capped (their DuckDB-side oracles would cost ~20 min)."""
+    slope, events (round-8) for the asof slope, and documents/embeddings
+    (round-9) for the SPARK side of the dedup slope. The dedup family's
+    DuckDB side stays sf1-capped (its oracles would cost ~20 min at
+    sf10); bench.py states the DuckDB sf10 number as a log-linear
+    projection instead."""
     return generate(
         src=sf1_dir,
         dest=os.path.join(REPO, ".scaledata", "sf10"),
         copies=COPIES,
-        tables=TPCH_TABLES + ("events",),
+        tables=TPCH_TABLES + ("events", "documents", "embeddings"),
     )
 
 
