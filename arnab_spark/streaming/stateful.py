@@ -421,6 +421,55 @@ def stream_asof_enrich(events: DataFrame) -> DataFrame:
     )
 
 
+def run_asof_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    dest: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """:func:`stream_asof_enrich` → parquet file sink with a checkpoint
+    — the production persistence shape for the stateful enrichment job.
+    The checkpoint carries the per-user latest-signup state and the
+    file-source progress; the file-sink manifest gives exactly-once
+    output. Restart parity is proven in tests by a stop/extend/restart
+    cycle: the accumulated output must equal the batch ``asof_join``
+    truth over the full dataset (itself hash-verified against DuckDB's
+    native ASOF JOIN), with no enriched purchase duplicated or lost
+    across the cut — the state carried through the checkpoint is what
+    matches post-restart purchases to pre-restart signups."""
+    from arnab_spark.spark_utils import configure, normalize_events_ts
+    from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
+
+    configure(spark)
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = normalize_events_ts(reader.parquet(source_dir)).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    enriched = stream_asof_enrich(stream)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # a False return means the availableNow run is still going —
+        # the finally-stop() would then kill it mid-batch and silently
+        # leave partial output, so fail loudly instead
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                "asof availableNow run exceeded 600s; output at "
+                f"{dest} is incomplete (checkpoint {checkpoint} can resume it)"
+            )
+    finally:
+        q.stop()
+
+
 def run_asof_stream(
     spark: SparkSession,
     source_dir: str,

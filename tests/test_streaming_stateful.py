@@ -243,6 +243,89 @@ def test_sessionize_restart_parity_exactly_once(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_asof_restart_parity_exactly_once(spark):
+    """Round-9 (r8 verdict ask #3): the stop/extend/restart proof for
+    the stateful AS-OF enrichment twin, same harness as the sessionize
+    restart test. Run the enrichment over two time-ordered source files
+    to a checkpointed parquet sink, stop, drop in the third file,
+    restart from the same checkpoint — the accumulated sink must equal
+    the batch ``asof_join`` truth over the full dataset (itself
+    hash-verified against DuckDB's native ASOF JOIN), with every
+    enriched purchase appearing exactly once. The checkpoint carries
+    the per-user latest-signup state, so a post-restart purchase must
+    still match a PRE-restart signup (asserted explicitly)."""
+    import shutil
+
+    import duckdb
+    import pandas as pd
+
+    from arnab_spark.queries import all_queries
+    from arnab_spark.streaming.stateful import run_asof_to_parquet
+
+    base = "/tmp/arnab_asof_restart_test"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    hold = os.path.join(base, "hold")
+    for d in (src, hold):
+        os.makedirs(d)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE TABLE e AS
+        SELECT * EXCLUDE (ts), CAST(epoch_ns(ts) AS BIGINT) AS ts
+        FROM read_parquet('{SF}/events.parquet') ORDER BY ts
+        """
+    )
+    n = con.execute("SELECT count(*) FROM e").fetchone()[0]
+    third = n // 3
+    for i in range(3):
+        lim = third if i < 2 else n - 2 * third
+        con.execute(
+            f"""
+            COPY (SELECT * FROM e ORDER BY ts LIMIT {lim} OFFSET {i * third})
+            TO '{hold}/part{i}.parquet' (FORMAT PARQUET)
+            """
+        )
+    for i in (0, 1):
+        os.rename(f"{hold}/part{i}.parquet", f"{src}/part{i}.parquet")
+
+    dest = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    run_asof_to_parquet(spark, src, dest, ckpt)
+    first = spark.read.parquet(dest).toPandas()
+    assert len(first) > 0  # purchases enriched before the cut
+
+    cut_max_ns = con.execute(
+        f"SELECT max(ts) FROM read_parquet('{src}/part1.parquet')"
+    ).fetchone()[0]
+    cut_max = pd.Timestamp(cut_max_ns, unit="ns")
+
+    os.rename(f"{hold}/part2.parquet", f"{src}/part2.parquet")
+    run_asof_to_parquet(spark, src, dest, ckpt)
+    restarted = spark.read.parquet(dest).toPandas()
+    assert len(restarted) > len(first)
+
+    # exactly-once across the restart: no enriched purchase duplicated
+    assert not restarted.duplicated(["event_id"]).any()
+
+    batch = all_queries()["asof_join"].fn(spark, SF).toPandas()
+    cols = ["event_id", "user_id", "ts", "value", "signup_id", "signup_ts"]
+    a = restarted[cols].sort_values("event_id").reset_index(drop=True)
+    b = batch[cols].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # the state survived the restart: some purchase processed AFTER the
+    # cut matched a signup from BEFORE it — only the checkpointed state
+    # can supply that signup
+    crossed = restarted[
+        restarted["signup_id"].notna()
+        & (restarted["signup_ts"] <= cut_max)
+        & (restarted["ts"] > cut_max)
+    ]
+    assert len(crossed), "no cross-restart asof match — state recovery unproven"
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_asof_stream_matches_batch_and_oracle(spark, split_source):
     """Streaming asof enrichment over 3 time-ordered micro-batches must
     equal the batch `asof_join` headline query on the same events —
