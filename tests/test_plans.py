@@ -1,6 +1,8 @@
 """Plan-audit regression tests: the optimizations SCALE.md claims must
 be visible in the physical plans, permanently."""
 
+import os
+
 from arnab_spark.plans import audit_plan
 from arnab_spark.queries import all_queries
 
@@ -211,3 +213,106 @@ def test_pq_rerank_broadcasts_shortlist(spark):
     through a hash join — full vectors never shuffle for re-ranking."""
     audit = audit_plan(REG["ann_pq_adc"].fn(spark, SF))
     assert "BroadcastHashJoin" in audit.joins, audit.joins
+
+
+# ---------------------------------------------------------------------
+# Cluster-shaped configuration axis (round 9, r8 verdict ask #8): the
+# bench tunes shuffle.partitions=8 for the tiny local SF — a
+# PERFORMANCE knob. These tests pin that it is performance-ONLY: under
+# a 1000-executor-shaped configuration (200 shuffle partitions, 128 MB
+# maxPartitionBytes — the defaults a real cluster job ships with) every
+# audited plan SHAPE survives (broadcasts stay broadcasts, single-
+# shuffle plans stay single-shuffle, pushdown still reaches the scan)
+# and results stay hash-equal to DuckDB.
+
+import pytest
+
+CLUSTER_CONFS = [("200", str(128 * 1024 * 1024))]
+
+
+@pytest.mark.parametrize("shuffle,max_bytes", CLUSTER_CONFS)
+def test_plan_shapes_hold_under_cluster_shaped_config(spark, shuffle, max_bytes):
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+    try:
+        audit = audit_plan(REG["scan_project_filter"].fn(spark, SF))
+        assert audit.scanned_columns() <= {
+            "l_orderkey", "l_extendedprice", "l_shipdate", "l_quantity"
+        }
+        assert audit.has_pushed_filter("l_shipdate")
+        audit = audit_plan(REG["join_star_revenue"].fn(spark, SF))
+        assert "BroadcastHashJoin" in audit.joins
+        audit = audit_plan(REG["agg_pricing_summary"].fn(spark, SF))
+        assert audit.n_exchanges == 1, audit.plan_text[:800]
+        audit = audit_plan(REG["asof_join"].fn(spark, SF))
+        assert audit.n_exchanges == 1, audit.plan_text[:800]
+        audit = audit_plan(REG["text_train_split"].fn(spark, SF))
+        assert audit.n_exchanges == 0, audit.plan_text[:800]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+
+
+@pytest.mark.parametrize("shuffle,max_bytes", CLUSTER_CONFS)
+def test_correctness_holds_under_cluster_shaped_config(spark, shuffle, max_bytes):
+    """Results (not just shapes) under the cluster-shaped config: two
+    headliners hash-compared against DuckDB running the same oracle —
+    a 200-partition shuffle must not perturb a single value."""
+    import duckdb
+
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+    try:
+        from arnab_spark.oracle import compare_frames, duckdb_connection
+
+        con = duckdb_connection(SF)
+        for name in ("agg_pricing_summary", "asof_join", "dedup_exact"):
+            verdict = compare_frames(
+                name,
+                REG[name].fn(spark, SF).toPandas(),
+                con.execute(REG[name].oracle).fetchdf(),
+            )
+            assert verdict.ok, str(verdict)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+
+
+@pytest.mark.parametrize("shuffle,max_bytes", CLUSTER_CONFS)
+def test_demo_pipeline_runs_under_cluster_shaped_config(
+    spark, shuffle, max_bytes, tmp_path
+):
+    """The reference demo project end-to-end with its spark_settings
+    rewritten to the cluster-shaped values — the engine's own
+    settings-override path (reference: main.rs:135-155) carries the
+    config, proving the pipeline is config-portable, not tuned-to-8."""
+    import shutil
+
+    from arnab_spark.config import load_config
+    from arnab_spark.session import Session
+
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    proj = str(tmp_path / "basic")
+    shutil.copytree("examples/basic", proj)
+    cfg_text = open(os.path.join(proj, "config.yaml")).read().replace(
+        'spark.sql.shuffle.partitions: "8"',
+        f'spark.sql.shuffle.partitions: "{shuffle}"\n'
+        f'  spark.sql.files.maxPartitionBytes: "{max_bytes}"',
+    )
+    with open(os.path.join(proj, "config.yaml"), "w") as fh:
+        fh.write(cfg_text)
+    old = os.getcwd()
+    os.chdir(proj)
+    try:
+        report = Session(load_config("."), spark).run(quiet=True)
+        assert report.ok, report.errors
+        assert spark.conf.get("spark.sql.shuffle.partitions") == shuffle
+        assert spark.table("top_products").count() > 0
+    finally:
+        os.chdir(old)
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
