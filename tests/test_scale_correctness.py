@@ -66,23 +66,39 @@ def sf1_dir():
 
 
 def test_scale_marker_records_and_enforces_table_subset(tmp_path):
-    """Round-7 advice item 2 (low): the ``_SCALE_OK`` short-circuit
-    used to ignore ``tables=`` — a dest generated with a narrower
-    subset silently satisfied a broader request. The marker's recorded
-    subset is now checked: covered requests short-circuit, uncovered
-    ones raise instead of returning a partial directory."""
+    """Round-7 advice item 2 (low) + round-9 widening: the ``_SCALE_OK``
+    short-circuit used to ignore ``tables=`` — a dest generated with a
+    narrower subset silently satisfied a broader request. Covered
+    requests short-circuit; a BROADER request than a v2 marker now
+    generates only the MISSING tables (per-table content is a pure
+    function of the inputs) and records the union — never silently
+    returns a partial directory, never regenerates what exists."""
+    import pandas as pd
+
     from tools.gen_scale import generate
 
     dest = tmp_path / "sfX"
     dest.mkdir()
     (dest / "_SCALE_OK").write_text(
-        "copies=10 src=s tables=('lineitem', 'orders')\n"
+        "v=2 copies=10 src=s tables=('lineitem', 'orders')\n"
     )
-    # covered narrower request short-circuits
+    # covered narrower request short-circuits (src never read)
     assert generate(src="unused", dest=str(dest), tables=("lineitem",)) == str(dest)
-    # broader request must raise, not silently return the partial dir
-    with pytest.raises(RuntimeError, match="narrower table subset"):
-        generate(src="unused", dest=str(dest), tables=None)
+    # broader v2 request widens in place: only the missing tables are
+    # generated, the marker records the union
+    src = "/root/testdata/sf0.001"
+    out = generate(src=src, dest=str(dest), tables=("lineitem", "region"))
+    assert out == str(dest)
+    assert os.path.exists(dest / "region.parquet")
+    # lineitem was "already present" per the marker — NOT regenerated
+    assert not os.path.exists(dest / "lineitem.parquet")
+    recorded = (dest / "_SCALE_OK").read_text()
+    for t in ("lineitem", "orders", "region"):
+        assert t in recorded
+    # region copies verbatim (dimension table)
+    assert pd.read_parquet(dest / "region.parquet").shape == (
+        pd.read_parquet(os.path.join(src, "region.parquet")).shape
+    )
     # a full-set v2 marker satisfies everything
     (dest / "_SCALE_OK").write_text("v=2 copies=10 src=s tables=all\n")
     assert generate(src="unused", dest=str(dest), tables=None) == str(dest)

@@ -169,11 +169,17 @@ def generate(
             return False
         return tables is None or t in tables
 
-    # strides from the key-owning tables (max + 1 keeps keys disjoint)
+    # strides from the key-owning tables (max + 1 keeps keys disjoint).
+    # Load every stride the TO-BE-GENERATED tables reference — not just
+    # strides of tables being generated: in the widening path a missing
+    # fact table may shift keys owned by an already-present dimension
+    # (the owner's stride still comes from src, which holds it).
+    needed_cols = {
+        col for t, (kc, _nc) in _KEYED.items() if wanted(t) for col in kc
+    }
     strides: dict[str, int] = {}
-    for owner_col, table in _OWNER_TABLE.items():
-        if not wanted(table):
-            continue
+    for owner_col in {_KEY_OWNER_COL[c] for c in needed_cols}:
+        table = _OWNER_TABLE[owner_col]
         s = pd.read_parquet(os.path.join(src, f"{table}.parquet"), columns=[owner_col])
         strides[owner_col] = int(s[owner_col].max()) + 1
 
