@@ -1515,7 +1515,103 @@ _STRF_MAP = {
     "-M": "m",
     "-S": "s",
     "-j": "D",
+    # composite ISO directives (round 9, probed on the pinned DuckDB:
+    # %c = ISO datetime, %x = ISO date, %X = ISO time — fixed layouts,
+    # so they are plain multi-letter Java patterns)
+    "c": "yyyy-MM-dd HH:mm:ss",
+    "x": "yyyy-MM-dd",
+    "X": "HH:mm:ss",
 }
+
+#: Directives with NO Java pattern twin, compiled to plain Spark SQL
+#: expressions instead (round 9 — closes the unmapped-literal-directive
+#: gap; every formula differentially verified against the pinned DuckDB
+#: incl. the ISO year/week boundaries 2000-01-02, 2018-12-31,
+#: 2021-01-01). DuckDB zero-pads %V/%U/%W to 2 and %G to 4.
+_STRF_EXPR = {
+    # ISO week number — Spark's weekofyear IS ISO 8601
+    "V": lambda e: f"lpad(CAST(weekofyear({e}) AS STRING), 2, '0')",
+    # ISO week-numbering year
+    "G": lambda e: f"lpad(CAST(extract(YEAROFWEEK FROM {e}) AS STRING), 4, '0')",
+    # weekday numbers spelled through DOW_ISO (Mon=1..Sun=7) — the same
+    # rescan-immune spelling the dayofweek/weekday call rewrites use
+    # (a plain dayofweek()/weekday() here would be re-matched by those
+    # DuckDB-semantics rewrites and double-shifted)
+    "w": lambda e: f"CAST(extract(DOW_ISO FROM {e}) % 7 AS STRING)",
+    "u": lambda e: f"CAST(extract(DOW_ISO FROM {e}) AS STRING)",
+    # week of year, first Sunday starts week 01, days before it week 00
+    "U": lambda e: (
+        f"lpad(CAST(CAST(floor((dayofyear({e}) - 1 + 7 - "
+        f"(extract(DOW_ISO FROM {e}) % 7)) / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    # week of year, Monday-based
+    "W": lambda e: (
+        f"lpad(CAST(CAST(floor((dayofyear({e}) - 1 + 7 - "
+        f"(extract(DOW_ISO FROM {e}) - 1)) / 7) AS INT) AS STRING), 2, '0')"
+    ),
+    # 2-digit year WITHOUT zero padding (no Java twin: 'y' pads to the
+    # full year, 'yy' zero-pads to 2)
+    "-y": lambda e: f"CAST(year({e}) % 100 AS STRING)",
+    # nanoseconds: timestamps are µs-precision, so the last 3 digits
+    # are always 0 (probed: DuckDB prints 123456000)
+    "n": lambda e: f"concat(date_format({e}, 'SSSSSS'), '000')",
+}
+
+
+def _c_format_to_sql_expr(fmt: str, arg: str) -> str | None:
+    """Compile a C-style strftime format whose directives do NOT all
+    have Java twins into a pure-JVM Spark SQL expression: contiguous
+    Java-mappable runs become ``date_format`` chunks, the special
+    directives above become scalar expressions, and the chunks
+    ``concat`` together. Literal text rides inside the date_format
+    chunks, so a NULL input propagates to a NULL result exactly like
+    DuckDB (concat/date_format are both NULL-strict). Returns None when
+    any directive maps to neither table (loud)."""
+    segments: list[tuple[str, str]] = []
+    buf: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        key = None
+        if fmt[i] == "%" and i + 1 < n:
+            if fmt[i + 1] == "-" and i + 2 < n and "-" + fmt[i + 2] in _STRF_EXPR:
+                key, step = "-" + fmt[i + 2], 3
+            elif fmt[i + 1] in _STRF_EXPR:
+                key, step = fmt[i + 1], 2
+        if key is not None:
+            if buf:
+                segments.append(("fmt", "".join(buf)))
+                buf = []
+            segments.append(("expr", _STRF_EXPR[key](arg)))
+            i += step
+            continue
+        if fmt[i] == "%" and i + 1 < n:
+            # copy the whole directive so a later '-x' never splits
+            take = 3 if fmt[i + 1] == "-" and i + 2 < n else 2
+            buf.append(fmt[i:i + take])
+            i += take
+            continue
+        buf.append(fmt[i])
+        i += 1
+    if buf:
+        segments.append(("fmt", "".join(buf)))
+    if not any(kind == "expr" for kind, _ in segments):
+        return None  # nothing special: the single-pattern path owns it
+    parts: list[str] = []
+    for kind, text in segments:
+        if kind == "expr":
+            parts.append(text)
+            continue
+        java = _c_format_to_java(text)
+        if java is None:
+            return None
+        if java == "":
+            continue
+        parts.append(
+            f"date_format({arg}, '{java.replace(chr(39), chr(39) * 2)}')"
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
 
 
 def _c_format_to_java(fmt: str) -> str | None:
@@ -1561,21 +1657,79 @@ def _c_format_to_java(fmt: str) -> str | None:
     return "".join(out)
 
 
+def _fold_literal_concat(s: str) -> str | None:
+    """Constant-fold a ``'a' || 'b' || …`` chain of plain string
+    literals into one literal value (round 9). DuckDB binds strftime/
+    strptime formats as CONSTANTS — any constant-foldable expression
+    works there (probed: ``strftime(ts, '%Y' || '/%m')`` runs; a
+    column-sourced format is an InvalidInputException in DuckDB itself,
+    so staying loud on those IS parity). Folding literal chains (the
+    shape macro composition produces) closes the gap the shim can
+    prove; general constant expressions stay loud. Returns the folded
+    string value or None."""
+    depth = 0
+    quote = None
+    parts: list[str] = []
+    last = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and i + 1 < n and s[i + 1] == "|" and depth == 0:
+            parts.append(s[last:i])
+            last = i + 2
+            i += 2
+            continue
+        i += 1
+    parts.append(s[last:])
+    if len(parts) < 2:
+        return None
+    out: list[str] = []
+    for p in parts:
+        m = _lit_match(p)
+        if not m:
+            return None
+        out.append(m.group(1))
+    return "".join(out)
+
+
 def _strf_rewrite(spark_fn: str):
-    """strftime/strptime: rewrite only when arg 2 is a PLAIN string
-    literal whose every directive maps exactly; anything else is left
-    for Spark to reject loudly."""
+    """strftime/strptime with a CONSTANT format: plain string literals
+    and folded literal ``||`` chains rewrite; every directive must map
+    to a Java pattern — or, for strftime only, to the pure-SQL
+    expression table (``_c_format_to_sql_expr``). Column-sourced
+    formats are an InvalidInputException in DuckDB itself ("strftime
+    format must be a constant", probed) — leaving them loud IS
+    parity."""
 
     def build(a: list[str]) -> str | None:
         m = _lit_match(a[1])
-        if not m:
-            return None
-        java = _c_format_to_java(m.group(1))
-        if java is None:
-            return None
-        # the Java pattern may contain single quotes (literal-run
-        # escaping) — double them for the SQL string literal
-        return f"{spark_fn}({a[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+        if m:
+            fmt = m.group(1)
+        else:
+            folded = _fold_literal_concat(a[1])
+            if folded is None:
+                return None
+            fmt = folded
+        java = _c_format_to_java(fmt)
+        if java is not None:
+            # the Java pattern may contain single quotes (literal-run
+            # escaping) — double them for the SQL string literal
+            return f"{spark_fn}({a[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+        if spark_fn == "date_format":
+            return _c_format_to_sql_expr(fmt, a[0])
+        return None
 
     return build
 

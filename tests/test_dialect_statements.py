@@ -596,9 +596,67 @@ def test_strftime_strptime_literal_formats(spark, con):
     # no-padding %-X directives map to Java's min-width single letters
     out = transpile_statement("SELECT strftime(ts, '%-d/%-m') FROM t")
     assert "date_format(ts, 'd/M')" in out
-    # unmapped directives and dynamic formats: loud
-    assert "strftime" in transpile_statement("SELECT strftime(ts, '%U') FROM t")
+    # genuinely unmapped directives and column-sourced formats: loud
+    # (DuckDB itself raises "strftime format must be a constant" on the
+    # latter — probed — so loud IS parity)
+    assert "strftime" in transpile_statement("SELECT strftime(ts, '%Z') FROM t")
     assert "strftime" in transpile_statement("SELECT strftime(ts, fmt) FROM t")
+    assert "strptime" in transpile_statement("SELECT strptime(s, fmt) FROM t")
+
+
+def test_strftime_expression_directives_and_literal_folding(spark, con):
+    """Round-9 lift: directives with no Java pattern twin (%U %W %V %G
+    %u %w %-y %n) compile to pure-JVM SQL expressions, the composite
+    ISO directives (%c %x %X) map as fixed Java patterns, and constant
+    ``'a' || 'b'`` format chains fold before translation (DuckDB binds
+    formats as constants, so the folded chain is exactly what it
+    executes — probed). Differential over ISO year/week boundary dates
+    where the %G/%V/%U/%W formulas genuinely diverge from the naive
+    year/week."""
+    dates = [
+        "TIMESTAMP '1992-03-02 08:05:09.123456'",
+        "TIMESTAMP '2018-12-31 23:59:59'",
+        "TIMESTAMP '2024-01-07 00:00:00.000001'",
+        "TIMESTAMP '2000-01-02 12:00:00'",
+        "TIMESTAMP '2021-01-01 01:02:03'",
+        "TIMESTAMP '2009-01-01 23:00:00'",
+        "TIMESTAMP '2003-06-01 00:00:00'",
+        "DATE '1999-12-31'",
+    ]
+    fmts = [
+        "%U", "%W", "%V", "%G", "%u", "%w", "%-y", "%n", "%c", "%x", "%X",
+        "week %V of %G", "%Y-%m-%d (%U|%W)", "u=%u w=%w y=%-y",
+        "100%% %V", "%c.%n",
+    ]
+    for d in dates:
+        for f in fmts:
+            duck_sql = f"SELECT strftime({d}, '{f}') AS v"
+            exp = con.execute(duck_sql).fetchone()[0]
+            t = transpile_statement(duck_sql)
+            assert "strftime" not in t, t
+            got = spark.sql(t).collect()[0][0]
+            assert got == exp, f"{d} {f!r}: spark={got!r} duck={exp!r}"
+    # literal || chains fold for both functions (incl. parenthesized
+    # parts, the shape macro splicing produces)
+    for expr in (
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', '%Y' || '/%m' || ' %V')",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', ('%Y') || ('/%m'))",
+        "CAST(strptime('2024/03', '%Y' || '/%m') AS TIMESTAMP)",
+    ):
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        t = transpile_statement(duck_sql)
+        assert "strftime" not in t and "strptime" not in t, t
+        got = spark.sql(t).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+    # NULL input propagates through the concat compilation
+    duck_sql = "SELECT strftime(CAST(NULL AS TIMESTAMP), 'week %V of %G') AS v"
+    assert con.execute(duck_sql).fetchone()[0] is None
+    assert spark.sql(transpile_statement(duck_sql)).collect()[0][0] is None
+    # a chain with a non-literal part stays loud
+    assert "strftime" in transpile_statement(
+        "SELECT strftime(ts, '%Y' || fmt) FROM t"
+    )
 
 
 def test_epoch_and_datediff_day_parity(spark, con):
