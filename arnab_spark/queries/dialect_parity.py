@@ -38,6 +38,9 @@ SELECT event_id,
        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso,
        strftime(CAST(ts AS TIMESTAMP), '%j') AS doy,
        strftime(CAST(ts AS TIMESTAMP), '%a %p') AS day_half,
+       strftime(CAST(ts AS TIMESTAMP), 'wk %U/%W/%V of %G') AS weeks,
+       strftime(CAST(ts AS TIMESTAMP), '%u%w%-y') AS dow_year,
+       strftime(CAST(ts AS TIMESTAMP), '%c' || '.%n') AS iso_full,
        CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
                      '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS round_trip
 FROM events
@@ -48,9 +51,13 @@ WHERE event_id % 37 = 0
 @query("dialect_strftime_datetime", oracle=_STRFTIME_SQL, tags=("dialect", "datetime"))
 def dialect_strftime_datetime(spark, sf_dir):
     """C-style strftime/strptime formats through the literal-format
-    translator (ISO timestamps, day-of-year, day-name + AM/PM, and a
-    format round-trip back to TIMESTAMP), hash-matched against DuckDB
-    executing the identical text natively."""
+    translator (ISO timestamps, day-of-year, day-name + AM/PM, a
+    format round-trip back to TIMESTAMP) and — round 9 — the
+    expression-compiled directives with no Java twin (%U/%W Sunday- and
+    Monday-based week numbers, %V/%G ISO week and week-year, %u/%w
+    weekday numbers, %-y unpadded 2-digit year, %c/%n ISO composite +
+    nanoseconds) plus a folded literal `||` format chain, hash-matched
+    against DuckDB executing the identical text natively."""
     return _run(spark, sf_dir, ("events",), _STRFTIME_SQL)
 
 
