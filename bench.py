@@ -806,7 +806,11 @@ def main() -> None:
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # keep the driver's 2000-char tail sufficient
-        for drop in ("duckdb_queries", "queries", "floor_breakdown"):
+        # drop order (round 9): floor_breakdown first — it is fully
+        # duplicated in bench_detail.json and is diagnostic, while the
+        # per-query numerator/denominator maps are the compact line's
+        # primary evidence and must survive as long as possible
+        for drop in ("floor_breakdown", "load_sections", "duckdb_queries", "queries"):
             compact.pop(drop, None)
             line = json.dumps(compact)
             if len(line) <= 1900:
