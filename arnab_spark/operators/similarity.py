@@ -352,21 +352,37 @@ def bucketed_cosine_pairs(
     id_col: str = "vec_id",
     iv_col: str = "iv",
     threshold: float = 0.9,
+    chunk_size: int = 2048,
 ) -> DataFrame:
     """All within-bucket vector pairs with cosine ≥ ``threshold`` over
     pre-quantized integer vectors (see :func:`quantize_embeddings`).
 
-    Scoring runs as ONE Arrow-batched numpy matmul per bucket
-    (``applyInPandas``): int64 ``M @ M.T`` is exact — identical to the
-    SQL ``aggregate(zip_with(...))`` spelling but vectorized (measured
-    5x faster at sf0.1, bit-identical output including the float
-    cosines: sqrt/multiply/divide are the same IEEE ops numpy and the
-    JVM both execute). The shuffle carries each bucket once; per-task
-    memory is O(bucket_size·dim + bucket_size²) — the quadratic term is
-    the pair OUTPUT, inherent to the operator, so bucket sizing (the
-    coarse quantizer's job) is the scale knob, exactly as in any IVF
-    blocking scheme. Pairs emit as (smaller_id, larger_id), total
-    order, no duplicates."""
+    Scoring runs as Arrow-batched numpy int64 matmuls
+    (``applyInPandas``) — exact, identical to the SQL
+    ``aggregate(zip_with(...))`` spelling but vectorized (measured 5x
+    faster at sf0.1, bit-identical output including the float cosines:
+    sqrt/multiply/divide are the same IEEE ops numpy and the JVM both
+    execute).
+
+    Scale (round 9 — fixes a measured sf10 blowup): a bucket is the
+    EXACTNESS boundary, not the task boundary. Blocking labels come
+    from a coarse quantizer whose cardinality does not necessarily
+    grow with the data, so whole-bucket tasks go quadratic: the r9
+    scale bench caught one 21,800-vector bucket running a 9-minute
+    single-task 21800x21800 matmul (838 s for the query). Buckets are
+    therefore TILED: each vector lands in a deterministic chunk
+    (``xxhash64(id) % nchunks``, nchunks = ceil(bucket/chunk_size)),
+    every chunk PAIR (ca <= cb) becomes its own task (the classic
+    distributed triangle join), and each task multiplies two
+    chunk-sized panels. Total work stays O(bucket²) — inherent to
+    exact all-pairs — but per-task memory is O(chunk² + chunk·dim),
+    the straggler parallelizes across the cluster, and the shuffle
+    amplification is nchunks (= sqrt of the pair-task count), the
+    known lower bound for distributing a self-join. A bucket at or
+    under ``chunk_size`` degenerates to exactly the old one-task plan.
+    Pairs emit as (smaller_id, larger_id), total order, no duplicates:
+    the unordered pair (u, v) appears only in the one task owning its
+    (chunk(u), chunk(v)) tile."""
     import numpy as np
     import pandas as pd
 
@@ -379,26 +395,75 @@ def bucketed_cosine_pairs(
         "dot_int bigint, cosine double"
     )
 
+    counts = df.groupBy(bucket_col).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(chunk_size))
+        .cast("int")
+        .alias("__nchunks")
+    )
+    d = df.join(F.broadcast(counts), bucket_col).withColumn(
+        "__c",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__nchunks")).cast("int"),
+    )
+    # each vector joins every tile its chunk participates in: as the
+    # A-panel for partners >= its chunk, as the B-panel for partners
+    # below it — sequence+explode, no driver loop
+    tiles_a = d.select(
+        id_col, iv_col, bucket_col, "__c",
+        F.col("__c").alias("__ca"),
+        F.explode(
+            F.sequence(F.col("__c"), F.col("__nchunks") - 1)
+        ).alias("__cb"),
+    )
+    tiles_b = d.filter(F.col("__c") > 0).select(
+        id_col, iv_col, bucket_col, "__c",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__c") - 1)
+        ).alias("__ca"),
+        F.col("__c").alias("__cb"),
+    )
+    tiled = tiles_a.unionByName(tiles_b)
+
     def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy()
-        m = np.array(pdf[iv_col].tolist(), dtype=np.int64)
-        dots = m @ m.T
-        nrm = np.sqrt((m * m).sum(axis=1).astype(np.float64))
-        cos = dots.astype(np.float64) / (nrm[:, None] * nrm[None, :])
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = cos[i, j] >= threshold
+        ca, cb = int(pdf["__ca"].iloc[0]), int(pdf["__cb"].iloc[0])
+        if ca == cb:
+            ids = pdf[id_col].to_numpy()
+            m = np.array(pdf[iv_col].tolist(), dtype=np.int64)
+            dots = m @ m.T
+            nrm = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / (nrm[:, None] * nrm[None, :])
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = cos[i, j] >= threshold
+            a, b = ids[i][keep], ids[j][keep]
+            dk, ck = dots[i, j][keep], cos[i, j][keep]
+        else:
+            pa = pdf[pdf["__c"] == ca]
+            pb = pdf[pdf["__c"] == cb]
+            ids_a, ids_b = pa[id_col].to_numpy(), pb[id_col].to_numpy()
+            ma = np.array(pa[iv_col].tolist(), dtype=np.int64)
+            mb = np.array(pb[iv_col].tolist(), dtype=np.int64)
+            dots = ma @ mb.T
+            na = np.sqrt((ma * ma).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((mb * mb).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / (na[:, None] * nb[None, :])
+            keep = cos >= threshold
+            i, j = np.nonzero(keep)
+            u, v = ids_a[i], ids_b[j]
+            a, b = np.minimum(u, v), np.maximum(u, v)
+            dk, ck = dots[i, j], cos[i, j]
         return pd.DataFrame(
             {
-                "vec_a": ids[i][keep],
-                "vec_b": ids[j][keep],
-                bucket_col: np.repeat(pdf[bucket_col].iloc[0], int(keep.sum())),
-                "dot_int": dots[i, j][keep],
-                "cosine": cos[i, j][keep],
+                "vec_a": a,
+                "vec_b": b,
+                bucket_col: np.repeat(pdf[bucket_col].iloc[0], len(a)),
+                "dot_int": dk,
+                "cosine": ck,
             }
         )
 
-    return df.groupBy(bucket_col).applyInPandas(pairs, out_schema)
+    return tiled.groupBy(bucket_col, "__ca", "__cb").applyInPandas(
+        pairs, out_schema
+    )
 
 
 # ---------------------------------------------------------------------

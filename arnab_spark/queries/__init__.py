@@ -113,9 +113,13 @@ def davg(col: Column | str, alias: str) -> Column:
 #: queries `dialect_unnest_zip`, `dialect_unnest_zip_star` and
 #: `fn_explode_unnest` — the splitter fix touches the pipeline every
 #: unnest statement flows through, so their evidence must be
-#: refreshed on the NEW code, not carried from r7. Slot 5 refreshes
-#: the headline staple `asof_join` (r7 evidence; the one headliner
-#: not already inside the mandatory cohort). Slots 6-50 are the
+#: refreshed on the NEW code, not carried from r7. Slot 5 is
+#: `dedup_embedding_cosine`: its operator (`bucketed_cosine_pairs`)
+#: was re-tiled this round after the sf10 scale bench caught a
+#: one-task quadratic bucket — the query source hash is unchanged, so
+#: only a window slot re-verifies the new tiling end-to-end
+#: (`asof_join`, the slot's previous occupant, keeps valid r7
+#: evidence and rotates in r10). Slots 6-50 are the
 #: ENTIRE round-6-latest-evidence cohort (45 queries, computed from
 #: the committed CORRECTNESS_r0{1..8}.json union, latest green round
 #: per query) — after this run no registry query's driver evidence
@@ -132,8 +136,8 @@ CURATED_FIRST: tuple[str, ...] = (
     "dialect_unnest_zip",
     "dialect_unnest_zip_star",
     "fn_explode_unnest",
-    # --- slot 5: headline staple refresh ---
-    "asof_join",
+    # --- slot 5: operator re-tiled this round (r9 scale fix) ---
+    "dedup_embedding_cosine",
     # --- slots 6-50: the full round-6-latest-evidence cohort ---
     "agg_approx_count_distinct",
     "agg_important_part_value",

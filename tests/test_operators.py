@@ -271,6 +271,32 @@ def test_bucketed_cosine_pairs_string_bucket(spark):
         assert r["vec_a"] < r["vec_b"]
 
 
+def test_bucketed_cosine_pairs_tiling_exact(spark):
+    """Round-9 scale fix: the bucket tiling (chunk-pair triangle join)
+    must be EXACT — a tiny chunk_size that forces every bucket into
+    many tiles returns the identical pair set, dot products, and
+    cosines as one-task-per-bucket (chunk_size larger than any
+    bucket), which is the pre-round-9 plan. The sf10 scale bench
+    caught the one-task plan running a 21,800-vector bucket as a
+    single 9-minute matmul; tiling bounds per-task memory at
+    O(chunk² + chunk·dim) with no output change."""
+    from arnab_spark.operators import bucketed_cosine_pairs, quantize_embeddings
+
+    e = quantize_embeddings(
+        load_table(spark, SF, "embeddings"), "embedding", 64
+    )
+    whole = bucketed_cosine_pairs(e, "label", threshold=0.3, chunk_size=1_000_000)
+    tiled = bucketed_cosine_pairs(e, "label", threshold=0.3, chunk_size=7)
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    a = sorted(map(tuple, whole.collect()), key=key)
+    b = sorted(map(tuple, tiled.collect()), key=key)
+    assert len(a) > 0
+    assert a == b  # ids, bucket, exact dot_int, bit-identical cosine
+    # no pair duplicated across tiles
+    ids = [(t[0], t[1]) for t in b]
+    assert len(ids) == len(set(ids))
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the closure to reliable checkpoint():
     same fixpoint as the localCheckpoint default, and checkpoint files

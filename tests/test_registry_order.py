@@ -89,7 +89,7 @@ def test_r09_window_covers_stale_evidence_queries():
     (the invariant r5 established, maintained a sixth time). Slot 1 is
     the round-9 addition (never-run gate); slots 2-4 re-verify the
     unnest-surface queries on the round-9 set-op-splitter fix; slot 5
-    refreshes the asof_join headline staple."""
+    re-verifies dedup_embedding_cosine on the round-9 bucket tiling."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
@@ -105,7 +105,7 @@ def test_r09_window_covers_stale_evidence_queries():
     assert stale <= set(CURATED_FIRST), sorted(stale - set(CURATED_FIRST))
     assert CURATED_FIRST[0] == "dialect_unnest_star_window"
     assert "dialect_unnest_zip" in CURATED_FIRST[:4]
-    assert "asof_join" in CURATED_FIRST[:5]
+    assert "dedup_embedding_cosine" in CURATED_FIRST[:5]
 
 
 def test_never_driver_verified_queries_hold_window_slots():
