@@ -351,10 +351,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     ~1e-7/element is far below any sane dedup threshold.
 
     Scoring runs through :func:`arnab_spark.operators.
-    bucketed_cosine_pairs` — one Arrow-batched int64 matmul per label
-    bucket (measured 5x faster than the aggregate/zip_with SQL
-    spelling at sf0.1, identical output). Quantization stays JVM-side;
-    only quantized vectors cross into Arrow."""
+    bucketed_cosine_pairs` — Arrow-batched int64 panel matmuls over
+    TILED buckets (round 9: chunk-pair triangle join, so a bucket
+    whose quantizer cardinality doesn't grow with the data can never
+    collapse into one quadratic straggler task — measured 838 → 24 s
+    at sf10; 5x faster than the aggregate/zip_with SQL spelling at
+    sf0.1, identical output). Quantization stays JVM-side; only
+    quantized vectors cross into Arrow."""
     from pyspark.sql import functions as F
 
     from arnab_spark.operators import bucketed_cosine_pairs
