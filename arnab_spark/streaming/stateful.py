@@ -145,6 +145,52 @@ def run_stateful_stream(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def run_totals_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    dest: str,
+    checkpoint: str,
+    threshold_value: float = 1_000.0,
+) -> None:
+    """:func:`stream_user_running_totals` → a parquet UPDATE LOG with a
+    checkpoint. Update output mode has no built-in file sink, so this
+    uses the standard idempotent ``foreachBatch`` pattern: each
+    micro-batch's update rows overwrite a deterministic
+    ``batch=<id>`` directory — a replayed batch after a crash rewrites
+    the same directory instead of double-appending, so the log is
+    exactly-once under restart. The checkpoint carries the per-user
+    (count, cents, last_ts, alerted) state; the ``alerted`` flag is
+    what makes the one-shot alert survive a restart without re-firing
+    — proven by the stop/extend/restart test."""
+    from arnab_spark.spark_utils import configure, normalize_events_ts
+    from arnab_spark.streaming.jobs import _EVENTS_SCHEMA
+
+    configure(spark)
+    stream = normalize_events_ts(
+        spark.readStream.schema(_EVENTS_SCHEMA).parquet(source_dir)
+    )
+    totals = stream_user_running_totals(stream, threshold_value)
+
+    def write_batch(df, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{dest}/batch={batch_id}")
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                "totals availableNow run exceeded 600s; update log at "
+                f"{dest} is incomplete (checkpoint {checkpoint} can resume it)"
+            )
+    finally:
+        q.stop()
+
+
 # ---------------------------------------------------------------------
 # Event-time-timeout sessionizer
 

@@ -243,6 +243,94 @@ def test_sessionize_restart_parity_exactly_once(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_totals_alert_restart_one_shot(spark):
+    """Round-9: restart proof for the running-totals job — the last
+    stateful operator without one. The one-shot alert is the fragile
+    property: the ``alerted`` flag lives in the checkpointed state, so
+    a user who crossed the threshold BEFORE the stop must not re-alert
+    after the restart, and a user who crosses only AFTER it must alert
+    exactly once off the carried running total. Final totals must
+    equal the batch aggregate over all three files; the update log is
+    written via idempotent per-batch-directory overwrite."""
+    import shutil
+
+    import duckdb
+
+    from arnab_spark.streaming.stateful import run_totals_to_parquet
+
+    base = "/tmp/arnab_totals_restart_test"
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    hold = os.path.join(base, "hold")
+    for d in (src, hold):
+        os.makedirs(d)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE TABLE e AS
+        SELECT * EXCLUDE (ts), CAST(epoch_ns(ts) AS BIGINT) AS ts
+        FROM read_parquet('{SF}/events.parquet') ORDER BY ts
+        """
+    )
+    n = con.execute("SELECT count(*) FROM e").fetchone()[0]
+    third = n // 3
+    for i in range(3):
+        lim = third if i < 2 else n - 2 * third
+        con.execute(
+            f"""
+            COPY (SELECT * FROM e ORDER BY ts LIMIT {lim} OFFSET {i * third})
+            TO '{hold}/part{i}.parquet' (FORMAT PARQUET)
+            """
+        )
+    for i in (0, 1):
+        os.rename(f"{hold}/part{i}.parquet", f"{src}/part{i}.parquet")
+
+    dest = os.path.join(base, "log")
+    ckpt = os.path.join(base, "ckpt")
+    # threshold picked from the fixture's cumulative shape: at 2400,
+    # 4 users cross inside the first two thirds and 11 only in the
+    # final third — both alert paths (no re-fire / carried-total fire)
+    # are exercised across the restart
+    t_restart = 2400.0
+    run_totals_to_parquet(spark, src, dest, ckpt, threshold_value=t_restart)
+    first = spark.read.parquet(dest).toPandas()
+    pre_alerted = set(first[first["alert"]]["user_id"])
+    assert pre_alerted, "no user crossed before the cut — fixture too small"
+
+    os.rename(f"{hold}/part2.parquet", f"{src}/part2.parquet")
+    run_totals_to_parquet(spark, src, dest, ckpt, threshold_value=t_restart)
+    log = spark.read.parquet(dest).toPandas()
+
+    # final state per user = the row with the largest running count
+    final = log.sort_values("n_events").groupby("user_id").tail(1)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in final.itertuples()
+    }
+    exp = {
+        row[0]: (row[1], round(row[2], 2))
+        for row in con.execute(
+            "SELECT user_id, count(*), round(sum(round(value * 100)) / 100.0, 2)"
+            " FROM e GROUP BY user_id"
+        ).fetchall()
+    }
+    assert got == exp
+
+    # one-shot across the restart: every user whose lifetime total
+    # crosses the threshold alerts EXACTLY once in the whole log —
+    # pre-cut alerts don't re-fire, post-cut crossings fire once
+    alert_counts = log[log["alert"]].groupby("user_id").size()
+    crossers = {u for u, (_n, tot) in exp.items() if tot >= t_restart}
+    assert set(alert_counts.index) == crossers
+    assert (alert_counts == 1).all(), alert_counts[alert_counts != 1]
+    post_alerted = crossers - pre_alerted
+    assert post_alerted, (
+        "every user crossed before the cut — the carried-total alert "
+        "path is unexercised"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_asof_restart_parity_exactly_once(spark):
     """Round-9 (r8 verdict ask #3): the stop/extend/restart proof for
     the stateful AS-OF enrichment twin, same harness as the sessionize
