@@ -439,6 +439,20 @@ def bucketed_cosine_pairs(
         else:
             pa = pdf[pdf["__c"] == ca]
             pb = pdf[pdf["__c"] == cb]
+            if not len(pa) or not len(pb):
+                # hash assignment can leave a chunk empty — the tile
+                # then holds only one panel and has no pairs (an empty
+                # ids list would otherwise reach the matmul as a
+                # shape-(0,) array and crash on dimension mismatch)
+                return pd.DataFrame(
+                    {
+                        "vec_a": np.array([], dtype=np.int64),
+                        "vec_b": np.array([], dtype=np.int64),
+                        bucket_col: pdf[bucket_col].iloc[:0],
+                        "dot_int": np.array([], dtype=np.int64),
+                        "cosine": np.array([], dtype=np.float64),
+                    }
+                )
             ids_a, ids_b = pa[id_col].to_numpy(), pb[id_col].to_numpy()
             ma = np.array(pa[iv_col].tolist(), dtype=np.int64)
             mb = np.array(pb[iv_col].tolist(), dtype=np.int64)

@@ -295,6 +295,12 @@ def test_bucketed_cosine_pairs_tiling_exact(spark):
     # no pair duplicated across tiles
     ids = [(t[0], t[1]) for t in b]
     assert len(ids) == len(set(ids))
+    # chunk_size=1: nchunks == bucket size, so the xxhash assignment is
+    # guaranteed to leave chunks EMPTY (balls-in-bins) — every tile
+    # with an empty panel must yield no pairs, not a matmul crash
+    degenerate = bucketed_cosine_pairs(e, "label", threshold=0.3, chunk_size=1)
+    c = sorted(map(tuple, degenerate.collect()), key=key)
+    assert c == a
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
