@@ -124,13 +124,28 @@ def test_date_diff_unit_from_macro_default(engines, unit, anchor, lim):
 
 
 @given(
-    fmt=st.sampled_from(["%Y-%m", "%Y/%j", "%d %B %Y", "%A"]),
+    fmt=st.sampled_from(
+        [
+            "%Y-%m",
+            "%Y/%j",
+            "%d %B %Y",
+            "%A",
+            # round-9 expression-compiled directives (no Java twin) —
+            # the compiler must survive macro-expansion splicing, which
+            # parenthesizes the argument and repeats it across the
+            # concat chunks
+            "%G-W%V",
+            "wk %U/%W",
+            "u%u w%w y%-y",
+        ]
+    ),
     lim=st.integers(min_value=30, max_value=200),
 )
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_strftime_macro_under_group_by(engines, fmt, lim):
     """A macro whose body is a strftime C-format call, used as a GROUP
-    BY key — composes macro expansion with the strftime translation."""
+    BY key — composes macro expansion with the strftime translation
+    (incl. the round-9 expression compiler for non-Java directives)."""
     spark, con, _ = engines
     _run_pair(
         spark,
