@@ -1114,7 +1114,14 @@ def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") ->
       ``unnest(s) + 1``) is a DuckDB BinderError — staying loud IS
       parity.
 
-    ``max_depth :=`` and unresolvable flag values stay whole (loud).
+    ``max_depth := N`` (round 9, integer literals) unnests
+    min(N, type depth) levels — the same flatten wraps capped at N-1
+    (probed: N saturates at the type depth; NULL sublists drop; a
+    sole deep site zips flat with nothing else, and a deep site
+    BESIDE another unnest zips level-wise in DuckDB — hence it rides
+    the recursive sole-deep-site guard). Non-integer or non-positive
+    depths, struct arguments/leaves under a cap, and two flags at
+    once (a DuckDB BinderError) stay whole (loud).
     GROUP BY/HAVING/QUALIFY/WINDOW tails abort as in the sibling
     passes; set-op arms split and rewrite independently; a WITH prefix
     rides along as the probe prefix so CTE-sourced arguments type.
@@ -1233,13 +1240,28 @@ def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") ->
             if not args:
                 return None
             flag = None
-            for extra in args[1:]:
+            if len(args) > 2:
+                # two flags at once is a DuckDB BinderError ("only
+                # supports a single additional argument") — loud IS
+                # parity
+                flag = "bad"
+            for extra in args[1:] if flag is None else ():
                 fm = _UNNEST_FLAG.match(extra)
-                if not fm or fm.group(1).lower() == "max_depth":
+                if not fm:
                     flag = "bad"
                     break
                 val = fm.group(2).strip().lower()
-                if val in _TRUE_SPELLINGS:
+                if fm.group(1).lower() == "max_depth":
+                    # round 9: integer-literal depths lift (probed:
+                    # max_depth := N unnests min(N, type depth) levels;
+                    # N values DuckDB rejects — 0, negative — and
+                    # non-integer spellings stay loud)
+                    if re.match(r"^\d+$", val) and int(val) >= 1:
+                        flag = ("depth", int(val))
+                    else:
+                        flag = "bad"
+                        break
+                elif val in _TRUE_SPELLINGS:
                     flag = True
                 elif val in _FALSE_SPELLINGS:
                     flag = False
@@ -1287,6 +1309,9 @@ def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") ->
             # textual marker); the per-session cache makes repeats free
             dtype = _probe_expr_type(arg, probe_prefix, tail, spark)
             if isinstance(dtype, StructType):
+                if isinstance(flag, tuple):
+                    return sql  # max_depth on a struct: unprobed
+                    #             level-counting semantics — stay loud
                 plan.append((i, "struct", (arg, bool(flag), dtype)))
                 any_change = True
                 continue
@@ -1309,6 +1334,25 @@ def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") ->
                         remaining_list_sites += 1
                         any_change = True
                         continue
+                if isinstance(flag, tuple):
+                    # max_depth := N unnests min(N, depth) levels
+                    # (probed, incl. N > depth saturating); a deep site
+                    # zips LEVEL-WISE with other unnests (probed), so it
+                    # rides the same sole-deep-site guard recursive uses
+                    if isinstance(leaf, StructType):
+                        return sql  # struct leaf under a depth cap:
+                        #             unprobed — stay loud
+                    levels = min(flag[1], depth)
+                    if levels >= 2:
+                        plan.append((i, "flatten", (arg, levels, whole[0])))
+                        recursive_deep_sites += 1
+                        remaining_list_sites += 1
+                        any_change = True
+                        continue
+                    plan.append((i, "strip", (arg, whole[0])))
+                    remaining_list_sites += 1
+                    any_change = True
+                    continue
                 # depth-1 recursive, or recursive := false: strip flag
                 if flag is not None:
                     plan.append((i, "strip", (arg, whole[0])))
@@ -1349,6 +1393,9 @@ def _rewrite_struct_recursive_unnest(sql: str, spark, probe_prefix: str = "") ->
                 return sql  # embedded column-expansion: unprovable
             if flag is True and depth >= 2:
                 wrapped = _flatten_wrap(arg, depth - 1)
+                recursive_deep_sites += 1
+            elif isinstance(flag, tuple) and min(flag[1], depth) >= 2:
+                wrapped = _flatten_wrap(arg, min(flag[1], depth) - 1)
                 recursive_deep_sites += 1
             else:
                 wrapped = f"({arg})"

@@ -775,6 +775,55 @@ def test_unnest_recursive_literals(engines):
         _run_pair_unordered(spark, con, stmt)
 
 
+def test_unnest_max_depth_literals(engines):
+    """Round-9 ``max_depth := N``: unnests min(N, type depth) levels —
+    the capped-flatten variant of the recursive machinery, every fact
+    probed against DuckDB first. Covers: exact-depth full flatten,
+    a cap BELOW the type depth (rows stay lists one level up — probed
+    via an embedded array_length() since bare list columns aren't
+    engine-comparable by tuple), N saturating past the depth, N=1 as plain
+    unnest, NULL-sublist dropping, a deep capped site as the SOLE
+    unnest beside scalar items, DISTINCT and set-op arms, and
+    table-sourced arguments through the probe typer."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT unnest([[1,2],[3]], max_depth := 2) AS x",
+        "SELECT array_length(unnest([[[1],[2,5]],[[3]]], max_depth := 2)) AS n",
+        "SELECT unnest([[[1],[2,5]],[[3]]], max_depth := 3) AS x",
+        "SELECT unnest([[1,2],[3]], max_depth := 999) AS x",
+        "SELECT array_length(unnest([[1,2],[3]], max_depth := 1)) AS one_level",
+        "SELECT unnest([1,2], max_depth := 1) AS x",
+        "SELECT unnest([1,2], max_depth := 7) AS x",
+        "SELECT unnest([[1,NULL],NULL,[3]], max_depth := 2) AS x",
+        "SELECT 5 AS k, unnest([[1,2],[3]], max_depth := 2) AS x",
+        "SELECT DISTINCT unnest([[1,1],[1]], max_depth := 2) AS x",
+        "SELECT unnest([[2,9],[1]], max_depth := 2) AS x ORDER BY x LIMIT 2",
+        "SELECT unnest([[1,2]], max_depth := 2) AS x "
+        "UNION ALL SELECT unnest([[9]], max_depth := 2) AS x",
+        "SELECT unnest([string_split(o_orderpriority, '-')], max_depth := 2)"
+        " AS w FROM orders WHERE o_orderkey < 30",
+    ]:
+        _run_pair_unordered(spark, con, stmt)
+    # shapes that must stay loud: a deep capped site BESIDE another
+    # unnest (level-wise zip in DuckDB — a flatten-then-zip would
+    # silently mis-pair), two flags at once and non-integer /
+    # non-positive depths (DuckDB errors on 0 and both-flags; rejecting
+    # the rest is the documented conservative posture)
+    from arnab_spark.dialect import transpile_statement
+
+    for stmt in [
+        "SELECT unnest([[1,2],[3]], max_depth := 2) AS x, unnest([9,8]) AS y",
+        "SELECT unnest([[1,2]], recursive := true, max_depth := 2) AS x",
+        "SELECT unnest([[1,2]], max_depth := 0) AS x",
+        "SELECT unnest([[1,2]], max_depth := 2.5) AS x",
+        "SELECT unnest([[1,2]], max_depth := -1) AS x",
+    ]:
+        t = transpile_statement(stmt, spark)
+        # loud either way: the unnest stays unresolved, or the := flag
+        # survives into text Spark's parser rejects
+        assert "unnest" in t.lower() or ":=" in t, (stmt, t)
+
+
 def test_unnest_struct_expansion(engines):
     """Round-8 struct unnest: field expansion with no row
     multiplication — one level without the flag, recursive descent into
@@ -822,15 +871,15 @@ def test_unnest_recursive_guards_stay_loud(engines):
     rejects them loudly: the level-wise zip of a deep recursive unnest
     beside another unnest site (probed: DuckDB repeats the plain item
     per INNER row — a flatten-then-zip would silently mis-pair),
-    ``max_depth``, embedded struct unnest (a DuckDB BinderError), and
-    an unresolvable flag value."""
+    embedded struct unnest (a DuckDB BinderError), and an unresolvable
+    flag value. (``max_depth`` with an integer literal was LIFTED in
+    round 9 — see test_unnest_max_depth_literals.)"""
     spark, _con, _ = engines
     import pytest as _pytest
 
     for stmt in [
         "SELECT unnest([10,20,30]) AS p, "
         "unnest([[1],[2,3]], recursive := true) AS x",
-        "SELECT unnest([[1,2]], max_depth := 2) AS x",
         "SELECT unnest({'a':1}) + 1",
         "SELECT unnest([[1,2]], recursive := o_orderkey) AS x FROM orders",
     ]:
