@@ -1048,6 +1048,94 @@ def _flatten_wrap(arg: str, times: int) -> str:
     return w
 
 
+_LENGTH_CALL = re.compile(r"(?is)\blength\s*\(")
+
+
+def _rewrite_length_on_lists(sql: str, spark, probe_prefix: str = "") -> str:
+    """DuckDB's ``len``/``length`` are overloaded: character length on
+    VARCHAR and element count on LIST (probed; NULL → NULL for both).
+    The name pass maps len → length, which Spark resolves for strings
+    with identical semantics but REJECTS for arrays — loud, never
+    silent, yet a real user hazard since list ``len`` is idiomatic
+    DuckDB. Round 9: when a session can ANALYZE the argument's type in
+    the statement's own FROM context (the same probe infra the unnest
+    passes use, memoized per session), list-typed arguments rewrite to
+    ``CAST(size(…) AS BIGINT)`` — Spark's element count is
+    NULL-in-NULL-out (probed) and the cast matches DuckDB's BIGINT
+    return width so the hash gate sees identical schemas. Unprovable
+    arguments — sub-select scopes (different FROM context),
+    sessionless transpile, probe failures, embedded unnests — stay
+    untouched: strings keep working natively, lists keep failing
+    loudly."""
+    if spark is None:
+        return sql
+    spans = _quoted_spans(sql)
+    sites = [
+        m
+        for m in _LENGTH_CALL.finditer(sql)
+        if not any(s <= m.start() <= e for s, e in spans)
+    ]
+    if not sites:
+        return sql
+    if re.match(r"(?is)^\s*WITH\b", sql):
+        sel_idx, _ = _scan_top_level(sql, ("select",))
+        if sel_idx <= 0:
+            return sql
+        body = _rewrite_length_on_lists(
+            sql[sel_idx:], spark, probe_prefix=sql[:sel_idx]
+        )
+        return sql if body == sql[sel_idx:] else sql[:sel_idx] + body
+    # main-select FROM context for the probe, cut at the first
+    # top-level clause after the relations — types don't depend on
+    # WHERE/GROUP/ORDER, and a GROUP BY inside the probe SELECT would
+    # break its analysis
+    from_idx, _ = _scan_top_level(sql, ("from",))
+    tail = ""
+    if from_idx >= 0:
+        rest = sql[from_idx:]
+        cut, _kw = _scan_top_level(
+            rest,
+            (
+                "where", "group", "having", "qualify", "window",
+                "order", "limit", "offset", "union", "intersect",
+                "except",
+            ),
+            4,
+        )
+        tail = rest[:cut] if cut >= 0 else rest
+    # a length() inside a sub-select has a DIFFERENT FROM scope than
+    # the probe's — skip those sites
+    sub_spans: list[tuple[int, int]] = []
+    for sm in re.finditer(r"(?is)\(\s*select\b", sql):
+        if any(s <= sm.start() <= e for s, e in spans):
+            continue
+        got = _call_args(sql, sm.start())
+        if got is not None:
+            sub_spans.append((sm.start(), got[1]))
+
+    from pyspark.sql.types import ArrayType
+
+    out = sql
+    for m in sorted(sites, key=lambda x: x.start(), reverse=True):
+        if any(s <= m.start() < e for s, e in sub_spans):
+            continue
+        got = _call_args(sql, m.end() - 1)
+        if got is None:
+            continue
+        args, end = got
+        if len(args) != 1:
+            continue
+        arg = args[0]
+        if _UNNEST_CALL.search(arg):
+            continue  # typed only after the unnest rewrites
+        dtype = _probe_expr_type(arg, probe_prefix, tail, spark)
+        if isinstance(dtype, ArrayType):
+            out = (
+                out[: m.start()] + f"CAST(size(({arg})) AS BIGINT)" + out[end:]
+            )
+    return out
+
+
 def _struct_leaf_items(base: str, dt, recursive: bool) -> list[str]:
     """Projection items expanding struct ``base`` the way DuckDB's
     struct unnest does: one column per field named AFTER the field
@@ -4256,6 +4344,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_length_on_lists(sql, spark)
     sql = _rewrite_struct_recursive_unnest(sql, spark)
     sql = _rewrite_unnest_set_ops(sql)
     sql = _rewrite_multi_unnest(sql)

@@ -775,6 +775,46 @@ def test_unnest_recursive_literals(engines):
         _run_pair_unordered(spark, con, stmt)
 
 
+def test_len_on_lists_probe_typed(engines):
+    """Round-9: DuckDB's overloaded ``len``/``length`` — character
+    count on VARCHAR, element count on LIST (probed, NULL → NULL for
+    both). List-typed arguments are probe-typed in the statement's own
+    FROM context and rewrite to ``CAST(size(…) AS BIGINT)``; string
+    arguments pass through to Spark's identical ``length``. Covers
+    table columns, both spellings, CTE scope, expressions around the
+    call, WHERE-clause placement, NULL lists, and the conservative
+    skips (sub-select scope, sessionless)."""
+    spark, con, _ = engines
+    for stmt in [
+        "SELECT o_orderkey, len(string_split(o_orderpriority, '-')) AS n "
+        "FROM orders WHERE o_orderkey < 60",
+        "SELECT length(string_split(o_orderpriority, '-')) AS n, "
+        "length(o_orderpriority) AS chars FROM orders WHERE o_orderkey < 60",
+        "SELECT len([1,2,3]) AS a, len('abcd') AS b, "
+        "length(CAST(NULL AS INT[])) AS c",
+        "WITH w AS (SELECT string_split(o_orderpriority, '-') AS parts "
+        "FROM orders WHERE o_orderkey < 40) "
+        "SELECT len(parts) + 10 AS n FROM w",
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey < 200 AND len(string_split(o_orderpriority, '-')) = 2",
+    ]:
+        duck_sql = stmt
+        exp = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+        t = transpile_statement(duck_sql, spark)
+        got = sorted(tuple(r) for r in spark.sql(t).collect())
+        assert got == exp, f"{stmt}\nspark={got[:4]}\nduck={exp[:4]}"
+    # sessionless transpile: no probe, list-len stays loud as length()
+    t = transpile_statement("SELECT len(string_split(s, ' ')) FROM t")
+    assert "length(" in t and "size(" not in t
+    # a len in a sub-select keeps its own scope: left untouched there
+    t = transpile_statement(
+        "SELECT (SELECT len(string_split(o_orderpriority, '-')) "
+        "FROM orders LIMIT 1) AS n",
+        spark,
+    )
+    assert "size(" not in t
+
+
 def test_unnest_max_depth_literals(engines):
     """Round-9 ``max_depth := N``: unnests min(N, type depth) levels —
     the capped-flatten variant of the recursive machinery, every fact
