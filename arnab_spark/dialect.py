@@ -1113,10 +1113,27 @@ def _rewrite_length_on_lists(sql: str, spark, probe_prefix: str = "") -> str:
         if got is not None:
             sub_spans.append((sm.start(), got[1]))
 
+    # sites in LATER set-op arms see a different FROM context than the
+    # first arm's probe (round-10 advice: arm 1 typing a same-named
+    # column ARRAY while arm 2's is VARCHAR would mis-rewrite arm 2) —
+    # skip everything past the first top-level genuine set operator
+    setop_idx = len(sql)
+    scan = 0
+    while True:
+        idx, w = _scan_top_level(sql, ("union", "intersect", "except"), scan)
+        if idx < 0:
+            break
+        if _is_set_op_at(sql, idx, w):
+            setop_idx = idx
+            break
+        scan = idx + len(w)
+
     from pyspark.sql.types import ArrayType
 
     out = sql
     for m in sorted(sites, key=lambda x: x.start(), reverse=True):
+        if m.start() >= setop_idx:
+            continue
         if any(s <= m.start() < e for s, e in sub_spans):
             continue
         got = _call_args(sql, m.end() - 1)
@@ -1840,23 +1857,17 @@ def _fold_literal_concat(s: str) -> str | None:
 
 
 def _strf_rewrite(spark_fn: str):
-    """strftime/strptime with a CONSTANT format: plain string literals
-    and folded literal ``||`` chains rewrite; every directive must map
-    to a Java pattern — or, for strftime only, to the pure-SQL
-    expression table (``_c_format_to_sql_expr``). Column-sourced
-    formats are an InvalidInputException in DuckDB itself ("strftime
-    format must be a constant", probed) — leaving them loud IS
-    parity."""
+    """strftime with a CONSTANT format: plain string literals and
+    folded literal ``||`` chains rewrite; every directive must map to a
+    Java pattern or to the pure-SQL expression table
+    (``_c_format_to_sql_expr``). Column-sourced formats are an
+    InvalidInputException in DuckDB itself ("strftime format must be a
+    constant", probed) — leaving them loud IS parity."""
 
     def build(a: list[str]) -> str | None:
-        m = _lit_match(a[1])
-        if m:
-            fmt = m.group(1)
-        else:
-            folded = _fold_literal_concat(a[1])
-            if folded is None:
-                return None
-            fmt = folded
+        fmt = _const_format(a[1])
+        if fmt is None:
+            return None
         java = _c_format_to_java(fmt)
         if java is not None:
             # the Java pattern may contain single quotes (literal-run
@@ -1869,8 +1880,362 @@ def _strf_rewrite(spark_fn: str):
     return build
 
 
+def _const_format(arg: str) -> str | None:
+    """Extract a constant C-format string from an argument expression:
+    a plain literal or a foldable literal ``||`` chain; None otherwise
+    (column-sourced formats error in DuckDB itself — loud IS parity)."""
+    m = _lit_match(arg)
+    if m:
+        return m.group(1)
+    return _fold_literal_concat(arg)
+
+
+# ---------------------------------------------------------------------
+# strptime PARSE-side compiler (round 10). The format side (strftime)
+# maps to Java patterns / JVM expressions above; the parse side CANNOT
+# share that path safely: DuckDB's strptime accepts 1-2 digit numeric
+# fields where Java's paired pattern letters demand zero-padding
+# ('2021-3-5' parses in DuckDB, fails Java 'yyyy-MM-dd'), defaults the
+# missing date to 1900-01-01 where Java defaults to 1970, parses %g as
+# integer MILLIseconds where Java 'SSS' is a fraction, and IGNORES %j
+# order-dependently (probed: '%j %Y' uses the day-of-year, '%Y %j'
+# drops it). So every constant-format strptime/try_strptime compiles
+# here to a pure-JVM expression: ONE anchored regex derived from the
+# format extracts each directive's digits (regexp_extract), range
+# checks mirror DuckDB's field validation, and the date is rebuilt
+# arithmetically — including the ISO (%G/%V/%u), Sunday-week (%U/%w)
+# and Monday-week (%W/%w) systems that have no Java parse twin at all.
+# Every branch of the semantics below was probed on the pinned DuckDB
+# (reference delegates strptime through node.rs:176):
+#   * leading/trailing input whitespace tolerated; format whitespace
+#     matches one-or-more input whitespace chars
+#   * %-X no-padding variants parse exactly like %X (both are \d{1,2})
+#   * a month/day field present => week-number fields are validated
+#     but IGNORED ('%Y %U %d' uses the day, month defaults to 1)
+#   * %V pairs with %G only ('%Y %V' validates-and-ignores %V); bare
+#     '%V %u' is ISO with the default year 1900
+#   * %u is used in ISO mode only, %w in %U/%W modes only; each is
+#     range-validated even where ignored
+#   * %U with %W, or %G with %U/%W/%Y: DuckDB errors — stays loud here
+#   * duplicate same-role directives: LAST wins ('%Y %y' = the %y)
+#   * %I without %p is the hour as written (12 stays 12); with %p,
+#     12am=0 / 12pm=12; %p without %I errors in DuckDB — loud
+#   * fractions: %f = integer microseconds (1-6 digits), %g = integer
+#     milliseconds (1-3), %n = integer nanoseconds (1-9, rounded
+#     half-up to micros); DuckDB defaults everything missing to
+#     1900-01-01 00:00:00
+#   * %j, %z, %Z stay loud (%j is order-dependent in DuckDB; %z/%Z
+#     produce TIMESTAMP WITH TIME ZONE, a different result type)
+# Failure parity: strptime raises on a non-matching or out-of-range
+# input (raise_error), try_strptime yields NULL; a NULL input is NULL
+# through both. Invalid calendar dates (Feb 30) are rejected by an
+# explicit last-day check so the try_ variant stays NULL-not-error.
+
+_STRP_NUM = {
+    # directive -> (regex snippet [1 capture], role, lo, hi)
+    "Y": (r"(\d{1,4})", "year", None, None),
+    "y": (r"(\d{1,2})", "year2", None, None),
+    "m": (r"(\d{1,2})", "month", 1, 12),
+    "d": (r"(\d{1,2})", "day", 1, 31),
+    "H": (r"(\d{1,2})", "hour24", 0, 23),
+    "I": (r"(\d{1,2})", "hour12", 1, 12),
+    "M": (r"(\d{1,2})", "minute", 0, 59),
+    "S": (r"(\d{1,2})", "second", 0, 59),
+    "f": (r"(\d{1,6})", "micros", None, None),
+    "g": (r"(\d{1,3})", "millis", None, None),
+    "n": (r"(\d{1,9})", "nanos", None, None),
+    "G": (r"(\d{1,4})", "isoyear", None, None),
+    "V": (r"(\d{1,2})", "isoweek", 1, 53),
+    "U": (r"(\d{1,2})", "sunweek", 0, 53),
+    "W": (r"(\d{1,2})", "monweek", 0, 53),
+    "u": (r"(\d)", "isodow", 1, 7),
+    "w": (r"(\d)", "sundow", 0, 6),
+}
+_STRP_MONTHS = "jan feb mar apr may jun jul aug sep oct nov dec".split()
+_STRP_MONTHS_FULL = (
+    "january february march april may june july august september "
+    "october november december"
+).split()
+_STRP_DAYS = "mon tue wed thu fri sat sun".split()
+_STRP_DAYS_FULL = (
+    "monday tuesday wednesday thursday friday saturday sunday"
+).split()
+_STRP_NAME = {
+    # directive -> (regex snippet [1 capture, case-insensitive], role)
+    # abbreviated vs full names DON'T cross-match (probed: 'Jan' fails
+    # %B, 'Mon' fails %A) — each alternation lists only its own forms
+    "p": (r"((?i:[ap]m))", "ampm"),
+    "b": (r"((?i:%s))" % "|".join(_STRP_MONTHS), "month_name"),
+    "B": (r"((?i:%s))" % "|".join(_STRP_MONTHS_FULL), "month_name_full"),
+    "a": (r"((?i:%s))" % "|".join(_STRP_DAYS), "dayname"),
+    "A": (r"((?i:%s))" % "|".join(_STRP_DAYS_FULL), "dayname"),
+}
+#: composite directives expand to their probed fixed sub-formats
+_STRP_COMPOSITE = {"c": "%Y-%m-%d %H:%M:%S", "x": "%Y-%m-%d", "X": "%H:%M:%S"}
+
+
+def _strp_tokens(fmt: str) -> list[tuple] | None:
+    """Tokenize a C parse format: ('lit', text) / ('ws',) /
+    ('num'|'name', directive-key). None on any unsupported directive."""
+    toks: list[tuple] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= n:
+                return None
+            code = fmt[i + 1]
+            if code == "%":
+                toks.append(("lit", "%"))
+                i += 2
+                continue
+            if code == "-" and i + 2 < n and fmt[i + 2] in _STRP_NUM:
+                # no-padding variants parse like the padded ones (probed)
+                code, i = fmt[i + 2], i + 1
+            if code in _STRP_COMPOSITE:
+                sub = _strp_tokens(_STRP_COMPOSITE[code])
+                if sub is None:
+                    return None
+                toks.extend(sub)
+            elif code in _STRP_NUM:
+                toks.append(("num", code))
+            elif code in _STRP_NAME:
+                toks.append(("name", code))
+            else:
+                return None  # %j / %z / %Z / unknown: loud
+            i += 2
+            continue
+        if ch in " \t\n\r\f\v":
+            if not toks or toks[-1] != ("ws",):
+                toks.append(("ws",))
+            i += 1
+            continue
+        if toks and toks[-1][0] == "lit":
+            toks[-1] = ("lit", toks[-1][1] + ch)
+        else:
+            toks.append(("lit", ch))
+        i += 1
+    return toks
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a Spark SQL string literal (the session
+    keeps escapedStringLiterals at its default, so backslashes must be
+    doubled alongside quote-doubling)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _strp_name_pos(names: list[str], val: str) -> str:
+    """1-based month number from a lowercased captured name."""
+    arr = ", ".join(f"'{m}'" for m in names)
+    return f"CAST(array_position(array({arr}), {val}) AS INT)"
+
+
+def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
+    """Compile ``strptime(arg, '<fmt>')`` to a Spark SQL expression per
+    the probed DuckDB semantics documented above. ``fail_sql`` is the
+    expression for a non-matching / out-of-range input (raise_error for
+    strptime, a typed NULL for try_strptime). Returns None when the
+    format contains a directive or combination with no proven mapping
+    (the call then stays loud)."""
+    toks = _strp_tokens(fmt)
+    if toks is None or not toks:
+        return None  # empty format errors in DuckDB's binder: loud
+    if "__RX__" in fmt or "__RX__" in arg:
+        return None  # would collide with the regex splice marker
+    arg = f"({arg})"
+    rx_parts: list[str] = [r"^\s*"]
+    conds: list[str] = []  # ordered: each becomes its own WHEN branch
+    vals: dict[str, str] = {}  # role -> value SQL (LAST occurrence wins)
+    roles_seen: set[str] = set()
+    gi = 0
+
+    def ex_int(idx: int) -> str:
+        return (
+            f"CAST(regexp_extract({arg}, __RX__, {idx}) AS INT)"
+        )
+
+    def ex_str(idx: int) -> str:
+        return f"lower(regexp_extract({arg}, __RX__, {idx}))"
+
+    for tok in toks:
+        if tok[0] == "lit":
+            rx_parts.append(re.escape(tok[1]))
+            continue
+        if tok[0] == "ws":
+            rx_parts.append(r"\s+")
+            continue
+        kind, code = tok
+        gi += 1
+        if kind == "num":
+            rx, role, lo, hi = _STRP_NUM[code]
+            rx_parts.append(rx)
+            v = ex_int(gi)
+            if lo is not None:
+                conds.append(f"{v} BETWEEN {lo} AND {hi}")
+            roles_seen.add(role)
+            vals[role] = v
+        else:
+            rx, role = _STRP_NAME[code]
+            rx_parts.append(rx)
+            roles_seen.add(role)
+            if role == "month_name":
+                vals[role] = _strp_name_pos(_STRP_MONTHS, ex_str(gi))
+            elif role == "month_name_full":
+                vals[role] = _strp_name_pos(_STRP_MONTHS_FULL, ex_str(gi))
+            elif role == "ampm":
+                vals[role] = ex_str(gi)
+            # dayname: validated by the regex alternation, never used
+    rx_parts.append(r"\s*$")
+    rx_lit = _sql_str("".join(rx_parts))
+
+    # ---- role reconciliation (all combination rules probed) ----
+    if {"sunweek", "monweek"} <= roles_seen:
+        return None  # DuckDB errors on %U+%W
+    if "isoyear" in roles_seen and roles_seen & {
+        "sunweek", "monweek", "year", "year2",
+    }:
+        return None  # %G beside %U/%W errors; %G beside %Y unprobed
+    if "ampm" in roles_seen and "hour12" not in roles_seen:
+        return None  # %p needs %I (DuckDB errors on %H %p)
+    if len(roles_seen & {"micros", "millis", "nanos"}) > 1:
+        return None  # stacked fraction fields: unprobed
+    if len(roles_seen & {"month", "month_name", "month_name_full"}) > 1:
+        return None  # %m beside %b/%B: positional last-wins unprobed
+
+    year = vals.get("year")
+    if "year2" in roles_seen and (
+        "year" not in roles_seen or _strp_last_year_role(toks) == "year2"
+    ):
+        y2 = vals["year2"]
+        year = f"(CASE WHEN {y2} < 69 THEN 2000 + {y2} ELSE 1900 + {y2} END)"
+    year = year or "1900"
+    month = vals.get("month") or vals.get("month_name") or vals.get(
+        "month_name_full"
+    )
+    has_md = bool(month) or "day" in roles_seen
+
+    if has_md:
+        m_sql = month or "1"
+        d_sql = vals.get("day", "1")
+        if "day" in roles_seen:
+            # explicit last-day check instead of letting make_date blow
+            # up under ANSI: keeps try_strptime NULL-not-error on Feb 30
+            conds.append(
+                f"{d_sql} <= extract(DAY FROM "
+                f"last_day(make_date({year}, {m_sql}, 1)))"
+            )
+        date_sql = f"make_date({year}, {m_sql}, {d_sql})"
+    elif "isoyear" in roles_seen or (
+        "isoweek" in roles_seen and not roles_seen & {"year", "year2"}
+    ):
+        g = vals.get("isoyear", "1900")
+        v = vals.get("isoweek", "1")
+        u = vals.get("isodow", "1")
+        anchor = f"make_date({g}, 1, 4)"  # Jan 4 is always in ISO week 1
+        wk1 = f"date_sub({anchor}, extract(DOW_ISO FROM {anchor}) - 1)"
+        date_sql = f"date_add({wk1}, ({v} - 1) * 7 + ({u} - 1))"
+    elif "sunweek" in roles_seen or "monweek" in roles_seen:
+        jan1 = f"make_date({year}, 1, 1)"
+        if "sunweek" in roles_seen:
+            wk = vals["sunweek"]
+            off = vals.get("sundow", "0")
+            wk1 = f"date_add({jan1}, (7 - extract(DOW_ISO FROM {jan1})) % 7)"
+        else:
+            wk = vals["monweek"]
+            w = vals.get("sundow")
+            off = f"(({w} + 6) % 7)" if w else "0"
+            wk1 = f"date_add({jan1}, (8 - extract(DOW_ISO FROM {jan1})) % 7)"
+        date_sql = f"date_add({wk1}, ({wk} - 1) * 7 + {off})"
+    else:
+        date_sql = f"make_date({year}, 1, 1)"
+
+    # ---- time of day ----
+    if "hour12" in roles_seen:
+        h = vals["hour12"]
+        if "ampm" in roles_seen:
+            hour = (
+                f"(({h}) % 12 + CASE WHEN {vals['ampm']} = 'pm' "
+                f"THEN 12 ELSE 0 END)"
+            )
+        else:
+            hour = h  # probed: %I without %p keeps the hour as written
+    else:
+        hour = vals.get("hour24", "0")
+    minute = vals.get("minute", "0")
+    second = vals.get("second", "0")
+    if "micros" in roles_seen:
+        frac = vals["micros"]
+    elif "millis" in roles_seen:
+        frac = f"({vals['millis']} * 1000)"
+    elif "nanos" in roles_seen:
+        # DuckDB rounds nanoseconds half-up to the µs (probed both sides
+        # of the .5 boundary)
+        frac = f"CAST(floor(({vals['nanos']} + 500) / 1000) AS INT)"
+    else:
+        frac = None
+
+    ts = f"CAST({date_sql} AS TIMESTAMP)"
+    time_terms = []
+    if hour != "0":
+        time_terms.append(f"CAST({hour} AS BIGINT) * 3600000000")
+    if minute != "0":
+        time_terms.append(f"CAST({minute} AS BIGINT) * 60000000")
+    if second != "0":
+        time_terms.append(f"CAST({second} AS BIGINT) * 1000000")
+    if frac is not None:
+        time_terms.append(f"CAST({frac} AS BIGINT)")
+    if time_terms:
+        ts = f"timestampadd(MICROSECOND, {' + '.join(time_terms)}, {ts})"
+
+    branches = [
+        f"WHEN {arg} IS NULL THEN CAST(NULL AS TIMESTAMP)",
+        f"WHEN NOT ({arg} RLIKE __RX__) THEN {fail_sql}",
+    ]
+    # each range/validity check is its OWN branch: within a single AND
+    # Spark may evaluate the calendar check before the month-range one
+    # and error inside make_date instead of failing cleanly
+    branches += [f"WHEN NOT ({c}) THEN {fail_sql}" for c in conds]
+    branches.append(f"ELSE {ts} END")
+    out = "CASE " + " ".join(branches)
+    return out.replace("__RX__", rx_lit)
+
+
+def _strp_last_year_role(toks: list[tuple]) -> str:
+    """Which of %Y/%y appears LAST in the format (duplicates last-win,
+    probed: strptime('2021 22', '%Y %y') = 2022)."""
+    last = "year"
+    for kind, code in ((t[0], t[1]) for t in toks if len(t) == 2):
+        if kind == "num" and code == "Y":
+            last = "year"
+        elif kind == "num" and code == "y":
+            last = "year2"
+    return last
+
+
+def _strp_rewrite(try_variant: bool):
+    def build(a: list[str]) -> str | None:
+        fmt = _const_format(a[1])
+        if fmt is None:
+            return None
+        fail = (
+            "CAST(NULL AS TIMESTAMP)"
+            if try_variant
+            else "raise_error("
+            + _sql_str(
+                f"strptime: input does not match format {fmt!r} "
+                "(arnab-spark parse-compiled; DuckDB raises here too)"
+            )
+            + ")"
+        )
+        return _c_parse_to_sql_expr(fmt, a[0], fail)
+
+    return build
+
+
 _ARG_CALL_REWRITES["strftime"] = (2, _strf_rewrite("date_format"))
-_ARG_CALL_REWRITES["strptime"] = (2, _strf_rewrite("to_timestamp"))
+_ARG_CALL_REWRITES["strptime"] = (2, _strp_rewrite(False))
+_ARG_CALL_REWRITES["try_strptime"] = (2, _strp_rewrite(True))
 
 
 def _substr_zero(a: list[str]) -> str | None:
@@ -4242,7 +4607,10 @@ def _reject_sequences(sql: str) -> None:
     Rather than let Spark throw a generic parse error, name the
     construct and the alternatives so a ported model fails with a
     decision, not a mystery."""
-    spans = _quoted_spans(sql)
+    # quote- AND comment-aware (round-10 advice: a comment merely
+    # MENTIONING 'nextval(' must not fail the statement), mirroring the
+    # power-operator pass
+    spans = _quoted_spans(sql) + _comment_spans(sql)
     for m in _SEQUENCE_SITE.finditer(sql):
         if any(s <= m.start() <= e for s, e in spans):
             continue

@@ -815,6 +815,30 @@ def test_len_on_lists_probe_typed(engines):
     assert "size(" not in t
 
 
+def test_len_setop_arms_scoped_to_first_arm(engines):
+    """Round-10 advice: length() sites in LATER set-op arms must not be
+    typed against the FIRST arm's FROM context. Arm 1's ``v`` is a
+    LIST, arm 2's same-named ``v`` is a VARCHAR — before the fix the
+    arm-2 site rewrote to size() and Spark failed analysis on a
+    statement DuckDB runs. Arm-1 sites still rewrite; a projection
+    ``* EXCEPT`` (not a set operator) does not cut the scan."""
+    spark, con, _ = engines
+    stmt = (
+        "SELECT len(v) AS n FROM (SELECT string_split(o_orderpriority, '-') "
+        "AS v FROM orders WHERE o_orderkey < 40) "
+        "UNION ALL "
+        "SELECT len(v) AS n FROM (SELECT o_orderpriority AS v "
+        "FROM orders WHERE o_orderkey < 40)"
+    )
+    exp = sorted(tuple(r) for r in con.execute(stmt).fetchall())
+    t = transpile_statement(stmt, spark)
+    got = sorted(tuple(r) for r in spark.sql(t).collect())
+    assert got == exp, f"{t}\nspark={got[:4]}\nduck={exp[:4]}"
+    # the arm-2 site must have stayed length(); arm-1 scoping is probed
+    # through the value match above (both arms' counts agree with DuckDB)
+    assert t.count("length(") >= 1
+
+
 def test_unnest_max_depth_literals(engines):
     """Round-9 ``max_depth := N``: unnests min(N, type depth) levels —
     the capped-flatten variant of the recursive machinery, every fact

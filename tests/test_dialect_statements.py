@@ -383,6 +383,14 @@ def test_sequence_statements_raise_targeted_error():
     assert "nextval" in transpile_statement(
         "SELECT 'call nextval(x) later' AS note"
     )
+    # ... nor inside a COMMENT (round-10 advice: the reject pass is
+    # comment-aware like the power-operator pass — a note mentioning
+    # 'DROP SEQUENCE' or 'nextval(' must not fail the statement)
+    for stmt in (
+        "SELECT 1 AS v -- then DROP SEQUENCE ids and nextval('ids')",
+        "SELECT /* nextval(ids) pending CREATE SEQUENCE */ 2 AS v",
+    ):
+        assert " AS v" in transpile_statement(stmt)
 
 
 def test_count_pivot_fills_empty_cells_with_zero(spark, con):
@@ -574,10 +582,12 @@ def test_scalar_function_parity_log_strpos_sha256(spark, con):
 
 
 def test_strftime_strptime_literal_formats(spark, con):
-    """strftime/strptime with literal C-style formats translate to
-    date_format/to_timestamp with the Java pattern (literal runs
-    quoted, quotes SQL-escaped); any unmapped %-directive leaves the
-    call untouched for a loud UNRESOLVED_ROUTINE."""
+    """strftime with a literal C-style format translates to
+    date_format with the Java pattern (literal runs quoted, quotes
+    SQL-escaped); strptime routes through the round-10 PARSE compiler
+    (see test_strptime_parse_compiler_differential); any unmapped
+    %-directive leaves the call untouched for a loud
+    UNRESOLVED_ROUTINE."""
     cases = [
         "strftime(TIMESTAMP '2024-03-07 14:05:09.123456', '%Y-%m-%d')",
         "strftime(TIMESTAMP '2024-03-07 14:05:09', '%Y-%m-%dT%H:%M:%S')",
@@ -646,7 +656,7 @@ def test_strftime_expression_directives_and_literal_folding(spark, con):
         duck_sql = f"SELECT {expr} AS v"
         exp = con.execute(duck_sql).fetchone()[0]
         t = transpile_statement(duck_sql)
-        assert "strftime" not in t and "strptime" not in t, t
+        assert "strftime(" not in t and "strptime(" not in t, t
         got = spark.sql(t).collect()[0][0]
         assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
     # NULL input propagates through the concat compilation
@@ -657,6 +667,132 @@ def test_strftime_expression_directives_and_literal_folding(spark, con):
     assert "strftime" in transpile_statement(
         "SELECT strftime(ts, '%Y' || fmt) FROM t"
     )
+
+
+#: (input, format) matrix for the round-10 strptime PARSE compiler —
+#: every DuckDB parse-side semantic probed during its design: 1-2 digit
+#: numeric fields, 1900-01-01 defaults, the three week-number systems
+#: (%G/%V/%u ISO, %Y/%U/%w Sunday, %Y/%W/%w Monday), validated-ignored
+#: fields (%V beside %Y, %u beside %U/%W, %w in ISO, day names, week
+#: fields beside a month/day), last-wins duplicate year roles, %I/%p
+#: hour rules, %f=µs %g=ms %n=ns(half-up) integer fractions, composite
+#: %c/%x/%X, case-insensitive month/day names (abbrev vs full strict),
+#: whitespace flexibility, and literal %%.
+_STRPTIME_OK_CASES = [
+    ("2021-03-05", "%Y-%m-%d"), ("2021-3-5", "%Y-%m-%d"),
+    ("2021-3-5", "%Y-%-m-%-d"), ("07/03/2024", "%d/%m/%Y"),
+    ("2024-03-07 14:05:09", "%Y-%m-%d %H:%M:%S"),
+    ("2024-03-07 14:05:09.123456", "%Y-%m-%d %H:%M:%S.%f"),
+    ("2024-03-07 14:05:09.123", "%Y-%m-%d %H:%M:%S.%g"),
+    ("2024-03-07 14:05:09 123456499", "%Y-%m-%d %H:%M:%S %n"),
+    ("2024-03-07 14:05:09 123456500", "%Y-%m-%d %H:%M:%S %n"),
+    ("13:45", "%H:%M"), ("11 30 pm", "%I %M %p"), ("12 am", "%I %p"),
+    ("12 pm", "%I %p"), ("12", "%I"), ("11 Pm", "%I %p"), ("pm 11", "%p %I"),
+    ("2021 02 4", "%G %V %u"), ("2021-W02-4", "%G-W%V-%u"),
+    ("2018 52 1", "%G %V %u"), ("2020 53 7", "%G %V %u"),
+    ("2021 53 1", "%G %V %u"), ("2021", "%G"), ("2021 4", "%G %u"),
+    ("2021 5", "%G %V"), ("02 4", "%V %u"),
+    ("2021 05", "%Y %U"), ("2021 05 3", "%Y %U %w"),
+    ("2021 00 5", "%Y %U %w"), ("2021 53", "%Y %U"), ("05", "%U"),
+    ("2021 05", "%Y %W"), ("2021 00", "%Y %W"), ("2021 05 0", "%Y %W %w"),
+    ("2021 05 3", "%Y %W %w"), ("2021 05 3", "%Y %U %u"),
+    ("2021 05 7", "%Y %W %u"), ("2021 02 0", "%G %V %w"),
+    ("2021 02 4 3", "%G %V %u %w"), ("2021 05", "%Y %V"),
+    ("2021-W02-4 13:45:07", "%G-W%V-%u %H:%M:%S"),
+    ("2021 05 3 11 30 pm", "%Y %U %w %I %M %p"),
+    ("JAN 5 2021", "%b %d %Y"), ("15/MAR/2021", "%d/%b/%Y"),
+    ("january 5 2021", "%B %d %Y"), ("Mon 2021-03-16", "%a %Y-%m-%d"),
+    ("MONDAY 2021-03-16", "%A %Y-%m-%d"), ("Friday 2021 05", "%A %Y %U"),
+    ("mar 5", "%b %d"), ("5 2021-03", "%d %Y-%m"),
+    ("2021 05 7", "%Y %U %d"),
+    ("69", "%y"), ("68", "%y"), ("0", "%y"), ("5", "%y"), ("21", "%Y"),
+    ("2021 22", "%Y %y"), ("22 2021", "%y %Y"),
+    ("20210305", "%Y%m%d"), ("1345", "%H%M"), ("abc", "abc"),
+    (" 2021", "%Y"), ("2021 ", "%Y"), ("2021\t05", "%Y %U"),
+    ("2021  05", "%Y %U"), ("50% 2021", "%U%% %Y"),
+    ("2021-03-15 13:45:07", "%c"), ("2021-03-15", "%x"), ("13:45:07", "%X"),
+    ("2021-03-15 02 1", "%Y-%m-%d %V %u"), ("2021-03-15 40", "%Y-%m-%d %U"),
+    ("2020-02-29", "%Y-%m-%d"),
+]
+#: inputs BOTH engines must reject (range violations, regex mismatch,
+#: invalid calendar dates, abbrev/full name cross-use)
+_STRPTIME_ERR_CASES = [
+    ("2021 54 1", "%G %V %u"), ("2021 00 1", "%G %V %u"),
+    ("2021 02 0", "%G %V %u"), ("2021 02 8", "%G %V %u"),
+    ("2021 05 7", "%Y %U %w"), ("2021 05 0", "%Y %U %u"),
+    ("2021 05 8", "%Y %U %u"), ("2021 60", "%Y %U"), ("2021 54", "%Y %V"),
+    ("2021-02-30", "%Y-%m-%d"), ("2021-02-29", "%Y-%m-%d"),
+    ("2021-13-05", "%Y-%m-%d"), ("24:00", "%H:%M"),
+    ("2021 60 10", "%Y %M %S"), ("13", "%I"), ("2021xyz", "%Y"),
+    ("202105", "%Y %U"), ("12345", "%Y"),
+    ("2021-01-15 1234567", "%Y-%m-%d %f"), ("2021-01-15 1234", "%Y-%m-%d %g"),
+    ("Jan 5 2021", "%B %d %Y"), ("Xyz 2021-03-16", "%a %Y-%m-%d"),
+    ("garbage", "%Y-%m-%d"),
+]
+
+
+def test_strptime_parse_compiler_differential(spark, con):
+    """Round-10 lift: strptime with a constant format compiles to a
+    pure-JVM parse expression (anchored regex extraction + calendar
+    arithmetic) instead of Java ``to_timestamp`` — the Java path
+    silently mismatched DuckDB on single-digit fields ('2021-3-5'),
+    the 1900 default date, %g (integer ms, not a fraction) and %j
+    (order-dependently ignored by DuckDB; now loud). Every success AND
+    error case must agree with DuckDB run verbatim."""
+    for inp, fmt in _STRPTIME_OK_CASES:
+        duck_sql = f"SELECT strptime('{inp}', '{fmt}') AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        t = transpile_statement(duck_sql)
+        assert "strptime(" not in t, f"stayed loud: {fmt!r}"
+        got = spark.sql(t).collect()[0][0]
+        assert got == exp, f"{inp!r} {fmt!r}: spark={got!r} duck={exp!r}"
+    for inp, fmt in _STRPTIME_ERR_CASES:
+        duck_sql = f"SELECT strptime('{inp}', '{fmt}') AS v"
+        with pytest.raises(Exception):
+            con.execute(duck_sql).fetchone()
+        t = transpile_statement(duck_sql)
+        assert "strptime(" not in t, f"stayed loud: {fmt!r}"
+        with pytest.raises(Exception):
+            spark.sql(t).collect()
+
+
+def test_try_strptime_and_strptime_loud_shapes(spark, con):
+    """try_strptime compiles to the same parse expression with a typed
+    NULL in place of raise_error (NULL on mismatch, range violation AND
+    invalid calendar dates — the explicit last-day check keeps ANSI
+    make_date from erroring first); NULL input stays NULL; the shapes
+    with no proven mapping stay loud: %j (order-dependent in DuckDB),
+    %z/%Z (different result type), %U beside %W and %G beside %U/%W/%Y
+    (DuckDB errors), %p without %I, stacked fraction fields, and
+    column-sourced formats (constant-only in DuckDB itself)."""
+    for inp, fmt, exp_null in [
+        ("garbage", "%Y-%m-%d", True),
+        ("2021-02-30", "%Y-%m-%d", True),
+        ("2021 54 1", "%G %V %u", True),
+        ("2021 02 4", "%G %V %u", False),
+    ]:
+        duck = con.execute(f"SELECT try_strptime('{inp}', '{fmt}')").fetchone()[0]
+        assert (duck is None) == exp_null  # pin the oracle's own contract
+        t = transpile_statement(f"SELECT try_strptime('{inp}', '{fmt}') AS v")
+        assert "strptime(" not in t
+        assert spark.sql(t).collect()[0][0] == duck
+    t = transpile_statement("SELECT strptime(CAST(NULL AS STRING), '%G %V') AS v")
+    assert "strptime(" not in t
+    assert spark.sql(t).collect()[0][0] is None
+    for loud_sql in [
+        "SELECT strptime(s, '%Y %j') FROM t",
+        "SELECT strptime(s, '%Y-%m-%d %z') FROM t",
+        "SELECT strptime(s, '%Y-%m-%d %Z') FROM t",
+        "SELECT strptime(s, '%Y %U %W') FROM t",
+        "SELECT strptime(s, '%G %U') FROM t",
+        "SELECT strptime(s, '%G %Y') FROM t",
+        "SELECT strptime(s, '%H %p') FROM t",
+        "SELECT strptime(s, '%S %f %g') FROM t",
+        "SELECT strptime(s, '%m %b %Y') FROM t",
+        "SELECT strptime(s, fmt) FROM t",
+        "SELECT try_strptime(s, fmt) FROM t",
+    ]:
+        assert "strptime(" in transpile_statement(loud_sql), loud_sql
 
 
 def test_epoch_and_datediff_day_parity(spark, con):

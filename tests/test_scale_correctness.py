@@ -66,56 +66,87 @@ def sf1_dir():
 
 
 def test_scale_marker_records_and_enforces_table_subset(tmp_path):
-    """Round-7 advice item 2 (low) + round-9 widening: the ``_SCALE_OK``
-    short-circuit used to ignore ``tables=`` — a dest generated with a
-    narrower subset silently satisfied a broader request. Covered
-    requests short-circuit; a BROADER request than a v2 marker now
-    generates only the MISSING tables (per-table content is a pure
-    function of the inputs) and records the union — never silently
-    returns a partial directory, never regenerates what exists."""
+    """Round-7 advice item 2 (low) + round-9 widening + round-10
+    exact-field parsing: the ``_SCALE_OK`` short-circuit used to ignore
+    ``tables=``, then checked it by SUBSTRING membership over the whole
+    marker line — a src path containing a table name silently skipped
+    generating that table, and a dest built at different copies/src
+    could be widened with mismatched content. Covered requests
+    short-circuit; broader v2 requests generate only the MISSING
+    tables (exact-name comparison); copies/src mismatches regenerate
+    from scratch (content is a pure function of the inputs — raising
+    would make bench.py skip the scale section)."""
     import pandas as pd
 
     from tools.gen_scale import generate
 
-    dest = tmp_path / "sfX"
-    dest.mkdir()
-    (dest / "_SCALE_OK").write_text(
-        "v=2 copies=10 src=s tables=('lineitem', 'orders')\n"
-    )
-    # covered narrower request short-circuits (src never read)
-    assert generate(src="unused", dest=str(dest), tables=("lineitem",)) == str(dest)
-    # broader v2 request widens in place: only the missing tables are
-    # generated, the marker records the union
     src = "/root/testdata/sf0.001"
-    out = generate(src=src, dest=str(dest), tables=("lineitem", "region"))
+    dest = tmp_path / "sfX"
+    generate(src=src, dest=str(dest), copies=2, tables=("lineitem", "orders"))
+    marker0 = (dest / "_SCALE_OK").read_text()
+    li_mtime = os.path.getmtime(dest / "lineitem.parquet")
+    # covered narrower request short-circuits (marker untouched)
+    assert generate(
+        src=src, dest=str(dest), copies=2, tables=("lineitem",)
+    ) == str(dest)
+    assert (dest / "_SCALE_OK").read_text() == marker0
+    # broader v2 request widens in place: only the missing tables are
+    # generated (lineitem untouched), the marker records the union
+    out = generate(
+        src=src, dest=str(dest), copies=2, tables=("lineitem", "region")
+    )
     assert out == str(dest)
     assert os.path.exists(dest / "region.parquet")
-    # lineitem was "already present" per the marker — NOT regenerated
-    assert not os.path.exists(dest / "lineitem.parquet")
+    assert os.path.getmtime(dest / "lineitem.parquet") == li_mtime
     recorded = (dest / "_SCALE_OK").read_text()
     for t in ("lineitem", "orders", "region"):
-        assert t in recorded
+        assert f"'{t}'" in recorded
     # region copies verbatim (dimension table)
     assert pd.read_parquet(dest / "region.parquet").shape == (
         pd.read_parquet(os.path.join(src, "region.parquet")).shape
     )
-    # a full-set v2 marker satisfies everything
-    (dest / "_SCALE_OK").write_text("v=2 copies=10 src=s tables=all\n")
-    assert generate(src="unused", dest=str(dest), tables=None) == str(dest)
-    # a pre-v2 marker still satisfies requests that don't want events
-    # (the v2 change only altered how events is generated)
-    (dest / "_SCALE_OK").write_text("copies=10 src=s tables=all\n")
-    assert generate(src="unused", dest=str(dest), tables=("lineitem",)) == str(
-        dest
-    )
+    # a COPIES mismatch regenerates from scratch at the new scale
+    generate(src=src, dest=str(dest), copies=3, tables=("region", "nation"))
+    rec = (dest / "_SCALE_OK").read_text()
+    assert "copies=3" in rec and "'lineitem'" not in rec
+    # a full-set v2 marker satisfies everything at matching copies/src
+    (dest / "_SCALE_OK").write_text(f"v=2 copies=3 src={src} tables=all\n")
+    m3 = (dest / "_SCALE_OK").read_text()
+    assert generate(src=src, dest=str(dest), copies=3, tables=None) == str(dest)
+    assert (dest / "_SCALE_OK").read_text() == m3
+
+
+def test_scale_marker_src_path_containing_table_name(tmp_path):
+    """THE round-10 advice scenario: a src path that CONTAINS a table
+    name (…/orders_fixture/…) used to satisfy the substring membership
+    check and silently skip generating that table — the widened dir
+    then returned partial. With exact tables=() parsing the request
+    generates orders for real."""
+    from tools.gen_scale import generate
+
+    real = "/root/testdata/sf0.001"
+    poisoned = tmp_path / "orders_fixture"  # 'orders' inside the path
+    poisoned.mkdir()
+    for f in os.listdir(real):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(real, f), poisoned / f)
+    dest = tmp_path / "sfZ"
+    generate(src=str(poisoned), dest=str(dest), copies=2, tables=("nation",))
+    assert "orders_fixture" in (dest / "_SCALE_OK").read_text()
+    assert not os.path.exists(dest / "orders.parquet")
+    # the old substring check would have seen 'orders' in the src path
+    # and skipped this widening entirely
+    generate(src=str(poisoned), dest=str(dest), copies=2, tables=("orders",))
+    assert os.path.exists(dest / "orders.parquet")
 
 
 def test_scale_pre_v2_dir_regenerates_events_scaled(tmp_path):
     """Round-8: events changed from a verbatim copy to a keyed-scaled
     fact table (the asof scale family). A dir generated pre-v2 holds
-    sf0.1-sized events; when events are wanted it must regenerate in
-    place (content is a pure function of the inputs) — raising here
-    would make bench.py silently skip the whole scale section."""
+    sf0.1-sized events; it must regenerate in place (round-10: ANY
+    unparseable or non-v2 marker regenerates — content is a pure
+    function of the inputs) — raising here would make bench.py
+    silently skip the whole scale section."""
     import pandas as pd
 
     from tools.gen_scale import generate

@@ -44,6 +44,7 @@ bench artifact).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -131,37 +132,46 @@ def generate(
     if os.path.exists(marker):
         with open(marker) as fh:
             recorded = fh.read()
-        covered = "tables=all" in recorded or (
-            tables is not None
-            and all(t in recorded for t in tables)
+        # round-10 advice: parse the marker's FIELDS exactly instead of
+        # substring membership over the whole line — a src path
+        # containing a table name, or a table whose name is a substring
+        # of another (part/partsupp), must not skip generation; and a
+        # dest built at a different copies/src must never be widened
+        # with mismatched tables (content is a pure function of the
+        # inputs, so incompatible dirs regenerate from scratch rather
+        # than raising — raising would make bench.py skip the section).
+        m = re.match(
+            r"v=(\d+) copies=(\d+) src=(.*?) tables=(all|\(.*\))\s*$",
+            recorded.strip(),
+            re.DOTALL,
         )
-        # v=2 (round-8): events changed from a verbatim copy to a
-        # keyed-scaled fact table; a pre-v2 dir holds sf0.1-sized
-        # events. Content is a pure function of the inputs, so a
-        # version-stale dir regenerates in place instead of raising
-        # (raising here would make bench.py skip the scale section).
-        if covered and "v=2" not in recorded and (
-            tables is None or "events" in tables
-        ):
+        parsed_ok = (
+            m is not None
+            and m.group(1) == "2"
+            and int(m.group(2)) == copies
+            and m.group(3) == src
+        )
+        if not parsed_ok:
             import shutil
 
             shutil.rmtree(dest)
-        elif covered:
-            return dest
-        elif "v=2" in recorded:
-            # round-9: a WIDER request than the recorded subset (e.g.
-            # the sf10 point gaining documents/embeddings for the dedup
-            # slope) generates only the MISSING tables — per-table
-            # content is a pure function of the inputs, so the existing
-            # files stay valid and the marker records the union.
-            all_known = tuple(_KEYED) + (
-                "documents", "embeddings", "nation", "region"
-            )
-            already = {t for t in all_known if t in recorded}
         else:
-            import shutil
+            if m.group(4) == "all":
+                recorded_set: set[str] | None = None  # full set
+            else:
+                import ast
 
-            shutil.rmtree(dest)
+                recorded_set = set(ast.literal_eval(m.group(4)))
+            covered = recorded_set is None or (
+                tables is not None and set(tables) <= recorded_set
+            )
+            if covered:
+                return dest
+            # a WIDER request than the recorded subset (round-9: the
+            # sf10 point gaining documents/embeddings for the dedup
+            # slope) generates only the MISSING tables — the existing
+            # files stay valid and the marker records the union.
+            already = recorded_set or set()
     os.makedirs(dest, exist_ok=True)
 
     def wanted(t: str) -> bool:
