@@ -318,3 +318,82 @@ def dialect_unnest_recursive(spark, sf_dir):
     Reachable through the reference's verbatim model passthrough
     (reference: node.rs:176)."""
     return _run(spark, sf_dir, ("documents",), _UNNEST_RECURSIVE_SQL)
+
+
+_STRPTIME_ROUNDTRIP_SQL = """
+SELECT event_id,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%G-W%V-%u'),
+                     '%G-W%V-%u') AS TIMESTAMP) AS iso_week_day,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y %U %w'),
+                     '%Y %U %w') AS TIMESTAMP) AS sunday_week_day,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), 'wk %W of %Y'),
+                     'wk %W of %Y') AS TIMESTAMP) AS monday_week_start,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%d/%b/%Y %I:%M %p'),
+                     '%d/%b/%Y %I:%M %p') AS TIMESTAMP) AS ampm_trip,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f'),
+                     '%Y-%m-%d %H:%M:%S.%f') AS TIMESTAMP) AS micros_trip,
+       CAST(try_strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'),
+                         '%G-W%V-%u') AS TIMESTAMP) AS try_mismatch
+FROM events
+WHERE event_id % 41 = 0
+"""
+
+
+@query(
+    "dialect_strptime_roundtrip",
+    oracle=_STRPTIME_ROUNDTRIP_SQL,
+    tags=("dialect", "datetime"),
+)
+def dialect_strptime_roundtrip(spark, sf_dir):
+    """Round-10 lift (r9 verdict ask #4): the strptime PARSE side of
+    the week-number directives — strftime renders each event's
+    timestamp through a format with no Java parse twin and strptime
+    parses it back, for all three week systems (%G/%V/%u ISO, %Y/%U/%w
+    Sunday-based incl. week 00, %Y/%W Monday-based), month names +
+    12-hour %I/%p, and the %f microsecond round trip. try_strptime
+    against a non-matching format pins the NULL-not-error contract.
+    The Spark side compiles each parse to an anchored-regex extraction
+    + calendar arithmetic expression (``dialect.py``
+    ``_c_parse_to_sql_expr``); DuckDB executes the identical text
+    natively (reference: node.rs:176). Exact hash match."""
+    return _run(spark, sf_dir, ("events",), _STRPTIME_ROUNDTRIP_SQL)
+
+
+_LEN_SETOP_SQL = """
+SELECT CAST(len(w) AS BIGINT) AS n, 'words' AS kind
+FROM (SELECT string_split(text, ' ') AS w
+      FROM documents WHERE doc_id % 13 = 0)
+UNION ALL
+SELECT CAST(len(w) AS BIGINT) AS n, 'chars' AS kind
+FROM (SELECT text AS w FROM documents WHERE doc_id % 17 = 0)
+"""
+
+
+@query("dialect_len_setop_arms", oracle=_LEN_SETOP_SQL, tags=("dialect", "list"))
+def dialect_len_setop_arms(spark, sf_dir):
+    """Round-10 advice regression: DuckDB's overloaded ``len`` used on
+    a LIST-typed ``w`` in set-op arm 1 and a VARCHAR-typed ``w`` in
+    arm 2. The probe-typed rewrite must scope to the FIRST arm's FROM
+    context only — before the fix, arm 2's site was typed against
+    arm 1 and rewrote to size(), failing analysis on a statement
+    DuckDB runs. One shared SQL text, two engines, exact hash match."""
+    return _run(spark, sf_dir, ("documents",), _LEN_SETOP_SQL)
+
+
+_SEQ_COMMENT_SQL = """
+-- migration note: replace nextval('ids') and DROP SEQUENCE ids here
+SELECT o_orderkey, /* CREATE SEQUENCE pending; currval(ids) audit */
+       o_custkey, upper(o_orderpriority) AS prio
+FROM orders
+WHERE o_orderkey % 101 = 0
+"""
+
+
+@query("dialect_seq_comment", oracle=_SEQ_COMMENT_SQL, tags=("dialect",))
+def dialect_seq_comment(spark, sf_dir):
+    """Round-10 advice regression: the targeted CREATE SEQUENCE /
+    nextval rejection is comment-aware — a statement whose COMMENTS
+    merely mention the constructs must transpile and run, not raise.
+    DuckDB executes the identical commented text natively. Exact hash
+    match."""
+    return _run(spark, sf_dir, ("orders",), _SEQ_COMMENT_SQL)

@@ -81,31 +81,33 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-def test_r09_window_covers_stale_evidence_queries():
-    """The r9 window holds the ENTIRE round-6-latest-evidence cohort —
-    computed from the committed CORRECTNESS_r0{1..8}.json union (latest
-    green round wins per query), not hand-maintained — so after the r09
+def test_r10_window_covers_stale_evidence_queries():
+    """The r10 window holds the ENTIRE round-7-latest-evidence cohort —
+    computed from the committed CORRECTNESS_r0{1..9}.json union (latest
+    green round wins per query), not hand-maintained — so after the r10
     run no registry query's driver evidence is older than two rounds
-    (the invariant r5 established, maintained a sixth time). Slot 1 is
-    the round-9 addition (never-run gate); slots 2-4 re-verify the
-    unnest-surface queries on the round-9 set-op-splitter fix; slot 5
-    re-verifies dedup_embedding_cosine on the round-9 bucket tiling."""
+    (the invariant r5 established, maintained a seventh time).
+    Slots 1-3 are the round-10 additions (never-run gate: the strptime
+    parse compiler, the len set-op-arm scoping fix, the comment-aware
+    sequence rejection); slot 4 re-verifies dedup_connected_groups on
+    this round's operator decomposition work."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             rnd = int(f[len("CORRECTNESS_r"):-len(".json")])
-            if rnd > 8:
-                continue  # this pin describes the r9 rotation input
+            if rnd > 9:
+                continue  # this pin describes the r10 rotation input
             with open(os.path.join(REPO, f)) as fh:
                 for name in json.load(fh):
                     latest[name] = max(latest.get(name, 0), rnd)
     if not latest:
         pytest.skip("no correctness snapshot yet")
-    stale = {n for n, r in latest.items() if r <= 6}
+    stale = {n for n, r in latest.items() if r <= 7}
     assert stale <= set(CURATED_FIRST), sorted(stale - set(CURATED_FIRST))
-    assert CURATED_FIRST[0] == "dialect_unnest_star_window"
-    assert "dialect_unnest_zip" in CURATED_FIRST[:4]
-    assert "dedup_embedding_cosine" in CURATED_FIRST[:5]
+    assert CURATED_FIRST[0] == "dialect_strptime_roundtrip"
+    assert "dialect_len_setop_arms" in CURATED_FIRST[:3]
+    assert "dialect_seq_comment" in CURATED_FIRST[:3]
+    assert "dedup_connected_groups" in CURATED_FIRST[:4]
 
 
 def test_never_driver_verified_queries_hold_window_slots():
