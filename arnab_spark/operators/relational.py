@@ -35,38 +35,66 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 40,
     checkpoint_dir: str | None = None,
+    on_round=None,
 ) -> DataFrame:
-    """Connected components over an undirected edge list via iterative
-    min-label propagation: every node's label becomes the minimum label
-    in its neighborhood (including itself) until fixpoint. Returns
-    (node, component) where component = the smallest node id reachable.
+    """Connected components over an undirected edge list via alternating
+    LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — the published O(log n)-round
+    MapReduce algorithm). Returns (node, component) where component =
+    the smallest node id reachable; self-loop and duplicate edges are
+    tolerated, and a self-loop-only node labels itself.
 
-    Plan shape per iteration: one join of labels to the (symmetrized)
-    edge list + one groupBy-min — both shuffles on node id, so
-    successive iterations reuse the same hash partitioning. Converges
-    in O(graph diameter) rounds; near-dup graphs are dense clusters
-    with tiny diameters, so 3-5 rounds typical. Each round
-    ``localCheckpoint``s its labels: persist alone caches DATA but the
-    logical plan still compounds every round (each iteration's plan
-    embeds the previous one's twice — labels and the label⋈edges join),
-    so after ~15 rounds even rendering the plan OOMs the driver.
-    Checkpointing truncates lineage to O(1) per round. The convergence
-    check aggregates ONE scalar (changed-row count), never collecting
-    data. At extreme scale swap in large-star/small-star (same
-    two-shuffle round structure, fewer rounds on chain graphs).
+    Why not min-label propagation (the round-1..9 implementation): its
+    rounds are bounded by graph DIAMETER, and the round-10 sf10
+    decomposition (CC_DECOMP_r10.json) measured the per-round wall as
+    FIXED driver-side overhead (planning + codegen + stage barriers,
+    ~3-5 s) regardless of changed-row volume — the LSH near-dup graph
+    at sf10 took 16 rounds (75 s closure), and pointer-jump variants
+    did not reduce them (the tail is edge-distance, not label-chain
+    depth: measured changed-counts identical at 1 and 3 jumps/round).
+    Star contraction rewires the EDGES each round, halving component
+    radius per large-star: the same graph closes in 11 operations of
+    ~1.2 s each (closure 75 s -> 19.7 s measured at sf10, each op also
+    cheaper — 2 stages vs 4; see SCALE.md round-10). On a 1000-executor
+    cluster the bound matters more, not less: rounds are synchronization
+    barriers, and O(log n) is the published lower-envelope for
+    whole-graph closure in bulk-synchronous systems.
 
-    ``checkpoint_dir`` selects the checkpoint durability (round-3
-    verdict item 7): None (default) uses ``localCheckpoint`` —
-    executor-local blocks, fastest, fine on a reliable box — while a
-    path switches to RELIABLE ``checkpoint()`` into that directory
-    (``sparkContext.setCheckpointDir``), which an hour-long closure on
+    Operations (edges stored canonically as (c, p) with c > p):
+
+    - **large-star**: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood. Component radius halves;
+      emitted edges stay inside the component (each (v, m) pair is
+      joined through u: v-u-m is a path).
+    - **small-star**: every node connects its smaller-or-equal
+      neighbors (and itself) to its minimum smaller neighbor —
+      flattens the partial stars large-star leaves.
+
+    Fixpoint = both operations leave the edge set unchanged, checked
+    with a two-scalar aggregate (count + bit_xor of xxhash64(c, p) —
+    order-independent, overflow-free, never collects data); at fixpoint
+    the graph is a forest of stars, each rooted at its component's
+    minimum node (the paper's invariant), so labels read directly off
+    the edges. Every operation ``localCheckpoint``s its output: the
+    next operation's plan would otherwise embed the previous one's
+    TWICE (groupBy + join), doubling per round.
+
+    ``checkpoint_dir`` selects checkpoint durability (round-3 verdict
+    item 7): None (default) uses executor-local ``localCheckpoint`` —
+    fastest, fine on a reliable box — while a path switches to RELIABLE
+    ``checkpoint()`` into that directory, which an hour-long closure on
     a lossy 1000-node cluster needs: localCheckpoint blocks die with
-    their executor AND take the truncated lineage with them, so one
-    lost executor kills the whole job; reliable checkpoints replay
-    from distributed storage.
+    their executor and take the truncated lineage with them.
+
+    ``on_round`` (round-10, the scale-decomposition hook): called as
+    ``on_round(op_index, wall_seconds, edge_count)`` after each star
+    operation materializes — zero extra jobs, lets the bench decompose
+    a long closure into per-operation walls in-band.
     """
+    import time as _time
+
     from pyspark.sql import functions as F
 
     spark = edges.sparkSession
@@ -76,74 +104,90 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
-    # materialize the symmetrized edge list ONCE: `edges` may be an
-    # arbitrarily expensive upstream plan (the dedup pipeline feeds the
-    # whole MinHash computation in here), and without this checkpoint
-    # every iteration re-executes it from the scan up (measured: 12.9 s
-    # → 2.5 s for the sf0.1 near-dup closure)
-    sym = ckpt(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    par = max(1, spark.sparkContext.defaultParallelism)
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the node set + canonical edge list ONCE: `edges` may
+    # be an arbitrarily expensive upstream plan (the dedup pipeline
+    # feeds the whole MinHash computation in here), and without this
+    # checkpoint every operation would re-execute it from the scan up.
+    # coalesce keeps the per-op scan one task-wave wide — the upstream
+    # frame arrives with 2x the shuffle partition count in micro-tasks.
+    nodes = ckpt(
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
+        .distinct()
     )
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = ckpt(nodes.select("node", F.col("node").alias("comp")))
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(sym.a.alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
+    e = ckpt(
+        base.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("c"), F.least("u", "v").alias("p")
         )
-        # carry the changed flag through the update so convergence reads
-        # off the checkpointed result — no extra join-per-round
-        upd = labels.join(neighbor_min, on="node", how="left").select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-            ).alias("comp"),
-            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias(
-                "_changed"
-            ),
-        )
-        # pointer jump (path halving): comp ← comp's own label. Plain
-        # neighbor-min converges in O(diameter) rounds, and LSH near-dup
-        # graphs contain long chains (measured: 16 rounds on the sf0.1
-        # closure); jumping doubles the propagation distance per round →
-        # O(log diameter). Labels only decrease and every label value is
-        # itself a node, so the jump can't cross components — the
-        # fixpoint is unchanged. One extra self-join on the (small)
-        # label frame per round, 16 → 6 rounds measured.
-        jumped = (
-            upd.alias("a")
-            .join(upd.alias("b"), F.col("a.comp") == F.col("b.node"), "left")
-            .select(
-                F.col("a.node").alias("node"),
-                F.least(
-                    F.col("a.comp"),
-                    F.coalesce(F.col("b.comp"), F.col("a.comp")),
-                ).alias("comp"),
-                (
-                    F.col("a._changed")
-                    | (
-                        F.coalesce(F.col("b.comp"), F.col("a.comp"))
-                        < F.col("a.comp")
-                    )
-                ).alias("_changed"),
+        .distinct()
+        .coalesce(par)
+    )
+
+    def _checksum(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(c, p))").alias("x"),
+        ).collect()[0]
+        return int(row["n"]), int(row["x"] or 0)
+
+    sig = _checksum(e)
+    stable = 0
+    for _op in range(max_iter):
+        _t0 = _time.monotonic()
+        if _op % 2 == 0:
+            # large-star: per node x, m = min(closed neighborhood);
+            # every LARGER neighbor y re-attaches to m (y > x >= m, so
+            # the output stays canonically child > parent)
+            sym = e.select(F.col("c").alias("x"), F.col("p").alias("y")).unionByName(
+                e.select(F.col("p").alias("x"), F.col("c").alias("y"))
             )
+            mm = sym.groupBy("x").agg(F.min("y").alias("my"))
+            mm = mm.select("x", F.least("x", "my").alias("m"))
+            new_e = (
+                sym.join(mm, on="x")
+                .where(F.col("y") > F.col("x"))
+                .select(F.col("y").alias("c"), F.col("m").alias("p"))
+                .distinct()
+            )
+        else:
+            # small-star: per node c, m = min of its SMALLER neighbors;
+            # those neighbors (minus m itself) and c re-attach to m
+            mm = e.groupBy("c").agg(F.min("p").alias("m"))
+            new_e = (
+                e.join(mm, on="c")
+                .where(F.col("p") != F.col("m"))
+                .select(F.col("p").alias("c"), F.col("m").alias("p"))
+                .unionByName(mm.select(F.col("c"), F.col("m").alias("p")))
+                .distinct()
+            )
+        new_e = ckpt(new_e.coalesce(par))
+        new_sig = _checksum(new_e)
+        if on_round is not None:
+            on_round(_op, _time.monotonic() - _t0, new_sig[0])
+        # rebinding drops the py4j reference to the previous op's
+        # checkpoint blocks, letting the ContextCleaner reclaim them —
+        # steady-state storage is ~2 operations of edges
+        e = new_e
+        if new_sig == sig:
+            stable += 1
+            if stable >= 2:  # both star ops fixed -> star forest
+                break
+        else:
+            stable = 0
+        sig = new_sig
+
+    labels = (
+        e.select(F.col("c").alias("node"), F.col("p").alias("comp"))
+        .unionByName(
+            e.select(F.col("p").alias("node"), F.col("p").alias("comp")).distinct()
         )
-        jumped = ckpt(jumped)
-        changed = jumped.filter("_changed").count()
-        new_labels = jumped.drop("_changed")
-        # Storage lifecycle (round-2 advice): each round's localCheckpoint
-        # blocks stay allocated until the JVM ContextCleaner collects the
-        # orphaned RDD — DataFrame.unpersist() would NOT free them (the
-        # blocks belong to the checkpointed RDD, not the CacheManager).
-        # Rebinding `labels` below drops the py4j reference, making the
-        # old round collectable, so steady-state storage is ~2 rounds of
-        # labels; a long-diameter production run should additionally set
-        # spark.cleaner.periodicGC.interval low (the cleaner only runs on
-        # driver GC) or use reliable checkpoint() with an explicit
-        # cleanup policy.
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    )
+    # nodes with no surviving edge (self-loop-only, or isolated after
+    # input dedupe) label themselves
+    singletons = nodes.join(
+        labels.select("node"), on="node", how="left_anti"
+    ).select("node", F.col("node").alias("comp"))
+    return labels.unionByName(singletons)

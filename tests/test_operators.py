@@ -356,3 +356,59 @@ def test_pq_encode_generic_subspaces_match_numpy(spark):
             dists = [(int(((iv[sl] - cs[c][sl]) ** 2).sum()), c) for c in cids]
             expect.append(min(dists)[1])
         assert got[vid] == expect, (vid, got[vid], expect)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Round-10: the operator switched from min-label propagation to
+    alternating large-star/small-star contraction (O(log n) rounds) —
+    a structural rewrite, so the fixpoint is re-proven against a plain
+    Python union-find over seeded random graphs covering the shapes
+    that break naive contractions: long chains (diameter >> log n),
+    cliques, stars rooted at the LARGEST id, disconnected singletons
+    via self-loops, and duplicate/reversed edges."""
+    import random
+
+    from arnab_spark.operators import connected_components
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(427)
+    cases = [
+        # long chain: worst case for propagation, log-rounds for stars
+        [(i, i + 1) for i in range(60)],
+        # chain written high-to-low with duplicates and reversals
+        [(i + 1, i) for i in range(40)] + [(5, 6), (6, 5), (20, 21)],
+        # star rooted at the LARGEST id (root must still be the min)
+        [(100, i) for i in range(90, 100)],
+        # two cliques bridged by one edge + a self-loop singleton
+        [(a, b) for a in range(5) for b in range(a)]
+        + [(a, b) for a in range(50, 55) for b in range(50, a)]
+        + [(4, 50), (77, 77)],
+    ]
+    for _ in range(3):
+        n = 80
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        )
+    for i, es in enumerate(cases):
+        df = spark.createDataFrame(es, "src bigint, dst bigint")
+        got = {
+            (r.node, r.comp)
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        want = set(union_find(es).items())
+        assert got == want, f"case {i}: {sorted(got ^ want)[:10]}"
