@@ -1989,8 +1989,10 @@ def _strp_tokens(fmt: str) -> list[tuple] | None:
                 toks.append(("lit", "%"))
                 i += 2
                 continue
-            if code == "-" and i + 2 < n and fmt[i + 2] in _STRP_NUM:
-                # no-padding variants parse like the padded ones (probed)
+            if code == "-" and i + 2 < n and fmt[i + 2] in "dmHIMSy":
+                # no-padding variants parse like the padded ones — only
+                # DuckDB's documented set (probed: %-V / %-Y are BIND
+                # errors there, so other '-' combos must stay loud)
                 code, i = fmt[i + 2], i + 1
             if code in _STRP_COMPOSITE:
                 sub = _strp_tokens(_STRP_COMPOSITE[code])

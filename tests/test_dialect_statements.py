@@ -781,6 +781,8 @@ def test_try_strptime_and_strptime_loud_shapes(spark, con):
     assert spark.sql(t).collect()[0][0] is None
     for loud_sql in [
         "SELECT strptime(s, '%Y %j') FROM t",
+        "SELECT strptime(s, '%-Y-%m-%d') FROM t",  # %-Y: DuckDB bind error
+        "SELECT strptime(s, '%Y-%-V') FROM t",  # %-V: DuckDB bind error
         "SELECT strptime(s, '%Y-%m-%d %z') FROM t",
         "SELECT strptime(s, '%Y-%m-%d %Z') FROM t",
         "SELECT strptime(s, '%Y %U %W') FROM t",
