@@ -983,3 +983,61 @@ def test_unnest_recursive_through_macro_and_cte(engines):
     finally:
         fresh.close()
         dialect.reset_macros(spark)
+
+
+# ---------------------------------------------------------------------
+# round-10 strptime parse-compiler fuzz: random formats x random
+# timestamps, DuckDB renders the input via its own strftime, both
+# engines parse it back — results must match exactly. Complements the
+# static 95-case matrix in test_dialect_statements with shapes no hand
+# list would cover (random directive order, separators, literals).
+
+_STRP_DATE_MODES = [
+    ("%Y", "%m", "%d"),          # ymd
+    ("%G", "%V", "%u"),          # ISO week
+    ("%Y", "%U", "%w"),          # Sunday week
+    ("%Y", "%W", "%w"),          # Monday week
+    ("%d", "%b", "%Y"),          # month name
+    ("%Y",), ("%G",), ("%y", "%m"),
+]
+_STRP_TIME_PARTS = [
+    (), ("%H", "%M"), ("%H", "%M", "%S"), ("%I", "%M", "%p"),
+    ("%H", "%M", "%S", "%f"),
+]
+_STRP_SEPS = [" ", "-", "/", " | ", "T", ":"]
+_STRP_TS_POOL = [
+    "1992-03-02 08:05:09.123456", "2018-12-31 23:59:59",
+    "2024-01-07 00:00:00.000001", "2000-01-02 12:00:00",
+    "2021-01-01 01:02:03", "2009-07-15 23:00:00", "1999-12-31 11:59:00",
+    "2020-02-29 06:30:00",
+]
+
+
+@given(
+    mode=st.sampled_from(_STRP_DATE_MODES),
+    timep=st.sampled_from(_STRP_TIME_PARTS),
+    sep=st.sampled_from(_STRP_SEPS),
+    ts=st.sampled_from(_STRP_TS_POOL),
+    shuffle_date=st.booleans(),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_strptime_fuzz_roundtrip_matches_duckdb(engines, mode, timep, sep, ts, shuffle_date):
+    """Random (date-mode, time-part, separator, order) formats: DuckDB
+    strftime renders a timestamp through the format, then BOTH engines
+    strptime it back — the parse compiler must agree exactly, incl.
+    week-system arithmetic and fraction handling."""
+    spark, con, _ = engines
+    date_dirs = list(mode)
+    if shuffle_date:
+        date_dirs = date_dirs[::-1]
+    fmt = sep.join(date_dirs + list(timep))
+    # ':' as the GLOBAL separator collides with the time part's own
+    # colons only cosmetically; %b beside ':' is still unambiguous
+    duck_sql = (
+        f"SELECT strptime(strftime(TIMESTAMP '{ts}', '{fmt}'), '{fmt}') AS v"
+    )
+    exp = con.execute(duck_sql).fetchone()[0]
+    t = transpile_statement(duck_sql)
+    assert "strptime(" not in t, fmt
+    got = spark.sql(t).collect()[0][0]
+    assert got == exp, f"{fmt!r} on {ts}: spark={got!r} duck={exp!r}"

@@ -45,6 +45,11 @@ SF1_QUERIES = [
     "agg_promo_revenue_share",
     "join_shipping_priority",
     "join_bracketed_discounts",
+    # round-10: the large-star/small-star closure gets a 10x-scale
+    # oracle differential (the algorithm swap's correctness was proven
+    # at sf0.001-0.01; this pins it where components grow to the
+    # hundreds and the op count to ~10)
+    "dedup_connected_groups",
 ]
 
 # applies to the sf1 oracle differential only — the gen_scale marker
