@@ -988,19 +988,18 @@ except Exception:  # pragma: no cover
     _PROBE_BY_SESSION = {}
 
 
-def _probe_expr_type(arg: str, probe_prefix: str, tail: str, spark):
-    """Spark DataType of ``arg`` in the statement's FROM context, found
-    by ANALYZING (never executing) a one-item probe SELECT; ``None``
-    when unprovable. The probe text gets the read-function / bare-path
-    relation rewrites the full pipeline would apply later, so a
-    ``FROM read_parquet('…')`` context still types; ``*_auto`` sources
-    need session-view substitution and bail to None. Results are
-    memoized per session keyed by the probe text — transpiling the same
-    statement again (bench loops, repeated models) pays zero analysis
-    calls."""
+def _probe_schema(head: str, probe_prefix: str, tail: str, spark):
+    """ANALYZE (never execute) ``{prefix}SELECT {head} {tail}`` and
+    return its Spark schema; ``None`` when unprovable. The probe text
+    gets the read-function / bare-path relation rewrites the full
+    pipeline would apply later, so a ``FROM read_parquet('…')`` context
+    still types; ``*_auto`` sources need session-view substitution and
+    bail to None. Results are memoized per session keyed by the probe
+    text — transpiling the same statement again (bench loops, repeated
+    models) pays zero analysis calls."""
     if spark is None:
         return None
-    probe = f"{probe_prefix}SELECT ({arg}) AS __arnab_probe {tail}".strip()
+    probe = f"{probe_prefix}SELECT {head} {tail}".strip()
     if re.search(r"(?i)\bread_(?:csv_auto|json_auto)\s*\(", probe):
         return None
     # the probe runs MID-pipeline: apply the text-level passes that
@@ -1029,11 +1028,18 @@ def _probe_expr_type(arg: str, probe_prefix: str, tail: str, spark):
     if probe in cache:
         return cache[probe]
     try:
-        dt = spark.sql(probe).schema[0].dataType
+        sch = spark.sql(probe).schema
     except Exception:
-        dt = None
-    cache[probe] = dt
-    return dt
+        sch = None
+    cache[probe] = sch
+    return sch
+
+
+def _probe_expr_type(arg: str, probe_prefix: str, tail: str, spark):
+    """Spark DataType of ``arg`` in the statement's FROM context
+    (see :func:`_probe_schema`); ``None`` when unprovable."""
+    sch = _probe_schema(f"({arg}) AS __arnab_probe", probe_prefix, tail, spark)
+    return sch[0].dataType if sch is not None else None
 
 
 def _flatten_wrap(arg: str, times: int) -> str:
@@ -1046,6 +1052,232 @@ def _flatten_wrap(arg: str, times: int) -> str:
     for _ in range(times):
         w = f"flatten(filter({w}, __arnab_f -> __arnab_f IS NOT NULL))"
     return w
+
+
+# ---------------------------------------------------------------------
+# COLUMNS() star expression (round 10). DuckDB's multi-column idiom —
+# ``SELECT min(COLUMNS('l_.*')) FROM t`` — expands ONE select item into
+# one item per matching column at BIND time. The shim mirrors that
+# textually against the statement's ANALYZED star schema (same probe
+# infrastructure as the len/unnest passes). Every semantic probed on
+# the pinned DuckDB:
+#   * output columns keep the SOURCE column names even when the site is
+#     wrapped in any expression (min(COLUMNS('a.')) names aa/ab, never
+#     min(aa)) — so every expanded item gets an explicit alias
+#   * the regex is a PARTIAL, case-sensitive search ('a.' matches ad)
+#   * zero matches is a Binder Error — mirrored with a targeted raise
+#   * a plain alias repeats verbatim on every expansion; a double-
+#     quoted alias may hold \N backrefs filled from the regex's capture
+#     groups against each column name ('m_\1' with 'a(.)' names m_a …)
+#   * multiple COLUMNS sites in ONE item zip pairwise when their
+#     argument is identical (COLUMNS(*) = COLUMNS(*)); differing
+#     arguments stay loud (unprobed)
+#   * COLUMNS(* EXCLUDE (c)) subtracts; the star-EXCLUDE pre-pass has
+#     already respelled it EXCEPT by the time this pass runs
+# Still loud, all probed-or-documented: the lambda form
+# (COLUMNS(c -> …)), COLUMNS outside the select list (WHERE expands to
+# a conjunction in DuckDB, ORDER BY to multiple keys), sites inside
+# sub-selects or CTE bodies (different FROM scope than the probe), and
+# DISTINCT ON beside COLUMNS.
+
+_COLUMNS_CALL = re.compile(r"(?is)\bCOLUMNS\s*\(")
+
+
+def _columns_match(raw: str, cols: list[str]) -> list[str] | None:
+    """Columns selected by a COLUMNS(...) argument, or None when the
+    argument shape has no proven mapping."""
+    raw = raw.strip()
+    if raw == "*":
+        return list(cols)
+    em = re.match(r"(?is)^\*\s*(?:EXCLUDE|EXCEPT)\s*\((.*)\)\s*$", raw)
+    if em:
+        drop = {
+            c.strip().strip('"').lower()
+            for c in _split_top_level_commas(em.group(1))
+        }
+        return [c for c in cols if c.lower() not in drop]
+    lm = _lit_match(raw)
+    if lm:
+        try:
+            rx = re.compile(lm.group(1))
+        except re.error:
+            return None
+        return [c for c in cols if rx.search(c)]
+    return None
+
+
+def _strip_trailing_alias(item: str) -> tuple[str, str | None]:
+    """Split a select item into (body, alias) when it ends in a
+    top-level ``AS <ident | "quoted">``; (item, None) otherwise."""
+    pos, last = 0, -1
+    while True:
+        idx, _w = _scan_top_level(item, ("as",), pos)
+        if idx < 0:
+            break
+        last = idx
+        pos = idx + 2
+    if last < 0:
+        return item, None
+    alias = item[last + 2:].strip()
+    if re.match(r"^[A-Za-z_]\w*$", alias) or re.match(
+        r'^"(?:[^"]|"")*"$', alias
+    ):
+        return item[:last], alias
+    return item, None
+
+
+def _columns_alias_name(alias: str, pattern: str | None, col: str) -> str | None:
+    """Output name for one expanded column under an explicit alias:
+    plain aliases repeat; quoted aliases may carry \\N regex backrefs."""
+    text = alias[1:-1].replace('""', '"') if alias.startswith('"') else alias
+    if re.search(r"\\\d", text):
+        if pattern is None:
+            return None
+        mm = re.search(pattern, col)
+        if mm is None:
+            return None
+        try:
+            return re.sub(
+                r"\\(\d)", lambda g: mm.group(int(g.group(1))) or "", text
+            )
+        except (re.error, IndexError):
+            return None
+    return text
+
+
+def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
+    """Expand one select item holding COLUMNS(...) sites into one item
+    per matched column; None when the shape has no proven mapping."""
+    ispans = _quoted_spans(item)
+    sites = [
+        m
+        for m in _COLUMNS_CALL.finditer(item)
+        if not any(s <= m.start() <= e for s, e in ispans)
+    ]
+    if not sites:
+        return None
+    if re.search(r"(?is)\(\s*select\b", item):
+        return None  # sub-select inside the item: different FROM scope
+    parsed: list[tuple[int, int, str]] = []
+    for m in sites:
+        got = _call_args(item, m.end() - 1)
+        if got is None:
+            return None
+        _args, end = got
+        parsed.append((m.start(), end, item[m.end(): end - 1].strip()))
+    if len({p[2] for p in parsed}) != 1:
+        return None  # differing zip arguments: unprobed
+    raw = parsed[0][2]
+    matched = _columns_match(raw, cols)
+    if matched is None:
+        return None
+    if not matched:
+        from arnab_spark.errors import ArnabError
+
+        raise ArnabError(
+            f"COLUMNS: no columns match {raw!r} — DuckDB raises a "
+            "Binder Error on this statement too"
+        )
+    body, alias = _strip_trailing_alias(item)
+    if any(e > len(body) for _s, e, _r in parsed):
+        return None  # a site overlaps the alias text: malformed
+    lm = _lit_match(raw)
+    pattern = lm.group(1) if lm else None
+    out: list[str] = []
+    for col in matched:
+        col_sql = "`" + col.replace("`", "``") + "`"
+        b = body
+        for s, e, _r in sorted(parsed, reverse=True):
+            b = b[:s] + col_sql + b[e:]
+        name = (
+            col
+            if alias is None
+            else _columns_alias_name(alias, pattern, col)
+        )
+        if name is None:
+            return None
+        out.append(f"{b.strip()} AS `" + name.replace("`", "``") + "`")
+    return out
+
+
+def _rewrite_columns_expr(sql: str, spark, probe_prefix: str = "") -> str:
+    """Expand select-list COLUMNS() sites against the analyzed star
+    schema of the statement's own FROM context (see the pass comment
+    above). Unprovable shapes leave the statement WHOLE — partial
+    expansion would half-transpile; whole statements fail loud."""
+    if spark is None or not _COLUMNS_CALL.search(sql):
+        return sql
+    spans = _quoted_spans(sql)
+    if not any(
+        not any(s <= m.start() <= e for s, e in spans)
+        for m in _COLUMNS_CALL.finditer(sql)
+    ):
+        return sql  # COLUMNS( appears only inside string literals
+    if re.match(r"(?is)^\s*WITH\b", sql):
+        sel_idx, _ = _scan_top_level(sql, ("select",))
+        if sel_idx <= 0:
+            return sql
+        body = _rewrite_columns_expr(
+            sql[sel_idx:], spark, probe_prefix=sql[:sel_idx]
+        )
+        return sql[:sel_idx] + body
+    # set-op arms expand independently, each against its own FROM
+    scan = 0
+    while True:
+        idx, w = _scan_top_level(sql, ("union", "intersect", "except"), scan)
+        if idx < 0:
+            break
+        if _is_set_op_at(sql, idx, w):
+            nxt, _kw = _scan_top_level(sql, ("select",), idx)
+            if nxt < 0:
+                return sql  # parenthesized arm: stay whole, loud
+            left = _rewrite_columns_expr(sql[:idx], spark, probe_prefix)
+            right = _rewrite_columns_expr(sql[nxt:], spark, probe_prefix)
+            return left + sql[idx:nxt] + right
+        scan = idx + len(w)
+    m = re.match(r"(?is)^(\s*SELECT\s+)(DISTINCT\s+)?", sql)
+    if not m or re.match(r"(?is)^\s*ON\b", sql[m.end():]):
+        return sql  # not a SELECT head, or DISTINCT ON: loud
+    items_start = m.end()
+    from_idx, _f = _scan_top_level(sql, ("from",), items_start)
+    items_text = sql[items_start: from_idx if from_idx >= 0 else len(sql)]
+    items = _split_top_level_commas(items_text)
+    if not any(_COLUMNS_CALL.search(it) for it in items):
+        return sql
+    tail = ""
+    if from_idx >= 0:
+        rest = sql[from_idx:]
+        cut, _kw = _scan_top_level(
+            rest,
+            (
+                "where", "group", "having", "qualify", "window",
+                "order", "limit", "offset",
+            ),
+            4,
+        )
+        tail = rest[:cut] if cut >= 0 else rest
+    sch = _probe_schema("*", probe_prefix, tail, spark)
+    if sch is None:
+        return sql
+    cols = [f.name for f in sch]
+    new_items: list[str] = []
+    for it in items:
+        ispans = _quoted_spans(it)
+        has_site = any(
+            not any(s <= mm.start() <= e for s, e in ispans)
+            for mm in _COLUMNS_CALL.finditer(it)
+        )
+        if not has_site:
+            new_items.append(it.strip())
+            continue
+        exp = _expand_columns_item(it, cols)
+        if exp is None:
+            return sql  # one unprovable item: stay whole, loud
+        new_items.extend(exp)
+    head = sql[:items_start]
+    rest_sql = sql[from_idx:] if from_idx >= 0 else ""
+    joined = ", ".join(new_items)
+    return head + joined + ((" " + rest_sql) if rest_sql else "")
 
 
 _LENGTH_CALL = re.compile(r"(?is)\blength\s*\(")
@@ -4743,6 +4975,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_columns_expr(sql, spark)
     sql = _rewrite_length_on_lists(sql, spark)
     sql = _rewrite_struct_recursive_unnest(sql, spark)
     sql = _rewrite_unnest_set_ops(sql)

@@ -1244,3 +1244,71 @@ def test_array_type_spellings_match_duckdb(spark, con):
     assert [sorted(map(str, r)) for r in got] == [
         sorted(map(str, r)) for r in exp
     ], f"{got} != {exp}"
+
+
+def test_columns_expression_differential(spark, con):
+    """Round-10 lift: DuckDB's COLUMNS() star expression expands one
+    select item into one per matching column at bind time — mirrored
+    textually against the analyzed star schema. Probed semantics
+    covered: output columns keep SOURCE names through any wrapping
+    expression, partial case-sensitive regex match, plain aliases
+    repeat, quoted aliases fill \\N backrefs from the regex captures,
+    identical multi-sites zip, * EXCLUDE subtracts, and composition
+    with WHERE / GROUP BY ALL / arithmetic."""
+    _views(spark)
+    cases = [
+        "SELECT COLUMNS('o_.*key') FROM orders WHERE o_orderkey < 50",
+        "SELECT COLUMNS(*) FROM orders WHERE o_orderkey < 20",
+        "SELECT min(COLUMNS(*)) FROM orders",
+        "SELECT min(COLUMNS('o_.*(key|price)')) FROM orders",
+        "SELECT max(COLUMNS(* EXCLUDE (o_orderdate))) FROM orders",
+        "SELECT count(COLUMNS(*)) FROM orders WHERE o_orderkey < 100",
+        "SELECT COLUMNS('key$') + 1 FROM orders WHERE o_orderkey < 30",
+        "SELECT min(COLUMNS('o_(.*)key')) AS \"min_\\1\" FROM orders",
+        "SELECT sum(COLUMNS('o_.*key')) AS s FROM orders WHERE o_orderkey < 200",
+        "SELECT COLUMNS('o_.*key') = COLUMNS('o_.*key') FROM orders WHERE o_orderkey < 25",
+        "SELECT o_orderstatus, min(COLUMNS('o_total.*')) FROM orders GROUP BY ALL",
+        "SELECT o_orderkey, COLUMNS('o_order(status|priority)') FROM orders "
+        "WHERE o_orderkey < 40",
+    ]
+    for duck_sql in cases:
+        exp = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+        t = transpile_statement(duck_sql, spark)
+        assert "COLUMNS(" not in t, duck_sql
+        got = sorted(tuple(r) for r in spark.sql(t).collect())
+        assert got == exp, f"{duck_sql}\nspark={got[:3]}\nduck={exp[:3]}"
+        # the expanded NAMES must match DuckDB's too (source-name rule)
+        exp_names = [d[0] for d in con.execute(duck_sql).description]
+        got_names = list(spark.sql(t).columns)
+        assert got_names == exp_names, f"{duck_sql}: {got_names} != {exp_names}"
+
+
+def test_columns_expression_loud_shapes(spark, con):
+    """Shapes with no proven mapping stay WHOLE (loud on Spark), and a
+    zero-match regex raises the targeted error DuckDB's binder raises
+    natively."""
+    import pytest as _pytest
+
+    from arnab_spark.errors import ArnabError
+
+    _views(spark)
+    for loud_sql in [
+        # lambda selector
+        "SELECT COLUMNS(c -> c LIKE 'o_%') FROM orders",
+        # outside the select list (DuckDB expands WHERE to a conjunction)
+        "SELECT o_orderkey FROM orders WHERE COLUMNS('o_.*key') > 0",
+        # differing zip arguments
+        "SELECT COLUMNS('o_.*key') = COLUMNS('o_.*price') FROM orders",
+        # sub-select inside the item: different FROM scope
+        "SELECT (SELECT max(o_orderkey) FROM orders) + COLUMNS('o_custkey') FROM orders",
+        # sessionless: no schema probe
+    ]:
+        assert "COLUMNS(" in transpile_statement(loud_sql, spark), loud_sql
+    assert "COLUMNS(" in transpile_statement(
+        "SELECT COLUMNS('o_.*') FROM orders"
+    )  # sessionless transpile stays whole
+    with _pytest.raises(ArnabError):
+        transpile_statement("SELECT COLUMNS('zzz.*') FROM orders", spark)
+    # DuckDB raises on the same statement (parity pin)
+    with _pytest.raises(Exception):
+        con.execute("SELECT COLUMNS('zzz.*') FROM orders")
