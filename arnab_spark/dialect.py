@@ -1055,6 +1055,180 @@ def _flatten_wrap(arg: str, times: int) -> str:
 
 
 # ---------------------------------------------------------------------
+# range() / generate_series() (round 10). Semantics probed on the
+# pinned DuckDB and on Spark:
+#   * TABLE range(…) emits IDENTICAL values to Spark's range TVF for
+#     every arg form incl. negative steps — but DuckDB names the column
+#     ``range`` where Spark names it ``id``: a bare
+#     ``SELECT * FROM range(5)`` was a SILENT schema divergence. Table
+#     sites now wrap-rename: ``(SELECT id AS range FROM range(…))``
+#     (trailing aliases keep working — the wrap replaces only the call).
+#   * TABLE generate_series is INCLUSIVE of the end (and 1-arg starts
+#     at 0: generate_series(3) → 0..3) and doesn't exist in Spark —
+#     rewritten to an exploded guarded sequence (below).
+#   * SCALAR generate_series(a, b) with a > b is EMPTY in DuckDB while
+#     Spark's sequence auto-descends — so the translation guards the
+#     direction: ``CASE WHEN a <= b THEN sequence(a, b) ELSE
+#     slice(sequence(a, a), 1, 0) END`` (the slice builds a typed empty
+#     array). With a step the guard matches the step's sign; step 0
+#     errors in BOTH engines (sequence raises too — loud parity).
+#   * SCALAR range(…) is EXCLUSIVE of the end: same translation with
+#     the bound pulled in by sign(step) (sequence's inclusive end ≤
+#     hi-1 admits exactly the values < hi for any positive step, and
+#     symmetrically for negative).
+# Args must look INTEGER-ARITHMETIC (digits/+-*/%()/whitespace): DuckDB
+# returns TIMESTAMP[] for date series where Spark's sequence yields
+# DATE[] — a typed divergence — so temporal/complex args stay loud.
+# Position classification walks backwards to the nearest significant
+# token: from/join/lateral → table site; any operator, expression
+# keyword, or enclosing function call → scalar site.
+
+_SERIES_CALL = re.compile(r"(?is)\b(range|generate_series)\s*\(")
+_SERIES_ARG_OK = re.compile(r"^[\d\s+\-*/%()]+$")
+_SERIES_TABLE_WORDS = frozenset({"from", "join", "lateral"})
+_SERIES_SKIP_WORDS = frozenset(
+    {"as", "cross", "inner", "left", "right", "full", "outer",
+     "natural", "anti", "semi"}
+)
+
+
+def _series_is_table_position(sql: str, start: int, spans) -> bool:
+    """True when the call at ``start`` sits in relation position."""
+    i = start - 1
+    depth = 0
+    while i >= 0:
+        hit = next((p for p in spans if p[0] <= i <= p[1]), None)
+        if hit:
+            return False  # string literal directly before: scalar-ish
+        ch = sql[i]
+        if ch.isspace():
+            i -= 1
+            continue
+        if ch == ")":
+            depth += 1
+            i -= 1
+            continue
+        if ch == "(":
+            if depth > 0:
+                depth -= 1
+                i -= 1
+                continue
+            j = i - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j >= 0 and (sql[j].isalnum() or sql[j] in "_`"):
+                return False  # enclosing function call: scalar args
+            i = j
+            continue
+        if depth > 0:
+            i -= 1
+            continue
+        if ch == ",":
+            i -= 1
+            continue
+        if ch.isalnum() or ch == "_":
+            j = i
+            while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                j -= 1
+            word = sql[j + 1: i + 1].lower()
+            if word in _SERIES_TABLE_WORDS:
+                return True
+            if word in _SERIES_SKIP_WORDS or not word.isalpha() or (
+                word not in _CLAUSE_WORDS_FOR_SERIES
+            ):
+                # relation names / aliases in a FROM list: keep walking
+                i = j
+                continue
+            return False  # select/where/on/… : expression position
+        return False  # any operator char: expression position
+    return False
+
+
+_CLAUSE_WORDS_FOR_SERIES = frozenset(
+    {"select", "where", "when", "then", "else", "on", "and", "or", "in",
+     "by", "having", "limit", "offset", "set", "values", "case", "not",
+     "like", "ilike", "between", "exists", "all", "any", "some",
+     "distinct", "union", "intersect", "except", "return", "returning"}
+)
+
+
+def _series_sequence_sql(
+    args: list[str], exclusive: bool, zero_step_raises: bool
+) -> str | None:
+    """Guarded Spark ``sequence`` reproducing DuckDB's series contract
+    (see the pass comment); None when the arg shape is unsupported.
+    Step 0 is EMPTY for the scalar forms but a Binder Error for the
+    table forms (both probed) — ``zero_step_raises`` picks the side.
+    The empty branch drops the step (sequence(lo, lo) is total), so the
+    sign guards alone decide emptiness."""
+    if not 1 <= len(args) <= 3 or not all(
+        a.strip() and _SERIES_ARG_OK.match(a) for a in args
+    ):
+        return None
+    if len(args) == 1:
+        lo, hi, step = "0", args[0].strip(), None
+    else:
+        lo, hi = args[0].strip(), args[1].strip()
+        step = args[2].strip() if len(args) == 3 else None
+    s = step if step is not None else "1"
+    hi_adj = f"(({hi}) - CAST(sign(({s})) AS BIGINT))" if exclusive else f"({hi})"
+    seq_args = f"({lo}), {hi_adj}" + (f", ({s})" if step is not None else "")
+    lt, le = ("<", ">") if exclusive else ("<=", ">=")
+    cond = (
+        f"((({s}) > 0 AND ({lo}) {lt} ({hi})) OR "
+        f"(({s}) < 0 AND ({lo}) {le} ({hi})))"
+    )
+    branches = ""
+    if step is not None and zero_step_raises:
+        branches = (
+            f"WHEN ({s}) = 0 THEN raise_error('generate_series/range: "
+            "interval cannot be 0 (DuckDB raises a Binder Error here "
+            "too)') "
+        )
+    return (
+        f"CASE {branches}WHEN {cond} THEN sequence({seq_args}) "
+        f"ELSE slice(sequence(({lo}), ({lo})), 1, 0) END"
+    )
+
+
+def _rewrite_series_functions(sql: str) -> str:
+    """Rewrite range()/generate_series() sites per the pass comment.
+    One sweep back-to-front — the emitted text contains an inner
+    ``range(`` that must not be reprocessed."""
+    sites = []
+    spans = _quoted_spans(sql)
+    for m in _SERIES_CALL.finditer(sql):
+        if any(s <= m.start() <= e for s, e in spans):
+            continue
+        got = _call_args(sql, m.end() - 1)
+        if got is None:
+            continue
+        args, end = got
+        sites.append((m.start(), end, m.group(1).lower(), args))
+    out = sql
+    for start, end, name, args in sorted(sites, reverse=True):
+        table_pos = _series_is_table_position(out, start, _quoted_spans(out))
+        if name == "range" and table_pos:
+            # values identical on Spark's range TVF; only rename the col
+            inner = out[start:end]
+            repl = f"(SELECT id AS range FROM {inner})"
+        else:
+            seq = _series_sequence_sql(
+                args,
+                exclusive=(name == "range"),
+                zero_step_raises=table_pos,
+            )
+            if seq is None:
+                continue  # temporal/complex args: stay loud
+            if table_pos:  # table generate_series
+                repl = f"(SELECT explode({seq}) AS generate_series)"
+            else:  # scalar range / generate_series
+                repl = seq
+        out = out[:start] + repl + out[end:]
+    return out
+
+
+# ---------------------------------------------------------------------
 # COLUMNS() star expression (round 10). DuckDB's multi-column idiom —
 # ``SELECT min(COLUMNS('l_.*')) FROM t`` — expands ONE select item into
 # one item per matching column at BIND time. The shim mirrors that
@@ -4975,6 +5149,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_arg_transform_calls(sql)
     sql = _rewrite_postfix_cast_types(sql)
     sql = _rewrite_list_functions(sql)
+    sql = _rewrite_series_functions(sql)
     sql = _rewrite_columns_expr(sql, spark)
     sql = _rewrite_length_on_lists(sql, spark)
     sql = _rewrite_struct_recursive_unnest(sql, spark)

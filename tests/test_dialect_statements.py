@@ -1312,3 +1312,71 @@ def test_columns_expression_loud_shapes(spark, con):
     # DuckDB raises on the same statement (parity pin)
     with _pytest.raises(Exception):
         con.execute("SELECT COLUMNS('zzz.*') FROM orders")
+
+
+def test_range_and_generate_series_differential(spark, con):
+    """Round-10 lift: DuckDB's range()/generate_series() in BOTH
+    positions. Table range() emits Spark-identical values but names its
+    column ``range`` (a bare SELECT * was a silent schema divergence —
+    now wrap-renamed); generate_series is END-INCLUSIVE and empty when
+    the direction contradicts the step (Spark's sequence auto-descends,
+    so the translation guards the sign); scalar range() is
+    end-EXCLUSIVE via a sign(step) bound pull-in. Column NAMES compared
+    too."""
+    cases = [
+        "SELECT * FROM range(5)",
+        "SELECT * FROM range(2, 7)",
+        "SELECT * FROM range(10, 0, -3)",
+        "SELECT range FROM range(5) t WHERE t.range > 2",
+        "SELECT * FROM range(5) AS t(x) WHERE x % 2 = 0",
+        "SELECT * FROM generate_series(3)",
+        "SELECT * FROM generate_series(2, 7)",
+        "SELECT * FROM generate_series(1, 10, 3)",
+        "SELECT * FROM generate_series(5, 1, -2)",
+        "SELECT generate_series(1, 5) AS g",
+        "SELECT generate_series(5, 1) AS g",       # empty, not descending
+        "SELECT generate_series(5, 1, -2) AS g",
+        "SELECT generate_series(1, 5, -1) AS g",   # empty
+        "SELECT range(1, 5) AS r",                 # exclusive end
+        "SELECT range(5, 1, -1) AS r",
+        "SELECT range(1, 10, 3) AS r",
+        "SELECT range(1, 1) AS r",                 # empty
+        "SELECT r.range * 2 AS d FROM range(0, 4) r",
+        "SELECT o_orderkey, g FROM orders, generate_series(1, 2) t(g) "
+        "WHERE o_orderkey < 4",
+    ]
+    _views(spark)
+    for duck_sql in cases:
+        exp = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+        t = transpile_statement(duck_sql, spark)
+        assert "generate_series(" not in t, duck_sql
+        got = sorted(tuple(r) for r in spark.sql(t).collect())
+        assert got == exp, f"{duck_sql}\nspark={got[:4]}\nduck={exp[:4]}"
+        exp_names = [d[0] for d in con.execute(duck_sql).description]
+        assert list(spark.sql(t).columns) == exp_names, duck_sql
+    # step 0: the SCALAR form is EMPTY on both engines (probed), the
+    # TABLE form is a Binder Error in DuckDB and raises here too
+    import pytest as _pytest
+
+    assert con.execute("SELECT generate_series(1, 5, 0)").fetchone()[0] == []
+    assert spark.sql(
+        transpile_statement("SELECT generate_series(1, 5, 0) AS g", spark)
+    ).collect()[0][0] == []
+    with _pytest.raises(Exception):
+        con.execute("SELECT * FROM generate_series(1, 5, 0)").fetchall()
+    with _pytest.raises(Exception):
+        spark.sql(
+            transpile_statement("SELECT * FROM generate_series(1, 5, 0)", spark)
+        ).collect()
+    # temporal/complex args stay loud (typed divergence: DuckDB emits
+    # TIMESTAMP[] for date series, Spark sequence would emit DATE[])
+    loud = transpile_statement(
+        "SELECT generate_series(DATE '2021-01-01', DATE '2021-02-01', "
+        "INTERVAL 1 DAY) AS g",
+        spark,
+    )
+    assert "generate_series(" in loud
+    # scalar position inside a function call is NOT a table site
+    t = transpile_statement("SELECT size(generate_series(1, 4)) AS n", spark)
+    assert "generate_series(" not in t and "FROM range" not in t
+    assert spark.sql(t).collect()[0][0] == 4
