@@ -4634,6 +4634,76 @@ def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
     return out
 
 
+_DESCRIBE_STMT = re.compile(r"(?is)^\s*DESC(?:RIBE)?\s+(.+?)\s*;?\s*$")
+
+
+def _duck_type_name(dt) -> str:
+    """Render a Spark DataType in DuckDB's type spelling (probed
+    DESCRIBE layout: VARCHAR / INTEGER / DOUBLE[] /
+    STRUCT(x INTEGER, …) / MAP(K, V) / DECIMAL(p,s))."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return _duck_type_name(dt.elementType) + "[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({_duck_type_name(dt.keyType)}, "
+            f"{_duck_type_name(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {_duck_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    s = dt.simpleString()
+    return {
+        "string": "VARCHAR",
+        "int": "INTEGER",
+        "binary": "BLOB",
+        "timestamp_ntz": "TIMESTAMP",
+    }.get(s, s.upper())
+
+
+def _rewrite_describe(sql: str, spark) -> str:
+    """DuckDB ``DESCRIBE <table | (query) | SELECT …>`` → a literal
+    VALUES table in DuckDB's exact six-column layout (column_name,
+    column_type in DuckDB type spelling, null YES/NO from the analyzed
+    schema, key/default/extra all NULL — probed: DuckDB itself emits
+    NULL for those on every ordinary table). Pure schema work, no data
+    scan. An inspection statement like SUMMARIZE — the contract is the
+    layout, not hash equality. Needs a session; without one the
+    statement stays loud."""
+    m = _DESCRIBE_STMT.match(sql)
+    if not m or spark is None:
+        return sql
+    rel = m.group(1).strip()
+    if re.match(r"(?is)^(select|with|values|from)\b", rel):
+        rel_sql = rel
+    elif rel.startswith("("):
+        rel_sql = _strip_outer_parens(rel)
+    else:
+        rel_sql = f"SELECT * FROM {rel}"
+    try:
+        fields = spark.sql(
+            f"SELECT * FROM ({rel_sql}) __arnab_dsc WHERE 1=0"
+        ).schema
+    except Exception:
+        return sql  # unresolvable relation: leave → loud
+    rows = ", ".join(
+        "('{n}', '{t}', '{nl}', CAST(NULL AS STRING), "
+        "CAST(NULL AS STRING), CAST(NULL AS STRING))".format(
+            n=f.name.replace("'", "''"),
+            t=_duck_type_name(f.dataType).replace("'", "''"),
+            nl="YES" if f.nullable else "NO",
+        )
+        for f in fields
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS __arnab_dsc"
+        "(column_name, column_type, `null`, key, `default`, extra)"
+    )
+
+
 _SUMMARIZE_STMT = re.compile(r"(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$")
 _NUMERIC_PREFIXES = (
     "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
@@ -5129,6 +5199,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
+    sql = _rewrite_describe(sql, spark)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first_arms(sql)

@@ -1380,3 +1380,31 @@ def test_range_and_generate_series_differential(spark, con):
     t = transpile_statement("SELECT size(generate_series(1, 4)) AS n", spark)
     assert "generate_series(" not in t and "FROM range" not in t
     assert spark.sql(t).collect()[0][0] == 4
+
+
+def test_describe_statement_layout(spark, con):
+    """Round-10: DESCRIBE <table | (query) | SELECT …> → a literal
+    VALUES table in DuckDB's exact six-column layout, types in DuckDB
+    spelling, null flags from the analyzed schema. Inspection contract
+    (like SUMMARIZE): both engines read the same parquet, so names,
+    type spellings and row order must agree exactly."""
+    _views(spark)
+    for duck_sql in (
+        "DESCRIBE orders",
+        "DESC orders",
+        "DESCRIBE (SELECT o_orderkey, o_orderstatus FROM orders)",
+        "DESCRIBE SELECT o_orderkey + 1 AS k, split(o_orderpriority, '-') AS parts FROM orders",
+    ):
+        exp_names = [d[0] for d in con.execute(duck_sql).description]
+        exp = con.execute(duck_sql).fetchall()
+        t = transpile_statement(duck_sql, spark)
+        assert not t.upper().startswith("DESC"), duck_sql
+        got_df = spark.sql(t)
+        assert list(got_df.columns) == exp_names
+        got = [tuple(r) for r in got_df.collect()]
+        assert got == exp, f"{duck_sql}\nspark={got}\nduck={exp}"
+    # sessionless / unresolvable: stays loud
+    assert transpile_statement("DESCRIBE orders").upper().startswith("DESCRIBE")
+    assert transpile_statement("DESCRIBE no_such_table_xyz", spark).upper().startswith(
+        "DESCRIBE"
+    )
