@@ -4634,6 +4634,27 @@ def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
     return out
 
 
+_SHOW_TABLES_STMT = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$")
+
+
+def _rewrite_show_tables(sql: str, spark) -> str:
+    """DuckDB ``SHOW TABLES`` → a literal VALUES table with the single
+    ``name`` column DuckDB emits (probed), listing the session's
+    tables + temp views sorted by name. ``SHOW ALL TABLES`` (DuckDB's
+    six-column catalog dump) stays loud — database/schema columns have
+    no faithful mapping onto a temp-view warehouse. Needs a session."""
+    if spark is None or not _SHOW_TABLES_STMT.match(sql):
+        return sql
+    try:
+        names = sorted(t.name for t in spark.catalog.listTables())
+    except Exception:
+        return sql
+    if not names:
+        return "SELECT CAST(NULL AS STRING) AS name WHERE 1 = 0"
+    rows = ", ".join("('" + n.replace("'", "''") + "')" for n in names)
+    return f"SELECT * FROM (VALUES {rows}) AS __arnab_sht(name)"
+
+
 _DESCRIBE_STMT = re.compile(r"(?is)^\s*DESC(?:RIBE)?\s+(.+?)\s*;?\s*$")
 
 
@@ -5200,6 +5221,7 @@ def transpile_statement(sql: str, spark=None) -> str:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
     sql = _rewrite_describe(sql, spark)
+    sql = _rewrite_show_tables(sql, spark)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first_arms(sql)

@@ -1408,3 +1408,18 @@ def test_describe_statement_layout(spark, con):
     assert transpile_statement("DESCRIBE no_such_table_xyz", spark).upper().startswith(
         "DESCRIBE"
     )
+
+
+def test_show_tables_statement(spark, con):
+    """Round-10: SHOW TABLES → the single-column ``name`` layout DuckDB
+    emits, listing the session's tables + temp views sorted; SHOW ALL
+    TABLES (catalog dump with database/schema columns) stays loud."""
+    _views(spark)
+    t = transpile_statement("SHOW TABLES", spark)
+    assert not t.upper().startswith("SHOW")
+    df = spark.sql(t)
+    assert df.columns == ["name"]
+    names = [r.name for r in df.collect()]
+    assert "orders" in names and names == sorted(names)
+    assert transpile_statement("SHOW ALL TABLES", spark).upper().startswith("SHOW")
+    assert transpile_statement("SHOW TABLES").upper().startswith("SHOW")
