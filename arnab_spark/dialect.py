@@ -1374,6 +1374,68 @@ def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
     return out
 
 
+_CTE_DEF = re.compile(
+    r"(?is)\s*([A-Za-z_]\w*)\s*(\([^()]*\))?\s+AS\s+"
+    r"(?:NOT\s+MATERIALIZED\s+|MATERIALIZED\s+)?\("
+)
+
+
+def _rewrite_columns_in_ctes(sql: str, spark) -> str:
+    """Expand COLUMNS() inside NON-RECURSIVE CTE bodies, each against
+    its OWN FROM scope: the probe prefix for CTE k is the (already
+    rewritten) WITH header holding CTEs 1..k-1 — so a later CTE's
+    probe sees its predecessors resolvable. Processed left-to-right;
+    RECURSIVE statements stay untouched (the body references itself,
+    which no probe can analyze)."""
+    m = re.match(r"(?is)^\s*WITH\s+", sql)
+    if not m or re.match(r"(?is)^\s*WITH\s+RECURSIVE\b", sql):
+        return sql
+    out = sql
+    i = m.end()
+    while True:
+        dm = _CTE_DEF.match(out, i)
+        if not dm:
+            break
+        open_idx = dm.end() - 1
+        # find the matching close, quote-aware
+        depth, j, quote = 1, open_idx + 1, None
+        n = len(out)
+        while j < n and depth:
+            ch = out[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return out  # unbalanced: leave whole
+        body = out[open_idx + 1: j - 1]
+        if _COLUMNS_CALL.search(body):
+            # prefix = WITH header up to THIS def, comma-stripped
+            head = out[: dm.start()].rstrip()
+            if head.rstrip().endswith(","):
+                head = head.rstrip()[:-1]
+            prefix = (head + " ") if head.strip().lower() != "with" else ""
+            new_body = _rewrite_columns_expr(body, spark, probe_prefix=prefix)
+            if new_body != body:
+                out = out[: open_idx + 1] + new_body + out[j - 1:]
+                j += len(new_body) - len(body)
+        # step past this def; a comma continues the WITH list
+        k = j
+        while k < len(out) and out[k].isspace():
+            k += 1
+        if k < len(out) and out[k] == ",":
+            i = k + 1
+            continue
+        break
+    return out
+
+
 def _rewrite_columns_expr(sql: str, spark, probe_prefix: str = "") -> str:
     """Expand select-list COLUMNS() sites against the analyzed star
     schema of the statement's own FROM context (see the pass comment
@@ -1387,7 +1449,8 @@ def _rewrite_columns_expr(sql: str, spark, probe_prefix: str = "") -> str:
         for m in _COLUMNS_CALL.finditer(sql)
     ):
         return sql  # COLUMNS( appears only inside string literals
-    if re.match(r"(?is)^\s*WITH\b", sql):
+    if re.match(r"(?is)^\s*WITH\b", sql) and not probe_prefix:
+        sql = _rewrite_columns_in_ctes(sql, spark)
         sel_idx, _ = _scan_top_level(sql, ("select",))
         if sel_idx <= 0:
             return sql

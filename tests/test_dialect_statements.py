@@ -1423,3 +1423,33 @@ def test_show_tables_statement(spark, con):
     assert "orders" in names and names == sorted(names)
     assert transpile_statement("SHOW ALL TABLES", spark).upper().startswith("SHOW")
     assert transpile_statement("SHOW TABLES").upper().startswith("SHOW")
+
+
+def test_columns_expression_in_cte_bodies(spark, con):
+    """Round-10 follow-through: COLUMNS() inside NON-RECURSIVE CTE
+    bodies expands against each CTE's OWN FROM scope — a later CTE's
+    probe sees its (already rewritten) predecessors. RECURSIVE
+    statements stay loud."""
+    _views(spark)
+    cases = [
+        "WITH w AS (SELECT min(COLUMNS('o_.*key')) FROM orders) SELECT * FROM w",
+        "WITH a AS (SELECT COLUMNS('o_.*key') FROM orders WHERE o_orderkey < 40), "
+        "b AS (SELECT max(COLUMNS(*)) FROM a) SELECT * FROM b",
+        "WITH w AS (SELECT o_orderstatus, min(COLUMNS('o_total.*')) FROM orders "
+        "GROUP BY ALL) SELECT COLUMNS('o_.*') FROM w",
+    ]
+    for duck_sql in cases:
+        exp = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
+        t = transpile_statement(duck_sql, spark)
+        assert "COLUMNS(" not in t, duck_sql
+        got = sorted(tuple(r) for r in spark.sql(t).collect())
+        assert got == exp, f"{duck_sql}\nspark={got[:3]}\nduck={exp[:3]}"
+        assert list(spark.sql(t).columns) == [
+            d[0] for d in con.execute(duck_sql).description
+        ], duck_sql
+    # RECURSIVE: untouched (loud if a COLUMNS is inside)
+    assert "COLUMNS(" in transpile_statement(
+        "WITH RECURSIVE r AS (SELECT COLUMNS('o_.*key') FROM orders) "
+        "SELECT * FROM r",
+        spark,
+    )
