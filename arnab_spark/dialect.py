@@ -5185,6 +5185,34 @@ _SEQUENCE_SITE = re.compile(
     r"|(DROP\s+SEQUENCE)|((?:next|curr)val)\s*\()"
 )
 
+_POSITIONAL_JOIN_SITE = re.compile(r"(?is)\bPOSITIONAL\s+JOIN\b")
+
+
+def _reject_positional_join(sql: str) -> None:
+    """Targeted error for DuckDB's POSITIONAL JOIN (round 10): it pairs
+    rows by PHYSICAL ORDER (row 1 with row 1, NULL-padding the shorter
+    side — probed), and a distributed DataFrame has no physical row
+    order — any Spark spelling (zipWithIndex, monotonically_increasing_
+    id + row_number) would either force a global sort that INVENTS an
+    order the source never promised, or pair rows nondeterministically
+    across recomputations. Name the construct and the honest
+    alternatives instead of a generic parse failure."""
+    spans = _quoted_spans(sql) + _comment_spans(sql)
+    for m in _POSITIONAL_JOIN_SITE.finditer(sql):
+        if any(s <= m.start() <= e for s, e in spans):
+            continue
+        from arnab_spark.errors import ArnabError
+
+        raise ArnabError(
+            "POSITIONAL JOIN: DuckDB pairs rows by physical order, which "
+            "a distributed DataFrame does not have — no sound Spark "
+            "mapping exists (zipWithIndex pairs nondeterministically "
+            "across recomputations; a global sort invents an order the "
+            "source never promised). Join on an explicit key instead, or "
+            "derive one deterministically: row_number() OVER (ORDER BY "
+            "<stable unique key>) on both sides, then an equi-join."
+        )
+
 
 def _reject_sequences(sql: str) -> None:
     """Targeted error for DuckDB sequences (round-9, r8 verdict ask #6:
@@ -5234,6 +5262,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     produced wrong column names/types with no signal).
     """
     _reject_sequences(sql)
+    _reject_positional_join(sql)
     macros = _macros_for(spark)
     created = _parse_create_macro(sql)
     if created is not None:

@@ -1453,3 +1453,22 @@ def test_columns_expression_in_cte_bodies(spark, con):
         "SELECT * FROM r",
         spark,
     )
+
+
+def test_positional_join_raises_targeted_error(spark):
+    """Round-10: POSITIONAL JOIN pairs rows by physical order (probed:
+    row-by-row with NULL padding), which a distributed DataFrame does
+    not have — the shim raises a targeted error naming the construct
+    and the deterministic alternatives, not a generic parse failure.
+    Mentions in strings/comments must not trigger."""
+    import pytest as _pytest
+
+    from arnab_spark.errors import ArnabError
+
+    with _pytest.raises(ArnabError) as exc:
+        transpile_statement("SELECT * FROM a POSITIONAL JOIN b")
+    assert "row_number" in str(exc.value)
+    assert "POSITIONAL JOIN" in str(exc.value)
+    assert " AS v" in transpile_statement(
+        "SELECT 'use POSITIONAL JOIN later' AS v -- positional join note"
+    )
