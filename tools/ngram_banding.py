@@ -1,25 +1,30 @@
-"""Round-11 measurement for `dedup_ngram_jaccard`'s banding re-derivation
+"""Round-11 measurement for `dedup_ngram_jaccard`'s re-derivation
 (r10 verdict ask #3 / wrong #3).
 
-The r1-r10 pipeline reused the candidate-generation banding (r=1 row/
-band x b=8 bands) whose S-curve threshold is t* = (1/b)^(1/r) = 0.125 —
-far below the 0.5 Jaccard verify threshold — so at s=0.1 background
-similarity 1-(1-0.1)^8 = 57% of incidental pairs became candidates, and
-SCALE.md measured the candidate set growing +18%/decade beyond linear
-(783k -> 9.27M for 10x data). Round 11 re-derives the banding from the
-target threshold: r=2 x b=4 composite bands (concat of adjacent slice
-mins) gives t* = (1/4)^(1/2) = 0.50 exactly; noise at s=0.1 drops to
-1-(1-0.01)^4 = 3.9%.
+Three measurement artifacts tell the story:
 
-This tool measures BOTH bandings at each scale point:
+1. NGRAM_BANDING_r11_trigram.json (first run of this tool): centering
+   the S-curve alone — r=2 x b=4 composite bands (t* = 0.50) over the
+   trigram signatures, UNIGRAM verify unchanged — collapsed "recall"
+   to 0.9-1.5% of the old verified pairs. Diagnosis: the r1-r10
+   pipeline verified UNIGRAM word-set Jaccard against TRIGRAM-shingle
+   signatures — two different similarities; the old t* = 0.125
+   over-recall had been sweeping unigram-similar pairs in by accident.
+2. A fixture probe (recorded in the dedup.py pass comment): the
+   unigram metric is itself DEGENERATE on text — ~45% of ALL document
+   pairs at sf0.001 score unigram-Jaccard >= 0.5 (and the old
+   pipeline "verified" 83-93% of whatever its banding recalled, at
+   every scale point — no discriminating power).
+3. THIS tool's final form: the round-11 pipeline verifies the SAME
+   trigram-shingle sets the signatures sketch (true n-gram Jaccard,
+   n=3), banded r=2 x b=4. Against the r=1 x b=8 banding ON THE SAME
+   trigram metric, recall is a plain count ratio (r2b4 candidates are
+   a SUBSET of r1b8's: a composite band matches only when both its
+   constituent bands match), and the candidate count drops ~100x.
 
-- candidate-pair count (post-DISTINCT) — the verify stage's cost driver;
-- verified-pair count (exact word-set Jaccard >= 0.5);
-- recall of the new banding = verified_new / verified_old. Sound as a
-  plain count ratio because r2b4 candidates are a SUBSET of r1b8
-  candidates (a composite band matches only when both its constituent
-  bands match), so verified_new is a subset of verified_old;
-- full-query wall (min of N passes).
+Per scale point and banding: candidate count (the verify stage's cost
+driver), trigram-verified pair count, recall (new/old — sound by the
+subset property), full-query wall (min of N passes).
 
 Usage: python tools/ngram_banding.py [out.json] [passes]
 Reads sf0.1 fixtures + .scaledata/sf1 + .scaledata/sf10 (skips absent).
@@ -35,30 +40,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# the r1-r10 candidate CTE, reconstructed verbatim for the comparison
+# the r10-shipped candidate stage (r=1 x b=8 over trigram sigs),
+# reconstructed verbatim for the same-metric comparison
 _OLD_CANDS = """
 , cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
-),
-"""
-
-_VERIFY_TAIL = """
-wordsets AS (
-  SELECT doc_id, array_distinct(w) AS ws FROM words
-),
-scored AS (
-  SELECT c.doc_a, c.doc_b,
-         size(array_intersect(wa.ws, wb.ws)) AS n_common,
-         size(array_union(wa.ws, wb.ws)) AS n_union
-  FROM cands c
-  JOIN wordsets wa ON c.doc_a = wa.doc_id
-  JOIN wordsets wb ON c.doc_b = wb.doc_id
 )
-SELECT COUNT(*) AS n_verified
-FROM scored
-WHERE CAST(n_common AS DOUBLE) / n_union >= 0.5
 """
 
 
@@ -69,28 +58,25 @@ def main() -> None:
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from arnab_spark.queries.dedup import _JACCARD_SPARK, _MINHASH_SPARK
-    from arnab_spark.spark_utils import get_spark
+    from arnab_spark.spark_utils import get_spark, register_spread_views
 
-    # bench-identical sf10 config shape (local[32]); measurement tool,
-    # not the bench run-of-record
     spark = get_spark("ngram_banding", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    new_cands = _JACCARD_SPARK[: _JACCARD_SPARK.index("wordsets AS")]
+    # shipped round-11 text, split into candidate chain + verify tail so
+    # the old banding can be spliced in front of the SAME verifier
+    idx = _JACCARD_SPARK.index("wordsets AS")
+    new_cands = _JACCARD_SPARK[:idx].rstrip().rstrip(",")
+    verify_tail = ",\n" + _JACCARD_SPARK[idx:]
 
-    def register(sf_dir: str) -> None:
-        from arnab_spark.spark_utils import register_spread_views
-
-        register_spread_views(spark, sf_dir, ("documents",))
-
-    def count_sql(sql: str) -> tuple[int, float]:
-        best = None
-        val = None
+    def best_count(sql: str, wrap_count: bool = False) -> tuple[int, float]:
+        if wrap_count:
+            sql = f"SELECT COUNT(*) AS n FROM ({sql})"
+        walls, val = [], None
         for _ in range(passes):
             t0 = time.perf_counter()
             val = spark.sql(sql).collect()[0][0]
-            w = time.perf_counter() - t0
-            best = w if best is None else min(best, w)
-        return int(val), round(best, 2)
+            walls.append(time.perf_counter() - t0)
+        return int(val), round(min(walls), 2)
 
     points = {
         "sf0.1": "/root/testdata/sf0.1",
@@ -100,8 +86,9 @@ def main() -> None:
     result: dict = {
         "derivation": (
             "t* = (1/b)^(1/r): old r=1,b=8 -> 0.125; new r=2,b=4 -> "
-            "0.500 (target = verify threshold 0.5); P(cand|s=0.1): "
-            "57% -> 3.9%"
+            "0.500 (= the verify threshold). Verify metric: trigram-"
+            "shingle Jaccard (same sets the signatures sketch). Recall "
+            "= verified_new/verified_old, sound by the subset property."
         ),
         "passes": passes,
         "points": {},
@@ -109,20 +96,21 @@ def main() -> None:
     for name, d in points.items():
         if not os.path.isdir(d):
             continue
-        register(d)
+        register_spread_views(spark, d, ("documents",))
         row: dict = {}
         for label, cands in (("old_r1b8", _OLD_CANDS), ("new_r2b4", new_cands)):
-            n_c, w_c = count_sql(
-                _MINHASH_SPARK + cands + "SELECT COUNT(*) AS n FROM cands"
+            n_c, _ = best_count(
+                _MINHASH_SPARK + cands + "\nSELECT COUNT(*) AS n FROM cands"
             )
-            n_v, w_v = count_sql(_MINHASH_SPARK + cands + _VERIFY_TAIL)
+            n_v, w_v = best_count(
+                _MINHASH_SPARK + cands + verify_tail, wrap_count=True
+            )
             row[label] = {
                 "candidates": n_c,
-                "verified": n_v,
-                "wall_candidates": w_c,
+                "verified_trigram": n_v,
                 "wall_full_verify": w_v,
             }
-        ov, nv = row["old_r1b8"]["verified"], row["new_r2b4"]["verified"]
+        ov, nv = row["old_r1b8"]["verified_trigram"], row["new_r2b4"]["verified_trigram"]
         row["recall_new_vs_old"] = round(nv / ov, 4) if ov else None
         row["candidate_reduction"] = (
             round(row["old_r1b8"]["candidates"] / row["new_r2b4"]["candidates"], 1)
