@@ -59,7 +59,13 @@ def asof_join(spark, sf_dir):
     forward with last(ignorenulls), keep purchase rows.
 
     Scale: one shuffle on user_id, per-partition sort — no range
-    explosion, no broadcast requirement, skew handled by AQE. Both
+    explosion, no broadcast requirement. Key skew (r11 measurement,
+    ASOF_SKEW_r11*.json): AQE does NOT split window partitions (its
+    skew handling applies to sort-merge joins), so a hot key's series
+    sorts in one task — measured harmless on this fixture even at one
+    user owning 50% of all events (the per-key sort is minutes of
+    work only when one key holds billions of rows; at that shape,
+    sub-bucket the key by time range before the carry-forward). Both
     sides are event-type slices of the SAME table, so the tagged union
     is built from ONE scan (a when() projection) and handed to the
     reusable :func:`arnab_spark.operators.asof_carry_forward` core —

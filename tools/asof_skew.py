@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SKEW_MOD = 10  # user 1 absorbs ~10% of all events
+SKEW_MOD = 10  # default: user 1 absorbs ~10% of all events (arg 4 overrides)
 
 
 def main() -> None:
@@ -43,6 +43,7 @@ def main() -> None:
         REPO, "ASOF_SKEW_r11.json"
     )
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    skew_mod = int(sys.argv[4]) if len(sys.argv) > 4 else SKEW_MOD
 
     from arnab_spark.queries import all_queries
     from arnab_spark.spark_utils import get_spark
@@ -51,14 +52,14 @@ def main() -> None:
     reg = all_queries()
 
     # build the skewed events variant once (deterministic remap)
-    skew_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "asof_skew")
+    skew_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"asof_skew_m{skew_mod}")
     marker = os.path.join(skew_dir, "_SKEW_OK")
     if not os.path.exists(marker):
         os.makedirs(skew_dir, exist_ok=True)
         e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         skewed = e.selectExpr(
             "event_id",
-            f"IF(user_id % {SKEW_MOD} = 0, CAST(1 AS BIGINT), user_id) AS user_id",
+            f"IF(user_id % {skew_mod} = 0, CAST(1 AS BIGINT), user_id) AS user_id",
             *[c for c in e.columns if c not in ("event_id", "user_id")],
         )
         skewed.coalesce(8).write.mode("overwrite").parquet(
@@ -74,7 +75,7 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         return round(min(walls), 2), n
 
-    result: dict = {"sf_dir": sf_dir, "skew_mod": SKEW_MOD, "passes": passes}
+    result: dict = {"sf_dir": sf_dir, "skew_mod": skew_mod, "passes": passes}
     for qname in ("asof_join", "asof_join_pandas"):
         fn = reg[qname].fn
         w_u, n_u = best_wall(fn, sf_dir)
