@@ -1255,13 +1255,82 @@ def _rewrite_series_functions(sql: str) -> str:
 #     arguments stay loud (unprobed)
 #   * COLUMNS(* EXCLUDE (c)) subtracts; the star-EXCLUDE pre-pass has
 #     already respelled it EXCEPT by the time this pass runs
-# Still loud, all probed-or-documented: the lambda form
-# (COLUMNS(c -> …)), COLUMNS outside the select list (WHERE expands to
-# a conjunction in DuckDB, ORDER BY to multiple keys), sites inside
-# sub-selects or CTE bodies (different FROM scope than the probe), and
-# DISTINCT ON beside COLUMNS.
+#   * (round 11) the LAMBDA form — COLUMNS(c -> c LIKE 'a%') — binds
+#     each column NAME as a VARCHAR and keeps names where the predicate
+#     is true. DuckDB's own binder lowers it to
+#     ``list_filter([names…], lambda)`` (its zero-match Binder Error
+#     prints exactly that lowering), so the shim evaluates the SAME
+#     list_filter on the embedded DuckDB at rewrite time — the name
+#     set is bind-time metadata, never data — giving exact parity for
+#     every scalar function DuckDB allows in the body (LIKE/SIMILAR
+#     TO/starts_with/contains/regexp_matches/CASE…, all probed) with
+#     zero blind re-implementation. A body DuckDB rejects raises with
+#     DuckDB's own message (loud IS parity: DuckDB errors on the
+#     statement too).
+#   * a quoted alias's ``\0`` backref is the FULL column name in BOTH
+#     forms (probed: '(.)b' on abc aliases m_abc, not m_ab — NOT the
+#     regex match); ``\N`` (N ≥ 1) is regex-form-only (probed Binder
+#     Error: "Only the backslash escape code \0 can be used when no
+#     regex is supplied")
+# Still loud, all probed-or-documented: COLUMNS outside the select
+# list (WHERE expands to a conjunction in DuckDB, ORDER BY to multiple
+# keys), sites inside sub-selects (different FROM scope than the
+# probe), and DISTINCT ON beside COLUMNS.
 
 _COLUMNS_CALL = re.compile(r"(?is)\bCOLUMNS\s*\(")
+
+_COLUMNS_LAMBDA = re.compile(r"(?s)^([A-Za-z_]\w*)\s*->\s*(.+)$")
+
+
+_LAMBDA_EVAL_CON = None
+
+
+def _lambda_eval_con():
+    """Cached in-memory DuckDB connection for COLUMNS-lambda
+    evaluation, preloaded with macros for the Spark spellings the
+    earlier rename passes may have written into the lambda body by the
+    time this pass runs (each a semantics-identical twin — that is the
+    rename table's own invariant)."""
+    global _LAMBDA_EVAL_CON
+    if _LAMBDA_EVAL_CON is None:
+        import duckdb
+
+        con = duckdb.connect(":memory:")
+        for compat in (
+            "CREATE MACRO regexp_like(s, p) AS regexp_matches(s, p)",
+            "CREATE MACRO instr(s, sub) AS strpos(s, sub)",
+        ):
+            try:
+                con.execute(compat)
+            except Exception:
+                pass  # name already native in this DuckDB: use it
+        _LAMBDA_EVAL_CON = con
+    return _LAMBDA_EVAL_CON
+
+
+def _columns_lambda_filter(var: str, body: str, cols: list[str]) -> list[str]:
+    """Evaluate a COLUMNS lambda over the column-name list on the
+    embedded DuckDB — the exact ``list_filter`` lowering DuckDB's own
+    binder performs (its zero-match Binder Error prints
+    ``COLUMNS(list_filter([names…], (c -> …)))``). The name set is
+    bind-time metadata (a handful of strings), never table data, so
+    this is a constant-fold, not a query. Raises ArnabError carrying
+    DuckDB's message when DuckDB itself rejects the lambda body —
+    the statement errors on DuckDB too, so loud IS parity."""
+    from arnab_spark.errors import ArnabError
+
+    names = ", ".join("'" + c.replace("'", "''") + "'" for c in cols)
+    try:
+        got = _lambda_eval_con().execute(
+            f"SELECT list_filter([{names}], ({var} -> ({body})))"
+        ).fetchone()[0]
+    except Exception as exc:  # noqa: BLE001 — re-raised targeted
+        raise ArnabError(
+            f"COLUMNS({var} -> …): DuckDB rejects this lambda body "
+            f"too: {str(exc).splitlines()[0]}"
+        ) from exc
+    keep = set(got)
+    return [c for c in cols if c in keep]
 
 
 def _columns_match(raw: str, cols: list[str]) -> list[str] | None:
@@ -1296,6 +1365,9 @@ def _columns_match(raw: str, cols: list[str]) -> list[str] | None:
         except re.error:
             return None
         return [c for c in cols if rx.search(c)]
+    lam = _COLUMNS_LAMBDA.match(raw)
+    if lam:
+        return _columns_lambda_filter(lam.group(1), lam.group(2), cols)
     return None
 
 
@@ -1321,17 +1393,30 @@ def _strip_trailing_alias(item: str) -> tuple[str, str | None]:
 
 def _columns_alias_name(alias: str, pattern: str | None, col: str) -> str | None:
     """Output name for one expanded column under an explicit alias:
-    plain aliases repeat; quoted aliases may carry \\N regex backrefs."""
+    plain aliases repeat; quoted aliases may carry backrefs — ``\\0``
+    is the FULL column name in both forms (probed: '(.)b' on abc
+    aliases m_abc, never the m_ab regex match), ``\\N`` (N ≥ 1) fills
+    from the regex's capture groups and is regex-form-only (probed
+    Binder Error on the lambda form)."""
     text = alias[1:-1].replace('""', '"') if alias.startswith('"') else alias
     if re.search(r"\\\d", text):
-        if pattern is None:
-            return None
-        mm = re.search(pattern, col)
-        if mm is None:
-            return None
+        if re.search(r"\\[1-9]", text):
+            if pattern is None:
+                return None
+            mm = re.search(pattern, col)
+            if mm is None:
+                return None
+        else:
+            mm = None  # \0-only alias: no regex needed (lambda form ok)
         try:
             return re.sub(
-                r"\\(\d)", lambda g: mm.group(int(g.group(1))) or "", text
+                r"\\(\d)",
+                lambda g: (
+                    col
+                    if g.group(1) == "0"
+                    else (mm.group(int(g.group(1))) or "")
+                ),
+                text,
             )
         except (re.error, IndexError):
             return None
@@ -1361,6 +1446,17 @@ def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
     if len({p[2] for p in parsed}) != 1:
         return None  # differing zip arguments: unprobed
     raw = parsed[0][2]
+    if len(parsed) > 1 and _COLUMNS_LAMBDA.match(raw):
+        from arnab_spark.errors import ArnabError
+
+        # probed: identical regex/star sites zip pairwise, but two
+        # lambda sites — even textually identical — are "Multiple
+        # different STAR/COLUMNS" to DuckDB's binder (lambda
+        # expressions never compare equal); mirrored loud
+        raise ArnabError(
+            "COLUMNS: multiple lambda-form sites in one expression — "
+            "DuckDB raises a Binder Error on this statement too"
+        )
     matched = _columns_match(raw, cols)
     if matched is None:
         return None

@@ -129,7 +129,10 @@ def davg(col: Column | str, alias: str) -> Column:
 #: star-contraction operator instead of the replaced min-label loop
 #: (behavior byte-identical; the operator's only round-11 change is a
 #: loud non-convergence guard on a path that never fires at these
-#: fixture scales).
+#: fixture scales), and `asof_join`'s docstring replaces the refuted
+#: "skew handled by AQE" claim with the measured skew verdict
+#: (ASOF_SKEW_r11*.json; query body untouched — verified by git diff,
+#: manifest entry consciously refreshed in the same commit).
 #: `tests/test_registry_order.py` pins the window, the never-run gate,
 #: and the source-hash freshness manifest so an import reorder, an
 #: unrotated rewrite, or an unwindowed NEW query fails CI, not the

@@ -406,6 +406,12 @@ WITH m AS (
 x AS (
   SELECT max(COLUMNS(* EXCLUDE (r_name))) FROM region
 ),
+lam AS (
+  SELECT max(COLUMNS(c -> c LIKE 'l_tax' OR regexp_matches(c, 'shipd'))) FROM lineitem
+),
+lz AS (
+  SELECT min(COLUMNS(c -> starts_with(c, 'n_n'))) AS "mn_\\0" FROM nation
+),
 n AS (SELECT * FROM generate_series(1, 4)),
 r AS (SELECT * FROM range(0, 9, 3)),
 d AS (
@@ -422,8 +428,12 @@ SELECT d.ym, d.n_orders,
        m.l_quantity AS min_qty,
        m.l_extendedprice AS min_price,
        m.l_discount AS min_disc,
-       x.r_regionkey AS max_regionkey
-FROM d, n, r, m, x
+       x.r_regionkey AS max_regionkey,
+       lam.l_tax AS max_tax,
+       lam.l_shipdate AS max_shipdate,
+       lz.mn_n_nationkey,
+       lz.mn_n_name
+FROM d, n, r, m, x, lam, lz
 """
 
 
@@ -440,11 +450,19 @@ def dialect_series_columns(spark, sf_dir):
     the scalar ``generate_series`` array form under ``len``, a regex
     ``COLUMNS('l_(…)')`` expansion and a ``COLUMNS(* EXCLUDE …)``
     expansion both inside non-recursive CTE bodies (source-named
-    outputs), and a CASE-built constant strftime format folded by the
+    outputs), the round-11 LAMBDA form (``COLUMNS(c -> …)`` — names
+    bound as VARCHAR, predicate evaluated through DuckDB's own
+    list_filter lowering, incl. a ``\\0`` full-column-name alias
+    backref), and a CASE-built constant strftime format folded by the
     round-11 literal-expression evaluator (``dialect.py _FoldEval``;
     DuckDB's binder constant-folds the identical text natively —
     reference delegates it via node.rs:176). Exact hash match."""
-    return _run(spark, sf_dir, ("lineitem", "region", "orders"), _SERIES_COLUMNS_SQL)
+    return _run(
+        spark,
+        sf_dir,
+        ("lineitem", "region", "orders", "nation"),
+        _SERIES_COLUMNS_SQL,
+    )
 
 
 _DESCRIBE_SQL = """

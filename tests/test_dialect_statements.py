@@ -1270,6 +1270,22 @@ def test_columns_expression_differential(spark, con):
         "SELECT o_orderstatus, min(COLUMNS('o_total.*')) FROM orders GROUP BY ALL",
         "SELECT o_orderkey, COLUMNS('o_order(status|priority)') FROM orders "
         "WHERE o_orderkey < 40",
+        # round-11 lift: the lambda form — names bound as VARCHAR,
+        # evaluated through DuckDB's own list_filter lowering
+        "SELECT COLUMNS(c -> c LIKE 'o_%key') FROM orders WHERE o_orderkey < 50",
+        "SELECT min(COLUMNS(c -> c NOT LIKE '%date' AND c NOT LIKE '%status'"
+        " AND c NOT LIKE '%priority' AND c NOT LIKE '%clerk'"
+        " AND c NOT LIKE '%comment')) FROM orders",
+        "SELECT max(COLUMNS(col -> col SIMILAR TO 'o_.*(key|price)')) FROM orders",
+        "SELECT count(COLUMNS(c -> starts_with(c, 'o_order'))) FROM orders",
+        "SELECT sum(COLUMNS(c -> contains(c, 'key') OR c = 'o_totalprice'))"
+        " FROM orders WHERE o_orderkey < 200",
+        "SELECT min(COLUMNS(c -> regexp_matches(c, 'key$'))) AS m FROM orders",
+        # \0 backref = FULL column name, lambda AND regex forms (the
+        # regex case pins full-name-not-match: '(.)key' matches 'rkey'
+        # of o_orderkey but the alias must read min_o_orderkey)
+        'SELECT min(COLUMNS(c -> c LIKE \'o_%key\')) AS "min_\\0" FROM orders',
+        'SELECT min(COLUMNS(\'(.)key\')) AS "min_\\0" FROM orders',
     ]
     for duck_sql in cases:
         exp = sorted(tuple(r) for r in con.execute(duck_sql).fetchall())
@@ -1293,8 +1309,6 @@ def test_columns_expression_loud_shapes(spark, con):
 
     _views(spark)
     for loud_sql in [
-        # lambda selector
-        "SELECT COLUMNS(c -> c LIKE 'o_%') FROM orders",
         # outside the select list (DuckDB expands WHERE to a conjunction)
         "SELECT o_orderkey FROM orders WHERE COLUMNS('o_.*key') > 0",
         # differing zip arguments
@@ -1312,6 +1326,20 @@ def test_columns_expression_loud_shapes(spark, con):
     # DuckDB raises on the same statement (parity pin)
     with _pytest.raises(Exception):
         con.execute("SELECT COLUMNS('zzz.*') FROM orders")
+    # lambda error parity (round 11): a zero-match lambda and a \N
+    # backref alias on the lambda form both raise — on DuckDB too
+    for bad in [
+        "SELECT COLUMNS(c -> c LIKE 'zzz%') FROM orders",
+        'SELECT min(COLUMNS(c -> c LIKE \'o_%\')) AS "m_\\1" FROM orders',
+        # two lambda sites never zip: "Multiple different STAR/COLUMNS"
+        # even when textually identical (lambdas never compare equal)
+        "SELECT COLUMNS(c -> c LIKE 'o_%key') = COLUMNS(c -> c LIKE 'o_%key')"
+        " FROM orders WHERE o_orderkey < 25",
+    ]:
+        with _pytest.raises(Exception):
+            spark.sql(transpile_statement(bad, spark)).collect()
+        with _pytest.raises(Exception):
+            con.execute(bad)
 
 
 def test_range_and_generate_series_differential(spark, con):
