@@ -1272,10 +1272,13 @@ def _rewrite_series_functions(sql: str) -> str:
 #     regex match); ``\N`` (N ≥ 1) is regex-form-only (probed Binder
 #     Error: "Only the backslash escape code \0 can be used when no
 #     regex is supplied")
-# Still loud, all probed-or-documented: COLUMNS outside the select
-# list (WHERE expands to a conjunction in DuckDB, ORDER BY to multiple
-# keys), sites inside sub-selects (different FROM scope than the
-# probe), and DISTINCT ON beside COLUMNS.
+#   * (round 11) WHERE and ORDER BY positions lift too — see
+#     :func:`_rewrite_columns_clauses` for the probed expansion rules
+#     (AND-conjunct duplication / per-key expansion with modifiers)
+# Still loud, all probed-or-documented: sites inside sub-selects
+# (different FROM scope than the probe), DISTINCT ON beside COLUMNS,
+# and GROUP BY / HAVING / QUALIFY / WINDOW positions (Binder Errors in
+# DuckDB itself — "STAR expression is not supported here", probed).
 
 _COLUMNS_CALL = re.compile(r"(?is)\bCOLUMNS\s*\(")
 
@@ -1423,26 +1426,31 @@ def _columns_alias_name(alias: str, pattern: str | None, col: str) -> str | None
     return text
 
 
-def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
-    """Expand one select item holding COLUMNS(...) sites into one item
-    per matched column; None when the shape has no proven mapping."""
-    ispans = _quoted_spans(item)
+def _parse_columns_sites(
+    text: str, cols: list[str]
+) -> tuple[list[tuple[int, int, str]], str, list[str]] | None:
+    """Shared core for every COLUMNS expansion position: locate the
+    sites in ``text``, enforce the zip rules, resolve the matched
+    columns. Returns (parsed sites, raw argument, matched columns) or
+    None when the shape has no proven mapping. Raises the Binder-parity
+    errors (zero match, multi-site lambda) exactly like DuckDB."""
+    ispans = _quoted_spans(text)
     sites = [
         m
-        for m in _COLUMNS_CALL.finditer(item)
+        for m in _COLUMNS_CALL.finditer(text)
         if not any(s <= m.start() <= e for s, e in ispans)
     ]
     if not sites:
         return None
-    if re.search(r"(?is)\(\s*select\b", item):
+    if re.search(r"(?is)\(\s*select\b", text):
         return None  # sub-select inside the item: different FROM scope
     parsed: list[tuple[int, int, str]] = []
     for m in sites:
-        got = _call_args(item, m.end() - 1)
+        got = _call_args(text, m.end() - 1)
         if got is None:
             return None
         _args, end = got
-        parsed.append((m.start(), end, item[m.end(): end - 1].strip()))
+        parsed.append((m.start(), end, text[m.end(): end - 1].strip()))
     if len({p[2] for p in parsed}) != 1:
         return None  # differing zip arguments: unprobed
     raw = parsed[0][2]
@@ -1467,6 +1475,26 @@ def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
             f"COLUMNS: no columns match {raw!r} — DuckDB raises a "
             "Binder Error on this statement too"
         )
+    return parsed, raw, matched
+
+
+def _substitute_columns_sites(
+    body: str, parsed: list[tuple[int, int, str]], col: str
+) -> str:
+    """Replace every COLUMNS site in ``body`` with one quoted column."""
+    col_sql = "`" + col.replace("`", "``") + "`"
+    for s, e, _r in sorted(parsed, reverse=True):
+        body = body[:s] + col_sql + body[e:]
+    return body.strip()
+
+
+def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
+    """Expand one select item holding COLUMNS(...) sites into one item
+    per matched column; None when the shape has no proven mapping."""
+    core = _parse_columns_sites(item, cols)
+    if core is None:
+        return None
+    parsed, raw, matched = core
     body, alias = _strip_trailing_alias(item)
     if any(e > len(body) for _s, e, _r in parsed):
         return None  # a site overlaps the alias text: malformed
@@ -1474,10 +1502,7 @@ def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
     pattern = lm.group(1) if lm else None
     out: list[str] = []
     for col in matched:
-        col_sql = "`" + col.replace("`", "``") + "`"
-        b = body
-        for s, e, _r in sorted(parsed, reverse=True):
-            b = b[:s] + col_sql + b[e:]
+        b = _substitute_columns_sites(body, parsed, col)
         name = (
             col
             if alias is None
@@ -1485,8 +1510,18 @@ def _expand_columns_item(item: str, cols: list[str]) -> list[str] | None:
         )
         if name is None:
             return None
-        out.append(f"{b.strip()} AS `" + name.replace("`", "``") + "`")
+        out.append(f"{b} AS `" + name.replace("`", "``") + "`")
     return out
+
+
+def _expand_columns_bare(expr: str, cols: list[str]) -> list[str] | None:
+    """Expand one alias-free expression (a WHERE conjunct or an ORDER
+    BY key) into one copy per matched column; None when unproven."""
+    core = _parse_columns_sites(expr, cols)
+    if core is None:
+        return None
+    parsed, _raw, matched = core
+    return [_substitute_columns_sites(expr, parsed, col) for col in matched]
 
 
 _CTE_DEF = re.compile(
@@ -1594,42 +1629,160 @@ def _rewrite_columns_expr(sql: str, spark, probe_prefix: str = "") -> str:
     from_idx, _f = _scan_top_level(sql, ("from",), items_start)
     items_text = sql[items_start: from_idx if from_idx >= 0 else len(sql)]
     items = _split_top_level_commas(items_text)
-    if not any(_COLUMNS_CALL.search(it) for it in items):
+    rest_sql = sql[from_idx:] if from_idx >= 0 else ""
+    sel_sites = any(_COLUMNS_CALL.search(it) for it in items)
+    rest_sites = bool(rest_sql) and _has_bare_columns_site(rest_sql)
+    if not sel_sites and not rest_sites:
         return sql
     tail = ""
     if from_idx >= 0:
-        rest = sql[from_idx:]
         cut, _kw = _scan_top_level(
-            rest,
+            rest_sql,
             (
                 "where", "group", "having", "qualify", "window",
                 "order", "limit", "offset",
             ),
             4,
         )
-        tail = rest[:cut] if cut >= 0 else rest
+        tail = rest_sql[:cut] if cut >= 0 else rest_sql
     sch = _probe_schema("*", probe_prefix, tail, spark)
     if sch is None:
         return sql
     cols = [f.name for f in sch]
-    new_items: list[str] = []
-    for it in items:
-        ispans = _quoted_spans(it)
-        has_site = any(
-            not any(s <= mm.start() <= e for s, e in ispans)
-            for mm in _COLUMNS_CALL.finditer(it)
-        )
-        if not has_site:
-            new_items.append(it.strip())
-            continue
-        exp = _expand_columns_item(it, cols)
-        if exp is None:
-            return sql  # one unprovable item: stay whole, loud
-        new_items.extend(exp)
+    joined = items_text.strip()
+    if sel_sites:
+        new_items: list[str] = []
+        for it in items:
+            ispans = _quoted_spans(it)
+            has_site = any(
+                not any(s <= mm.start() <= e for s, e in ispans)
+                for mm in _COLUMNS_CALL.finditer(it)
+            )
+            if not has_site:
+                new_items.append(it.strip())
+                continue
+            exp = _expand_columns_item(it, cols)
+            if exp is None:
+                return sql  # one unprovable item: stay whole, loud
+            new_items.extend(exp)
+        joined = ", ".join(new_items)
+    if rest_sites:
+        new_rest = _rewrite_columns_clauses(rest_sql, cols)
+        if new_rest is None:
+            return sql  # unprovable WHERE/ORDER BY site: whole, loud
+        rest_sql = new_rest
     head = sql[:items_start]
-    rest_sql = sql[from_idx:] if from_idx >= 0 else ""
-    joined = ", ".join(new_items)
     return head + joined + ((" " + rest_sql) if rest_sql else "")
+
+
+def _has_bare_columns_site(text: str) -> bool:
+    """True when ``text`` holds a COLUMNS( call outside quotes."""
+    spans = _quoted_spans(text)
+    return any(
+        not any(s <= m.start() <= e for s, e in spans)
+        for m in _COLUMNS_CALL.finditer(text)
+    )
+
+
+def _split_top_level_and(clause: str) -> list[str]:
+    """Split a boolean clause on its top-level ANDs (quote- and
+    paren-aware via :func:`_scan_top_level`)."""
+    parts: list[str] = []
+    pos = 0
+    while True:
+        idx, w = _scan_top_level(clause, ("and",), pos)
+        if idx < 0:
+            break
+        parts.append(clause[pos:idx])
+        pos = idx + len(w)
+    parts.append(clause[pos:])
+    return parts
+
+
+_ORDER_ITEM_MODS = re.compile(
+    r"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$"
+)
+
+
+def _rewrite_columns_clauses(rest: str, cols: list[str]) -> str | None:
+    """Expand COLUMNS() sites in the WHERE and ORDER BY clauses of a
+    statement tail (round 11; both probed on the pinned DuckDB):
+
+    * WHERE — the expansion unit is each TOP-LEVEL ``AND`` conjunct:
+      a conjunct holding sites is duplicated once per matched column
+      and the copies are ANDed (probed via ``NOT (COLUMNS('a.') > 0)``,
+      which keeps only rows where NO matched column is positive —
+      whole-conjunct duplication, not site-level distribution), and
+      two conjuncts may use DIFFERENT selectors while one conjunct may
+      not (probed Binder Error).
+    * ORDER BY — each sort item holding sites expands to one key per
+      matched column, carrying the item's ASC/DESC/NULLS modifiers
+      onto every key, in selector match order before the next item.
+
+    Sites anywhere else in the tail (GROUP BY / HAVING / QUALIFY /
+    WINDOW) are Binder Errors in DuckDB itself ("STAR expression is
+    not supported here", probed) — left verbatim for Spark to reject,
+    loud IS parity. Returns None when a handled clause holds an
+    unprovable shape (the statement stays whole)."""
+    w_idx, _w = _scan_top_level(rest, ("where",), 0)
+    if w_idx >= 0:
+        end, _kw = _scan_top_level(
+            rest,
+            ("group", "having", "qualify", "window", "order", "limit",
+             "offset"),
+            w_idx + 5,
+        )
+        clause = rest[w_idx + 5: end if end >= 0 else len(rest)]
+        if _has_bare_columns_site(clause):
+            out_parts: list[str] = []
+            for conj in _split_top_level_and(clause):
+                if not _has_bare_columns_site(conj):
+                    out_parts.append(conj.strip())
+                    continue
+                copies = _expand_columns_bare(conj.strip(), cols)
+                if copies is None:
+                    return None
+                out_parts.extend(f"({c})" for c in copies)
+            new_clause = " " + " AND ".join(out_parts) + " "
+            rest = (
+                rest[: w_idx + 5]
+                + new_clause
+                + (rest[end:] if end >= 0 else "")
+            )
+    o_idx = 0
+    while True:
+        o_idx, _o = _scan_top_level(rest, ("order",), o_idx)
+        if o_idx < 0:
+            return rest
+        after = rest[o_idx + 5:]
+        bym = re.match(r"(?is)^\s+BY\b", after)
+        if bym:
+            break
+        o_idx += 5
+    by_end = o_idx + 5 + bym.end()
+    end, _kw = _scan_top_level(rest, ("limit", "offset"), by_end)
+    clause = rest[by_end: end if end >= 0 else len(rest)]
+    if not _has_bare_columns_site(clause):
+        return rest
+    out_keys: list[str] = []
+    for item in _split_top_level_commas(clause):
+        if not _has_bare_columns_site(item):
+            out_keys.append(item.strip())
+            continue
+        mm = _ORDER_ITEM_MODS.match(item.strip())
+        expr_part, mods = mm.group(1).strip(), mm.group(2).strip()
+        copies = _expand_columns_bare(expr_part, cols)
+        if copies is None:
+            return None
+        out_keys.extend(
+            (c + (" " + mods if mods else "")) for c in copies
+        )
+    return (
+        rest[:by_end]
+        + " "
+        + ", ".join(out_keys)
+        + (" " + rest[end:] if end >= 0 else "")
+    )
 
 
 _LENGTH_CALL = re.compile(r"(?is)\blength\s*\(")

@@ -1309,8 +1309,6 @@ def test_columns_expression_loud_shapes(spark, con):
 
     _views(spark)
     for loud_sql in [
-        # outside the select list (DuckDB expands WHERE to a conjunction)
-        "SELECT o_orderkey FROM orders WHERE COLUMNS('o_.*key') > 0",
         # differing zip arguments
         "SELECT COLUMNS('o_.*key') = COLUMNS('o_.*price') FROM orders",
         # sub-select inside the item: different FROM scope
@@ -1339,6 +1337,54 @@ def test_columns_expression_loud_shapes(spark, con):
         with _pytest.raises(Exception):
             spark.sql(transpile_statement(bad, spark)).collect()
         with _pytest.raises(Exception):
+            con.execute(bad)
+
+
+def test_columns_where_orderby_differential(spark, con):
+    """Round-11 lift: COLUMNS() in WHERE (each top-level AND conjunct
+    holding sites is duplicated per matched column, copies ANDed —
+    pinned by the NOT case, which distinguishes whole-conjunct
+    duplication from site-level distribution) and in ORDER BY (each
+    sort item expands to one key per matched column, carrying its
+    ASC/DESC/NULLS modifiers). Rows AND order compared against DuckDB
+    executing the identical text natively."""
+    _views(spark)
+    ordered_cases = [
+        "SELECT o_orderkey FROM orders WHERE COLUMNS('o_.*key') > 0"
+        " ORDER BY o_orderkey LIMIT 20",
+        "SELECT o_orderkey, o_custkey FROM orders"
+        " WHERE NOT (COLUMNS('o_.*key') % 7 = 0) AND o_orderkey < 300"
+        " ORDER BY o_orderkey",
+        "SELECT o_orderkey FROM orders"
+        " WHERE COLUMNS('o_.*key') > 2 AND COLUMNS('o_total.*') < 100000"
+        " ORDER BY o_orderkey LIMIT 25",
+        "SELECT o_orderkey FROM orders"
+        " WHERE COLUMNS(c -> c LIKE 'o_%key') % 3 = 0 OR o_orderkey < 10"
+        " ORDER BY o_orderkey LIMIT 25",
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " ORDER BY COLUMNS('o_.*key') DESC, o_totalprice LIMIT 20",
+        "SELECT o_custkey, o_totalprice FROM orders"
+        " ORDER BY COLUMNS(c -> c LIKE 'o_%price') DESC NULLS LAST,"
+        " o_custkey LIMIT 15",
+        "SELECT o_orderkey FROM orders"
+        " WHERE COLUMNS('o_.*key') = COLUMNS('o_.*key')"
+        " ORDER BY COLUMNS('o_orderkey') + 1 DESC LIMIT 10",
+    ]
+    for duck_sql in ordered_cases:
+        exp = [tuple(r) for r in con.execute(duck_sql).fetchall()]
+        t = transpile_statement(duck_sql, spark)
+        assert "COLUMNS(" not in t, duck_sql
+        got = [tuple(r) for r in spark.sql(t).collect()]
+        assert got == exp, f"{duck_sql}\nspark={got[:4]}\nduck={exp[:4]}"
+    # positions that are Binder Errors in DuckDB stay loud here too
+    for bad in [
+        "SELECT count(*) AS n FROM orders GROUP BY COLUMNS('o_orderstatus')",
+        "SELECT o_custkey FROM orders GROUP BY o_custkey"
+        " HAVING min(COLUMNS('o_.*key')) > 0",
+    ]:
+        with __import__("pytest").raises(Exception):
+            spark.sql(transpile_statement(bad, spark)).collect()
+        with __import__("pytest").raises(Exception):
             con.execute(bad)
 
 
