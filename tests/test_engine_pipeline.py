@@ -804,3 +804,44 @@ def test_columns_series_describe_model_files(spark, tmp_path):
         for r in spark.sql(dialect.transpile_statement("SHOW TABLES", spark)).collect()
     ]
     assert "series_stats" in names
+
+
+def test_columns_lambda_where_orderby_model_file(spark, tmp_path):
+    """Round-11 COLUMNS lifts through the ENGINE path (node.rs:176
+    verbatim model passthrough): one model uses the lambda form in the
+    select list, a COLUMNS WHERE conjunct, and an ORDER BY COLUMNS
+    multi-key — checked against DuckDB running the identical model
+    text on the same parquet."""
+    root = str(tmp_path)
+    model_sql = f"""\
+    SELECT o_orderkey,
+           max(COLUMNS(c -> c LIKE 'o_%key')) OVER () AS "mx_\\0"
+    FROM read_parquet('{SF}/orders.parquet')
+    WHERE COLUMNS('o_.*key') % 3 != 0 AND o_orderkey < 500
+    ORDER BY COLUMNS('o_.*key') DESC
+    LIMIT 40
+    """
+    write(root, "models/key_scan.sql", model_sql)
+    write(
+        root,
+        "config.yaml",
+        """\
+        models_dir: models
+        db_path: warehouse
+        models:
+          key_scan:
+            materialize: table
+        """,
+    )
+    report = Session(load_config(root), spark).run(quiet=True)
+    assert report.ok, report.errors
+    # sorted compare: ORDER BY picks WHICH 40 rows the LIMIT keeps
+    # (that selection is the verified semantics here; exact ordering
+    # is pinned by test_columns_where_orderby_differential) — a
+    # materialized table's read-back order is not contractual
+    got = sorted(tuple(r) for r in spark.table("key_scan").collect())
+    exp = sorted(tuple(r) for r in duckdb.sql(model_sql).fetchall())
+    assert got == exp, f"{got[:3]} != {exp[:3]}"
+    assert spark.table("key_scan").columns == [
+        "o_orderkey", "mx_o_orderkey", "mx_o_custkey"
+    ]
