@@ -412,6 +412,13 @@ lam AS (
 lz AS (
   SELECT min(COLUMNS(c -> starts_with(c, 'n_n'))) AS "mn_\\0" FROM nation
 ),
+w AS (
+  SELECT n_name, n_nationkey FROM nation
+  WHERE COLUMNS('n_(nation|region)key') >= 0 AND NOT (COLUMNS('n_nationkey') % 5 = 2)
+  ORDER BY COLUMNS('n_(regionkey|nationkey)') DESC
+  LIMIT 3
+),
+wa AS (SELECT min(n_name) AS w_min_name, count(*) AS w_n FROM w),
 n AS (SELECT * FROM generate_series(1, 4)),
 r AS (SELECT * FROM range(0, 9, 3)),
 d AS (
@@ -432,8 +439,10 @@ SELECT d.ym, d.n_orders,
        lam.l_tax AS max_tax,
        lam.l_shipdate AS max_shipdate,
        lz.mn_n_nationkey,
-       lz.mn_n_name
-FROM d, n, r, m, x, lam, lz
+       lz.mn_n_name,
+       wa.w_min_name,
+       wa.w_n
+FROM d, n, r, m, x, lam, lz, wa
 """
 
 
@@ -453,7 +462,12 @@ def dialect_series_columns(spark, sf_dir):
     outputs), the round-11 LAMBDA form (``COLUMNS(c -> …)`` — names
     bound as VARCHAR, predicate evaluated through DuckDB's own
     list_filter lowering, incl. a ``\\0`` full-column-name alias
-    backref), and a CASE-built constant strftime format folded by the
+    backref), the round-11 WHERE + ORDER BY positions (the ``w`` CTE:
+    each AND conjunct holding sites duplicates per matched column with
+    the NOT case pinning whole-conjunct duplication, and each sort item
+    expands to one key per matched column carrying its DESC modifier —
+    the LIMIT 3 makes the expanded key order hash-visible), and a
+    CASE-built constant strftime format folded by the
     round-11 literal-expression evaluator (``dialect.py _FoldEval``;
     DuckDB's binder constant-folds the identical text natively —
     reference delegates it via node.rs:176). Exact hash match."""
