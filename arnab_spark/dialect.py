@@ -5102,6 +5102,39 @@ def reset_attached(spark=None) -> None:
     _attached_for(spark).clear()
 
 
+try:
+    _TEMP_DDL_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _TEMP_DDL_BY_SESSION = {}
+_TEMP_DDL_FALLBACK: set = set()
+
+
+def _temp_ddl_for(spark) -> set:
+    """Names created via an EXPLICIT ``CREATE TEMP[ORARY] VIEW`` DDL in
+    this session. In DuckDB those live in the ``temp`` database
+    (``temporary = true`` in SHOW ALL TABLES), while warehouse models —
+    which this engine also registers as Spark temp views — are tables/
+    views of the CURRENT database (``memory``, ``temporary = false``).
+    The Spark catalog cannot tell the two apart, so the distinction is
+    recorded at DDL time (statement parity for node.rs:176 run-files)."""
+    if spark is None:
+        return _TEMP_DDL_FALLBACK
+    reg = _TEMP_DDL_BY_SESSION.get(spark)
+    if reg is None:
+        reg = set()
+        _TEMP_DDL_BY_SESSION[spark] = reg
+    return reg
+
+
+_TEMP_VIEW_DDL = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+"
+    r'(?:IF\s+NOT\s+EXISTS\s+)?("?)([A-Za-z_]\w*)\1\s'
+)
+_DROP_VIEW_DDL = re.compile(
+    r'(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?("?)([A-Za-z_]\w*)\1\s*;?\s*$'
+)
+
+
 def _user_cache_base(kind: str) -> str:
     """Per-user cache directory (``$TMPDIR/arnab_spark_<kind>_<uid>``),
     created 0700 and ownership-verified before reuse. If a same-named
@@ -5231,24 +5264,128 @@ def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
 
 
 _SHOW_TABLES_STMT = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$")
+_SHOW_ALL_TABLES_STMT = re.compile(r"(?is)^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$")
+
+
+def _visible_catalog_names(spark) -> tuple[list[str], dict[str, tuple[str, str]]]:
+    """Session catalog entries a DuckDB user would see, split the way
+    DuckDB's catalog splits them. Returns (local_names, attach_map)
+    where ``local_names`` are the current-database + explicit-temp
+    entries and ``attach_map`` maps a registered ``alias__model`` view
+    name to its (alias, model) pair. Internal helper views
+    (``_arnab_*`` source caches / probe scratch) are never shown —
+    DuckDB has no catalog object for a ``read_csv_auto`` call."""
+    attached = _attached_for(spark)
+    local: list[str] = []
+    attach_map: dict[str, tuple[str, str]] = {}
+    for t in spark.catalog.listTables():
+        n = t.name
+        low = n.lower()
+        if low.startswith("_arnab_"):
+            continue
+        hit = None
+        for alias, models in attached.items():
+            pre = alias + "__"
+            if low.startswith(pre) and low[len(pre):] in models:
+                hit = (alias, n[len(pre):])
+                break
+        if hit is not None:
+            attach_map[n] = hit
+        else:
+            local.append(n)
+    return local, attach_map
 
 
 def _rewrite_show_tables(sql: str, spark) -> str:
     """DuckDB ``SHOW TABLES`` → a literal VALUES table with the single
     ``name`` column DuckDB emits (probed), listing the session's
-    tables + temp views sorted by name. ``SHOW ALL TABLES`` (DuckDB's
-    six-column catalog dump) stays loud — database/schema columns have
-    no faithful mapping onto a temp-view warehouse. Needs a session."""
+    tables + temp views sorted by name. Probed: DuckDB lists the
+    CURRENT database's entries plus temp views, NOT attached
+    databases' — so views registered by ATTACH (``alias__model``) and
+    internal ``_arnab_*`` helpers are excluded. Needs a session."""
     if spark is None or not _SHOW_TABLES_STMT.match(sql):
         return sql
     try:
-        names = sorted(t.name for t in spark.catalog.listTables())
+        local, _ = _visible_catalog_names(spark)
     except Exception:
         return sql
+    names = sorted(local)
     if not names:
         return "SELECT CAST(NULL AS STRING) AS name WHERE 1 = 0"
     rows = ", ".join("('" + n.replace("'", "''") + "')" for n in names)
     return f"SELECT * FROM (VALUES {rows}) AS __arnab_sht(name)"
+
+
+def _rewrite_show_all_tables(sql: str, spark) -> str:
+    """DuckDB ``SHOW ALL TABLES`` → its six-column catalog dump
+    (database, schema, name, column_names VARCHAR[], column_types
+    VARCHAR[], temporary), probed on the embedded engine and rendered
+    from the live Spark catalog: ATTACHed models under their alias
+    (``ext/main/<model>``), explicit ``CREATE TEMP VIEW`` DDL names
+    under ``temp/main`` with ``temporary = true`` (the
+    :func:`_temp_ddl_for` record), and every other session entry —
+    warehouse models, which the reference keeps as tables/views of the
+    current database — under ``memory/main`` with ``temporary =
+    false``. Types in DuckDB spellings via :func:`_duck_type_name`;
+    rows ordered (database, name) like DuckDB's own output."""
+    if spark is None or not _SHOW_ALL_TABLES_STMT.match(sql):
+        return sql
+    try:
+        local, attach_map = _visible_catalog_names(spark)
+    except Exception:
+        return sql
+    temp_ddl = _temp_ddl_for(spark)
+    rows: list[tuple[str, str, str, list[str], list[str], bool]] = []
+
+    def _schema_of(view: str):
+        try:
+            return spark.table(view).schema.fields
+        except Exception:
+            return None  # stale/unresolvable catalog entry: skip
+
+    for view, (alias, model) in attach_map.items():
+        fields = _schema_of(view)
+        if fields is None:
+            continue
+        rows.append(
+            (alias, "main", model, [f.name for f in fields],
+             [_duck_type_name(f.dataType) for f in fields], False)
+        )
+    for n in local:
+        fields = _schema_of(n)
+        if fields is None:
+            continue
+        is_temp = n.lower() in temp_ddl
+        rows.append(
+            ("temp" if is_temp else "memory", "main", n,
+             [f.name for f in fields],
+             [_duck_type_name(f.dataType) for f in fields], is_temp)
+        )
+    rows.sort(key=lambda r: (r[0], r[2]))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS STRING) AS database, "
+            "CAST(NULL AS STRING) AS schema, CAST(NULL AS STRING) AS name, "
+            "CAST(array() AS ARRAY<STRING>) AS column_names, "
+            "CAST(array() AS ARRAY<STRING>) AS column_types, "
+            "CAST(NULL AS BOOLEAN) AS temporary WHERE 1 = 0"
+        )
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def _arr(items: list[str]) -> str:
+        return "array(" + ", ".join(_q(i) for i in items) + ")"
+
+    vals = ", ".join(
+        f"({_q(db)}, {_q(sch)}, {_q(nm)}, {_arr(cn)}, {_arr(ct)}, "
+        f"{'true' if tmp else 'false'})"
+        for db, sch, nm, cn, ct, tmp in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS __arnab_shat"
+        "(database, schema, name, column_names, column_types, temporary)"
+    )
 
 
 _DESCRIBE_STMT = re.compile(r"(?is)^\s*DESC(?:RIBE)?\s+(.+?)\s*;?\s*$")
@@ -5900,6 +6037,14 @@ def transpile_statement(sql: str, spark=None) -> str:
             except Exception:
                 pass
         return ""
+    tm = _TEMP_VIEW_DDL.match(sql)
+    if tm is not None:
+        # record the name (DuckDB: temp database) and pass the DDL
+        # through — Spark accepts CREATE TEMP VIEW natively
+        _temp_ddl_for(spark).add(tm.group(2).lower())
+    dvm = _DROP_VIEW_DDL.match(sql)
+    if dvm is not None:
+        _temp_ddl_for(spark).discard(dvm.group(2).lower())
     attached = _attached_for(spark)
     if attached:
         sql = _rewrite_attached_refs(sql, attached)
@@ -5909,6 +6054,7 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_describe(sql, spark)
     sql = _rewrite_describe_subqueries(sql, spark)
     sql = _rewrite_show_tables(sql, spark)
+    sql = _rewrite_show_all_tables(sql, spark)
     sql = _COUNT_ZERO_ARG.sub("count(*)", sql)
     sql = _STAR_EXCLUDE.sub(r"\1EXCEPT\2", sql)
     sql = _rewrite_from_first_arms(sql)

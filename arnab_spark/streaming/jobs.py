@@ -103,8 +103,15 @@ def run_stream_to_memory(
     try:
         # wait for self-termination: availableNow's final no-data batch
         # (watermark-closing windows, state timers) is part of the run;
-        # processAllAvailable() + stop() can race it under load
-        q.awaitTermination(600)
+        # processAllAvailable() + stop() can race it under load. A False
+        # return means the run is still going — the finally-stop() would
+        # then truncate it and the memory table would read back PARTIAL
+        # results as if complete, so fail loudly instead.
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                f"availableNow run '{name}' exceeded 600s; memory-sink "
+                "contents are incomplete"
+            )
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
@@ -148,8 +155,13 @@ def run_stream_to_parquet(
     try:
         # append mode emits a window only when the watermark closes it —
         # that can happen in the final no-data batch; wait for
-        # self-termination rather than racing it with stop()
-        q.awaitTermination(600)
+        # self-termination rather than racing it with stop(), and fail
+        # loudly on timeout rather than leaving a silently partial sink
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                f"availableNow run to {dest} exceeded 600s; parquet sink "
+                f"is incomplete (checkpoint {checkpoint} can resume it)"
+            )
     finally:
         q.stop()
 

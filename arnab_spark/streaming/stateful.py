@@ -138,8 +138,14 @@ def run_stateful_stream(
         # final no-data batch that fires pending event-time timers.
         # processAllAvailable() can return before that batch commits and
         # the subsequent stop() races it (observed as a flaky missing
-        # "timeout" session under load), so wait for termination instead.
-        q.awaitTermination(600)
+        # "timeout" session under load), so wait for termination instead;
+        # a False return means the finally-stop() would truncate the run
+        # and the memory table would read back partial — fail loudly.
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                f"availableNow run '{name}' exceeded 600s; memory-sink "
+                "contents are incomplete"
+            )
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
@@ -307,8 +313,13 @@ def run_sessionize_stream(
     )
     try:
         # see run_stateful_stream: termination, not processAllAvailable,
-        # is the barrier that includes the timer-firing no-data batch
-        q.awaitTermination(600)
+        # is the barrier that includes the timer-firing no-data batch;
+        # loud on timeout for the same partial-read reason
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                f"availableNow run '{name}' exceeded 600s; memory-sink "
+                "contents are incomplete"
+            )
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
@@ -544,7 +555,13 @@ def run_asof_stream(
         .start()
     )
     try:
-        q.awaitTermination(600)
+        # loud on timeout: a truncated availableNow run would read back
+        # a silently partial memory table (see run_stateful_stream)
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                f"availableNow run '{name}' exceeded 600s; memory-sink "
+                "contents are incomplete"
+            )
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")

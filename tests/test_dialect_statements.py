@@ -1486,8 +1486,10 @@ def test_describe_statement_layout(spark, con):
 
 def test_show_tables_statement(spark, con):
     """Round-10: SHOW TABLES → the single-column ``name`` layout DuckDB
-    emits, listing the session's tables + temp views sorted; SHOW ALL
-    TABLES (catalog dump with database/schema columns) stays loud."""
+    emits, listing the session's tables + temp views sorted. Round 11:
+    ATTACH-registered ``alias__model`` views and internal ``_arnab_*``
+    helpers are EXCLUDED — probed: DuckDB's SHOW TABLES lists the
+    current database + temp views only, never attached catalogs."""
     _views(spark)
     t = transpile_statement("SHOW TABLES", spark)
     assert not t.upper().startswith("SHOW")
@@ -1495,8 +1497,79 @@ def test_show_tables_statement(spark, con):
     assert df.columns == ["name"]
     names = [r.name for r in df.collect()]
     assert "orders" in names and names == sorted(names)
-    assert transpile_statement("SHOW ALL TABLES", spark).upper().startswith("SHOW")
+    assert not any(n.startswith("_arnab_") for n in names)
     assert transpile_statement("SHOW TABLES").upper().startswith("SHOW")
+
+
+def test_show_all_tables_statement(spark, con, tmp_path):
+    """Round-11 lift: SHOW ALL TABLES → DuckDB's six-column catalog
+    dump (database, schema, name, column_names, column_types,
+    temporary), differentially compared on a catalog state built
+    identically on both engines: four non-temp parquet views
+    (memory/main/false), one explicit CREATE TEMP VIEW through the
+    shim (temp/main/true — the DDL-time record), and a real .duckdb
+    file ATTACHed on both sides (alias/main/false with the model's own
+    schema). Rows, (database, name) ordering, and DuckDB type
+    spellings must all match; DROP VIEW clears the temp record."""
+    from arnab_spark import dialect
+
+    _views(spark)
+    db = str(tmp_path / "shat.duckdb")
+    filecon = duckdb.connect(db)
+    filecon.execute(
+        "CREATE TABLE ext_items AS SELECT * FROM (VALUES "
+        "(CAST(1 AS BIGINT), 'a', CAST(1.5 AS DOUBLE))) t(id, label, score)"
+    )
+    filecon.close()
+    ddl = (
+        "CREATE OR REPLACE TEMP VIEW shat_tmp AS "
+        "SELECT CAST(1 AS INTEGER) AS a, 'x' AS b"
+    )
+    dialect.reset_attached(spark)
+    try:
+        con.execute(ddl)
+        con.execute(f"ATTACH '{db}' AS shatext")
+        t = transpile_statement(ddl, spark)
+        assert t and spark.sql(t) is not None
+        assert transpile_statement(f"ATTACH '{db}' AS shatext", spark) == ""
+
+        t = transpile_statement("SHOW ALL TABLES", spark)
+        assert not t.upper().startswith("SHOW")
+        got = spark.sql(t).toPandas()
+        exp = con.execute("SHOW ALL TABLES").fetchdf()
+        assert list(got.columns) == list(exp.columns)
+        names = {"orders", "lineitem", "region", "nation", "shat_tmp", "ext_items"}
+        g = got[got["name"].isin(names)].reset_index(drop=True)
+        e = exp[exp["name"].isin(names)].reset_index(drop=True)
+        assert len(g) == len(e) == 6
+        for c in ("database", "schema", "name", "temporary"):
+            assert list(g[c]) == list(e[c]), c
+        assert [list(x) for x in g["column_names"]] == [
+            list(x) for x in e["column_names"]
+        ]
+        assert [list(x) for x in g["column_types"]] == [
+            list(x) for x in e["column_types"]
+        ]
+        # internal helper views never show
+        assert not got["name"].str.startswith("_arnab_").any()
+        # the attach-mangled Spark view name is rendered, not leaked
+        assert "shatext__ext_items" not in set(got["name"])
+
+        # DROP VIEW clears the explicit-temp record
+        spark.sql("DROP VIEW shat_tmp")
+        assert transpile_statement("DROP VIEW IF EXISTS shat_tmp", spark)
+        got2 = spark.sql(
+            transpile_statement("SHOW ALL TABLES", spark)
+        ).toPandas()
+        assert "shat_tmp" not in set(got2["name"])
+        # sessionless: stays loud
+        assert transpile_statement("SHOW ALL TABLES").upper().startswith("SHOW")
+    finally:
+        dialect.reset_attached(spark)
+        try:
+            spark.catalog.dropTempView("shat_tmp")
+        except Exception:
+            pass
 
 
 def test_columns_expression_in_cte_bodies(spark, con):

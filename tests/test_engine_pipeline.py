@@ -804,6 +804,19 @@ def test_columns_series_describe_model_files(spark, tmp_path):
         for r in spark.sql(dialect.transpile_statement("SHOW TABLES", spark)).collect()
     ]
     assert "series_stats" in names
+    # SHOW ALL TABLES (round 11): models render as current-database
+    # entries — memory/main, temporary=false — exactly how the
+    # reference's DuckDB warehouse reports its own model tables
+    allrows = {
+        r.name: r
+        for r in spark.sql(
+            dialect.transpile_statement("SHOW ALL TABLES", spark)
+        ).collect()
+    }
+    m = allrows["series_stats"]
+    assert (m.database, m.schema, m.temporary) == ("memory", "main", False)
+    assert list(m.column_names) == ["n", "r_len", "min_qty", "min_disc"]
+    assert list(m.column_types) == ["BIGINT", "BIGINT", "DOUBLE", "DOUBLE"]
 
 
 def test_columns_lambda_where_orderby_model_file(spark, tmp_path):
