@@ -115,16 +115,22 @@ def davg(col: Column | str, alias: str) -> Column:
 #: spellings, nullability). Slot 3 is `dedup_ngram_jaccard`, whose
 #: banding this round re-derives from the 0.5 Jaccard target via the
 #: S-curve (r=2 × b=4; r10 verdict ask #3) — a source change, so the
-#: freshness gate requires the slot. Slots 4-50 are 47 of the 49-query
-#: round-8-latest-evidence cohort (computed from the committed
-#: CORRECTNESS_r{01..10}.json union, latest green round per query).
-#: DISPLACED (the two cohort queries the three mandatory slots push
-#: out, each chosen because an EXACT sibling sharing its operator
-#: family carries round-10 evidence and EVIDENCE.json pins its source
+#: freshness gate requires the slot. Slot 4 is `dedup_substring_windows`,
+#: a NEW round-11 operator (Lee et al. exact-substring window dedup).
+#: Slots 5-50 are 46 of the 49-query round-8-latest-evidence cohort
+#: (computed from the committed CORRECTNESS_r{01..10}.json union,
+#: latest green round per query).
+#: DISPLACED (the cohort queries the mandatory slots push out, each
+#: chosen because an EXACT sibling sharing its operator family carries
+#: round-10-or-newer evidence and EVIDENCE.json pins its source
 #: byte-identical since its last green run): `agg_stats_native`
-#: (sibling agg_stats_exact, pass r10) and `fn_math_native` (sibling
-#: fn_math, pass r10) — both rotate into the round-12 window with the
-#: r9 cohort. Non-windowed hash drifts this round are COMMENT-ONLY:
+#: (sibling agg_stats_exact, pass r10), `fn_math_native` (sibling
+#: fn_math, pass r10), and `union_all` (sibling
+#: `union_distinct_by_name` — the same UNION operator family — holds a
+#: round-11 window slot, so the family carries fresh evidence this
+#: round; displaced by the NEW `dedup_substring_windows` query, which
+#: the never-run gate requires windowed immediately). All rotate into
+#: the round-12 window with the r9 cohort. Non-windowed hash drifts this round are COMMENT-ONLY:
 #: `dedup_connected_groups`' docstring now names the round-10
 #: star-contraction operator instead of the replaced min-label loop
 #: (behavior byte-identical; the operator's only round-11 change is a
@@ -143,7 +149,10 @@ CURATED_FIRST: tuple[str, ...] = (
     "dialect_describe_layout",
     # --- slot 3: banding re-derived this round (r10 ask #3) ---
     "dedup_ngram_jaccard",
-    # --- slots 4-50: round-8-latest-evidence cohort (47 of 49) ---
+    # --- slot 4: NEW round-11 operator (Lee et al. exact-substring
+    #     window dedup), never driver-verified ---
+    "dedup_substring_windows",
+    # --- slots 5-50: round-8-latest-evidence cohort (46 of 49) ---
     "agg_collect_set_array",
     "agg_percentile_approx",
     "agg_pricing_summary",
@@ -186,7 +195,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "text_lang_id",
     "text_quality_score",
     "tumbling_window",
-    "union_all",
     "union_distinct_by_name",
     "values_inline",
     "window_navigation",

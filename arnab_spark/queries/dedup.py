@@ -548,3 +548,92 @@ def dedup_incremental(spark, sf_dir):
     return new_dedup.join(prev, on="content_hash", how="left_anti").select(
         "keep_id", "content_hash", "n_copies"
     )
+
+
+# ---------------------------------------------------------------------
+# exact substring-window dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — the EXACT-substring signal their
+# suffix-array ExactSubstr pass computes; here the distributable
+# fixed-window form: a document's duplication coverage is the fraction
+# of its word-8-gram windows that also occur verbatim in ANOTHER doc)
+
+_WIN_SPARK = (
+    "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), "
+    "i -> md5(concat_ws(' ', slice(w, i, 8)))) ELSE array() END"
+)
+_WIN_DUCK = (
+    "CASE WHEN len(w) >= 8 THEN list_transform(range(1, len(w) - 6), "
+    "i -> md5(array_to_string(w[i:i+7], ' '))) ELSE [] END"
+)
+
+
+@query(
+    "dedup_substring_windows",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest({_WIN_DUCK}) AS h FROM words
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(d.h) AS n_dup_windows,
+       CAST(count(d.h) AS DOUBLE) / count(*) AS dup_fraction,
+       count(d.h) * 2 > count(*) AS drop_doc
+FROM wins w LEFT JOIN dup d ON w.h = d.h
+GROUP BY w.doc_id
+""",
+    tags=("dedup", "text"),
+)
+def dedup_substring_windows(spark, sf_dir):
+    """Exact substring-window dedup (Lee et al. 2022's ExactSubstr
+    signal, fixed-window form): for every document with >= 8 words,
+    the count and fraction of its word-8-gram window POSITIONS whose
+    verbatim text also occurs in at least one other document, plus the
+    drop decision at 50% coverage. Unlike ``text_decontaminate`` there
+    is no held-out set (every doc is checked against the whole corpus)
+    and windows are counted per position, not per distinct gram — the
+    Lee et al. coverage metric.
+
+    Plan (verified with explain("formatted")), and why it holds at
+    100 TB: each window reduces to a 16-byte md5 IN the row before the
+    explode, so the only wide data is (doc_id, digest) pairs —
+    O(total words) rows of ~40 bytes, never document text. The
+    duplicated-digest side aggregates those pairs down to the digests
+    seen in >= 2 docs; AQE broadcasts that set while it is small (the
+    measured plan here: BroadcastHashJoin of the aggregated dup side)
+    and degrades to a sort-merge join on the digest — the same key
+    both sides are already keyed by — when boilerplate volume grows.
+    The corpus is scanned twice (once per CTE reference); that
+    re-derivation is map-only tokenize+hash work with no added
+    shuffle, the standard trade against caching O(total words) of
+    state at 100 TB. No all-pairs anywhere; the 50% rule is integer
+    arithmetic (count*2 > count), immune to float-division drift. A
+    viral boilerplate window is the skew risk — its digest group is
+    large but both aggregates over it are counts, which partial
+    (map-side) aggregation absorbs before the shuffle."""
+    register_spread_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        f"""
+WITH words AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, explode({_WIN_SPARK}) AS h FROM words
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       count(d.h) AS n_dup_windows,
+       CAST(count(d.h) AS DOUBLE) / count(*) AS dup_fraction,
+       count(d.h) * 2 > count(*) AS drop_doc
+FROM wins w LEFT JOIN dup d ON w.h = d.h
+GROUP BY w.doc_id
+"""
+    )

@@ -85,20 +85,27 @@ def test_every_query_is_oracled():
 #: (each has an EXACT sibling with r10 evidence and an EVIDENCE.json
 #: hash pin proving its source byte-identical since its last green run;
 #: they rotate into the r12 window with the r9 cohort).
-R11_DISPLACED = {"agg_stats_native", "fn_math_native"}
+#: Each displaced query has an EXACT same-family sibling with
+#: round-10-or-newer evidence (agg_stats_exact, fn_math: pass r10;
+#: union_distinct_by_name: holds a round-11 slot) and an EVIDENCE.json
+#: hash pin proving its source unchanged since its last green run.
+#: union_all was displaced mid-round by the NEW dedup_substring_windows
+#: query, which the never-run gate requires windowed immediately.
+R11_DISPLACED = {"agg_stats_native", "fn_math_native", "union_all"}
 
 
 def test_r11_window_covers_stale_evidence_queries():
     """The r11 window holds the round-8-latest-evidence cohort —
     computed from the committed CORRECTNESS_r{01..10}.json union
     (latest green round wins per query), not hand-maintained — minus
-    the two DOCUMENTED displaced queries, so after the r11 run no
+    the three DOCUMENTED displaced queries, so after the r11 run no
     registry query's driver evidence is older than two rounds except
-    those two hash-pinned rows (the invariant r5 established).
+    those hash-pinned rows (the invariant r5 established).
     Slots 1-2 are the round-11 additions (never-run gate: the
     series/COLUMNS/CASE-fold composite and the DESCRIBE layout);
     slot 3 re-verifies dedup_ngram_jaccard on this round's S-curve
-    banding re-derivation."""
+    banding re-derivation; slot 4 is the new substring-window dedup
+    operator."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
