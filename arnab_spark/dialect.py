@@ -2915,8 +2915,15 @@ def _const_format(arg: str):
 #     milliseconds (1-3), %n = integer nanoseconds (1-9, rounded
 #     half-up to micros); DuckDB defaults everything missing to
 #     1900-01-01 00:00:00
-#   * %j, %z, %Z stay loud (%j is order-dependent in DuckDB; %z/%Z
-#     produce TIMESTAMP WITH TIME ZONE, a different result type)
+#   * %j (round 11): DuckDB applies it POSITION-dependently — recorded
+#     only when no numeric %Y/%y/%m/%d parsed yet, cleared by a later
+#     %m/%d, kept across a later year (converted leap-aware with the
+#     final year), conflicting with a second %j at runtime, ignoring
+#     month NAMES in either order, range-validated even where skipped,
+#     erroring beside any week-system field (stays loud there) — all
+#     probed, compiled in the token loop below
+#   * %z, %Z stay loud (they produce TIMESTAMP WITH TIME ZONE, a
+#     different result type)
 # Failure parity: strptime raises on a non-matching or out-of-range
 # input (raise_error), try_strptime yields NULL; a NULL input is NULL
 # through both. Invalid calendar dates (Feb 30) are rejected by an
@@ -2924,6 +2931,7 @@ def _const_format(arg: str):
 
 _STRP_NUM = {
     # directive -> (regex snippet [1 capture], role, lo, hi)
+    "j": (r"(\d{1,3})", "yearday", 1, 366),
     "Y": (r"(\d{1,4})", "year", None, None),
     "y": (r"(\d{1,2})", "year2", None, None),
     "m": (r"(\d{1,2})", "month", 1, 12),
@@ -2980,7 +2988,7 @@ def _strp_tokens(fmt: str) -> list[tuple] | None:
                 toks.append(("lit", "%"))
                 i += 2
                 continue
-            if code == "-" and i + 2 < n and fmt[i + 2] in "dmHIMSy":
+            if code == "-" and i + 2 < n and fmt[i + 2] in "dmHIMSyj":
                 # no-padding variants parse like the padded ones — only
                 # DuckDB's documented set (probed: %-V / %-Y are BIND
                 # errors there, so other '-' combos must stay loud)
@@ -2995,7 +3003,7 @@ def _strp_tokens(fmt: str) -> list[tuple] | None:
             elif code in _STRP_NAME:
                 toks.append(("name", code))
             else:
-                return None  # %j / %z / %Z / unknown: loud
+                return None  # %z / %Z / unknown: loud
             i += 2
             continue
         if ch in " \t\n\r\f\v":
@@ -3042,6 +3050,21 @@ def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
     vals: dict[str, str] = {}  # role -> value SQL (LAST occurrence wins)
     roles_seen: set[str] = set()
     gi = 0
+    # %j is POSITION-dependent in DuckDB (every rule probed on the
+    # embedded engine): it records a pending day-of-year ONLY when no
+    # numeric %Y/%y/%m/%d has been parsed yet; a numeric year AFTER it
+    # keeps the pending value (converted leap-aware with the FINAL
+    # year — '060 2020','%j %Y' = 2020-02-29), a %m or %d AFTER it
+    # CLEARS it and applies normally ('%j %m %Y' uses the month), and
+    # a second %j while one is pending is a runtime parse error even
+    # on matching input ('%j %j' errors, '%Y %j %j' does not — both
+    # skipped). Month NAMES (%b/%B) neither block nor clear: a pending
+    # %j wins over them in either order ('100 Feb 2020','%j %b %Y' =
+    # 2020-04-09). Skipped occurrences are still range-validated
+    # ('2021 000','%Y %j' errors; try_ yields NULL).
+    yearday_pending = False
+    ymd_seen = False  # numeric year/month/day parsed so far
+    always_fail = False  # pending-%j conflict: every matching input fails
 
     def ex_int(idx: int) -> str:
         return (
@@ -3066,6 +3089,22 @@ def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
             v = ex_int(gi)
             if lo is not None:
                 conds.append(f"{v} BETWEEN {lo} AND {hi}")
+            if code == "j":
+                # see the position-dependence comment above the loop
+                if yearday_pending:
+                    always_fail = True
+                elif not ymd_seen:
+                    yearday_pending = True
+                    roles_seen.add(role)
+                    vals[role] = v
+                continue  # skipped %j: range-validated only
+            if code in ("Y", "y"):
+                ymd_seen = True
+            elif code in ("m", "d"):
+                ymd_seen = True
+                yearday_pending = False
+                roles_seen.discard("yearday")
+                vals.pop("yearday", None)
             roles_seen.add(role)
             vals[role] = v
         else:
@@ -3083,6 +3122,13 @@ def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
     rx_lit = _sql_str("".join(rx_parts))
 
     # ---- role reconciliation (all combination rules probed) ----
+    has_j = any(t == ("num", "j") for t in toks)
+    if has_j and roles_seen & {
+        "isoyear", "isoweek", "sunweek", "monweek", "isodow", "sundow",
+    }:
+        return None  # %j beside ANY week-system field errors in DuckDB
+    if always_fail:
+        conds.append("1 = 0")  # pending-%j conflict: matching input fails
     if {"sunweek", "monweek"} <= roles_seen:
         return None  # DuckDB errors on %U+%W
     if "isoyear" in roles_seen and roles_seen & {
@@ -3108,7 +3154,13 @@ def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
     )
     has_md = bool(month) or "day" in roles_seen
 
-    if has_md:
+    if "yearday" in roles_seen:
+        # pending day-of-year wins: Jan 1 of the FINAL year + (j - 1),
+        # leap-aware and overflowing into the next year exactly like
+        # DuckDB ('366 2021' = 2022-01-01); a %b/%B name may be present
+        # but is validated-and-ignored (probed)
+        date_sql = f"date_add(make_date({year}, 1, 1), {vals['yearday']} - 1)"
+    elif has_md:
         m_sql = month or "1"
         d_sql = vals.get("day", "1")
         if "day" in roles_seen:

@@ -713,6 +713,21 @@ _STRPTIME_OK_CASES = [
     ("2021-03-15 13:45:07", "%c"), ("2021-03-15", "%x"), ("13:45:07", "%X"),
     ("2021-03-15 02 1", "%Y-%m-%d %V %u"), ("2021-03-15 40", "%Y-%m-%d %U"),
     ("2020-02-29", "%Y-%m-%d"),
+    # %j (round 11): position-dependent application, every rule probed —
+    # recorded only before any numeric %Y/%y/%m/%d, cleared by a later
+    # %m/%d, kept (leap-aware, FINAL year) across a later year, winning
+    # over month NAMES in either order, range-validated even when
+    # skipped, overflowing year-end like DuckDB ('366 2021' = 2022-01-01)
+    ("2021 100", "%Y %j"), ("100 2021", "%j %Y"), ("100", "%j"),
+    ("060 2020", "%j %Y"), ("060 2021", "%j %Y"),
+    ("03 100 2021", "%m %j %Y"), ("100 03 2021", "%j %m %Y"),
+    ("100 05 2021", "%j %d %Y"), ("2021 100 05", "%Y %j %d"),
+    ("366 2021", "%j %Y"), ("366 2020", "%j %Y"), ("2021 366", "%Y %j"),
+    ("5 2020", "%j %Y"), ("005 2020", "%j %Y"),
+    ("13 100", "%H %j"), ("100 21", "%j %y"), ("21 100", "%y %j"),
+    ("100 Jan 2021", "%j %b %Y"), ("Jan 100 2021", "%b %j %Y"),
+    ("2020 100 Feb", "%Y %j %b"), ("2021 100 200", "%Y %j %j"),
+    ("100 2021", "%-j %Y"), ("2021 100 13:14", "%Y %j %H:%M"),
 ]
 #: inputs BOTH engines must reject (range violations, regex mismatch,
 #: invalid calendar dates, abbrev/full name cross-use)
@@ -728,6 +743,11 @@ _STRPTIME_ERR_CASES = [
     ("2021-01-15 1234567", "%Y-%m-%d %f"), ("2021-01-15 1234", "%Y-%m-%d %g"),
     ("Jan 5 2021", "%B %d %Y"), ("Xyz 2021-03-16", "%a %Y-%m-%d"),
     ("garbage", "%Y-%m-%d"),
+    # %j error parity: range validation fires even where skipped; a
+    # second %j while one is pending is a runtime conflict in DuckDB
+    ("2021 000", "%Y %j"), ("367 2020", "%j %Y"), ("0 2020", "%j %Y"),
+    ("1000 2020", "%j %Y"), ("100 200", "%j %j"),
+    ("100 2021 200", "%j %Y %j"),
 ]
 
 
@@ -737,8 +757,9 @@ def test_strptime_parse_compiler_differential(spark, con):
     arithmetic) instead of Java ``to_timestamp`` — the Java path
     silently mismatched DuckDB on single-digit fields ('2021-3-5'),
     the 1900 default date, %g (integer ms, not a fraction) and %j
-    (order-dependently ignored by DuckDB; now loud). Every success AND
-    error case must agree with DuckDB run verbatim."""
+    (position-dependently applied by DuckDB; lifted round 11 with the
+    probed position rules). Every success AND error case must agree
+    with DuckDB run verbatim."""
     for inp, fmt in _STRPTIME_OK_CASES:
         duck_sql = f"SELECT strptime('{inp}', '{fmt}') AS v"
         exp = con.execute(duck_sql).fetchone()[0]
@@ -761,10 +782,11 @@ def test_try_strptime_and_strptime_loud_shapes(spark, con):
     NULL in place of raise_error (NULL on mismatch, range violation AND
     invalid calendar dates — the explicit last-day check keeps ANSI
     make_date from erroring first); NULL input stays NULL; the shapes
-    with no proven mapping stay loud: %j (order-dependent in DuckDB),
-    %z/%Z (different result type), %U beside %W and %G beside %U/%W/%Y
-    (DuckDB errors), %p without %I, stacked fraction fields, and
-    column-sourced formats (constant-only in DuckDB itself)."""
+    with no proven mapping stay loud: %z/%Z (different result type),
+    %U beside %W and %G beside %U/%W/%Y (DuckDB errors), %j beside any
+    week-system field (DuckDB errors), %p without %I, stacked fraction
+    fields, and column-sourced formats (constant-only in DuckDB
+    itself)."""
     for inp, fmt, exp_null in [
         ("garbage", "%Y-%m-%d", True),
         ("2021-02-30", "%Y-%m-%d", True),
@@ -780,7 +802,8 @@ def test_try_strptime_and_strptime_loud_shapes(spark, con):
     assert "strptime(" not in t
     assert spark.sql(t).collect()[0][0] is None
     for loud_sql in [
-        "SELECT strptime(s, '%Y %j') FROM t",
+        "SELECT strptime(s, '%j %G %V %u') FROM t",  # %j + week system
+        "SELECT strptime(s, '%Y %U %w %j') FROM t",  # (DuckDB errors)
         "SELECT strptime(s, '%-Y-%m-%d') FROM t",  # %-Y: DuckDB bind error
         "SELECT strptime(s, '%Y-%-V') FROM t",  # %-V: DuckDB bind error
         "SELECT strptime(s, '%Y-%m-%d %z') FROM t",
