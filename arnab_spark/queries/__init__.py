@@ -152,9 +152,11 @@ CURATED_FIRST: tuple[str, ...] = (
     # --- slot 4: NEW round-11 operator (Lee et al. exact-substring
     #     window dedup), never driver-verified ---
     "dedup_substring_windows",
-    # --- slots 5-50: round-8-latest-evidence cohort (46 of 49) ---
+    # --- slot 5: NEW round-11 operator (SemDeDup, Abbas et al.),
+    #     never driver-verified ---
+    "dedup_semantic",
+    # --- slots 6-50: round-8-latest-evidence cohort (45 of 49) ---
     "agg_collect_set_array",
-    "agg_percentile_approx",
     "agg_pricing_summary",
     "ann_lsh_bucketed",
     "case_coalesce",

@@ -637,3 +637,126 @@ FROM wins w LEFT JOIN dup d ON w.h = d.h
 GROUP BY w.doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------
+# semantic dedup (SemDeDup) — round 11
+
+#: Coarse cells for the semantic-dedup quantizer. SemDeDup's k scales
+#: with corpus size so the expected cell stays bounded (the paper used
+#: 50k clusters for LAION); 16 keeps the fixture's cells a few hundred
+#: vectors wide at the driver's sf0.01.
+SEM_K = 16
+
+_SEM_DOT = (
+    f"list_sum(list_transform(range(1, {DIM + 1}), i -> {{a}}[i] * {{b}}[i]))"
+)
+
+_SEMDEDUP_DUCK = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM + 1}),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {{q}}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, iv,
+         CAST(list_sum(list_transform(range(1, {DIM + 1}), i -> iv[i] * iv[i])) AS BIGINT) AS nrm2
+  FROM q
+),
+cents AS (
+  SELECT vec_id AS cid, iv AS civ, nrm2 AS cnrm2 FROM normed
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEM_K}
+),
+ascore AS (
+  SELECT n.vec_id, n.iv, n.nrm2, c.cid,
+         CAST({_SEM_DOT.format(a="n.iv", b="c.civ")} AS DOUBLE)
+           / (sqrt(CAST(n.nrm2 AS DOUBLE)) * sqrt(CAST(c.cnrm2 AS DOUBLE))) AS cos
+  FROM normed n CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, iv, nrm2, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST({_SEM_DOT.format(a="a.iv", b="b.iv")} AS DOUBLE)
+           / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+drops AS (
+  SELECT vec_b AS vec_id, COUNT(*) AS n_close_lower, MAX(cosine) AS max_close_cosine
+  FROM pairs WHERE cosine >= {{thr}} GROUP BY vec_b
+)
+SELECT a.vec_id, a.cell,
+       CAST(coalesce(d.n_close_lower, 0) AS BIGINT) AS n_close_lower,
+       d.max_close_cosine,
+       d.vec_id IS NULL AS keep
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=_SEMDEDUP_DUCK.format(q=_Q, thr=_COSINE_THRESHOLD),
+    tags=("dedup", "semantic", "similarity"),
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with a coarse quantizer, then within each cell mark
+    a vector as a semantic duplicate when its cosine to a LOWER-id cell
+    member crosses the threshold — the kept representative of every
+    near-dup set is its minimum vec_id, a total order both engines
+    share. Differs from ``dedup_embedding_cosine`` exactly where the
+    paper differs from plain cosine blocking: the blocking key is
+    LEARNED from the vectors (nearest of {SEM_K} deterministic
+    centroids — swap in trained k-means at production scale), not a
+    pre-existing label column, so it works on corpora with no labels
+    and concentrates comparisons where the space is dense.
+
+    Output per vector: its cell, how many lower-id in-cell vectors sit
+    above the threshold, the tightest such cosine, and the keep/drop
+    verdict (keep = no lower-id near-neighbor in the cell).
+
+    Scale (100 TB): centroids broadcast (constant k); assignment is a
+    map-side argmax shuffling ONE row per vector
+    (:func:`~arnab_spark.operators.ivf_assign`); the within-cell pair
+    search runs through :func:`~arnab_spark.operators.
+    bucketed_cosine_pairs` — chunk-pair triangle tiling, so a dense
+    cell parallelizes across tasks instead of collapsing into one
+    quadratic straggler (the measured r9 fix); the final drop verdict
+    is a groupBy on the higher pair id plus one broadcast-size left
+    join back to the assignment. In production SemDeDup k grows with n
+    (cells stay ~constant), making the whole pipeline O(n·k + n·cell)
+    with no global pairwise stage."""
+    from arnab_spark.operators import (
+        bucketed_cosine_pairs,
+        ivf_assign,
+        ivf_centroids,
+        quantize_embeddings,
+    )
+
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
+    assign = ivf_assign(e, ivf_centroids(e, k=SEM_K))
+    pairs = bucketed_cosine_pairs(
+        assign, bucket_col="cell", threshold=_COSINE_THRESHOLD
+    )
+    drops = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_close_lower"),
+        F.max("cosine").alias("max_close_cosine"),
+    )
+    return (
+        assign.select("vec_id", "cell")
+        .join(drops, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_close_lower"), F.lit(0))
+            .cast("bigint")
+            .alias("n_close_lower"),
+            "max_close_cosine",
+            F.col("n_close_lower").isNull().alias("keep"),
+        )
+    )

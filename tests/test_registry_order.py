@@ -90,8 +90,16 @@ def test_every_query_is_oracled():
 #: union_distinct_by_name: holds a round-11 slot) and an EVIDENCE.json
 #: hash pin proving its source unchanged since its last green run.
 #: union_all was displaced mid-round by the NEW dedup_substring_windows
-#: query, which the never-run gate requires windowed immediately.
-R11_DISPLACED = {"agg_stats_native", "fn_math_native", "union_all"}
+#: query, which the never-run gate requires windowed immediately;
+#: agg_percentile_approx likewise by the NEW dedup_semantic query (its
+#: exact sibling agg_percentile_exact carries r10 evidence and the
+#: manifest hash pin proves its source unchanged since its r8 green).
+R11_DISPLACED = {
+    "agg_stats_native",
+    "fn_math_native",
+    "union_all",
+    "agg_percentile_approx",
+}
 
 
 def test_r11_window_covers_stale_evidence_queries():
