@@ -171,6 +171,13 @@ def attach_warehouse(spark, db_path: str, prefix: str = "") -> list[str]:
             if entry["materialize"] in ("table", "incremental"):
                 dest = os.path.join(db_path, model_id)
                 spark.read.parquet(dest).createOrReplaceTempView(prefix + model_id)
+                if not prefix:
+                    # the session's OWN warehouse is writable: record the
+                    # backing dir so dialect-level DML persists through a
+                    # staged swap (ATTACH-aliased catalogs stay read-only)
+                    from arnab_spark.dialect import table_backing_for
+
+                    table_backing_for(spark)[model_id.lower()] = dest
             else:
                 select = entry["select"]
                 if prefix:

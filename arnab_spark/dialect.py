@@ -21,6 +21,11 @@ rewrites the purely syntactic gaps so those models run unchanged:
   (needs a live session to resolve each side's schema)
 - ``COPY (…) TO 'path' (FORMAT …)`` → ``INSERT OVERWRITE DIRECTORY``
   (distributed multi-file export; DuckDB reads it back via ``dir/*``)
+- DML — ``INSERT INTO`` (positional / column-list / BY NAME),
+  ``DELETE FROM``, ``UPDATE … SET``, ``TRUNCATE`` — lifted to
+  read-transform-persist over this engine's parquet-backed tables
+  (staged swap for warehouse tables, checkpoint re-register for temp
+  views); native catalog tables keep Spark's own INSERT/TRUNCATE
 - statement-form ``PIVOT … ON … USING …`` → Spark relation-suffix
   PIVOT (dynamic IN-list enumerated through the live session)
 - statement-form ``UNPIVOT … ON … INTO NAME … VALUE …`` → Spark
@@ -6032,6 +6037,312 @@ def _reject_sequences(sql: str) -> None:
         )
 
 
+# ------------------------------------------- DML: INSERT / DELETE / UPDATE
+#
+# The reference's embedded DuckDB mutates tables in place
+# (node.rs:176 passthrough); this engine's tables are parquet dirs
+# re-exposed as temp views, so DML is lifted to a read-transform-swap:
+# compute the post-statement relation, persist it atomically (staged
+# parquet swap for warehouse-backed tables; an eager localCheckpoint
+# for session-scratch temp views — scratch is memory-bounded by
+# design, the warehouse swap is the scale path), and re-register the
+# view. Spark-native catalog tables keep their native paths where one
+# exists (INSERT INTO, TRUNCATE) and get the overwrite lift where
+# Spark has none (DELETE/UPDATE on v1 tables).
+
+_BACKING_FALLBACK: dict = {}
+
+try:
+    _BACKING_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _BACKING_BY_SESSION = {}
+
+
+def table_backing_for(spark) -> dict:
+    """Lowered view name → parquet dir backing it (written by
+    ``node.py`` on table/incremental materialization and by
+    ``catalog.attach_warehouse`` for the session's own warehouse).
+    DML statements against these names persist through a staged
+    parquet swap, so the mutation survives the session — parity with
+    the reference's DuckDB-file persistence."""
+    if spark is None:
+        return _BACKING_FALLBACK
+    reg = _BACKING_BY_SESSION.get(spark)
+    if reg is None:
+        reg = {}
+        _BACKING_BY_SESSION[spark] = reg
+    return reg
+
+
+_DML_IDENT = r'(?:"[^"]+"|[A-Za-z_]\w*)'
+_DML_QUAL = rf"{_DML_IDENT}(?:\s*\.\s*{_DML_IDENT})*"
+_INSERT_DML = re.compile(
+    rf"(?is)^\s*INSERT\s+(?:OR\s+(?P<conflict>REPLACE|IGNORE)\s+)?INTO\s+"
+    rf"(?P<target>{_DML_QUAL})\s*(?P<rest>.*?)\s*;?\s*$"
+)
+_DELETE_DML = re.compile(
+    rf"(?is)^\s*DELETE\s+FROM\s+(?P<target>{_DML_QUAL})"
+    rf"(?:\s+WHERE\s+(?P<pred>.*?))?\s*;?\s*$"
+)
+_UPDATE_DML = re.compile(
+    rf"(?is)^\s*UPDATE\s+(?P<target>{_DML_QUAL})\s+SET\s+(?P<rest>.*?)\s*;?\s*$"
+)
+_TRUNCATE_DML = re.compile(
+    rf"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<target>{_DML_QUAL})\s*;?\s*$"
+)
+
+
+def _dml_resolve(spark, raw_target: str):
+    """Resolve a DML target to (name, kind) where kind is ``backed``
+    (parquet-swap persistence), ``tempview`` (checkpoint re-register),
+    ``native`` (Spark catalog table), or None (not ours — leave the
+    statement to Spark's own resolution/errors). Attached catalogs are
+    read-only, matching DuckDB's ``ATTACH … (READ_ONLY)`` posture —
+    this engine cannot write back into a foreign .duckdb file."""
+    from arnab_spark.errors import ArnabError
+
+    parts = [
+        p.strip().strip('"')
+        for p in re.split(r"\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", raw_target)
+    ]
+    while len(parts) > 1 and parts[0].lower() in ("memory", "main", "temp", "system"):
+        parts.pop(0)
+    if len(parts) > 1:
+        alias = parts[0].lower()
+        attached = _attached_for(spark)
+        if alias in attached:
+            raise ArnabError(
+                f"DML against attached catalog '{alias}' is not supported: "
+                "attached catalogs are read-only in this engine (this Spark "
+                "rebuild cannot write back into a foreign catalog file). "
+                "COPY the data into a session table first."
+            )
+        return None, None  # qualified non-attached name: Spark's problem
+    name = parts[0]
+    backing = table_backing_for(spark)
+    if name.lower() in backing:
+        return name, "backed"
+    try:
+        tbl = spark.catalog.getTable(name)
+    except Exception:
+        return None, None
+    if (tbl.tableType or "").upper() == "TEMPORARY":
+        return name, "tempview"
+    return name, "native"
+
+
+def _dml_persist(spark, name: str, kind: str, df) -> None:
+    """Atomically replace ``name``'s contents with ``df``."""
+    if kind == "backed":
+        import os as _os
+        import shutil as _shutil
+
+        dest = table_backing_for(spark)[name.lower()]
+        staging, old = f"{dest}__dml_staging", f"{dest}__dml_old"
+        # the write triggers the lazy read of dest; dest stays intact
+        # until the rename pair below (same staged-swap discipline as
+        # node._write_incremental)
+        df.write.mode("overwrite").parquet(staging)
+        _shutil.rmtree(old, ignore_errors=True)
+        _os.rename(dest, old)
+        _os.rename(staging, dest)
+        _shutil.rmtree(old, ignore_errors=True)
+        spark.read.parquet(dest).createOrReplaceTempView(name)
+    elif kind == "tempview":
+        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    else:  # native catalog table without its own DELETE/UPDATE
+        ckpt = df.localCheckpoint(eager=True)
+        tmp = f"_arnab_dml_{abs(hash(name)) % 10**8}"
+        ckpt.createOrReplaceTempView(tmp)
+        try:
+            spark.sql(f"INSERT OVERWRITE TABLE `{name}` SELECT * FROM {tmp}")
+        finally:
+            spark.catalog.dropTempView(tmp)
+
+
+def _dml_align(new, tfields, cols, by_name: bool):
+    """Project ``new`` onto the target's columns with DuckDB's INSERT
+    alignment rules: positional by default (arity must match), named
+    subset via an explicit column list or BY NAME (absent columns fill
+    with NULL), every value cast to the target column's type."""
+    from pyspark.sql import functions as F
+
+    from arnab_spark.errors import ArnabError
+
+    names = [f.name for f in tfields]
+    types = {f.name.lower(): f.dataType.simpleString() for f in tfields}
+    lower_target = {n.lower() for n in names}
+    exprs = []
+    if by_name:
+        extra = [c for c in new.columns if c.lower() not in lower_target]
+        if extra:
+            raise ArnabError(
+                f"INSERT BY NAME: column(s) {extra} do not exist in the target"
+            )
+        have = {c.lower(): c for c in new.columns}
+        for n in names:
+            if n.lower() in have:
+                exprs.append(new[have[n.lower()]].cast(types[n.lower()]).alias(n))
+            else:
+                exprs.append(F.lit(None).cast(types[n.lower()]).alias(n))
+    elif cols is not None:
+        unknown = [c for c in cols if c.lower() not in lower_target]
+        if unknown:
+            raise ArnabError(
+                f"INSERT: column(s) {unknown} do not exist in the target"
+            )
+        if len(cols) != len(new.columns):
+            raise ArnabError(
+                f"INSERT: {len(cols)} columns listed but the source "
+                f"supplies {len(new.columns)}"
+            )
+        pos = {c.lower(): i for i, c in enumerate(cols)}
+        for n in names:
+            if n.lower() in pos:
+                exprs.append(
+                    new[new.columns[pos[n.lower()]]].cast(types[n.lower()]).alias(n)
+                )
+            else:
+                exprs.append(F.lit(None).cast(types[n.lower()]).alias(n))
+    else:
+        if len(new.columns) != len(names):
+            raise ArnabError(
+                f"INSERT: table has {len(names)} columns but "
+                f"{len(new.columns)} values were supplied"
+            )
+        for c, n in zip(new.columns, names):
+            exprs.append(new[c].cast(types[n.lower()]).alias(n))
+    return new.select(*exprs)
+
+
+def _rewrite_dml(sql: str, spark):
+    """Statement-shape handler for INSERT/DELETE/UPDATE/TRUNCATE.
+    Returns None when the statement is not DML this pass owns (the
+    normal rewrite pipeline then applies — in particular a native
+    catalog-table INSERT still gets its body's dialect rewrites), or
+    the replacement text ("" when fully consumed here)."""
+    from arnab_spark.errors import ArnabError
+
+    tm = _TRUNCATE_DML.match(sql)
+    if tm is not None:
+        name, kind = _dml_resolve(spark, tm.group("target"))
+        if kind in ("backed", "tempview"):
+            _dml_persist(spark, name, kind, spark.table(name).limit(0))
+            return ""
+        return None  # native TRUNCATE TABLE is Spark SQL
+
+    dm = _DELETE_DML.match(sql)
+    if dm is not None:
+        name, kind = _dml_resolve(spark, dm.group("target"))
+        if kind is None:
+            return None
+        pred = dm.group("pred")
+        # DuckDB deletes rows where the predicate is TRUE; NULL keeps
+        cond = f"NOT coalesce(({pred}), false)" if pred else "false"
+        kept = spark.sql(
+            transpile_statement(f"SELECT * FROM `{name}` WHERE {cond}", spark)
+        )
+        _dml_persist(spark, name, kind, kept)
+        return ""
+
+    um = _UPDATE_DML.match(sql)
+    if um is not None:
+        name, kind = _dml_resolve(spark, um.group("target"))
+        if kind is None:
+            return None
+        rest = um.group("rest")
+        widx, _ = _scan_top_level(rest, ("where",))
+        assigns_text = rest[:widx] if widx >= 0 else rest
+        pred = rest[widx + len("where"):].strip() if widx >= 0 else None
+        fields = spark.table(name).schema.fields
+        types = {f.name.lower(): f.dataType.simpleString() for f in fields}
+        assigns: dict[str, str] = {}
+        for a in _split_top_level_commas(assigns_text):
+            m2 = re.match(r'(?s)^\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$', a)
+            if m2 is None:
+                raise ArnabError(f"UPDATE: cannot parse assignment {a.strip()!r}")
+            col = m2.group(1).strip('"')
+            if col.lower() not in types:
+                raise ArnabError(f"UPDATE: column '{col}' does not exist in '{name}'")
+            if col.lower() in assigns:
+                raise ArnabError(f"UPDATE: multiple assignments to column '{col}'")
+            assigns[col.lower()] = m2.group(2)
+        cond = f"coalesce(({pred}), false)" if pred else "true"
+        sel = []
+        for f in fields:
+            e = assigns.get(f.name.lower())
+            if e is None:
+                sel.append(f"`{f.name}`")
+            else:
+                sel.append(
+                    f"CAST((CASE WHEN {cond} THEN ({e}) ELSE `{f.name}` END) "
+                    f"AS {types[f.name.lower()]}) AS `{f.name}`"
+                )
+        updated = spark.sql(
+            transpile_statement(f"SELECT {', '.join(sel)} FROM `{name}`", spark)
+        )
+        _dml_persist(spark, name, kind, updated)
+        return ""
+
+    im = _INSERT_DML.match(sql)
+    if im is not None:
+        name, kind = _dml_resolve(spark, im.group("target"))
+        if kind is None or kind == "native":
+            return None  # Spark's own INSERT INTO handles catalog tables
+        if im.group("conflict"):
+            raise ArnabError(
+                f"INSERT OR {im.group('conflict').upper()} needs a PRIMARY "
+                "KEY, which this engine's tables do not declare. Express "
+                "the upsert as a left-anti join + union (see the "
+                "incremental materialization) or a row_number window."
+            )
+        rest = im.group("rest").lstrip()
+        if _scan_top_level(rest, ("returning",))[0] >= 0:
+            raise ArnabError(
+                "INSERT … RETURNING is not supported: the mutation is a "
+                "write, not a relation. SELECT from the table afterwards."
+            )
+        cols = None
+        if rest.startswith("("):
+            depth, j = 0, 0
+            for j, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            cols = [
+                c.strip().strip('"')
+                for c in _split_top_level_commas(rest[1:j])
+            ]
+            rest = rest[j + 1:].lstrip()
+        by_name = False
+        bn = re.match(r"(?is)^BY\s+NAME\b", rest)
+        if bn is not None:
+            by_name = True
+            rest = rest[bn.end():].lstrip()
+        if re.match(r"(?is)^DEFAULT\s+VALUES\b", rest):
+            raise ArnabError(
+                "INSERT … DEFAULT VALUES is not supported: this engine's "
+                "tables declare no column defaults. Insert explicit NULLs."
+            )
+        if re.match(r"(?is)^VALUES\b", rest):
+            body_sql = f"SELECT * FROM ({rest})"
+        elif re.match(r"(?is)^(SELECT|WITH|FROM)\b", rest):
+            body_sql = rest
+        else:
+            raise ArnabError(
+                f"INSERT INTO {name}: unsupported source {rest[:40]!r} — "
+                "expected VALUES, SELECT, WITH, or FROM"
+            )
+        target = spark.table(name)
+        new = spark.sql(transpile_statement(body_sql, spark))
+        aligned = _dml_align(new, target.schema.fields, cols, by_name)
+        _dml_persist(spark, name, kind, target.unionByName(aligned))
+        return ""
+
+    return None
+
+
 def transpile_statement(sql: str, spark=None) -> str:
     """Apply the DuckDB→Spark rewrites to one statement.
 
@@ -6089,6 +6400,10 @@ def transpile_statement(sql: str, spark=None) -> str:
             except Exception:
                 pass
         return ""
+    if spark is not None:
+        dml = _rewrite_dml(sql, spark)
+        if dml is not None:
+            return dml
     tm = _TEMP_VIEW_DDL.match(sql)
     if tm is not None:
         # record the name (DuckDB: temp database) and pass the DDL

@@ -287,6 +287,14 @@ class Node:
         os.rename(staging, dest)
         shutil.rmtree(old, ignore_errors=True)
 
+    def _record_backing(self, spark, parquet_path: str) -> None:
+        """Register the table's parquet dir so dialect-level DML
+        (INSERT/DELETE/UPDATE through the node.rs:176 passthrough)
+        persists through a staged swap of this dir."""
+        from arnab_spark.dialect import table_backing_for
+
+        table_backing_for(spark)[self.id.lower()] = parquet_path
+
     def execute(self, spark, db_path: str | None) -> NodeExecutionResult:
         """Run the model (reference: node.rs:125-207). Non-record
         statements (SET etc.) run first; the single record-returning
@@ -316,9 +324,11 @@ class Node:
                     elif self.materialize == "incremental":
                         self._write_incremental(spark, spark.sql(stmt), parquet_path)
                         spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
+                        self._record_backing(spark, parquet_path)
                     else:
                         self._write_table(spark.sql(stmt), parquet_path)
                         spark.read.parquet(parquet_path).createOrReplaceTempView(self.id)
+                        self._record_backing(spark, parquet_path)
                     if db_path:
                         # persist the model in the warehouse catalog so
                         # later sessions reattach it — parity with the
@@ -372,6 +382,7 @@ class Node:
             else:
                 self._write_table(df, dest)
             spark.read.parquet(dest).createOrReplaceTempView(self.id)
+            self._record_backing(spark, dest)
             from arnab_spark.catalog import record_model
 
             record_model(db_path, self.id, self.materialize)

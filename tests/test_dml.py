@@ -1,0 +1,325 @@
+"""Differential tests for the dialect DML lift (INSERT / DELETE /
+UPDATE / TRUNCATE through the node.rs:176 passthrough).
+
+Every behavioral case runs the SAME statement script against a live
+DuckDB table and against this engine's temp-view table through
+``transpile_statement``, then compares the final relation exactly
+(order-insensitive). Persistence cases additionally verify that a
+warehouse-backed table's parquet dir was swapped on disk.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from arnab_spark import dialect
+from arnab_spark.dialect import table_backing_for, transpile_statement
+from arnab_spark.errors import ArnabError
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def _run(spark, stmt: str) -> None:
+    out = transpile_statement(stmt, spark)
+    if out.strip():
+        spark.sql(out)
+
+
+def _table_rows(spark, con, name: str, order: str):
+    got = [
+        tuple(r)
+        for r in spark.sql(f"SELECT * FROM {name} ORDER BY {order}").collect()
+    ]
+    exp = con.execute(f"SELECT * FROM {name} ORDER BY {order}").fetchall()
+    return got, exp
+
+
+BASE = (
+    "SELECT * FROM (VALUES (1, 'a', 10.5), (2, 'b', NULL), (3, 'c', 7.25)) "
+    "AS t(id, tag, score)"
+)
+
+
+@pytest.fixture()
+def dml_table(spark, con):
+    """Same three-row table on both engines: a DuckDB TABLE and a Spark
+    temp view (the engine's table representation)."""
+    con.execute(f"CREATE TABLE dml_t AS {BASE}")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW dml_t AS {BASE}")
+    yield "dml_t"
+    spark.catalog.dropTempView("dml_t")
+
+
+def test_insert_values_positional(spark, con, dml_table):
+    stmt = "INSERT INTO dml_t VALUES (4, 'd', 1.0), (5, 'e', NULL)"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp and len(got) == 5
+
+
+def test_insert_column_list_fills_null(spark, con, dml_table):
+    stmt = "INSERT INTO dml_t (tag, id) VALUES ('z', 9)"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[-1] == (9, "z", None)
+
+
+def test_insert_by_name_select(spark, con, dml_table):
+    stmt = "INSERT INTO dml_t BY NAME SELECT 'q' AS tag, 11 AS id"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[-1] == (11, "q", None)
+
+
+def test_insert_select_self_reads_pre_insert_snapshot(spark, con, dml_table):
+    stmt = "INSERT INTO dml_t SELECT id + 100, tag, score FROM dml_t"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp and len(got) == 6
+
+
+def test_insert_casts_to_column_types(spark, con, dml_table):
+    # DuckDB casts the VARCHAR '12' and the INT 3 to the target types
+    stmt = "INSERT INTO dml_t VALUES ('12', 42, 3)"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[-1] == (12, "42", 3.0)
+
+
+def test_insert_arity_mismatch_raises(spark, dml_table):
+    with pytest.raises(ArnabError, match="3 columns but 2 values"):
+        _run(spark, "INSERT INTO dml_t VALUES (1, 'x')")
+
+
+def test_insert_unknown_column_raises(spark, dml_table):
+    with pytest.raises(ArnabError, match="do not exist"):
+        _run(spark, "INSERT INTO dml_t (nope) VALUES (1)")
+
+
+def test_insert_or_replace_and_returning_raise_targeted(spark, dml_table):
+    with pytest.raises(ArnabError, match="PRIMARY"):
+        _run(spark, "INSERT OR REPLACE INTO dml_t VALUES (1, 'a', 0.0)")
+    with pytest.raises(ArnabError, match="RETURNING"):
+        _run(spark, "INSERT INTO dml_t VALUES (1, 'a', 0.0) RETURNING id")
+    with pytest.raises(ArnabError, match="DEFAULT VALUES"):
+        _run(spark, "INSERT INTO dml_t DEFAULT VALUES")
+
+
+def test_insert_body_gets_dialect_rewrites(spark, con, dml_table):
+    """The INSERT source is DuckDB dialect too — list subscripting is
+    1-based and list_transform must rewrite inside the body."""
+    stmt = (
+        "INSERT INTO dml_t SELECT list_transform([7], x -> x + 1)[1], "
+        "'lst', NULL"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[-1][0] == 8
+
+
+def test_delete_where_null_predicate_keeps_row(spark, con, dml_table):
+    # score IS NULL row: predicate evaluates NULL -> DuckDB keeps it
+    stmt = "DELETE FROM dml_t WHERE score < 8"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert [r[0] for r in got] == [1, 2]
+
+
+def test_delete_without_where_empties(spark, con, dml_table):
+    con.execute("DELETE FROM dml_t")
+    _run(spark, "DELETE FROM dml_t")
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp == []
+
+
+def test_truncate(spark, con, dml_table):
+    con.execute("TRUNCATE dml_t")
+    _run(spark, "TRUNCATE dml_t")
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp == []
+    # schema survives the truncate
+    assert [f.lower() for f in spark.table("dml_t").columns] == [
+        "id",
+        "tag",
+        "score",
+    ]
+
+
+def test_update_where_and_cast_to_column_type(spark, con, dml_table):
+    # the assignment expression is an INT; DuckDB casts to the DOUBLE col
+    stmt = "UPDATE dml_t SET score = id * 2 WHERE tag <> 'b'"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert [r[2] for r in got] == [2.0, None, 6.0]
+
+
+def test_update_swap_uses_old_row_values(spark, con):
+    con.execute("CREATE TABLE dml_swap AS SELECT 1 AS a, 2 AS b")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW dml_swap AS SELECT 1 AS a, 2 AS b"
+    )
+    try:
+        stmt = "UPDATE dml_swap SET a = b, b = a"
+        con.execute(stmt)
+        _run(spark, stmt)
+        got, exp = _table_rows(spark, con, "dml_swap", "a")
+        assert got == exp == [(2, 1)]
+    finally:
+        spark.catalog.dropTempView("dml_swap")
+
+
+def test_update_without_where_touches_all_rows(spark, con, dml_table):
+    stmt = "UPDATE dml_t SET tag = upper(tag)"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert [r[1] for r in got] == ["A", "B", "C"]
+
+
+def test_update_unknown_or_duplicate_column_raises(spark, dml_table):
+    with pytest.raises(ArnabError, match="does not exist"):
+        _run(spark, "UPDATE dml_t SET nope = 1")
+    with pytest.raises(ArnabError, match="multiple assignments"):
+        _run(spark, "UPDATE dml_t SET id = 1, id = 2")
+
+
+def test_dml_persists_through_backed_table_swap(spark, tmp_path):
+    """A warehouse-backed table (the engine's `materialize: table`
+    output) takes DML through a staged parquet swap: the on-disk dir —
+    what a NEXT session reattaches — reflects the mutation."""
+    dest = str(tmp_path / "backed_t")
+    spark.sql(BASE.replace("SELECT * FROM", "SELECT * FROM")).write.parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("backed_t")
+    table_backing_for(spark)["backed_t"] = dest
+    try:
+        _run(spark, "INSERT INTO backed_t VALUES (4, 'd', 0.5)")
+        _run(spark, "DELETE FROM backed_t WHERE id = 2")
+        _run(spark, "UPDATE backed_t SET tag = tag || '!' WHERE id = 1")
+        on_disk = [
+            tuple(r)
+            for r in spark.read.parquet(dest).orderBy("id").collect()
+        ]
+        assert on_disk == [(1, "a!", 10.5), (3, "c", 7.25), (4, "d", 0.5)]
+        # and the staging/old dirs were cleaned up
+        assert not os.path.exists(dest + "__dml_staging")
+        assert not os.path.exists(dest + "__dml_old")
+    finally:
+        table_backing_for(spark).pop("backed_t", None)
+        spark.catalog.dropTempView("backed_t")
+
+
+def test_dml_against_attached_catalog_is_read_only(spark, tmp_path):
+    from arnab_spark.dialect import _attached_for
+
+    _attached_for(spark)["ext"] = {"items"}
+    try:
+        with pytest.raises(ArnabError, match="read-only"):
+            _run(spark, "INSERT INTO ext.items VALUES (1)")
+        with pytest.raises(ArnabError, match="read-only"):
+            _run(spark, "DELETE FROM ext.items WHERE 1=1")
+    finally:
+        _attached_for(spark).pop("ext", None)
+
+
+def test_native_catalog_table_insert_still_passes_through(spark):
+    """INSERT INTO a real Spark catalog table must stay native (the
+    pre-existing passthrough behavior the DDL smoke test pins) — the
+    DML pass returns None so the body still gets dialect rewrites."""
+    spark.sql("CREATE TABLE IF NOT EXISTS dml_native_t AS SELECT 1 AS x")
+    try:
+        out = transpile_statement(
+            "INSERT INTO dml_native_t SELECT list_transform([1], x -> x + 1)[1]",
+            spark,
+        )
+        assert out.strip().upper().startswith("INSERT INTO")
+        assert "transform" in out  # body rewritten, statement left native
+        spark.sql(out)
+        assert spark.table("dml_native_t").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_native_t")
+
+
+def test_memory_main_qualifiers_strip_like_duckdb(spark, con, dml_table):
+    stmt_duck = "INSERT INTO memory.main.dml_t VALUES (7, 'm', 0.0)"
+    con.execute(stmt_duck)
+    _run(spark, stmt_duck)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[-1][0] == 7
+
+
+def test_engine_model_pipeline_with_dml(spark, tmp_path):
+    """Engine-path proof (the node.rs:176 passthrough): a model whose
+    script INSERTs into, DELETEs from, and UPDATEs an earlier table
+    model, run through the real Session/Node machinery against a
+    warehouse — the statements a DuckDB-backed reference project would
+    execute verbatim."""
+    import textwrap
+
+    from arnab_spark.config import load_config
+    from arnab_spark.session import Session
+
+    root = str(tmp_path)
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "seed.sql").write_text(
+        "SELECT * FROM (VALUES (1, 'keep'), (2, 'drop')) AS t(id, verdict)"
+    )
+    (models / "mutated.sql").write_text(
+        "INSERT INTO seed VALUES (3, 'keep');\n"
+        "DELETE FROM seed WHERE verdict = 'drop';\n"
+        "UPDATE seed SET verdict = verdict || 'er' WHERE id = 3;\n"
+        "SELECT * FROM seed"
+    )
+    (tmp_path / "config.yaml").write_text(
+        textwrap.dedent(
+            """\
+            models_dir: models
+            db_path: warehouse
+            models:
+              seed:
+                materialize: table
+            """
+        )
+    )
+    try:
+        report = Session(load_config(root), spark).run(quiet=True)
+        assert report.ok, report.errors
+        rows = [tuple(r) for r in spark.table("mutated").orderBy("id").collect()]
+        assert rows == [(1, "keep"), (3, "keeper")]
+        # the seed TABLE's parquet dir was swapped in the warehouse
+        disk = [
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(root, "warehouse", "seed"))
+            .orderBy("id")
+            .collect()
+        ]
+        assert disk == [(1, "keep"), (3, "keeper")]
+    finally:
+        for v in ("seed", "mutated"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        dialect.reset_macros(spark)
