@@ -60,6 +60,18 @@ def record_model(
     os.replace(tmp, _catalog_path(db_path))
 
 
+def remove_model(db_path: str, model_id: str) -> None:
+    """Delete one model/table's catalog entry (script-level DROP TABLE;
+    same atomic temp-file + rename discipline as record_model)."""
+    cat = load_catalog(db_path)
+    if cat.pop(model_id, None) is None:
+        return
+    tmp = _catalog_path(db_path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(cat, f, indent=1)
+    os.replace(tmp, _catalog_path(db_path))
+
+
 MACROS_FILE = "_arnab_macros.json"
 
 

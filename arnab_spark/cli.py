@@ -92,7 +92,9 @@ def cmd_run_file(args) -> int:
             return 1
     if cfg.db_path:
         from arnab_spark.catalog import attach_warehouse
+        from arnab_spark.dialect import set_warehouse_for
 
+        set_warehouse_for(spark, cfg.db_path)
         attach_warehouse(spark, cfg.db_path)
     rc = 0
     for path in args.paths:

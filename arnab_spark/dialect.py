@@ -26,6 +26,10 @@ rewrites the purely syntactic gaps so those models run unchanged:
   read-transform-persist over this engine's parquet-backed tables
   (staged swap for warehouse tables, checkpoint re-register for temp
   views); native catalog tables keep Spark's own INSERT/TRUNCATE
+- ``CREATE [OR REPLACE] [TEMP] TABLE`` (CTAS and schema-only) and
+  ``DROP TABLE`` — DuckDB-shaped table DDL Spark's v1 catalog lacks;
+  session tables when no warehouse is open, catalogued parquet dirs
+  when one is; DML/DROP against views raises (DuckDB parity)
 - statement-form ``PIVOT … ON … USING …`` → Spark relation-suffix
   PIVOT (dynamic IN-list enumerated through the live session)
 - statement-form ``UNPIVOT … ON … INTO NAME … VALUE …`` → Spark
@@ -6074,6 +6078,47 @@ def table_backing_for(spark) -> dict:
     return reg
 
 
+try:
+    _WAREHOUSE_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _WAREHOUSE_BY_SESSION = {}
+
+
+def set_warehouse_for(spark, db_path: str | None) -> None:
+    """Record the session's warehouse dir (A2 connection open) so
+    script-level ``CREATE [OR REPLACE] TABLE`` persists there — the
+    Spark twin of DuckDB tables living in the opened database file."""
+    if spark is not None and db_path:
+        _WAREHOUSE_BY_SESSION[spark] = db_path
+
+
+def warehouse_for(spark) -> str | None:
+    if spark is None:
+        return None
+    return _WAREHOUSE_BY_SESSION.get(spark)
+
+
+try:
+    _SESSION_TABLES_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _SESSION_TABLES_BY_SESSION = {}
+
+
+def session_tables_for(spark) -> set:
+    """Lowered names created by the script-level CREATE TABLE lift
+    WITHOUT a warehouse backing (DuckDB temp / in-memory-DB tables).
+    They live as eagerly-checkpointed temp views; membership here is
+    what distinguishes a mutable TABLE from a view — DuckDB rejects
+    DML against views, and so does this shim."""
+    if spark is None:
+        return set()
+    reg = _SESSION_TABLES_BY_SESSION.get(spark)
+    if reg is None:
+        reg = set()
+        _SESSION_TABLES_BY_SESSION[spark] = reg
+    return reg
+
+
 _DML_IDENT = r'(?:"[^"]+"|[A-Za-z_]\w*)'
 _DML_QUAL = rf"{_DML_IDENT}(?:\s*\.\s*{_DML_IDENT})*"
 _INSERT_DML = re.compile(
@@ -6092,13 +6137,15 @@ _TRUNCATE_DML = re.compile(
 )
 
 
-def _dml_resolve(spark, raw_target: str):
+def _dml_resolve(spark, raw_target: str, on_view: str = "raise"):
     """Resolve a DML target to (name, kind) where kind is ``backed``
     (parquet-swap persistence), ``tempview`` (checkpoint re-register),
-    ``native`` (Spark catalog table), or None (not ours — leave the
-    statement to Spark's own resolution/errors). Attached catalogs are
-    read-only, matching DuckDB's ``ATTACH … (READ_ONLY)`` posture —
-    this engine cannot write back into a foreign .duckdb file."""
+    ``native`` (Spark catalog table), ``view`` (only when
+    ``on_view="return"``; mutation raises otherwise — DuckDB rejects
+    DML against views), or None (not ours — leave the statement to
+    Spark's own resolution/errors). Attached catalogs are read-only,
+    matching DuckDB's ``ATTACH … (READ_ONLY)`` posture — this engine
+    cannot write back into a foreign .duckdb file."""
     from arnab_spark.errors import ArnabError
 
     parts = [
@@ -6122,12 +6169,24 @@ def _dml_resolve(spark, raw_target: str):
     backing = table_backing_for(spark)
     if name.lower() in backing:
         return name, "backed"
+    if name.lower() in session_tables_for(spark):
+        return name, "tempview"
     try:
         tbl = spark.catalog.getTable(name)
     except Exception:
         return None, None
     if (tbl.tableType or "").upper() == "TEMPORARY":
-        return name, "tempview"
+        # a temp view that is NOT an engine table is a VIEW — DuckDB
+        # rejects DML against views, and silently mutating one here
+        # would be a semantic divergence
+        if on_view == "return":
+            return name, "view"
+        raise ArnabError(
+            f"'{name}' is a view, not a table — DuckDB does not allow "
+            "INSERT/DELETE/UPDATE/TRUNCATE against views. Materialize "
+            "it as a table first (materialize: table, or CREATE TABLE "
+            f"… AS SELECT * FROM {name})."
+        )
     return name, "native"
 
 
@@ -6215,13 +6274,197 @@ def _dml_align(new, tfields, cols, by_name: bool):
     return new.select(*exprs)
 
 
+_CREATE_TABLE_DDL = re.compile(
+    rf"(?is)^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<temp>TEMP(?:ORARY)?\s+)?TABLE\s+"
+    rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<target>{_DML_QUAL})\s*(?P<rest>.*?)\s*;?\s*$"
+)
+_DROP_TABLE_DDL = re.compile(
+    rf"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<target>{_DML_QUAL})\s*;?\s*$"
+)
+#: a CREATE TABLE carrying any of these top-level words is Spark-shaped
+#: DDL the user wrote deliberately — leave it native
+_SPARK_DDL_WORDS = (
+    "using",
+    "partitioned",
+    "location",
+    "tblproperties",
+    "options",
+    "stored",
+    "clustered",
+    "row",
+)
+_COL_CONSTRAINT = re.compile(
+    r"(?i)\b(PRIMARY|UNIQUE|CHECK|DEFAULT|REFERENCES|COLLATE|GENERATED)\b"
+    r"|\bNOT\s+NULL\b"
+)
+
+
+def _rewrite_create_table(sql: str, spark):
+    """DuckDB-shaped ``CREATE [OR REPLACE] [TEMP] TABLE`` — both the
+    CTAS form and the schema-only column-list form — neither of which
+    Spark's v1 catalog supports (probed: OR REPLACE →
+    UNSUPPORTED_FEATURE.TABLE_OPERATION, TEMP TABLE → ParseException).
+
+    TEMP tables (and all tables when no warehouse is open — DuckDB's
+    in-memory-database default, main.rs:126-132) become eagerly
+    checkpointed temp views registered as session tables, so DML works
+    and the data is session-scoped exactly like DuckDB temp tables.
+    With a warehouse open, non-temp tables persist as parquet dirs
+    under it, recorded in the catalog — the next session reattaches
+    them, parity with tables living in the reference's .duckdb file.
+    Spark-shaped DDL (USING/PARTITIONED BY/LOCATION/…) stays native."""
+    from arnab_spark.errors import ArnabError
+
+    m = _CREATE_TABLE_DDL.match(sql)
+    if m is None:
+        return None
+    rest = m.group("rest").lstrip()
+    first = re.match(r"(?is)^([a-z_]+)", rest)
+    if first is not None and first.group(1).lower() in _SPARK_DDL_WORDS:
+        return None
+    schema_inner = None
+    if rest.startswith("("):
+        depth, j = 0, 0
+        for j, ch in enumerate(rest):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                break
+        if rest[j + 1:].strip().strip(";").strip():
+            return None  # "(cols) USING …" and friends: Spark-shaped
+        schema_inner = rest[1:j]
+    else:
+        am = re.match(r"(?is)^AS\s+(.*)$", rest)
+        if am is None:
+            return None
+        body = am.group(1)
+
+    parts = [
+        p.strip().strip('"')
+        for p in re.split(r"\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", m.group("target"))
+    ]
+    while len(parts) > 1 and parts[0].lower() in ("memory", "main", "temp", "system"):
+        parts.pop(0)
+    if len(parts) > 1:
+        alias = parts[0].lower()
+        if alias in _attached_for(spark):
+            raise ArnabError(
+                f"CREATE TABLE in attached catalog '{alias}' is not "
+                "supported: attached catalogs are read-only in this engine."
+            )
+        return None
+    name = parts[0]
+
+    exists = (
+        name.lower() in table_backing_for(spark)
+        or name.lower() in session_tables_for(spark)
+    )
+    if not exists:
+        try:
+            spark.catalog.getTable(name)
+            exists = True
+        except Exception:
+            exists = False
+    if exists and not m.group("replace"):
+        if m.group("ine"):
+            return ""  # IF NOT EXISTS: no-op, consumed
+        raise ArnabError(
+            f"table '{name}' already exists (DuckDB parity — use CREATE "
+            "OR REPLACE TABLE or IF NOT EXISTS)"
+        )
+
+    if schema_inner is not None:
+        casts = []
+        for d in _split_top_level_commas(schema_inner):
+            dm = re.match(r'(?s)^\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)\s*$', d)
+            if dm is None or _COL_CONSTRAINT.search(dm.group(2)):
+                raise ArnabError(
+                    f"CREATE TABLE {name}: unsupported column definition "
+                    f"{d.strip()!r} — plain `name TYPE` columns only "
+                    "(this engine's tables declare no constraints, "
+                    "defaults, or generated columns)"
+                )
+            cn = dm.group(1).strip('"')
+            casts.append(f"CAST(NULL AS {dm.group(2).strip()}) AS `{cn}`")
+        body = f"SELECT {', '.join(casts)} WHERE false"
+
+    df = spark.sql(transpile_statement(body, spark))
+    wh = None if m.group("temp") else warehouse_for(spark)
+    if wh is None:
+        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+        session_tables_for(spark).add(name.lower())
+    else:
+        import os as _os
+
+        from arnab_spark.catalog import record_model
+
+        dest = _os.path.join(wh, name)
+        if _os.path.exists(dest):
+            table_backing_for(spark)[name.lower()] = dest
+            _dml_persist(spark, name, "backed", df)
+        else:
+            df.write.mode("overwrite").parquet(dest)
+            spark.read.parquet(dest).createOrReplaceTempView(name)
+            table_backing_for(spark)[name.lower()] = dest
+        record_model(wh, name, "table")
+    return ""
+
+
+def _rewrite_drop_table(sql: str, spark):
+    """DROP TABLE over engine tables: unregister + delete the backing
+    parquet dir (DuckDB's DROP TABLE removes the data) + remove the
+    warehouse catalog entry. Native catalog tables and missing names
+    stay with Spark's own DROP TABLE (loud on missing without IF
+    EXISTS, no-op with it)."""
+    from arnab_spark.errors import ArnabError
+
+    m = _DROP_TABLE_DDL.match(sql)
+    if m is None:
+        return None
+    name, kind = _dml_resolve(spark, m.group("target"), on_view="return")
+    if kind == "view":
+        # DuckDB's DROP TABLE errors on views, but Spark's native DROP
+        # TABLE silently drops a temp view (probed) — passing through
+        # would be a silent divergence
+        raise ArnabError(
+            f"DROP TABLE {name}: the target is a view, not a table — "
+            "DuckDB rejects this; use DROP VIEW."
+        )
+    if kind == "backed":
+        import os as _os
+        import shutil as _shutil
+
+        dest = table_backing_for(spark).pop(name.lower())
+        spark.catalog.dropTempView(name)
+        _shutil.rmtree(dest, ignore_errors=True)
+        wh = warehouse_for(spark)
+        if wh and _os.path.dirname(dest) == _os.path.normpath(wh):
+            from arnab_spark.catalog import remove_model
+
+            remove_model(wh, name)
+        return ""
+    if kind == "tempview":
+        session_tables_for(spark).discard(name.lower())
+        spark.catalog.dropTempView(name)
+        return ""
+    return None
+
+
 def _rewrite_dml(sql: str, spark):
-    """Statement-shape handler for INSERT/DELETE/UPDATE/TRUNCATE.
+    """Statement-shape handler for INSERT/DELETE/UPDATE/TRUNCATE and
+    the DuckDB-shaped CREATE/DROP TABLE forms Spark lacks.
     Returns None when the statement is not DML this pass owns (the
     normal rewrite pipeline then applies — in particular a native
     catalog-table INSERT still gets its body's dialect rewrites), or
     the replacement text ("" when fully consumed here)."""
     from arnab_spark.errors import ArnabError
+
+    ct = _rewrite_create_table(sql, spark)
+    if ct is not None:
+        return ct
+    dt = _rewrite_drop_table(sql, spark)
+    if dt is not None:
+        return dt
 
     tm = _TRUNCATE_DML.match(sql)
     if tm is not None:
@@ -6411,7 +6654,17 @@ def transpile_statement(sql: str, spark=None) -> str:
         _temp_ddl_for(spark).add(tm.group(2).lower())
     dvm = _DROP_VIEW_DDL.match(sql)
     if dvm is not None:
-        _temp_ddl_for(spark).discard(dvm.group(2).lower())
+        dv_name = dvm.group(2).lower()
+        if dv_name in table_backing_for(spark) or dv_name in session_tables_for(
+            spark
+        ):
+            from arnab_spark.errors import ArnabError
+
+            raise ArnabError(
+                f"'{dvm.group(2)}' is a table, not a view — DuckDB "
+                "rejects DROP VIEW against tables; use DROP TABLE."
+            )
+        _temp_ddl_for(spark).discard(dv_name)
     attached = _attached_for(spark)
     if attached:
         sql = _rewrite_attached_refs(sql, attached)

@@ -74,7 +74,9 @@ class Session:
                 # (main.rs:126-132): a session sees the warehouse's
                 # models before (or without) running the pipeline
                 from arnab_spark.catalog import attach_warehouse
+                from arnab_spark.dialect import set_warehouse_for
 
+                set_warehouse_for(spark, config.db_path)
                 attach_warehouse(spark, config.db_path)
 
     # -- graph build (reference: session.rs:56-181) -------------------

@@ -496,10 +496,12 @@ def test_drop_macro_unregisters():
 
 
 def test_run_file_native_ddl_script(spark, tmp_path):
-    """CREATE TABLE AS / INSERT INTO / DROP TABLE are native Spark SQL —
-    a DuckDB-style DDL script runs through the run-file loop without any
-    shim involvement (passthrough parity with execute_batch,
-    reference: main.rs:165)."""
+    """A DuckDB-style DDL script (CREATE TABLE AS / INSERT INTO / DROP
+    TABLE) runs through the run-file loop end-to-end. Since round 11 the
+    DuckDB-shaped CREATE TABLE is lifted to an engine session table (no
+    warehouse open here) and the INSERT/DROP route through the DML pass
+    — the script itself is unchanged reference-style SQL
+    (reference: main.rs:165)."""
     from arnab_spark.cli import main
 
     script = tmp_path / "ddl.sql"

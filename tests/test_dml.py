@@ -48,12 +48,14 @@ BASE = (
 
 @pytest.fixture()
 def dml_table(spark, con):
-    """Same three-row table on both engines: a DuckDB TABLE and a Spark
-    temp view (the engine's table representation)."""
-    con.execute(f"CREATE TABLE dml_t AS {BASE}")
-    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW dml_t AS {BASE}")
+    """Same three-row table on both engines, created through the SAME
+    statement: a DuckDB TABLE and an engine session table (the
+    CREATE TABLE lift registers it as mutable)."""
+    stmt = f"CREATE TABLE dml_t AS {BASE}"
+    con.execute(stmt)
+    _run(spark, stmt)
     yield "dml_t"
-    spark.catalog.dropTempView("dml_t")
+    _run(spark, "DROP TABLE dml_t")
 
 
 def test_insert_values_positional(spark, con, dml_table):
@@ -175,9 +177,7 @@ def test_update_where_and_cast_to_column_type(spark, con, dml_table):
 
 def test_update_swap_uses_old_row_values(spark, con):
     con.execute("CREATE TABLE dml_swap AS SELECT 1 AS a, 2 AS b")
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY VIEW dml_swap AS SELECT 1 AS a, 2 AS b"
-    )
+    _run(spark, "CREATE TEMP TABLE dml_swap AS SELECT 1 AS a, 2 AS b")
     try:
         stmt = "UPDATE dml_swap SET a = b, b = a"
         con.execute(stmt)
@@ -185,7 +185,7 @@ def test_update_swap_uses_old_row_values(spark, con):
         got, exp = _table_rows(spark, con, "dml_swap", "a")
         assert got == exp == [(2, 1)]
     finally:
-        spark.catalog.dropTempView("dml_swap")
+        _run(spark, "DROP TABLE dml_swap")
 
 
 def test_update_without_where_touches_all_rows(spark, con, dml_table):
@@ -267,6 +267,114 @@ def test_memory_main_qualifiers_strip_like_duckdb(spark, con, dml_table):
     got, exp = _table_rows(spark, con, "dml_t", "id")
     assert got == exp
     assert got[-1][0] == 7
+
+
+def test_create_temp_table_schema_only_then_insert(spark, con):
+    """The classic DuckDB scratch pattern: CREATE TEMP TABLE (schema
+    only) + INSERT — neither form parses on native Spark (probed)."""
+    stmt = "CREATE TEMP TABLE dml_scratch (id INTEGER, name VARCHAR)"
+    con.execute(stmt)
+    _run(spark, stmt)
+    try:
+        ins = "INSERT INTO dml_scratch VALUES (1, 'x'), (2, 'y')"
+        con.execute(ins)
+        _run(spark, ins)
+        got, exp = _table_rows(spark, con, "dml_scratch", "id")
+        assert got == exp == [(1, "x"), (2, "y")]
+    finally:
+        _run(spark, "DROP TABLE dml_scratch")
+
+
+def test_create_or_replace_table_replaces(spark, con):
+    for stmt in (
+        "CREATE TABLE dml_cor AS SELECT 1 AS x",
+        "CREATE OR REPLACE TABLE dml_cor AS SELECT 5 AS x, 'v' AS y",
+    ):
+        con.execute(stmt)
+        _run(spark, stmt)
+    try:
+        got, exp = _table_rows(spark, con, "dml_cor", "x")
+        assert got == exp == [(5, "v")]
+    finally:
+        _run(spark, "DROP TABLE dml_cor")
+
+
+def test_create_table_exists_semantics(spark, con):
+    _run(spark, "CREATE TABLE dml_ex AS SELECT 1 AS x")
+    try:
+        with pytest.raises(ArnabError, match="already exists"):
+            _run(spark, "CREATE TABLE dml_ex AS SELECT 2 AS x")
+        # IF NOT EXISTS: silent no-op, contents untouched
+        _run(spark, "CREATE TABLE IF NOT EXISTS dml_ex AS SELECT 2 AS x")
+        assert [r.x for r in spark.table("dml_ex").collect()] == [1]
+    finally:
+        _run(spark, "DROP TABLE dml_ex")
+
+
+def test_create_table_constraints_raise_targeted(spark):
+    with pytest.raises(ArnabError, match="plain `name TYPE`"):
+        _run(spark, "CREATE TEMP TABLE dml_pk (id INTEGER PRIMARY KEY)")
+
+
+def test_spark_shaped_create_table_stays_native(spark):
+    out = transpile_statement(
+        "CREATE TABLE dml_native USING parquet AS SELECT 1 AS x", spark
+    )
+    assert out.strip().upper().startswith("CREATE TABLE")
+
+
+def test_dml_against_view_raises_like_duckdb(spark):
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_v AS SELECT 1 AS x")
+    try:
+        with pytest.raises(ArnabError, match="is a view"):
+            _run(spark, "INSERT INTO dml_v VALUES (2)")
+        with pytest.raises(ArnabError, match="is a view"):
+            _run(spark, "DELETE FROM dml_v WHERE x = 1")
+        with pytest.raises(ArnabError, match="view, not a table"):
+            _run(spark, "DROP TABLE dml_v")
+        assert spark.catalog.tableExists("dml_v")  # NOT silently dropped
+    finally:
+        spark.catalog.dropTempView("dml_v")
+
+
+def test_drop_view_against_table_raises_like_duckdb(spark):
+    _run(spark, "CREATE TEMP TABLE dml_dv AS SELECT 1 AS x")
+    try:
+        with pytest.raises(ArnabError, match="is a table"):
+            _run(spark, "DROP VIEW dml_dv")
+    finally:
+        _run(spark, "DROP TABLE dml_dv")
+
+
+def test_create_table_persists_in_warehouse_and_drop_removes(spark, tmp_path):
+    """With a warehouse open (DuckDB: a .duckdb file on disk), script
+    CREATE TABLE persists as a catalogued parquet dir a next session
+    reattaches; DROP TABLE removes dir + catalog entry."""
+    from arnab_spark.catalog import attach_warehouse, load_catalog
+    from arnab_spark.dialect import set_warehouse_for
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    set_warehouse_for(spark, wh)
+    try:
+        _run(spark, "CREATE TABLE dml_wh AS SELECT 42 AS answer")
+        dest = os.path.join(wh, "dml_wh")
+        assert os.path.isdir(dest)
+        assert load_catalog(wh)["dml_wh"]["materialize"] == "table"
+        # a "next session" (fresh attach) sees it
+        spark.catalog.dropTempView("dml_wh")
+        table_backing_for(spark).pop("dml_wh", None)
+        assert "dml_wh" in attach_warehouse(spark, wh)
+        assert spark.table("dml_wh").collect()[0].answer == 42
+        _run(spark, "DROP TABLE dml_wh")
+        assert not os.path.exists(dest)
+        assert "dml_wh" not in load_catalog(wh)
+        assert not spark.catalog.tableExists("dml_wh")
+    finally:
+        from arnab_spark.dialect import _WAREHOUSE_BY_SESSION
+
+        _WAREHOUSE_BY_SESSION.pop(spark, None)
+        table_backing_for(spark).pop("dml_wh", None)
 
 
 def test_engine_model_pipeline_with_dml(spark, tmp_path):
