@@ -6450,6 +6450,158 @@ def _rewrite_drop_table(sql: str, spark):
     return None
 
 
+_ALTER_TABLE_DDL = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<target>{_DML_QUAL})\s+"
+    rf"(?P<action>.*?)\s*;?\s*$"
+)
+
+
+def _rewrite_alter_table(sql: str, spark):
+    """DuckDB's ALTER TABLE verbs over engine tables, each a
+    read-transform-persist (probed semantics on the pinned DuckDB):
+    RENAME TO, RENAME [COLUMN] a TO b, ADD [COLUMN] [IF NOT EXISTS]
+    c TYPE (NULL-filled, appended last), DROP [COLUMN] [IF EXISTS] c,
+    ALTER [COLUMN] c [SET DATA] TYPE T [USING expr] (cast, or the USING
+    expression evaluated over old rows). ADD COLUMN … DEFAULT stays
+    loud: DuckDB back-fills the default AND applies it to later
+    INSERTs omitting the column — this engine's tables declare no
+    defaults, so accepting it would silently diverge on those INSERTs.
+    Native catalog tables keep Spark's own (narrower) ALTER TABLE."""
+    from arnab_spark.errors import ArnabError
+
+    m = _ALTER_TABLE_DDL.match(sql)
+    if m is None:
+        return None
+    name, kind = _dml_resolve(spark, m.group("target"), on_view="return")
+    if kind == "view":
+        raise ArnabError(
+            f"ALTER TABLE {name}: the target is a view, not a table — "
+            "DuckDB rejects this."
+        )
+    if kind is None or kind == "native":
+        return None
+    action = m.group("action").strip()
+
+    rt = re.match(rf"(?is)^RENAME\s+TO\s+(?P<new>{_DML_IDENT})\s*$", action)
+    if rt is not None:
+        new = rt.group("new").strip('"')
+        if kind == "backed":
+            import os as _os
+
+            backing = table_backing_for(spark)
+            dest = backing.pop(name.lower())
+            new_dest = _os.path.join(_os.path.dirname(dest), new)
+            _os.rename(dest, new_dest)
+            backing[new.lower()] = new_dest
+            spark.catalog.dropTempView(name)
+            spark.read.parquet(new_dest).createOrReplaceTempView(new)
+            wh = warehouse_for(spark)
+            if wh and _os.path.dirname(new_dest) == _os.path.normpath(wh):
+                from arnab_spark.catalog import record_model, remove_model
+
+                remove_model(wh, name)
+                record_model(wh, new, "table")
+        else:
+            df = spark.table(name)
+            spark.catalog.dropTempView(name)
+            df.createOrReplaceTempView(new)
+            session_tables_for(spark).discard(name.lower())
+            session_tables_for(spark).add(new.lower())
+        return ""
+
+    rc = re.match(
+        rf"(?is)^RENAME\s+(?:COLUMN\s+)?(?P<old>{_DML_IDENT})\s+TO\s+"
+        rf"(?P<new>{_DML_IDENT})\s*$",
+        action,
+    )
+    if rc is not None:
+        old_c, new_c = rc.group("old").strip('"'), rc.group("new").strip('"')
+        t = spark.table(name)
+        if old_c.lower() not in (c.lower() for c in t.columns):
+            raise ArnabError(f"ALTER TABLE {name}: column '{old_c}' does not exist")
+        _dml_persist(spark, name, kind, t.withColumnRenamed(old_c, new_c))
+        return ""
+
+    ac = re.match(
+        rf"(?is)^ADD\s+(?:COLUMN\s+)?(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+        rf"(?P<col>{_DML_IDENT})\s+(?P<type>.+?)\s*$",
+        action,
+    )
+    if ac is not None:
+        col = ac.group("col").strip('"')
+        ctype = ac.group("type").strip()
+        if _COL_CONSTRAINT.search(ctype):
+            raise ArnabError(
+                f"ALTER TABLE {name} ADD COLUMN: constraints/defaults are "
+                "not supported — this engine's tables declare none (a "
+                "DEFAULT would silently diverge on later INSERTs). Add "
+                "the plain column, then UPDATE to back-fill."
+            )
+        t = spark.table(name)
+        if col.lower() in (c.lower() for c in t.columns):
+            if ac.group("ine"):
+                return ""
+            raise ArnabError(f"ALTER TABLE {name}: column '{col}' already exists")
+        add = spark.sql(
+            transpile_statement(
+                f"SELECT *, CAST(NULL AS {ctype}) AS `{col}` FROM `{name}`", spark
+            )
+        )
+        _dml_persist(spark, name, kind, add)
+        return ""
+
+    dc = re.match(
+        rf"(?is)^DROP\s+(?:COLUMN\s+)?(?P<ife>IF\s+EXISTS\s+)?"
+        rf"(?P<col>{_DML_IDENT})\s*$",
+        action,
+    )
+    if dc is not None:
+        col = dc.group("col").strip('"')
+        t = spark.table(name)
+        if col.lower() not in (c.lower() for c in t.columns):
+            if dc.group("ife"):
+                return ""
+            raise ArnabError(f"ALTER TABLE {name}: column '{col}' does not exist")
+        if len(t.columns) == 1:
+            raise ArnabError(
+                f"ALTER TABLE {name}: cannot drop the only column (DuckDB parity)"
+            )
+        _dml_persist(spark, name, kind, t.drop(col))
+        return ""
+
+    at = re.match(
+        rf"(?is)^ALTER\s+(?:COLUMN\s+)?(?P<col>{_DML_IDENT})\s+"
+        rf"(?:SET\s+DATA\s+)?TYPE\s+(?P<type>.+?)"
+        rf"(?:\s+USING\s+(?P<using>.+?))?\s*$",
+        action,
+    )
+    if at is not None:
+        col = at.group("col").strip('"')
+        ctype = at.group("type").strip()
+        t = spark.table(name)
+        if col.lower() not in (c.lower() for c in t.columns):
+            raise ArnabError(f"ALTER TABLE {name}: column '{col}' does not exist")
+        expr = at.group("using") or f"`{col}`"
+        sel = [
+            f"CAST(({expr}) AS {ctype}) AS `{c}`" if c.lower() == col.lower()
+            else f"`{c}`"
+            for c in t.columns
+        ]
+        altered = spark.sql(
+            transpile_statement(
+                f"SELECT {', '.join(sel)} FROM `{name}`", spark
+            )
+        )
+        _dml_persist(spark, name, kind, altered)
+        return ""
+
+    raise ArnabError(
+        f"ALTER TABLE {name}: unsupported action {action[:60]!r} — "
+        "supported: RENAME TO, RENAME COLUMN, ADD COLUMN, DROP COLUMN, "
+        "ALTER COLUMN TYPE [USING expr]"
+    )
+
+
 def _rewrite_dml(sql: str, spark):
     """Statement-shape handler for INSERT/DELETE/UPDATE/TRUNCATE and
     the DuckDB-shaped CREATE/DROP TABLE forms Spark lacks.
@@ -6465,6 +6617,9 @@ def _rewrite_dml(sql: str, spark):
     dt = _rewrite_drop_table(sql, spark)
     if dt is not None:
         return dt
+    at = _rewrite_alter_table(sql, spark)
+    if at is not None:
+        return at
 
     tm = _TRUNCATE_DML.match(sql)
     if tm is not None:

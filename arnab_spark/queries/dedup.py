@@ -666,7 +666,7 @@ normed AS (
 ),
 cents AS (
   SELECT vec_id AS cid, iv AS civ, nrm2 AS cnrm2 FROM normed
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEM_K}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {{k}}
 ),
 ascore AS (
   SELECT n.vec_id, n.iv, n.nrm2, c.cid,
@@ -698,9 +698,45 @@ FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
 
 
+def semantic_dedup_frame(spark, sf_dir, k: int):
+    """The SemDeDup pipeline at an explicit cell count ``k`` — the
+    paper scales k with corpus size so the expected cell stays bounded;
+    :func:`dedup_semantic` pins k for the fixture, the scale harness
+    passes k ∝ n."""
+    from arnab_spark.operators import (
+        bucketed_cosine_pairs,
+        ivf_assign,
+        ivf_centroids,
+        quantize_embeddings,
+    )
+
+    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
+    assign = ivf_assign(e, ivf_centroids(e, k=k))
+    pairs = bucketed_cosine_pairs(
+        assign, bucket_col="cell", threshold=_COSINE_THRESHOLD
+    )
+    drops = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_close_lower"),
+        F.max("cosine").alias("max_close_cosine"),
+    )
+    return (
+        assign.select("vec_id", "cell")
+        .join(drops, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_close_lower"), F.lit(0))
+            .cast("bigint")
+            .alias("n_close_lower"),
+            "max_close_cosine",
+            F.col("n_close_lower").isNull().alias("keep"),
+        )
+    )
+
+
 @query(
     "dedup_semantic",
-    oracle=_SEMDEDUP_DUCK.format(q=_Q, thr=_COSINE_THRESHOLD),
+    oracle=_SEMDEDUP_DUCK.format(q=_Q, thr=_COSINE_THRESHOLD, k=SEM_K),
     tags=("dedup", "semantic", "similarity"),
 )
 def dedup_semantic(spark, sf_dir):
@@ -730,33 +766,7 @@ def dedup_semantic(spark, sf_dir):
     is a groupBy on the higher pair id plus one broadcast-size left
     join back to the assignment. In production SemDeDup k grows with n
     (cells stay ~constant), making the whole pipeline O(n·k + n·cell)
-    with no global pairwise stage."""
-    from arnab_spark.operators import (
-        bucketed_cosine_pairs,
-        ivf_assign,
-        ivf_centroids,
-        quantize_embeddings,
-    )
-
-    e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
-    assign = ivf_assign(e, ivf_centroids(e, k=SEM_K))
-    pairs = bucketed_cosine_pairs(
-        assign, bucket_col="cell", threshold=_COSINE_THRESHOLD
-    )
-    drops = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
-        F.count(F.lit(1)).alias("n_close_lower"),
-        F.max("cosine").alias("max_close_cosine"),
-    )
-    return (
-        assign.select("vec_id", "cell")
-        .join(drops, on="vec_id", how="left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(F.col("n_close_lower"), F.lit(0))
-            .cast("bigint")
-            .alias("n_close_lower"),
-            "max_close_cosine",
-            F.col("n_close_lower").isNull().alias("keep"),
-        )
-    )
+    with no global pairwise stage; the asymptotic cost driver is the
+    n·k assignment term, which the paper replaces with approximate
+    (ANN) centroid assignment at extreme scale — same plan shape."""
+    return semantic_dedup_frame(spark, sf_dir, SEM_K)

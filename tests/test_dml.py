@@ -431,3 +431,105 @@ def test_engine_model_pipeline_with_dml(spark, tmp_path):
             except Exception:
                 pass
         dialect.reset_macros(spark)
+
+
+# ---------------------------------------------------------------- ALTER TABLE
+
+
+def test_alter_add_rename_drop_type_matches_duckdb(spark, con):
+    stmts = [
+        "CREATE TABLE dml_alt AS SELECT 1 AS a, 'x' AS b",
+        "ALTER TABLE dml_alt ADD COLUMN c DOUBLE",
+        "ALTER TABLE dml_alt RENAME COLUMN a TO a2",
+        "ALTER TABLE dml_alt DROP COLUMN b",
+        "ALTER TABLE dml_alt ALTER COLUMN a2 TYPE VARCHAR",
+        "INSERT INTO dml_alt VALUES ('7', 2.5)",
+    ]
+    try:
+        for s in stmts:
+            con.execute(s)
+            _run(spark, s)
+        got, exp = _table_rows(spark, con, "dml_alt", "a2")
+        assert got == exp == [("1", None), ("7", 2.5)]
+        assert [f.lower() for f in spark.table("dml_alt").columns] == ["a2", "c"]
+    finally:
+        _run(spark, "DROP TABLE dml_alt")
+
+
+def test_alter_type_using_expression(spark, con):
+    try:
+        for s in (
+            "CREATE TABLE dml_use AS SELECT 5 AS n",
+            "ALTER TABLE dml_use ALTER COLUMN n SET DATA TYPE VARCHAR USING n || '!'",
+        ):
+            con.execute(s)
+            _run(spark, s)
+        got, exp = _table_rows(spark, con, "dml_use", "n")
+        assert got == exp == [("5!",)]
+    finally:
+        _run(spark, "DROP TABLE dml_use")
+
+
+def test_alter_rename_table(spark, con):
+    try:
+        for s in (
+            "CREATE TABLE dml_rt AS SELECT 9 AS x",
+            "ALTER TABLE dml_rt RENAME TO dml_rt2",
+        ):
+            con.execute(s)
+            _run(spark, s)
+        got, exp = _table_rows(spark, con, "dml_rt2", "x")
+        assert got == exp == [(9,)]
+        assert not spark.catalog.tableExists("dml_rt")
+    finally:
+        _run(spark, "DROP TABLE dml_rt2")
+
+
+def test_alter_rename_backed_table_moves_dir(spark, tmp_path):
+    from arnab_spark.dialect import _WAREHOUSE_BY_SESSION, set_warehouse_for
+    from arnab_spark.catalog import load_catalog
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    set_warehouse_for(spark, wh)
+    try:
+        _run(spark, "CREATE TABLE dml_mv AS SELECT 1 AS x")
+        _run(spark, "ALTER TABLE dml_mv RENAME TO dml_mv2")
+        assert not os.path.exists(os.path.join(wh, "dml_mv"))
+        assert os.path.isdir(os.path.join(wh, "dml_mv2"))
+        cat = load_catalog(wh)
+        assert "dml_mv" not in cat and "dml_mv2" in cat
+        assert spark.table("dml_mv2").collect()[0].x == 1
+        _run(spark, "DROP TABLE dml_mv2")
+    finally:
+        _WAREHOUSE_BY_SESSION.pop(spark, None)
+        for n in ("dml_mv", "dml_mv2"):
+            table_backing_for(spark).pop(n, None)
+
+
+def test_alter_errors_match_duckdb_posture(spark):
+    _run(spark, "CREATE TEMP TABLE dml_ae AS SELECT 1 AS a")
+    try:
+        with pytest.raises(ArnabError, match="already exists"):
+            _run(spark, "ALTER TABLE dml_ae ADD COLUMN a INT")
+        _run(spark, "ALTER TABLE dml_ae ADD COLUMN IF NOT EXISTS a INT")  # no-op
+        with pytest.raises(ArnabError, match="does not exist"):
+            _run(spark, "ALTER TABLE dml_ae DROP COLUMN z")
+        _run(spark, "ALTER TABLE dml_ae DROP COLUMN IF EXISTS z")  # no-op
+        with pytest.raises(ArnabError, match="only column"):
+            _run(spark, "ALTER TABLE dml_ae DROP COLUMN a")
+        with pytest.raises(ArnabError, match="DEFAULT"):
+            _run(spark, "ALTER TABLE dml_ae ADD COLUMN d INT DEFAULT 7")
+        with pytest.raises(ArnabError, match="unsupported action"):
+            _run(spark, "ALTER TABLE dml_ae SET LOGGED")
+    finally:
+        _run(spark, "DROP TABLE dml_ae")
+
+
+def test_alter_view_raises(spark):
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_av AS SELECT 1 AS x")
+    try:
+        with pytest.raises(ArnabError, match="view, not a table"):
+            _run(spark, "ALTER TABLE dml_av ADD COLUMN y INT")
+    finally:
+        spark.catalog.dropTempView("dml_av")
