@@ -5194,6 +5194,13 @@ _TEMP_VIEW_DDL = re.compile(
 _DROP_VIEW_DDL = re.compile(
     r'(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?("?)([A-Za-z_]\w*)\1\s*;?\s*$'
 )
+#: non-TEMP CREATE VIEW: with a warehouse open it persists in the
+#: catalog like DuckDB persists views in the database file
+_PERM_VIEW_DDL = re.compile(
+    r"(?is)^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
+    r'(?P<ine>IF\s+NOT\s+EXISTS\s+)?("?)(?P<name>[A-Za-z_]\w*)\3\s+AS\s+'
+    r"(?P<body>.*?)\s*;?\s*$"
+)
 
 
 def _user_cache_base(kind: str) -> str:
@@ -6820,6 +6827,39 @@ def transpile_statement(sql: str, spark=None) -> str:
                 "rejects DROP VIEW against tables; use DROP TABLE."
             )
         _temp_ddl_for(spark).discard(dv_name)
+        wh = warehouse_for(spark)
+        if wh is not None:
+            # a warehouse-persisted view: drop is durable (DuckDB
+            # parity — DROP VIEW persists in the database file)
+            from arnab_spark.catalog import remove_model
+
+            remove_model(wh, dvm.group(2))
+    pvm = _PERM_VIEW_DDL.match(sql)
+    if pvm is not None and spark is not None:
+        # non-TEMP CREATE VIEW: Spark's permanent catalog view cannot
+        # reference temp views (this engine's tables), where DuckDB
+        # views can reference anything — lift to a session view, and
+        # with a warehouse open persist the definition in the catalog
+        # like a view living in the reference's .duckdb file (without
+        # one, session-scoped IS DuckDB's in-memory-database behavior).
+        from arnab_spark.errors import ArnabError
+
+        v_name = pvm.group("name")
+        if not pvm.group("replace") and spark.catalog.tableExists(v_name):
+            if pvm.group("ine"):
+                return ""
+            raise ArnabError(
+                f"view '{v_name}' already exists (DuckDB parity — use "
+                "CREATE OR REPLACE VIEW or IF NOT EXISTS)"
+            )
+        v_body = transpile_statement(pvm.group("body"), spark)
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {v_name} AS ({v_body})")
+        wh = warehouse_for(spark)
+        if wh is not None:
+            from arnab_spark.catalog import record_model
+
+            record_model(wh, v_name, "view", v_body)
+        return ""
     attached = _attached_for(spark)
     if attached:
         sql = _rewrite_attached_refs(sql, attached)

@@ -533,3 +533,44 @@ def test_alter_view_raises(spark):
             _run(spark, "ALTER TABLE dml_av ADD COLUMN y INT")
     finally:
         spark.catalog.dropTempView("dml_av")
+
+
+# --------------------------------------------------------- CREATE VIEW lift
+
+
+def test_create_view_over_temp_table_works(spark):
+    """Spark forbids permanent views over temp views; DuckDB does not —
+    the lift makes the DuckDB-shaped script run."""
+    _run(spark, "CREATE TEMP TABLE dml_cvt AS SELECT 1 AS x")
+    try:
+        _run(spark, "CREATE VIEW dml_cv AS SELECT x + 1 AS y FROM dml_cvt")
+        assert spark.table("dml_cv").collect()[0].y == 2
+        with pytest.raises(ArnabError, match="already exists"):
+            _run(spark, "CREATE VIEW dml_cv AS SELECT 0 AS y")
+        _run(spark, "CREATE VIEW IF NOT EXISTS dml_cv AS SELECT 0 AS y")  # no-op
+        _run(spark, "CREATE OR REPLACE VIEW dml_cv AS SELECT 9 AS y")
+        assert spark.table("dml_cv").collect()[0].y == 9
+    finally:
+        _run(spark, "DROP VIEW dml_cv")
+        _run(spark, "DROP TABLE dml_cvt")
+
+
+def test_create_view_persists_in_warehouse(spark, tmp_path):
+    from arnab_spark.catalog import load_catalog
+    from arnab_spark.dialect import _WAREHOUSE_BY_SESSION, set_warehouse_for
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    set_warehouse_for(spark, wh)
+    try:
+        _run(spark, "CREATE VIEW dml_pv AS SELECT 3 AS z")
+        entry = load_catalog(wh)["dml_pv"]
+        assert entry["materialize"] == "view" and "SELECT" in entry["select"].upper()
+        _run(spark, "DROP VIEW dml_pv")
+        assert "dml_pv" not in load_catalog(wh)
+    finally:
+        _WAREHOUSE_BY_SESSION.pop(spark, None)
+        try:
+            spark.catalog.dropTempView("dml_pv")
+        except Exception:
+            pass
