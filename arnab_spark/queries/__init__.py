@@ -155,7 +155,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # --- slot 5: NEW round-11 operator (SemDeDup, Abbas et al.),
     #     never driver-verified ---
     "dedup_semantic",
-    # --- slots 6-50: round-8-latest-evidence cohort (45 of 49) ---
+    # --- slot 6: NEW round-11 operator (DSIR importance weights,
+    #     Xie et al.), never driver-verified ---
+    "text_dsir_weights",
+    # --- slots 7-50: round-8-latest-evidence cohort (44 of 49) ---
     "agg_collect_set_array",
     "agg_pricing_summary",
     "ann_lsh_bucketed",
@@ -195,7 +198,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "stream_session_counts_materialized",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality_score",
     "tumbling_window",
     "union_distinct_by_name",
     "values_inline",

@@ -769,3 +769,105 @@ def text_tfidf_top_terms(spark, sf_dir):
         FROM ranked WHERE rnk <= 3
         """
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR importance weights (round 11)
+
+
+def _word_bucket_sql(dialect: str, word: str = "word") -> str:
+    """256-bucket hash of a token via md5 hex chars — same instr/md5
+    trick as :func:`_bucket_sql`, identical in both engines."""
+    h = f"md5({word})"
+    return (
+        f"CAST((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substring({h}, 2, 1)) - 1 AS BIGINT)"
+    )
+
+
+_DSIR_TARGET = "lang = 'en'"
+_DSIR_B = 256  # hashed-feature buckets
+
+
+def _dsir_sql(dialect: str) -> str:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) over hashed unigram
+    features: estimate a target and a raw unigram bucket distribution
+    (add-one smoothed), score every document by the sum of per-token
+    log importance ratios, expressed so the cross-engine result is
+    bit-identical:
+
+    - the per-bucket log-ratio collapses to ONE ln of ONE double —
+      the rational ((ct+1)(R+B)) / ((cr+1)(T+B)) whose numerator and
+      denominator are exact 53-bit integers, so the operand (and with
+      both engines on the same libm, the ln) is identical — then
+      quantizes to integer micro-nats (floor(1e6·ln));
+    - per-document scores are integer dot products (token-count ×
+      micro-nat weight), associative in any order — no float summation
+      anywhere.
+    """
+    if dialect == "spark":
+        tok = f"SELECT doc_id, explode({_tokens_sql('spark')}) AS word FROM documents"
+    else:
+        tok = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+        )
+    b = _dsir_B = _DSIR_B
+    return f"""
+WITH tok AS (
+  {tok}
+),
+hb AS (
+  SELECT t.doc_id, {_word_bucket_sql(dialect)} AS b FROM tok t
+),
+rcount AS (
+  SELECT b, COUNT(*) AS cr FROM hb GROUP BY b
+),
+tcount AS (
+  SELECT hb.b, COUNT(*) AS ct
+  FROM hb JOIN documents d ON hb.doc_id = d.doc_id
+  WHERE d.{_DSIR_TARGET}
+  GROUP BY hb.b
+),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM rcount) AS r_total,
+         (SELECT COALESCE(SUM(ct), 0) FROM tcount) AS t_total
+),
+lr AS (
+  SELECT r.b,
+         CAST(floor(1000000 * ln(
+           (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * (r_total + {b}))
+           / (CAST(r.cr + 1 AS DOUBLE) * (t_total + {b}))
+         )) AS BIGINT) AS lr_micro
+  FROM rcount r LEFT JOIN tcount t ON r.b = t.b CROSS JOIN totals
+),
+docb AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM hb GROUP BY doc_id, b
+)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.c * lr.lr_micro) AS BIGINT) AS log_weight_micro,
+       SUM(d.c * lr.lr_micro) > 0 AS target_like
+FROM docb d JOIN lr ON d.b = lr.b
+GROUP BY d.doc_id
+"""
+
+
+@query("text_dsir_weights", oracle=_dsir_sql("duck"), tags=("text", "sampling"))
+def text_dsir_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): importance weight of every
+    document under a hashed-unigram target distribution (here the
+    corpus's ``lang = 'en'`` slice; swap any predicate or a separate
+    high-quality corpus). The weight is the per-token sum of
+    log((p_target+ε)/(p_raw+ε)) over {_DSIR_B} hashed feature buckets,
+    emitted in integer micro-nats so every accumulation is an exact
+    associative integer sum (the float-summation-order contract this
+    corpus holds everywhere).
+
+    Scale (100 TB): two token-level aggregations (map-side partial
+    combine; shuffle rows are (bucket) and (doc_id, bucket) keys), the
+    bucket stats are {_DSIR_B} rows broadcast into the scoring join,
+    and the per-doc score is one more partial-aggregated groupBy. No
+    UDFs, no driver loops; resampling against the weights composes
+    with the deterministic hash-bucket sampler (text_train_split)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_dsir_sql("spark"))

@@ -92,13 +92,17 @@ def test_every_query_is_oracled():
 #: union_all was displaced mid-round by the NEW dedup_substring_windows
 #: query, which the never-run gate requires windowed immediately;
 #: agg_percentile_approx likewise by the NEW dedup_semantic query (its
-#: exact sibling agg_percentile_exact carries r10 evidence and the
-#: manifest hash pin proves its source unchanged since its r8 green).
+#: exact sibling agg_percentile_exact carries r10 evidence),
+#: text_quality_score by the NEW text_dsir_weights query (same-module
+#: siblings text_tfidf_top_terms / text_quality_gopher carry r10/r9
+#: evidence); every displaced query's source is manifest-hash-pinned
+#: byte-identical since its last green run.
 R11_DISPLACED = {
     "agg_stats_native",
     "fn_math_native",
     "union_all",
     "agg_percentile_approx",
+    "text_quality_score",
 }
 
 
