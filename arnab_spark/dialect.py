@@ -6707,6 +6707,13 @@ def _rewrite_dml(sql: str, spark):
                 "INSERT … RETURNING is not supported: the mutation is a "
                 "write, not a relation. SELECT from the table afterwards."
             )
+        if _scan_top_level(rest, ("conflict",))[0] >= 0:
+            raise ArnabError(
+                "INSERT … ON CONFLICT needs key constraints, which this "
+                "engine's tables do not declare. Express the upsert as a "
+                "left-anti join + union (see the incremental "
+                "materialization) or a row_number window."
+            )
         cols = None
         if rest.startswith("("):
             depth, j = 0, 0

@@ -574,3 +574,11 @@ def test_create_view_persists_in_warehouse(spark, tmp_path):
             spark.catalog.dropTempView("dml_pv")
         except Exception:
             pass
+
+
+def test_insert_on_conflict_raises_targeted(spark, dml_table):
+    with pytest.raises(ArnabError, match="ON CONFLICT"):
+        _run(
+            spark,
+            "INSERT INTO dml_t VALUES (1, 'a', 0.0) ON CONFLICT DO NOTHING",
+        )
