@@ -6609,6 +6609,208 @@ def _rewrite_alter_table(sql: str, spark):
     )
 
 
+_COPY_FROM_DML = re.compile(
+    rf"(?is)^\s*COPY\s+(?P<target>{_DML_QUAL})\s*"
+    rf"(?:\((?P<cols>[^)]*)\)\s*)?FROM\s+'(?P<path>[^']+)'\s*"
+    rf"(?:\((?P<opts>.*)\)\s*)?;?\s*$"
+)
+
+
+def _rewrite_copy_from(sql: str, spark):
+    """``COPY <table> [(cols)] FROM '<file>' (options)`` — DuckDB's
+    bulk load, the mirror of the COPY … TO export pass. The file is
+    read (parquet / csv / json — FORMAT option or extension sniff,
+    globs work), aligned onto the target with INSERT's positional /
+    column-list rules (probed: DuckDB binds COPY FROM positionally,
+    a column list maps file columns onto the LISTED columns and
+    NULL-fills the rest), cast per target column type (CSV reads as
+    strings and casts, DuckDB's parse-per-target-type behavior), and
+    appended through the same persist path as INSERT."""
+    from arnab_spark.errors import ArnabError
+
+    m = _COPY_FROM_DML.match(sql)
+    if m is None:
+        return None
+    name, kind = _dml_resolve(spark, m.group("target"))
+    if kind is None:
+        return None
+    path = _resolve_path(m.group("path"))
+    fmt, header, delim = None, False, ","
+    if m.group("opts"):
+        for opt in _split_top_level_commas(m.group("opts")):
+            om = re.match(
+                r"(?is)^\s*(\w+)\s*(?:\s+|\s*)?('[^']*'|\S+)?\s*$", opt.strip()
+            )
+            key = (om.group(1) if om else opt).strip().lower()
+            val = (om.group(2) or "").strip().strip("'").lower() if om else ""
+            if key == "format":
+                fmt = val
+            elif key == "header":
+                header = val in ("", "1", "true")
+            elif key in ("delim", "delimiter", "sep"):
+                delim = (om.group(2) or ",").strip().strip("'")
+            else:
+                raise ArnabError(
+                    f"COPY {name} FROM: unsupported option {opt.strip()!r} "
+                    "(supported: FORMAT, HEADER, DELIM[ITER])"
+                )
+    if fmt is None:
+        low = path.lower()
+        fmt = (
+            "parquet"
+            if ".parquet" in low
+            else "json" if ".json" in low or ".ndjson" in low else "csv"
+        )
+    if fmt == "parquet":
+        new = spark.read.parquet(path)
+    elif fmt == "json":
+        new = spark.read.json(path)
+    elif fmt == "csv":
+        # no inferSchema: every field reads as string and the align
+        # below casts to the target column's type — DuckDB's own
+        # parse-per-target-type contract
+        new = spark.read.csv(path, header=header, sep=delim)
+    else:
+        raise ArnabError(
+            f"COPY {name} FROM: unsupported FORMAT '{fmt}' "
+            "(parquet, csv, json)"
+        )
+    cols = None
+    if m.group("cols"):
+        cols = [c.strip().strip('"') for c in _split_top_level_commas(m.group("cols"))]
+    target = spark.table(name)
+    aligned = _dml_align(new, target.schema.fields, cols, by_name=False)
+    _dml_persist(spark, name, kind, target.unionByName(aligned))
+    return ""
+
+
+_EXPORT_DB_DML = re.compile(
+    r"(?is)^\s*EXPORT\s+DATABASE\s+'(?P<dir>[^']+)'\s*"
+    r"(?:\((?P<opts>.*)\)\s*)?;?\s*$"
+)
+_IMPORT_DB_DML = re.compile(
+    r"(?is)^\s*IMPORT\s+DATABASE\s+'(?P<dir>[^']+)'\s*;?\s*$"
+)
+
+#: Spark → DuckDB type names for EXPORT DATABASE's schema.sql
+_EXPORT_TYPES = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _export_type(dt) -> str:
+    from arnab_spark.errors import ArnabError
+
+    s = dt.simpleString()
+    if s in _EXPORT_TYPES:
+        return _EXPORT_TYPES[s]
+    dm = re.match(r"^decimal\((\d+),(\d+)\)$", s)
+    if dm:
+        return f"DECIMAL({dm.group(1)},{dm.group(2)})"
+    am = re.match(r"^array<(.+)>$", s)
+    if am and am.group(1) in _EXPORT_TYPES:
+        return f"{_EXPORT_TYPES[am.group(1)]}[]"
+    raise ArnabError(
+        f"EXPORT DATABASE: no DuckDB schema spelling for column type "
+        f"'{s}' (struct/map/nested-array columns are not exportable)"
+    )
+
+
+def _rewrite_export_import_db(sql: str, spark):
+    """``EXPORT DATABASE 'dir' (FORMAT PARQUET|CSV)`` writes DuckDB's
+    own export layout — schema.sql (CREATE TABLE column lists +
+    CREATE VIEW statements), load.sql (one COPY … FROM per table), and
+    per-table data — so the dir round-trips through IMPORT DATABASE
+    here AND loads into a real DuckDB (data paths are written as
+    ``<dir>/<t>.parquet/*.parquet`` globs both engines read; view SQL
+    is stored post-transpile, i.e. engine-dialect — noted in
+    schema.sql). ``IMPORT DATABASE 'dir'`` executes schema.sql +
+    load.sql through the statement pipeline, which also imports a dir
+    exported by a REAL DuckDB (its CREATE TABLE / COPY FROM statements
+    are exactly the lifted shapes)."""
+    from arnab_spark.errors import ArnabError
+
+    im = _IMPORT_DB_DML.match(sql)
+    if im is not None:
+        import os as _os
+
+        d = _resolve_path(im.group("dir"))
+        from arnab_spark.node import Node
+
+        for script in ("schema.sql", "load.sql"):
+            p = _os.path.join(d, script)
+            if not _os.path.isfile(p):
+                raise ArnabError(f"IMPORT DATABASE: missing {p}")
+            with open(p, encoding="utf-8") as fh:
+                for stmt in Node.split_statements(fh.read()):
+                    out = transpile_statement(stmt, spark)
+                    if out.strip():
+                        spark.sql(out)
+        return ""
+
+    em = _EXPORT_DB_DML.match(sql)
+    if em is None:
+        return None
+    import os as _os
+
+    d = _resolve_path(em.group("dir"))
+    fmt = "csv"  # DuckDB's default export format
+    if em.group("opts"):
+        fm = re.search(r"(?i)FORMAT\s+'?(\w+)'?", em.group("opts"))
+        if fm:
+            fmt = fm.group(1).lower()
+    if fmt not in ("parquet", "csv"):
+        raise ArnabError(f"EXPORT DATABASE: unsupported FORMAT '{fmt}'")
+    _os.makedirs(d, exist_ok=True)
+    tables = sorted(
+        set(table_backing_for(spark)) | session_tables_for(spark)
+    )
+    schema_lines, load_lines = [], []
+    for t in tables:
+        df = spark.table(t)
+        cols = ", ".join(
+            f'"{f.name}" {_export_type(f.dataType)}' for f in df.schema.fields
+        )
+        schema_lines.append(f"CREATE TABLE {t}({cols});")
+        data = _os.path.join(d, f"{t}.{fmt}")
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(data)
+            load_lines.append(
+                f"COPY {t} FROM '{data}/*.parquet' (FORMAT 'parquet');"
+            )
+        else:
+            df.write.mode("overwrite").option("header", True).csv(data)
+            load_lines.append(
+                f"COPY {t} FROM '{data}/*.csv' (FORMAT 'csv', HEADER 1);"
+            )
+    wh = warehouse_for(spark)
+    if wh is not None:
+        from arnab_spark.catalog import load_catalog
+
+        for vid, entry in load_catalog(wh).items():
+            if entry.get("materialize") == "view" and entry.get("select"):
+                schema_lines.append(
+                    f"-- engine-dialect view definition\n"
+                    f"CREATE VIEW {vid} AS {entry['select']};"
+                )
+    with open(_os.path.join(d, "schema.sql"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(schema_lines) + "\n")
+    with open(_os.path.join(d, "load.sql"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(load_lines) + "\n")
+    return ""
+
+
 def _rewrite_dml(sql: str, spark):
     """Statement-shape handler for INSERT/DELETE/UPDATE/TRUNCATE and
     the DuckDB-shaped CREATE/DROP TABLE forms Spark lacks.
@@ -6627,6 +6829,12 @@ def _rewrite_dml(sql: str, spark):
     at = _rewrite_alter_table(sql, spark)
     if at is not None:
         return at
+    cf = _rewrite_copy_from(sql, spark)
+    if cf is not None:
+        return cf
+    ei = _rewrite_export_import_db(sql, spark)
+    if ei is not None:
+        return ei
 
     tm = _TRUNCATE_DML.match(sql)
     if tm is not None:
