@@ -5518,6 +5518,53 @@ def _describe_values_sql(rel: str, spark) -> str | None:
     )
 
 
+_PRAGMA_TABLE_INFO = re.compile(
+    r"(?is)^\s*(?:PRAGMA\s+table_info\s*\(\s*'?([A-Za-z_]\w*)'?\s*\)"
+    r"|CALL\s+pragma_table_info\s*\(\s*'([A-Za-z_]\w*)'\s*\))\s*;?\s*$"
+)
+_PRAGMA_SHOW_TABLES = re.compile(r"(?is)^\s*PRAGMA\s+(show_tables|database_list)\s*;?\s*$")
+_CHECKPOINT_STMT = re.compile(r"(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$")
+
+
+def _rewrite_pragmas(sql: str, spark) -> str:
+    """The PRAGMA forms a reference-style script actually reaches for:
+    ``PRAGMA table_info('t')`` / ``CALL pragma_table_info('t')`` → the
+    probed six-column layout (cid, name, type, notnull, dflt_value, pk
+    — booleans false / NULL defaults, like DESCRIBE's probed NULLs),
+    ``PRAGMA show_tables`` → the SHOW TABLES pass. ``CHECKPOINT``
+    consumes as a no-op: it flushes DuckDB's WAL, and this engine's
+    staged parquet swaps are already durable at statement end — there
+    is nothing left to flush. Unknown PRAGMAs stay loud."""
+    if spark is None:
+        return sql
+    if _CHECKPOINT_STMT.match(sql):
+        return ""
+    pm = _PRAGMA_SHOW_TABLES.match(sql)
+    if pm is not None and pm.group(1).lower() == "show_tables":
+        return _rewrite_show_tables("SHOW TABLES", spark)
+    tm = _PRAGMA_TABLE_INFO.match(sql)
+    if tm is not None:
+        name = tm.group(1) or tm.group(2)
+        try:
+            fields = spark.table(name).schema
+        except Exception:
+            return sql  # unresolvable: leave -> loud
+        rows = ", ".join(
+            "(CAST({i} AS INT), '{n}', '{t}', false, "
+            "CAST(NULL AS STRING), false)".format(
+                i=i,
+                n=f.name.replace("'", "''"),
+                t=_duck_type_name(f.dataType).replace("'", "''"),
+            )
+            for i, f in enumerate(fields)
+        )
+        return (
+            f"SELECT * FROM (VALUES {rows}) AS __arnab_ti"
+            "(cid, name, type, notnull, dflt_value, pk)"
+        )
+    return sql
+
+
 def _rewrite_describe(sql: str, spark) -> str:
     """DuckDB ``DESCRIBE <table | (query) | SELECT …>`` → a literal
     VALUES table in DuckDB's exact six-column layout (column_name,
@@ -7081,6 +7128,9 @@ def transpile_statement(sql: str, spark=None) -> str:
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
+    sql = _rewrite_pragmas(sql, spark)
+    if not sql.strip():
+        return ""  # CHECKPOINT consumed
     sql = _rewrite_describe(sql, spark)
     sql = _rewrite_describe_subqueries(sql, spark)
     sql = _rewrite_show_tables(sql, spark)

@@ -1745,3 +1745,27 @@ def test_describe_as_table_expression_matches_duckdb(spark, con):
         got = [tuple(r) for r in spark.sql(transpile_statement(duck_sql, spark)).collect()]
         exp = [tuple(r) for r in con.execute(duck_sql).fetchall()]
         assert got == exp, f"{duck_sql}: {got} != {exp}"
+
+
+def test_pragma_table_info_matches_duckdb(spark, con):
+    """PRAGMA table_info / CALL pragma_table_info emit DuckDB's probed
+    six-column layout from the analyzed schema."""
+    con.execute("CREATE TABLE prag_t (a INTEGER, b VARCHAR, c DOUBLE)")
+    transpile_statement("CREATE TEMP TABLE prag_t (a INTEGER, b VARCHAR, c DOUBLE)", spark)
+    try:
+        exp = con.execute("PRAGMA table_info('prag_t')").fetchall()
+        for stmt in ("PRAGMA table_info('prag_t')", "CALL pragma_table_info('prag_t')"):
+            got = [tuple(r) for r in spark.sql(transpile_statement(stmt, spark)).collect()]
+            assert got == exp, (stmt, got, exp)
+    finally:
+        transpile_statement("DROP TABLE prag_t", spark)
+        con.execute("DROP TABLE prag_t")
+
+
+def test_checkpoint_consumed_and_pragma_show_tables(spark):
+    assert transpile_statement("CHECKPOINT", spark) == ""
+    assert transpile_statement("FORCE CHECKPOINT;", spark) == ""
+    out = transpile_statement("PRAGMA show_tables", spark)
+    assert "name" in out.lower()  # routed through the SHOW TABLES pass
+    # unknown pragmas stay loud (left for Spark to reject)
+    assert transpile_statement("PRAGMA memory_limit='1GB'", spark).strip().upper().startswith("PRAGMA")
