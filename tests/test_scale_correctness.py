@@ -63,10 +63,14 @@ needs_sf1 = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def sf1_dir():
-    if not os.path.isdir(SF1_DIR):
-        from tools.gen_scale import generate
+    # ALWAYS call generate — it is idempotent (marker short-circuit)
+    # and widens in place when the dir was generated with a table
+    # SUBSET (e.g. the semdedup scale harness generates embeddings
+    # only; relying on isdir() here made the differential read a
+    # partial scale point and fail on every non-embeddings table)
+    from tools.gen_scale import generate
 
-        generate(dest=SF1_DIR)
+    generate(dest=SF1_DIR)
     return SF1_DIR
 
 
