@@ -37,6 +37,7 @@ from arnab_spark.operators.texttools import (
 )
 from arnab_spark.operators.timeops import (
     asof_carry_forward,
+    asof_carry_forward_bucketed,
     asof_join,
     proximity_join,
     sessionize,
@@ -45,6 +46,7 @@ from arnab_spark.operators.timeops import (
 __all__ = [
     "asof_join",
     "asof_carry_forward",
+    "asof_carry_forward_bucketed",
     "proximity_join",
     "sessionize",
     "top_k_per_group",

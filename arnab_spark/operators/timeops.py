@@ -18,6 +18,7 @@ def asof_join(
     by: str | None = None,
     suffix: str = "_right",
     tiebreak: str | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, attach the latest right
     row with ``right[right_on] <= left[on]``, matching ``by`` keys when
@@ -30,7 +31,15 @@ def asof_join(
     Plan shape at scale: union both sides, ONE shuffle on ``by``,
     per-partition sort on (time, side-priority), carry right values
     forward with last(ignorenulls) — no range explosion, no broadcast
-    requirement; AQE handles skewed ``by`` keys.
+    requirement. NOTE (r11 skew measurement, ASOF_SKEW_r11.json): AQE
+    does NOT split window partitions — its skew handling applies to
+    sort-merge joins — so a hot key's whole series sorts in one task.
+    Measured harmless up to a 2M-row key; when a single key's series
+    approaches task-sized data, pass ``bucket_width`` (seconds for
+    timestamp columns, plain units otherwise) to switch to the
+    time-bucketed segmented scan of
+    :func:`asof_carry_forward_bucketed`, whose largest window
+    partition is one (key, bucket) slice.
     """
     right_on = right_on or on
     l_cols = left.columns
@@ -51,6 +60,10 @@ def asof_join(
     unioned = tagged_l.select(*tagged_l.columns).unionByName(
         tagged_r.select(*tagged_l.columns)
     )
+    if bucket_width is not None:
+        return asof_carry_forward_bucketed(
+            unioned, l_cols, r_carry, by, suffix, tiebreak, bucket_width
+        )
     return asof_carry_forward(unioned, l_cols, r_carry, by, suffix, tiebreak)
 
 
@@ -94,6 +107,91 @@ def asof_carry_forward(
     return carried.filter(F.col("_side") == 1).select(
         *l_cols,
         *[F.col("_rmatch").getField(c).alias(f"{c}{suffix}") for c in r_carry],
+    )
+
+
+def asof_carry_forward_bucketed(
+    unioned: DataFrame,
+    l_cols: list[str],
+    r_carry: list[str],
+    by: str | None = None,
+    suffix: str = "_right",
+    tiebreak: str | None = None,
+    bucket_width: float = 3600.0,
+) -> DataFrame:
+    """Hot-key-safe variant of :func:`asof_carry_forward` — the
+    documented structural mitigation from the round-11 skew study
+    (SCALE.md): a carry-forward window partitions by the key alone, so
+    one key owning task-sized data becomes a single-task sort no
+    config can split. This version is the classic distributed
+    segmented scan:
+
+    1. slice every key's timeline into ``bucket_width`` buckets and
+       carry WITHIN (key, bucket) — the largest window partition is
+       now one bucket of one key;
+    2. reduce each (key, bucket) to its last right-row struct (a
+       map-side-combinable ``max_by``);
+    3. prefix-scan those bucket summaries per key (a window over
+       bucket COUNTS, thousands of rows where the data had billions)
+       to get "the last right row before this bucket";
+    4. stitch: a row's match is its in-bucket carry, else its bucket's
+       prefix.
+
+    Identical results to the plain carry (pytest-pinned on uniform AND
+    hot-key-remapped fixtures across bucket widths, including widths
+    far below the data's time gaps and a single-bucket width). Costs
+    one extra small shuffle (the prefix join), which is why the plain
+    single-window spelling stays the default below the straggler
+    regime."""
+    from pyspark.sql import types as T
+
+    tdt = unioned.schema["_t"].dataType
+    if isinstance(tdt, (T.TimestampType, T.TimestampNTZType)):
+        bcol = F.floor(
+            F.unix_micros(F.col("_t")) / F.lit(int(bucket_width * 1_000_000))
+        )
+    else:
+        bcol = F.floor(F.col("_t") / F.lit(bucket_width))
+    d = unioned.withColumn("_b", bcol.cast("bigint"))
+
+    order = ["_t", "_side"] + ([tiebreak] if tiebreak else [])
+    keyparts = ([by] if by else []) + ["_b"]
+    w_in = (
+        Window.partitionBy(*keyparts)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in r_carry]),
+    )
+    d = d.withColumn("_rin", F.last(rstruct, ignorenulls=True).over(w_in))
+
+    ordst = [F.col("_t")] + ([F.col(tiebreak)] if tiebreak else [])
+    summaries = (
+        d.filter(F.col("_side") == 0)
+        .groupBy(*keyparts)
+        .agg(F.max_by(rstruct, F.struct(*ordst)).alias("_blast"))
+    )
+    # every (key, bucket) present in the DATA needs a prefix row — a
+    # bucket holding only left rows has no summary of its own
+    buckets = (
+        d.select(*keyparts).distinct().join(summaries, on=keyparts, how="left")
+    )
+    w_pre = (
+        (Window.partitionBy(by) if by else Window.partitionBy(F.lit(1)))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = buckets.withColumn(
+        "_rpre", F.last("_blast", ignorenulls=True).over(w_pre)
+    ).select(*keyparts, "_rpre")
+
+    out = d.join(prefix, on=keyparts, how="left")
+    rmatch = F.coalesce(F.col("_rin"), F.col("_rpre"))
+    return out.filter(F.col("_side") == 1).select(
+        *l_cols,
+        *[rmatch.getField(c).alias(f"{c}{suffix}") for c in r_carry],
     )
 
 

@@ -436,3 +436,49 @@ def test_connected_components_random_graphs_match_union_find(spark):
         }
         want = set(union_find(es).items())
         assert got == want, f"case {i}: {sorted(got ^ want)[:10]}"
+
+
+def test_asof_bucketed_matches_plain_across_widths(spark):
+    """The segmented-scan variant (the r11 hot-key mitigation) must be
+    result-identical to the single-window carry: uniform keys, a
+    hot-key remap (one user owning half the events), bucket widths far
+    below the data's gaps, above them, and a single-bucket width."""
+    from arnab_spark.operators import top_k_per_group
+
+    e = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    left = e.filter(F.col("event_type") != "signup")
+    right_raw = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_id"),
+    )
+    # unique (user, ts) on the right so the match is well-defined
+    right = top_k_per_group(
+        right_raw, ["user_id", "signup_ts"], [F.col("signup_id").desc()], 1
+    )
+    for remap in (False, True):
+        l, r = left, right
+        if remap:  # one user owns ~50% of all events
+            hot = (F.col("user_id") % 2 == 0)
+            l = l.withColumn("user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id")))
+            r = r.withColumn("user_id", F.when(hot, F.lit(1)).otherwise(F.col("user_id")))
+            r = top_k_per_group(
+                r, ["user_id", "signup_ts"], [F.col("signup_id").desc()], 1
+            )
+        base = (
+            asof_join(l, r, on="ts", right_on="signup_ts", by="user_id")
+            .orderBy("event_id")
+            .collect()
+        )
+        for width in (60.0, 86400.0, 10**9):
+            got = (
+                asof_join(
+                    l, r, on="ts", right_on="signup_ts", by="user_id",
+                    bucket_width=width,
+                )
+                .orderBy("event_id")
+                .collect()
+            )
+            assert got == base, f"remap={remap} width={width}"
