@@ -5526,6 +5526,77 @@ _PRAGMA_SHOW_TABLES = re.compile(r"(?is)^\s*PRAGMA\s+(show_tables|database_list)
 _CHECKPOINT_STMT = re.compile(r"(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$")
 
 
+_SET_STMT = re.compile(
+    r"(?is)^\s*(?P<verb>SET|RESET)\s+(?:GLOBAL\s+|SESSION\s+|LOCAL\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:=\s*|TO\s+)?(?P<val>.*?)\s*;?\s*$"
+)
+#: DuckDB performance/UX hints with no Spark semantic content — a SET
+#: of these consumes silently (passing through would create an inert
+#: same-named Spark conf, a fake acknowledgment either way; consuming
+#: is honest because they are hints, not semantics)
+_DUCK_HINT_SETTINGS = {
+    "threads",
+    "memory_limit",
+    "max_memory",
+    "temp_directory",
+    "enable_progress_bar",
+    "progress_bar_time",
+    "enable_object_cache",
+    "preserve_insertion_order",
+    "checkpoint_threshold",
+    "wal_autocheckpoint",
+    "enable_profiling",
+    "explain_output",
+    "profiling_output",
+}
+#: DuckDB settings that CHANGE QUERY RESULTS and have no Spark
+#: equivalent — silently ignoring them would be a semantic divergence
+_DUCK_RESULT_SETTINGS = {
+    "default_null_order",
+    "default_order",
+    "default_collation",
+    "calendar",
+    "ieee_floating_point_ops",
+    "integer_division",
+    "ordered_aggregate_threshold",
+}
+
+
+def _rewrite_set(sql: str, spark) -> str:
+    """In-script ``SET``/``RESET``: DuckDB's ``timezone`` maps to
+    Spark's session timezone (the one result-affecting setting with an
+    exact equivalent); other result-affecting DuckDB settings raise a
+    targeted error (passing them through would create an inert Spark
+    conf — a silent semantic divergence, probed: ``default_null_order``
+    really flips DuckDB's ORDER BY NULL placement); pure performance
+    hints consume silently; everything else (spark.* confs, unknown
+    names) passes through to Spark's own SET."""
+    m = _SET_STMT.match(sql)
+    if m is None or spark is None:
+        return sql
+    name = m.group("name").lower()
+    if name in ("timezone", "time_zone"):
+        if m.group("verb").lower() == "reset":
+            return "RESET spark.sql.session.timeZone"
+        # Spark's SET takes the raw text after `=` as the value —
+        # DuckDB's quoted string must be unwrapped or the conf value
+        # would include the quote characters (probed: INVALID_CONF_VALUE)
+        val = m.group("val").strip().strip("'\"")
+        return f"SET spark.sql.session.timeZone = {val}"
+    if name in _DUCK_HINT_SETTINGS:
+        return ""
+    if name in _DUCK_RESULT_SETTINGS:
+        from arnab_spark.errors import ArnabError
+
+        raise ArnabError(
+            f"SET {m.group('name')}: this DuckDB setting changes query "
+            "RESULTS and has no Spark equivalent — accepting it as an "
+            "inert conf would silently diverge. Rewrite the affected "
+            "queries explicitly (e.g. ORDER BY … NULLS FIRST/LAST)."
+        )
+    return sql
+
+
 def _rewrite_pragmas(sql: str, spark) -> str:
     """The PRAGMA forms a reference-style script actually reaches for:
     ``PRAGMA table_info('t')`` / ``CALL pragma_table_info('t')`` → the
@@ -7128,9 +7199,10 @@ def transpile_statement(sql: str, spark=None) -> str:
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
+    sql = _rewrite_set(sql, spark)
     sql = _rewrite_pragmas(sql, spark)
     if not sql.strip():
-        return ""  # CHECKPOINT consumed
+        return ""  # CHECKPOINT / hint-SET consumed
     sql = _rewrite_describe(sql, spark)
     sql = _rewrite_describe_subqueries(sql, spark)
     sql = _rewrite_show_tables(sql, spark)

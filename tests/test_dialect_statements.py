@@ -1769,3 +1769,26 @@ def test_checkpoint_consumed_and_pragma_show_tables(spark):
     assert "name" in out.lower()  # routed through the SHOW TABLES pass
     # unknown pragmas stay loud (left for Spark to reject)
     assert transpile_statement("PRAGMA memory_limit='1GB'", spark).strip().upper().startswith("PRAGMA")
+
+
+def test_set_statements_duckdb_semantics(spark):
+    """timezone maps to Spark's session timezone; perf hints consume;
+    result-affecting DuckDB settings raise targeted."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        out = transpile_statement("SET timezone='America/New_York'", spark)
+        spark.sql(out)
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        assert transpile_statement("SET threads=4", spark) == ""
+        assert transpile_statement("SET memory_limit='1GB'", spark) == ""
+        import pytest as _pytest
+
+        from arnab_spark.errors import ArnabError
+
+        with _pytest.raises(ArnabError, match="changes query RESULTS"):
+            transpile_statement("SET default_null_order='nulls_last'", spark)
+        # spark confs pass through untouched
+        out = transpile_statement("SET spark.sql.shuffle.partitions=8", spark)
+        assert out.strip().startswith("SET spark.sql")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
