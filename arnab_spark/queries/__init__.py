@@ -158,7 +158,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # --- slot 6: NEW round-11 operator (DSIR importance weights,
     #     Xie et al.), never driver-verified ---
     "text_dsir_weights",
-    # --- slots 7-50: round-8-latest-evidence cohort (44 of 49) ---
+    # --- slot 7: NEW round-11 strategy (hot-key-safe segmented-scan
+    #     asof), never driver-verified ---
+    "asof_join_bucketed",
+    # --- slots 8-50: round-8-latest-evidence cohort (43 of 49) ---
     "agg_collect_set_array",
     "agg_pricing_summary",
     "ann_lsh_bucketed",
@@ -193,7 +196,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "scalar_subquery_correlated",
     "select_exclude_replace",
     "session_window_native",
-    "sliding_window",
     "stream_asof_enriched_materialized",
     "stream_session_counts_materialized",
     "text_fingerprint",

@@ -141,6 +141,44 @@ def asof_join_pandas(spark, sf_dir):
     )
 
 
+@query("asof_join_bucketed", oracle=_ASOF_ORACLE, tags=("timeseries", "asof", "skew"))
+def asof_join_bucketed(spark, sf_dir):
+    """AS-OF join via the round-11 hot-key-safe SEGMENTED SCAN
+    (:func:`arnab_spark.operators.asof_carry_forward_bucketed`): carry
+    within (user, day) buckets, reduce each bucket to its last signup,
+    prefix-scan the per-user bucket summaries, stitch with coalesce.
+    Same DuckDB ASOF oracle as the other two strategies — three
+    driver-hashed spellings of one operator. This is the shape that
+    survives a key owning task-sized data (the r11 skew study's
+    documented mitigation): the largest window partition is one day of
+    one user, not the user's whole series, at the price of one extra
+    small shuffle — which is why the plain carry stays the default
+    below the straggler regime."""
+    from arnab_spark.operators import asof_carry_forward_bucketed
+
+    e = load_table(spark, sf_dir, "events").where(
+        "event_type IN ('purchase', 'signup')"
+    )
+    unioned = e.selectExpr(
+        "event_id",
+        "user_id",
+        "ts AS _t",
+        "IF(event_type = 'purchase', ts, NULL) AS ts",
+        "IF(event_type = 'purchase', value, NULL) AS value",
+        "IF(event_type <> 'purchase', event_id, NULL) AS signup_id",
+        "IF(event_type <> 'purchase', ts, NULL) AS signup_ts",
+        "IF(event_type = 'purchase', 1, 0) AS _side",
+    )
+    return asof_carry_forward_bucketed(
+        unioned,
+        l_cols=["event_id", "user_id", "ts", "value"],
+        r_carry=["signup_id", "signup_ts"],
+        by="user_id",
+        suffix="",
+        bucket_width=86400.0,
+    ).select("event_id", "user_id", "ts", "value", "signup_id", "signup_ts")
+
+
 _SESSION_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -97,12 +97,16 @@ def test_every_query_is_oracled():
 #: siblings text_tfidf_top_terms / text_quality_gopher carry r10/r9
 #: evidence); every displaced query's source is manifest-hash-pinned
 #: byte-identical since its last green run.
+#: sliding_window was displaced by the NEW asof_join_bucketed strategy
+#: (same-family siblings tumbling_window / session_window_native hold
+#: r11 slots and window_running_frame carries r10 evidence).
 R11_DISPLACED = {
     "agg_stats_native",
     "fn_math_native",
     "union_all",
     "agg_percentile_approx",
     "text_quality_score",
+    "sliding_window",
 }
 
 
