@@ -6895,8 +6895,28 @@ def _rewrite_export_import_db(sql: str, spark):
         set(table_backing_for(spark)) | session_tables_for(spark)
     )
     schema_lines, load_lines = [], []
+    backing = table_backing_for(spark)
     for t in tables:
-        df = spark.table(t)
+        # a registry entry can outlive its view or backing dir (a
+        # previous pipeline's since-deleted warehouse); a dead entry
+        # is not a table this session can read, so skip it loudly
+        # rather than crash the export of the live ones
+        dead = t in backing and not _os.path.isdir(backing[t])
+        if not dead:
+            try:
+                df = spark.table(t)
+                df.schema
+            except Exception:
+                dead = True
+        if dead:
+            import sys as _sys
+
+            print(
+                f"warning: EXPORT DATABASE skipping '{t}' — registered "
+                "but not resolvable in this session",
+                file=_sys.stderr,
+            )
+            continue
         cols = ", ".join(
             f'"{f.name}" {_export_type(f.dataType)}' for f in df.schema.fields
         )
