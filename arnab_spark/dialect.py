@@ -6936,12 +6936,16 @@ def _rewrite_export_import_db(sql: str, spark):
     if wh is not None:
         from arnab_spark.catalog import load_catalog
 
-        for vid, entry in load_catalog(wh).items():
-            if entry.get("materialize") == "view" and entry.get("select"):
-                schema_lines.append(
-                    f"-- engine-dialect view definition\n"
-                    f"CREATE VIEW {vid} AS {entry['select']};"
-                )
+        view_lines = [
+            f"CREATE VIEW {vid} AS {entry['select']};"
+            for vid, entry in load_catalog(wh).items()
+            if entry.get("materialize") == "view" and entry.get("select")
+        ]
+        # no inline comment markers: statement splitting would glue a
+        # comment onto the next statement and defeat the anchored
+        # CREATE VIEW lift on import (found by the round-trip test);
+        # the engine-dialect caveat lives in this function's docstring
+        schema_lines.extend(view_lines)
     with open(_os.path.join(d, "schema.sql"), "w", encoding="utf-8") as fh:
         fh.write("\n".join(schema_lines) + "\n")
     with open(_os.path.join(d, "load.sql"), "w", encoding="utf-8") as fh:
