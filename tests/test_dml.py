@@ -619,8 +619,43 @@ def test_copy_from_casts_csv_strings_to_target_types(spark, tmp_path):
         _run(spark, "DROP TABLE dml_cast")
 
 
-def test_export_import_roundtrip(spark, tmp_path):
+@pytest.fixture()
+def hermetic_tables(spark):
+    """Snapshot-and-restore the session's table registries (backing,
+    session tables, warehouse) — EXPORT DATABASE exports everything the
+    session registers, so under the full suite an earlier pipeline's
+    leaked entries would otherwise change what an export includes and
+    what the re-import collides with (already-existing tables/views
+    abort the import loudly, which is DuckDB's own IMPORT behavior)."""
+    from arnab_spark.dialect import (
+        _WAREHOUSE_BY_SESSION,
+        session_tables_for,
+        set_warehouse_for,
+    )
+
+    prev_wh = _WAREHOUSE_BY_SESSION.pop(spark, None)
+    backing = table_backing_for(spark)
+    stables = session_tables_for(spark)
+    prev_backing, prev_stables = dict(backing), set(stables)
+    backing.clear()
+    stables.clear()
+    yield
+    _WAREHOUSE_BY_SESSION.pop(spark, None)
+    if prev_wh is not None:
+        set_warehouse_for(spark, prev_wh)
+    backing.clear()
+    backing.update(prev_backing)
+    stables.clear()
+    stables.update(prev_stables)
+
+
+def test_export_import_roundtrip(spark, tmp_path, hermetic_tables):
+    from arnab_spark.dialect import set_warehouse_for
+
     d = str(tmp_path / "exp")
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    set_warehouse_for(spark, wh)
     _run(spark, "CREATE TEMP TABLE dml_exp AS SELECT 1 AS n, 'a' AS s")
     try:
         _run(spark, f"EXPORT DATABASE '{d}' (FORMAT PARQUET)")
@@ -634,7 +669,7 @@ def test_export_import_roundtrip(spark, tmp_path):
         _run(spark, "DROP TABLE dml_exp")
 
 
-def test_export_loads_into_real_duckdb(spark, con, tmp_path):
+def test_export_loads_into_real_duckdb(spark, con, tmp_path, hermetic_tables):
     """The exported dir must be loadable by an actual DuckDB — schema
     column lists plus parquet-glob COPY FROM statements."""
     d = str(tmp_path / "exp2")
