@@ -700,3 +700,18 @@ def test_import_real_duckdb_export(spark, con, tmp_path):
         assert rows == [(1, "a"), (2, "b")]
     finally:
         _run(spark, "DROP TABLE dml_di")
+
+
+def test_export_import_roundtrip_csv(spark, tmp_path, hermetic_tables):
+    """DuckDB's default export format round-trips too: header CSVs with
+    cast-per-target-type on the way back in."""
+    d = str(tmp_path / "expc")
+    _run(spark, "CREATE TEMP TABLE dml_expc AS SELECT 2 AS n, 1.5 AS f, 'b' AS s")
+    try:
+        _run(spark, f"EXPORT DATABASE '{d}'")  # FORMAT defaults to CSV
+        _run(spark, "DROP TABLE dml_expc")
+        _run(spark, f"IMPORT DATABASE '{d}'")
+        rows = [tuple(r) for r in spark.table("dml_expc").collect()]
+        assert rows == [(2, 1.5, "b")]
+    finally:
+        _run(spark, "DROP TABLE dml_expc")
