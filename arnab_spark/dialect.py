@@ -6344,6 +6344,25 @@ def _dml_persist(spark, name: str, kind: str, df) -> None:
             spark.catalog.dropTempView(tmp)
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _cast_like_duck(col, src_simple: str, dst_simple: str):
+    """DuckDB's assignment coercion, not Spark's: floating/decimal →
+    integral ROUNDS half-away-from-zero (probed: 3.7→4, 2.5→3,
+    -3.5→-4) where Spark's CAST truncates toward zero — Spark's
+    round() is exactly half-away-from-zero, so round-then-cast matches.
+    Every other pair keeps Spark's cast (verified equal on the fuzz +
+    directed differential suites)."""
+    from pyspark.sql import functions as F
+
+    if dst_simple in _INTEGRAL_TYPES and (
+        src_simple in ("float", "double") or src_simple.startswith("decimal")
+    ):
+        return F.round(col).cast(dst_simple)
+    return col.cast(dst_simple)
+
+
 def _dml_align(new, tfields, cols, by_name: bool):
     """Project ``new`` onto the target's columns with DuckDB's INSERT
     alignment rules: positional by default (arity must match), named
@@ -6355,6 +6374,9 @@ def _dml_align(new, tfields, cols, by_name: bool):
 
     names = [f.name for f in tfields]
     types = {f.name.lower(): f.dataType.simpleString() for f in tfields}
+    src = {
+        c: f.dataType.simpleString() for c, f in zip(new.columns, new.schema.fields)
+    }
     lower_target = {n.lower() for n in names}
     exprs = []
     if by_name:
@@ -6366,7 +6388,10 @@ def _dml_align(new, tfields, cols, by_name: bool):
         have = {c.lower(): c for c in new.columns}
         for n in names:
             if n.lower() in have:
-                exprs.append(new[have[n.lower()]].cast(types[n.lower()]).alias(n))
+                c = have[n.lower()]
+                exprs.append(
+                    _cast_like_duck(new[c], src[c], types[n.lower()]).alias(n)
+                )
             else:
                 exprs.append(F.lit(None).cast(types[n.lower()]).alias(n))
     elif cols is not None:
@@ -6383,8 +6408,9 @@ def _dml_align(new, tfields, cols, by_name: bool):
         pos = {c.lower(): i for i, c in enumerate(cols)}
         for n in names:
             if n.lower() in pos:
+                c = new.columns[pos[n.lower()]]
                 exprs.append(
-                    new[new.columns[pos[n.lower()]]].cast(types[n.lower()]).alias(n)
+                    _cast_like_duck(new[c], src[c], types[n.lower()]).alias(n)
                 )
             else:
                 exprs.append(F.lit(None).cast(types[n.lower()]).alias(n))
@@ -6395,7 +6421,7 @@ def _dml_align(new, tfields, cols, by_name: bool):
                 f"{len(new.columns)} values were supplied"
             )
         for c, n in zip(new.columns, names):
-            exprs.append(new[c].cast(types[n.lower()]).alias(n))
+            exprs.append(_cast_like_duck(new[c], src[c], types[n.lower()]).alias(n))
     return new.select(*exprs)
 
 
@@ -7023,20 +7049,39 @@ def _rewrite_dml(sql: str, spark):
                 raise ArnabError(f"UPDATE: multiple assignments to column '{col}'")
             assigns[col.lower()] = m2.group(2)
         cond = f"coalesce(({pred}), false)" if pred else "true"
+        # evaluate the predicate + every assignment expression FIRST
+        # (so their analyzed types are known), then apply DuckDB's
+        # assignment coercion per column — float→integral assignment
+        # ROUNDS in DuckDB where a plain Spark CAST would truncate
+        from pyspark.sql import functions as F
+
+        keys = list(assigns)
+        helper_items = [f"({cond}) AS __arnab_upd"] + [
+            f"({assigns[k]}) AS __arnab_e_{i}" for i, k in enumerate(keys)
+        ]
+        raw = spark.sql(
+            transpile_statement(
+                f"SELECT {', '.join(helper_items)}, * FROM `{name}`", spark
+            )
+        )
+        rawtypes = {f2.name: f2.dataType.simpleString() for f2 in raw.schema.fields}
         sel = []
         for f in fields:
-            e = assigns.get(f.name.lower())
-            if e is None:
-                sel.append(f"`{f.name}`")
-            else:
-                sel.append(
-                    f"CAST((CASE WHEN {cond} THEN ({e}) ELSE `{f.name}` END) "
-                    f"AS {types[f.name.lower()]}) AS `{f.name}`"
+            if f.name.lower() in assigns:
+                i = keys.index(f.name.lower())
+                newv = _cast_like_duck(
+                    F.col(f"__arnab_e_{i}"),
+                    rawtypes[f"__arnab_e_{i}"],
+                    types[f.name.lower()],
                 )
-        updated = spark.sql(
-            transpile_statement(f"SELECT {', '.join(sel)} FROM `{name}`", spark)
-        )
-        _dml_persist(spark, name, kind, updated)
+                sel.append(
+                    F.when(F.col("__arnab_upd"), newv)
+                    .otherwise(F.col(f.name).cast(types[f.name.lower()]))
+                    .alias(f.name)
+                )
+            else:
+                sel.append(F.col(f.name))
+        _dml_persist(spark, name, kind, raw.select(*sel))
         return ""
 
     im = _INSERT_DML.match(sql)

@@ -715,3 +715,24 @@ def test_export_import_roundtrip_csv(spark, tmp_path, hermetic_tables):
         assert rows == [(2, 1.5, "b")]
     finally:
         _run(spark, "DROP TABLE dml_expc")
+
+
+def test_insert_update_round_to_integral_like_duckdb(spark, con):
+    """DuckDB's assignment coercion ROUNDS float→integral half-away-
+    from-zero (probed: 3.7→4, 2.5→3, -3.5→-4) where Spark's CAST
+    truncates — the alignment must follow DuckDB."""
+    stmts = [
+        "CREATE TABLE dml_rnd (i INTEGER, d DOUBLE)",
+        "INSERT INTO dml_rnd VALUES (3.7, 1.0), (2.5, 2.0), (-3.5, 3.0)",
+        "INSERT INTO dml_rnd (i) VALUES (1.5)",
+        "UPDATE dml_rnd SET i = d * 1.5 WHERE d = 1.0",
+    ]
+    try:
+        for s in stmts:
+            con.execute(s)
+            _run(spark, s)
+        got, exp = _table_rows(spark, con, "dml_rnd", "d NULLS FIRST, i")
+        assert got == exp
+        assert [r[0] for r in got] == [2, 2, 3, -4]
+    finally:
+        _run(spark, "DROP TABLE dml_rnd")

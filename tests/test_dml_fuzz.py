@@ -33,7 +33,10 @@ def _gen_script(rng: random.Random) -> list[str]:
             )
             stmts.append(f"INSERT INTO fz VALUES {rows}")
         elif r < 0.50:
-            stmts.append("INSERT INTO fz (d, i) VALUES (3.5, 7)")
+            stmts.append(rng.choice([
+                "INSERT INTO fz (d, i) VALUES (3.5, 7)",
+                "INSERT INTO fz (i) VALUES (2.5)",
+            ]))
         elif r < 0.60:
             stmts.append("INSERT INTO fz SELECT i + 10, upper(s), d FROM fz")
         elif r < 0.80:
@@ -45,6 +48,7 @@ def _gen_script(rng: random.Random) -> list[str]:
                     ("s", "lower(s)"),
                     ("d", "coalesce(d, 0) + 1"),
                     ("d", "i"),  # cross-type: cast to the DOUBLE column
+                    ("i", "d * 1.5"),  # float into the INTEGER column: DuckDB ROUNDS
                     ("d", "NULL"),
                 ]
             )
