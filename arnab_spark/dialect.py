@@ -6315,6 +6315,130 @@ def _dml_resolve(spark, raw_target: str, on_view: str = "raise"):
     return name, "native"
 
 
+def _hive_partition_cols(dest: str) -> list[str]:
+    """Partition columns of a hive-layout parquet dir (outermost-in),
+    detected from the ``col=value`` directory names the engine's
+    ``partition_by`` layout hint writes; [] for flat layouts."""
+    import os as _os
+
+    cols: list[str] = []
+    cur = dest
+    while True:
+        try:
+            subs = [
+                d
+                for d in _os.listdir(cur)
+                if "=" in d and _os.path.isdir(_os.path.join(cur, d))
+            ]
+        except OSError:
+            break
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        cur = _os.path.join(cur, subs[0])
+    return cols
+
+
+def _dml_append(spark, name: str, aligned) -> None:
+    """INSERT fast path for backed tables: write ONLY the new batch and
+    move its part-files into the table dir (mirroring hive partition
+    subdirs) — O(batch), never a table rewrite. At 100 TB this is the
+    difference between appending a day's rows and rewriting the table;
+    the staged-swap path remains for transforms that must touch
+    existing rows. Part-file names carry task UUIDs, so moves cannot
+    collide; a crash mid-move leaves a prefix of the batch's files
+    appended (DuckDB's WAL gives all-or-nothing here — documented
+    trade for not rewriting the table)."""
+    import os as _os
+    import shutil as _shutil
+
+    dest = table_backing_for(spark)[name.lower()]
+    pcols = _hive_partition_cols(dest)
+    staging = f"{dest}__dml_append"
+    w = aligned.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(staging)
+    for root, _dirs, files in _os.walk(staging):
+        rel = _os.path.relpath(root, staging)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue  # _SUCCESS and friends
+            tgt = dest if rel == "." else _os.path.join(dest, rel)
+            _os.makedirs(tgt, exist_ok=True)
+            _os.rename(_os.path.join(root, f), _os.path.join(tgt, f))
+    _shutil.rmtree(staging, ignore_errors=True)
+    spark.read.parquet(dest).createOrReplaceTempView(name)
+
+
+def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
+    """DELETE fast path for hive-partitioned backed tables: find the
+    partitions holding any row the predicate kills, rewrite ONLY those
+    via dynamic partition overwrite, and drop the dirs of partitions
+    left empty. Untouched partitions are neither read (pushdown prunes
+    the scan) nor written. Returns False when nothing matched (no-op).
+
+    The touched-partition list is a ``collect`` bounded by the table's
+    partition count — a layout choice, not a data-sized set (the same
+    bound the layout hint's one-file-per-partition write relies on)."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    dest = table_backing_for(spark)[name.lower()]
+    kill = f"coalesce(({pred}), false)" if pred else "true"
+    touched = (
+        spark.sql(
+            transpile_statement(
+                f"SELECT DISTINCT {', '.join(f'`{c}`' for c in pcols)} "
+                f"FROM `{name}` WHERE {kill}",
+                spark,
+            )
+        )
+        .collect()
+    )
+    if not touched:
+        return True  # predicate kills nothing: the delete is a no-op
+    if any(r[c] is None for r in touched for c in pcols):
+        return False  # NULL partition dirs need the full-swap path
+    tfilter = None
+    for r in touched:
+        c_and = None
+        for c in pcols:
+            eq = F.col(c) == F.lit(r[c])
+            c_and = eq if c_and is None else (c_and & eq)
+        tfilter = c_and if tfilter is None else (tfilter | c_and)
+    survivors = (
+        spark.sql(
+            transpile_statement(f"SELECT * FROM `{name}` WHERE NOT {kill}", spark)
+        )
+        .filter(tfilter)
+        .localCheckpoint(eager=True)  # break lineage off the files being replaced
+    )
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*pcols)
+        .parquet(dest)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the frame —
+    # a partition whose every row died must have its dir dropped
+    alive = {
+        tuple(r[c] for c in pcols)
+        for r in survivors.select(*pcols).distinct().collect()
+    }
+    for r in touched:
+        key = tuple(r[c] for c in pcols)
+        if key not in alive:
+            sub = _os.path.join(
+                dest, *[f"{c}={v}" for c, v in zip(pcols, key)]
+            )
+            _shutil.rmtree(sub, ignore_errors=True)
+    spark.read.parquet(dest).createOrReplaceTempView(name)
+    return True
+
+
 def _dml_persist(spark, name: str, kind: str, df) -> None:
     """Atomically replace ``name``'s contents with ``df``."""
     if kind == "backed":
@@ -7018,6 +7142,13 @@ def _rewrite_dml(sql: str, spark):
         if kind is None:
             return None
         pred = dm.group("pred")
+        if kind == "backed" and pred:
+            # copy-on-write fast path: rewrite only the hive partitions
+            # the predicate touches (falls through on flat layouts /
+            # NULL partition values)
+            pcols = _hive_partition_cols(table_backing_for(spark)[name.lower()])
+            if pcols and _dml_pruned_rewrite(spark, name, pcols, pred):
+                return ""
         # DuckDB deletes rows where the predicate is TRUE; NULL keeps
         cond = f"NOT coalesce(({pred}), false)" if pred else "false"
         kept = spark.sql(
@@ -7081,6 +7212,44 @@ def _rewrite_dml(sql: str, spark):
                 )
             else:
                 sel.append(F.col(f.name))
+        if kind == "backed" and pred:
+            # copy-on-write fast path: rewrite only the hive partitions
+            # holding rows the predicate updates — unless an assignment
+            # targets a partition column (rows would move between
+            # partitions, stranding stale copies under dynamic
+            # overwrite: that shape takes the full swap)
+            dest = table_backing_for(spark)[name.lower()]
+            pcols = _hive_partition_cols(dest)
+            if pcols and not (set(assigns) & {c.lower() for c in pcols}):
+                touched = (
+                    raw.filter(F.col("__arnab_upd"))
+                    .select(*pcols)
+                    .distinct()
+                    .collect()
+                )
+                if not touched:
+                    return ""  # predicate matches nothing: no-op
+                if not any(r[c] is None for r in touched for c in pcols):
+                    tfilter = None
+                    for r in touched:
+                        c_and = None
+                        for c in pcols:
+                            eq = F.col(c) == F.lit(r[c])
+                            c_and = eq if c_and is None else (c_and & eq)
+                        tfilter = c_and if tfilter is None else (tfilter | c_and)
+                    updated = (
+                        raw.filter(tfilter)
+                        .select(*sel)
+                        .localCheckpoint(eager=True)
+                    )
+                    (
+                        updated.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy(*pcols)
+                        .parquet(dest)
+                    )
+                    spark.read.parquet(dest).createOrReplaceTempView(name)
+                    return ""
         _dml_persist(spark, name, kind, raw.select(*sel))
         return ""
 
@@ -7144,7 +7313,12 @@ def _rewrite_dml(sql: str, spark):
         target = spark.table(name)
         new = spark.sql(transpile_statement(body_sql, spark))
         aligned = _dml_align(new, target.schema.fields, cols, by_name)
-        _dml_persist(spark, name, kind, target.unionByName(aligned))
+        if kind == "backed":
+            # O(batch) append — never a table rewrite (100 TB design
+            # point: an INSERT's cost must scale with the batch)
+            _dml_append(spark, name, aligned)
+        else:
+            _dml_persist(spark, name, kind, target.unionByName(aligned))
         return ""
 
     return None

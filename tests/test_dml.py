@@ -736,3 +736,83 @@ def test_insert_update_round_to_integral_like_duckdb(spark, con):
         assert [r[0] for r in got] == [2, 2, 3, -4]
     finally:
         _run(spark, "DROP TABLE dml_rnd")
+
+
+# ------------------------------------- copy-on-write fast paths (backed)
+
+
+def _files(d):
+    out = {}
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_partitioned_backed_dml_rewrites_only_touched_partitions(
+    spark, con, tmp_path
+):
+    """The 100 TB DML contract: INSERT appends O(batch) files; DELETE/
+    UPDATE rewrite only the hive partitions their predicate touches —
+    proven by untouched partitions' part-files keeping their exact
+    paths and mtimes; a fully-emptied partition's dir is dropped.
+    Values stay differential against a DuckDB twin."""
+    dest = str(tmp_path / "pt")
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 10, 'a'), (1, 11, 'b'), (2, 20, 'c')) "
+        "AS t(p, v, s)"
+    ).write.partitionBy("p").parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("pt")
+    table_backing_for(spark)["pt"] = dest
+    con.execute(
+        "CREATE TABLE pt AS SELECT * FROM (VALUES (10, 'a', 1), (11, 'b', 1), "
+        "(20, 'c', 2)) AS t(v, s, p)"
+    )
+    try:
+        p2_before = {k: m for k, m in _files(dest).items() if "p=2" in k}
+
+        stmts = [
+            "INSERT INTO pt (v, s, p) VALUES (12, 'd', 1), (30, 'e', 3)",
+            "DELETE FROM pt WHERE v = 11",      # touches p=1 only
+            "UPDATE pt SET s = upper(s) WHERE p = 1",
+            "DELETE FROM pt WHERE p = 3",       # empties the partition
+            "DELETE FROM pt WHERE v = 999",     # matches nothing: no-op
+        ]
+        for stmt in stmts:
+            con.execute(stmt)
+            _run(spark, stmt)
+
+        # untouched partition: exact same files, byte-for-byte mtimes
+        p2_after = {k: m for k, m in _files(dest).items() if "p=2" in k}
+        assert p2_after == p2_before
+        # the emptied partition's dir is gone
+        assert not os.path.exists(os.path.join(dest, "p=3"))
+        got = sorted(
+            (r.v, r.s, r.p) for r in spark.table("pt").collect()
+        )
+        exp = sorted(con.execute("SELECT v, s, p FROM pt").fetchall())
+        assert got == exp == [(10, "A", 1), (12, "D", 1), (20, "c", 2)]
+    finally:
+        table_backing_for(spark).pop("pt", None)
+        spark.catalog.dropTempView("pt")
+        con.execute("DROP TABLE pt")
+
+
+def test_flat_backed_insert_appends_without_rewrite(spark, tmp_path):
+    dest = str(tmp_path / "flat")
+    spark.sql("SELECT 1 AS x").write.parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("flat_t")
+    table_backing_for(spark)["flat_t"] = dest
+    try:
+        before = _files(dest)
+        _run(spark, "INSERT INTO flat_t VALUES (2)")
+        after = _files(dest)
+        # the original file is untouched; the batch arrived as new files
+        assert all(after[k] == m for k, m in before.items())
+        assert len(after) > len(before)
+        assert sorted(r.x for r in spark.table("flat_t").collect()) == [1, 2]
+    finally:
+        table_backing_for(spark).pop("flat_t", None)
+        spark.catalog.dropTempView("flat_t")
