@@ -6449,8 +6449,15 @@ def _dml_persist(spark, name: str, kind: str, df) -> None:
         staging, old = f"{dest}__dml_staging", f"{dest}__dml_old"
         # the write triggers the lazy read of dest; dest stays intact
         # until the rename pair below (same staged-swap discipline as
-        # node._write_incremental)
-        df.write.mode("overwrite").parquet(staging)
+        # node._write_incremental). A hive-partitioned table keeps its
+        # layout through the swap — a plain rewrite would silently
+        # flatten the dirs and disable every later pruned fast path
+        # (found by the DML scale harness)
+        pcols = _hive_partition_cols(dest)
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(staging)
         _shutil.rmtree(old, ignore_errors=True)
         _os.rename(dest, old)
         _os.rename(staging, dest)

@@ -816,3 +816,25 @@ def test_flat_backed_insert_appends_without_rewrite(spark, tmp_path):
     finally:
         table_backing_for(spark).pop("flat_t", None)
         spark.catalog.dropTempView("flat_t")
+
+
+def test_full_swap_preserves_hive_layout(spark, tmp_path):
+    """An UPDATE assigning the partition column takes the full-swap
+    fallback — which must re-write WITH the partitioning (the DML scale
+    harness caught the plain rewrite silently flattening the dirs and
+    disabling every later pruned fast path)."""
+    dest = str(tmp_path / "pl")
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(p, v)"
+    ).write.partitionBy("p").parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("pl_t")
+    table_backing_for(spark)["pl_t"] = dest
+    try:
+        _run(spark, "UPDATE pl_t SET p = 3 WHERE v = 10")  # moves partitions
+        dirs = sorted(d for d in os.listdir(dest) if d.startswith("p="))
+        assert dirs == ["p=2", "p=3"]
+        got = sorted((r.v, r.p) for r in spark.table("pl_t").collect())
+        assert got == [(10, 3), (20, 2)]
+    finally:
+        table_backing_for(spark).pop("pl_t", None)
+        spark.catalog.dropTempView("pl_t")
