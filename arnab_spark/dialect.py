@@ -6479,18 +6479,32 @@ _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _cast_like_duck(col, src_simple: str, dst_simple: str):
-    """DuckDB's assignment coercion, not Spark's: floating/decimal →
-    integral ROUNDS half-away-from-zero (probed: 3.7→4, 2.5→3,
-    -3.5→-4) where Spark's CAST truncates toward zero — Spark's
-    round() is exactly half-away-from-zero, so round-then-cast matches.
-    Every other pair keeps Spark's cast (verified equal on the fuzz +
-    directed differential suites)."""
+    """DuckDB's assignment coercion, not Spark's (both probed):
+
+    - floating/decimal → integral ROUNDS half-away-from-zero (3.7→4,
+      2.5→3, -3.5→-4) where Spark's CAST truncates toward zero —
+      Spark's round() is exactly half-away-from-zero;
+    - decimal → decimal with a SMALLER scale TRUNCATES toward zero
+      (12.345→12.34, -12.345→-12.34) where Spark's CAST rounds
+      half-up — Spark's scaled floor/ceil pair truncates exactly on
+      decimals (no float detour).
+
+    double→decimal keeps the plain cast: both engines round to
+    nearest, and a decimal-exact tie cannot arise from a binary
+    double. Every other pair keeps Spark's cast (verified equal on
+    the fuzz + directed differential suites)."""
     from pyspark.sql import functions as F
 
     if dst_simple in _INTEGRAL_TYPES and (
         src_simple in ("float", "double") or src_simple.startswith("decimal")
     ):
         return F.round(col).cast(dst_simple)
+    dm = re.match(r"^decimal\((\d+),(\d+)\)$", dst_simple)
+    sm = re.match(r"^decimal\((\d+),(\d+)\)$", src_simple)
+    if dm and sm and int(sm.group(2)) > int(dm.group(2)):
+        s = int(dm.group(2))
+        trunc = F.when(col >= 0, F.floor(col, s)).otherwise(F.ceil(col, s))
+        return trunc.cast(dst_simple)
     return col.cast(dst_simple)
 
 

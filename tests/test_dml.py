@@ -838,3 +838,34 @@ def test_full_swap_preserves_hive_layout(spark, tmp_path):
     finally:
         table_backing_for(spark).pop("pl_t", None)
         spark.catalog.dropTempView("pl_t")
+
+
+def test_create_table_all_types_insert_select_matches_duckdb(spark, con):
+    """Schema-only CREATE TABLE across the common DuckDB type surface,
+    then INSERT literals needing casts — the values must round-trip
+    identically on both engines (DATE/TIMESTAMP/DECIMAL/BOOLEAN
+    included)."""
+    ddl = (
+        "CREATE TABLE dml_ty (a SMALLINT, b BIGINT, c DOUBLE, "
+        "d VARCHAR, e BOOLEAN, f DATE, g TIMESTAMP, h DECIMAL(9,2))"
+    )
+    ins = (
+        "INSERT INTO dml_ty VALUES "
+        "(1, 2, 3.5, 'x', true, DATE '2024-02-29', "
+        "TIMESTAMP '2024-02-29 12:34:56', 12.345), "
+        "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+    )
+    try:
+        for s in (ddl, ins):
+            con.execute(s)
+            _run(spark, s)
+        got, exp = _table_rows(spark, con, "dml_ty", "a NULLS LAST")
+        assert got == exp
+        # decimal->decimal scale reduction TRUNCATES in DuckDB (probed:
+        # 12.345 -> 12.34, where Spark's plain CAST would round to 12.35)
+        from decimal import Decimal
+
+        assert got[0][7] == Decimal("12.34")
+    finally:
+        _run(spark, "DROP TABLE dml_ty")
+        con.execute("DROP TABLE dml_ty")
