@@ -19,15 +19,18 @@ from arnab_spark.dialect import transpile_statement
 
 
 def _gen_script(rng: random.Random) -> list[str]:
-    stmts = ["CREATE TABLE fz (i INTEGER, s VARCHAR, d DOUBLE)"]
+    stmts = ["CREATE TABLE fz (i INTEGER, s VARCHAR, d DOUBLE, m DECIMAL(9,2))"]
     for _ in range(rng.randint(4, 8)):
         r = rng.random()
         if r < 0.40:
             rows = ", ".join(
-                "({}, {}, {})".format(
+                "({}, {}, {}, {})".format(
                     rng.randint(-5, 9),
                     rng.choice(["'a'", "'b'", "'x'", "NULL"]),
                     rng.choice(["NULL", str(round(rng.uniform(-2, 8), 2))]),
+                    rng.choice(
+                        ["NULL", "12.345", "-3.995", str(round(rng.uniform(-9, 9), 3))]
+                    ),  # 3-decimal literals: DuckDB TRUNCATES into DECIMAL(9,2)
                 )
                 for _ in range(rng.randint(1, 3))
             )
@@ -35,10 +38,11 @@ def _gen_script(rng: random.Random) -> list[str]:
         elif r < 0.50:
             stmts.append(rng.choice([
                 "INSERT INTO fz (d, i) VALUES (3.5, 7)",
+                "INSERT INTO fz (m) VALUES (7.815)",
                 "INSERT INTO fz (i) VALUES (2.5)",
             ]))
         elif r < 0.60:
-            stmts.append("INSERT INTO fz SELECT i + 10, upper(s), d FROM fz")
+            stmts.append("INSERT INTO fz SELECT i + 10, upper(s), d, m FROM fz")
         elif r < 0.80:
             col, expr = rng.choice(
                 [
@@ -49,6 +53,9 @@ def _gen_script(rng: random.Random) -> list[str]:
                     ("d", "coalesce(d, 0) + 1"),
                     ("d", "i"),  # cross-type: cast to the DOUBLE column
                     ("i", "d * 1.5"),  # float into the INTEGER column: DuckDB ROUNDS
+                    ("m", "i + 0.125"),   # decimal scale reduction: DuckDB TRUNCATES
+                    ("m", "d"),           # double into DECIMAL: both engines round
+                    ("i", "m"),           # decimal into INTEGER: DuckDB ROUNDS
                     ("d", "NULL"),
                 ]
             )
