@@ -5526,6 +5526,47 @@ _PRAGMA_SHOW_TABLES = re.compile(r"(?is)^\s*PRAGMA\s+(show_tables|database_list)
 _CHECKPOINT_STMT = re.compile(r"(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$")
 
 
+_TXN_STMT = re.compile(
+    r"(?is)^\s*(?P<verb>BEGIN|COMMIT|ROLLBACK|ABORT|END)"
+    r"(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*$"
+)
+
+
+def _rewrite_txn(sql: str, spark) -> str:
+    """Transaction statements. BEGIN/COMMIT/END consume as no-ops with
+    a one-line stderr note: this engine is per-statement durable
+    (every DML persists via its own staged swap/append), so a script
+    that runs to COMMIT observes identical results — what is NOT
+    reproduced is atomicity across a mid-script failure, hence the
+    note rather than silence. ROLLBACK cannot be honored at all
+    (already-persisted statements have no undo log) and raises a
+    targeted error instead of silently keeping the changes it was
+    asked to discard. The reference's own run loop (session.rs:189-279)
+    continues past statement errors rather than rolling back, so loud
+    here is the conservative posture, not a parity loss."""
+    m = _TXN_STMT.match(sql)
+    if m is None or spark is None:
+        return sql
+    verb = m.group("verb").upper()
+    if verb in ("ROLLBACK", "ABORT"):
+        from arnab_spark.errors import ArnabError
+
+        raise ArnabError(
+            f"{verb}: this engine is per-statement durable (staged parquet "
+            "swaps), so already-executed statements cannot be undone. "
+            "Structure the pipeline so each model materializes atomically "
+            "(the engine's per-statement swap already guarantees that)."
+        )
+    import sys as _sys
+
+    print(
+        f"note: {verb} consumed — statements here are individually "
+        "durable; cross-statement atomicity is not provided",
+        file=_sys.stderr,
+    )
+    return ""
+
+
 _SET_STMT = re.compile(
     r"(?is)^\s*(?P<verb>SET|RESET)\s+(?:GLOBAL\s+|SESSION\s+|LOCAL\s+)?"
     r"(?P<name>[A-Za-z_][\w.]*)\s*(?:=\s*|TO\s+)?(?P<val>.*?)\s*;?\s*$"
@@ -7463,10 +7504,11 @@ def transpile_statement(sql: str, spark=None) -> str:
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
+    sql = _rewrite_txn(sql, spark)
     sql = _rewrite_set(sql, spark)
     sql = _rewrite_pragmas(sql, spark)
     if not sql.strip():
-        return ""  # CHECKPOINT / hint-SET consumed
+        return ""  # CHECKPOINT / hint-SET / BEGIN/COMMIT consumed
     sql = _rewrite_describe(sql, spark)
     sql = _rewrite_describe_subqueries(sql, spark)
     sql = _rewrite_show_tables(sql, spark)

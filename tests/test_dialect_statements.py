@@ -1792,3 +1792,20 @@ def test_set_statements_duckdb_semantics(spark):
         assert out.strip().startswith("SET spark.sql")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_transaction_statements(spark):
+    """BEGIN/COMMIT/END consume (per-statement durability makes a
+    clean-run script identical); ROLLBACK raises targeted (persisted
+    statements have no undo log — silently keeping discarded changes
+    would be worse than loud)."""
+    for stmt in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "END WORK"):
+        assert transpile_statement(stmt, spark) == "", stmt
+    from arnab_spark.errors import ArnabError
+
+    import pytest as _pytest
+
+    with _pytest.raises(ArnabError, match="cannot be undone"):
+        transpile_statement("ROLLBACK", spark)
+    with _pytest.raises(ArnabError, match="cannot be undone"):
+        transpile_statement("ABORT;", spark)
