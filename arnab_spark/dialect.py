@@ -5567,6 +5567,47 @@ def _rewrite_txn(sql: str, spark) -> str:
     return ""
 
 
+_EXT_STMT = re.compile(
+    r"(?is)^\s*(?P<verb>INSTALL|LOAD)\s+'?(?P<ext>[A-Za-z_]\w*)'?\s*;?\s*$"
+)
+#: DuckDB extensions whose capability is BUILT IN here (httpfs → the
+#: read_parquet http(s) fetch-cache; parquet/json/icu are native Spark)
+_BUILTIN_EXTS = {"httpfs", "parquet", "json", "icu", "autocomplete", "fts"}
+_MAINT_STMT = re.compile(
+    r"(?is)^\s*(?:VACUUM(?:\s+ANALYZE)?|ANALYZE)(?:\s+[\w.\"]+)?\s*;?\s*$"
+)
+
+
+def _rewrite_extensions(sql: str, spark) -> str:
+    """``INSTALL x`` / ``LOAD x``: the common DuckDB extensions a
+    reference-style script loads are built-in capabilities here
+    (httpfs → the read_* http(s) fetch-cache; parquet/json/icu are
+    native Spark), so they consume as no-ops; an extension with no
+    engine equivalent raises a targeted error rather than silently
+    pretending it loaded. ``VACUUM``/``ANALYZE`` consume: VACUUM is a
+    compatibility no-op in DuckDB itself, and static table stats do
+    not drive this engine's planning (AQE re-plans on runtime stats;
+    on-disk sizes feed the broadcast decisions directly)."""
+    if spark is None:
+        return sql
+    if _MAINT_STMT.match(sql):
+        return ""
+    m = _EXT_STMT.match(sql)
+    if m is None:
+        return sql
+    ext = m.group("ext").lower()
+    if ext in _BUILTIN_EXTS:
+        return ""
+    from arnab_spark.errors import ArnabError
+
+    raise ArnabError(
+        f"{m.group('verb').upper()} {ext}: no engine equivalent for this "
+        "DuckDB extension. Built-in capabilities cover httpfs (http(s) "
+        "reads via the fetch-cache), parquet, json, and icu collation/"
+        "timezone handling."
+    )
+
+
 _SET_STMT = re.compile(
     r"(?is)^\s*(?P<verb>SET|RESET)\s+(?:GLOBAL\s+|SESSION\s+|LOCAL\s+)?"
     r"(?P<name>[A-Za-z_][\w.]*)\s*(?:=\s*|TO\s+)?(?P<val>.*?)\s*;?\s*$"
@@ -7505,6 +7546,7 @@ def transpile_statement(sql: str, spark=None) -> str:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)
     sql = _rewrite_txn(sql, spark)
+    sql = _rewrite_extensions(sql, spark)
     sql = _rewrite_set(sql, spark)
     sql = _rewrite_pragmas(sql, spark)
     if not sql.strip():

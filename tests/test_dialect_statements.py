@@ -1809,3 +1809,23 @@ def test_transaction_statements(spark):
         transpile_statement("ROLLBACK", spark)
     with _pytest.raises(ArnabError, match="cannot be undone"):
         transpile_statement("ABORT;", spark)
+
+
+def test_install_load_and_maintenance_statements(spark):
+    for stmt in (
+        "INSTALL httpfs",
+        "LOAD httpfs;",
+        "LOAD 'parquet'",
+        "INSTALL json",
+        "VACUUM",
+        "VACUUM ANALYZE",
+        "ANALYZE",
+        "ANALYZE my_table",
+    ):
+        assert transpile_statement(stmt, spark) == "", stmt
+    import pytest as _pytest
+
+    from arnab_spark.errors import ArnabError
+
+    with _pytest.raises(ArnabError, match="no engine equivalent"):
+        transpile_statement("LOAD spatial", spark)
