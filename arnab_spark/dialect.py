@@ -6482,8 +6482,18 @@ def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
     )
     if not touched:
         return True  # predicate kills nothing: the delete is a no-op
-    if any(r[c] is None for r in touched for c in pcols):
-        return False  # NULL partition dirs need the full-swap path
+    # two shapes bail to the full swap: NULL partition values (their
+    # dir is Spark's __HIVE_DEFAULT_PARTITION__ sentinel) and values
+    # whose dir name Spark would URL-escape — the fully-dead-partition
+    # cleanup below locates dirs by plain "col=value" formatting, and
+    # missing an escaped dir would leave deleted rows readable
+    def _plain(v) -> bool:
+        return v is not None and all(
+            ch.isalnum() or ch in "-_." for ch in str(v)
+        )
+
+    if not all(_plain(r[c]) for r in touched for c in pcols):
+        return False
     tfilter = None
     for r in touched:
         c_and = None

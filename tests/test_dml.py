@@ -869,3 +869,26 @@ def test_create_table_all_types_insert_select_matches_duckdb(spark, con):
     finally:
         _run(spark, "DROP TABLE dml_ty")
         con.execute("DROP TABLE dml_ty")
+
+
+def test_delete_escaped_partition_values_falls_back_correctly(spark, tmp_path):
+    """Partition values Spark URL-escapes in dir names (spaces, colons)
+    must NOT take the pruned path — its fully-dead-dir cleanup locates
+    dirs by plain col=value formatting and would leave deleted rows
+    readable. The fallback full swap must produce correct results."""
+    dest = str(tmp_path / "esc")
+    spark.sql(
+        "SELECT * FROM (VALUES ('a b', 1), ('c:d', 2), ('plain', 3)) AS t(p, v)"
+    ).write.partitionBy("p").parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("esc_t")
+    table_backing_for(spark)["esc_t"] = dest
+    try:
+        _run(spark, "DELETE FROM esc_t WHERE p = 'a b'")
+        got = sorted((r.p, r.v) for r in spark.table("esc_t").collect())
+        assert got == [("c:d", 2), ("plain", 3)]
+        _run(spark, "DELETE FROM esc_t WHERE p = 'plain'")  # pruned path ok
+        got = sorted((r.p, r.v) for r in spark.table("esc_t").collect())
+        assert got == [("c:d", 2)]
+    finally:
+        table_backing_for(spark).pop("esc_t", None)
+        spark.catalog.dropTempView("esc_t")
