@@ -5889,6 +5889,63 @@ def _rewrite_attached_refs(sql: str, attached: dict[str, set[str]]) -> str:
     return "".join(out)
 
 
+try:
+    _USE_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _USE_BY_SESSION = {}
+
+_USE_STMT = re.compile(r'(?is)^\s*USE\s+("?)([A-Za-z_]\w*)\1\s*;?\s*$')
+
+
+def _rewrite_use_fallback(sql: str, alias: str, models: set, spark) -> str:
+    """With ``USE <alias>`` active, a BARE name in table position
+    (immediately after FROM/JOIN/INTO/UPDATE) that does not resolve in
+    the session but names a model of the USEd attached catalog rewrites
+    to its ``alias__model`` view — DuckDB's current-database resolution
+    for the common statement shapes. Honest divergence, documented: a
+    session object of the same name keeps precedence here (DuckDB's
+    search path puts the USEd database first; this engine's session
+    namespace is also its 'main', so true precedence is undecidable),
+    and positions other than the four keywords stay unresolved-loud."""
+    out: list[str] = []
+    quote: str | None = None
+    prev_tok = ""
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            tok = sql[i:j]
+            if (
+                prev_tok in ("from", "join", "into", "update")
+                and tok.lower() in models
+                and (j >= n or sql[j] != ".")
+                and not spark.catalog.tableExists(tok)
+            ):
+                out.append(f"{alias}__{tok}")
+            else:
+                out.append(tok)
+            prev_tok = tok.lower()
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _parse_create_macro(sql: str):
     m = _CREATE_MACRO.match(sql)
     if not m:
@@ -7488,12 +7545,29 @@ def transpile_statement(sql: str, spark=None) -> str:
     dm = _DETACH_STMT.match(sql)
     if dm is not None and spark is not None:
         alias = dm.group(1).lower()
+        if _USE_BY_SESSION.get(spark) == alias:
+            _USE_BY_SESSION.pop(spark, None)
         for model in _attached_for(spark).pop(alias, set()):
             try:
                 spark.catalog.dropTempView(f"{alias}__{model}")
             except Exception:
                 pass
         return ""
+    um = _USE_STMT.match(sql)
+    if um is not None and spark is not None:
+        use_alias = um.group(2).lower()
+        if use_alias in ("memory", "main"):
+            _USE_BY_SESSION.pop(spark, None)  # back to the session namespace
+            return ""
+        if use_alias in _attached_for(spark):
+            _USE_BY_SESSION[spark] = use_alias
+            return ""
+        from arnab_spark.errors import ArnabError
+
+        raise ArnabError(
+            f"USE {um.group(2)}: no attached catalog of that name "
+            "(ATTACH it first; USE memory returns to the session namespace)"
+        )
     if spark is not None:
         dml = _rewrite_dml(sql, spark)
         if dml is not None:
@@ -7552,6 +7626,9 @@ def transpile_statement(sql: str, spark=None) -> str:
     attached = _attached_for(spark)
     if attached:
         sql = _rewrite_attached_refs(sql, attached)
+        used = _USE_BY_SESSION.get(spark) if spark is not None else None
+        if used in attached:
+            sql = _rewrite_use_fallback(sql, used, attached[used], spark)
     if macros:
         sql = _expand_macros(sql, macros)
     sql = _rewrite_summarize(sql, spark)

@@ -374,3 +374,61 @@ def test_attach_macro_does_not_shadow_session_macro(spark, tmp_path):
     finally:
         dialect.reset_attached(spark)
         dialect.reset_macros(spark)
+
+
+def test_use_attached_catalog_resolves_bare_names(spark, tmp_path):
+    """DuckDB's USE after ATTACH: bare names in table position resolve
+    into the USEd catalog when the session has no object of that name;
+    USE memory returns to the session namespace; DETACH clears an
+    active USE; USE of an unknown alias raises."""
+    from arnab_spark import dialect
+    from arnab_spark.config import Config
+    from arnab_spark.errors import ArnabError
+    from arnab_spark.session import Session
+
+    models = tmp_path / "models"
+    models.mkdir()
+    (models / "use_orders.sql").write_text(
+        "SELECT * FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    cfg = Config(
+        models_dir=str(models),
+        db_path=str(tmp_path / "wh"),
+        models={"use_orders": {"materialize": "table"}},
+    )
+    report = Session(cfg, spark).run(quiet=True)
+    assert not report.errors, report.errors
+    spark.catalog.dropTempView("use_orders")
+
+    def run(stmt):
+        out = dialect.transpile_statement(stmt, spark)
+        return spark.sql(out) if out.strip() else None
+
+    try:
+        run(f"ATTACH '{tmp_path / 'wh'}' AS ext")
+        import pytest as _pytest
+
+        with _pytest.raises(ArnabError, match="no attached catalog"):
+            run("USE nope")
+        run("USE ext")
+        n = run("SELECT count(*) AS n FROM use_orders").collect()[0].n
+        assert n == 1500
+        # JOIN position resolves too
+        j = run(
+            "SELECT count(*) AS n FROM use_orders a JOIN use_orders b "
+            "ON a.o_orderkey = b.o_orderkey"
+        ).collect()[0].n
+        assert j == 1500
+        run("USE memory")
+        with _pytest.raises(Exception):
+            run("SELECT count(*) FROM use_orders")  # back to unresolved
+        run("USE ext")
+        run("DETACH ext")  # clears the active USE with the alias
+        with _pytest.raises(Exception):
+            run("SELECT count(*) FROM use_orders")
+    finally:
+        dialect._attached_for(spark).pop("ext", None)
+        dialect._USE_BY_SESSION.pop(spark, None)
+        for v in list(spark.catalog.listTables()):
+            if v.name.startswith("ext__"):
+                spark.catalog.dropTempView(v.name)
