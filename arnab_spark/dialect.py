@@ -6584,8 +6584,29 @@ def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
                 dest, *[f"{c}={v}" for c, v in zip(pcols, key)]
             )
             _shutil.rmtree(sub, ignore_errors=True)
+    if not _has_part_files(dest):
+        # the predicate killed EVERY partition: the dynamic overwrite
+        # wrote nothing and the cleanup removed every dir, leaving a
+        # fileless table root — rewrite it as a schema-bearing empty
+        # flat relation (DuckDB parity: empty table, schema intact)
+        spark.createDataFrame([], survivors.schema).write.mode(
+            "overwrite"
+        ).parquet(dest)
     spark.read.parquet(dest).createOrReplaceTempView(name)
     return True
+
+
+def _has_part_files(root: str) -> bool:
+    """True when ``root`` holds at least one ``.parquet`` part file
+    (``_SUCCESS`` and friends don't count) — the readability invariant
+    every DML write must leave behind."""
+    import os as _os
+
+    return any(
+        f.endswith(".parquet")
+        for _r, _d, files in _os.walk(root)
+        for f in files
+    )
 
 
 def _dml_persist(spark, name: str, kind: str, df) -> None:
@@ -6602,11 +6623,42 @@ def _dml_persist(spark, name: str, kind: str, df) -> None:
         # layout through the swap — a plain rewrite would silently
         # flatten the dirs and disable every later pruned fast path
         # (found by the DML scale harness)
-        pcols = _hive_partition_cols(dest)
+        # intersect the on-disk layout with the NEW relation's columns:
+        # ALTER TABLE DROP/RENAME of a partition column hands us a frame
+        # without that column, and partitionBy on a missing name errors
+        # (dest intact, but the statement fails where DuckDB succeeds) —
+        # such a table degrades to a flat layout instead
+        have = {c.lower(): c for c in df.columns}
+        pcols = [
+            have[c.lower()]
+            for c in _hive_partition_cols(dest)
+            if c.lower() in have
+        ]
         w = df.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(staging)
+        if not _has_part_files(staging):
+            # an EMPTY relation written with partitionBy produces no
+            # parquet files (only _SUCCESS), and swapping that in would
+            # leave the table unreadable (UNABLE_TO_INFER_SCHEMA on the
+            # next read) — DuckDB leaves an empty table with its schema
+            # intact, so write the schema-bearing empty part file flat
+            spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(staging)
+        elif pcols:
+            # hive dirs carry partition values as TEXT and the re-read
+            # re-infers their type — an ALTER COLUMN p TYPE VARCHAR
+            # would silently read back as INT. Self-validate: if the
+            # staged read-back disagrees with the frame's type for any
+            # partition column, type fidelity beats layout — rewrite
+            # flat so the parquet file carries the real type (footer
+            # read only; the full swap already paid the table rewrite)
+            back = dict(spark.read.parquet(staging).dtypes)
+            want = dict(df.dtypes)
+            if any(back.get(c) != want[c] for c in pcols):
+                df.write.mode("overwrite").parquet(staging)
         _shutil.rmtree(old, ignore_errors=True)
         _os.rename(dest, old)
         _os.rename(staging, dest)
@@ -7118,7 +7170,12 @@ def _rewrite_copy_from(sql: str, spark):
         cols = [c.strip().strip('"') for c in _split_top_level_commas(m.group("cols"))]
     target = spark.table(name)
     aligned = _dml_align(new, target.schema.fields, cols, by_name=False)
-    _dml_persist(spark, name, kind, target.unionByName(aligned))
+    if kind == "backed":
+        # appended through the same O(batch) part-file path as INSERT —
+        # a bulk load must never rewrite the table it loads into
+        _dml_append(spark, name, aligned)
+    else:
+        _dml_persist(spark, name, kind, target.unionByName(aligned))
     return ""
 
 

@@ -892,3 +892,118 @@ def test_delete_escaped_partition_values_falls_back_correctly(spark, tmp_path):
     finally:
         table_backing_for(spark).pop("esc_t", None)
         spark.catalog.dropTempView("esc_t")
+
+def test_truncate_and_full_delete_keep_partitioned_table_readable(
+    spark, con, tmp_path
+):
+    """Round-12 ADVICE (high): TRUNCATE / DELETE-without-WHERE / a DELETE
+    killing every partition used to destroy a hive-partitioned backed
+    table — an empty frame written with partitionBy produces no parquet
+    files, so the swap left a fileless dir and the next read raised
+    UNABLE_TO_INFER_SCHEMA. DuckDB leaves an empty table with intact
+    schema; so must we, and a later INSERT must revive it."""
+    for i, stmt in enumerate(
+        ["TRUNCATE ept", "DELETE FROM ept", "DELETE FROM ept WHERE v > 0"]
+    ):
+        name, dest = f"ept{i}", str(tmp_path / f"ept{i}")
+        stmt = stmt.replace("ept", name)
+        spark.sql(
+            "SELECT * FROM (VALUES (1, 10, 'a'), (2, 20, 'b')) AS t(p, v, s)"
+        ).write.partitionBy("p").parquet(dest)
+        spark.read.parquet(dest).createOrReplaceTempView(name)
+        table_backing_for(spark)[name] = dest
+        con.execute(
+            f"CREATE TABLE {name} AS SELECT * FROM "
+            "(VALUES (1, 10, 'a'), (2, 20, 'b')) AS t(p, v, s)"
+        )
+        try:
+            con.execute(stmt)
+            _run(spark, stmt)
+            # the table survives empty, with its schema intact
+            t = spark.table(name)
+            assert t.count() == 0
+            assert sorted(c.lower() for c in t.columns) == ["p", "s", "v"]
+            # and a later INSERT revives it on both engines
+            ins = f"INSERT INTO {name} (p, v, s) VALUES (3, 30, 'c')"
+            con.execute(ins)
+            _run(spark, ins)
+            got = sorted(
+                (r["p"], r["v"], r["s"]) for r in spark.table(name).collect()
+            )
+            exp = sorted(con.execute(f"SELECT p, v, s FROM {name}").fetchall())
+            assert got == exp == [(3, 30, "c")]
+        finally:
+            table_backing_for(spark).pop(name, None)
+            spark.catalog.dropTempView(name)
+            con.execute(f"DROP TABLE {name}")
+
+
+def test_copy_from_backed_appends_without_rewrite(spark, con, tmp_path):
+    """Round-12 ADVICE (low): COPY <table> FROM on a backed table must
+    take the same O(batch) part-file append as INSERT — the existing
+    files keep their exact paths and mtimes."""
+    dest = str(tmp_path / "cfb")
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(p, v)"
+    ).write.partitionBy("p").parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("cfb_t")
+    table_backing_for(spark)["cfb_t"] = dest
+    # the hive-partitioned dir reads back partition-cols-LAST (v, p), so
+    # the DuckDB twin and the CSV batch use that column order (same
+    # convention as test_partitioned_backed_dml_rewrites_only_touched_
+    # partitions)
+    load = str(tmp_path / "batch.csv")
+    with open(load, "w") as f:
+        f.write("v,p\n11,1\n30,3\n")
+    con.execute("CREATE TABLE cfb_t AS SELECT * FROM (VALUES (10, 1), (20, 2)) AS t(v, p)")
+    try:
+        before = _files(dest)
+        stmt = f"COPY cfb_t FROM '{load}' (FORMAT CSV, HEADER)"
+        con.execute(stmt)
+        _run(spark, stmt)
+        after = _files(dest)
+        assert all(after[k] == m for k, m in before.items())  # no rewrite
+        assert len(after) > len(before)
+        got = sorted((r.p, r.v) for r in spark.table("cfb_t").collect())
+        exp = sorted(con.execute("SELECT p, v FROM cfb_t").fetchall())
+        assert got == exp == [(1, 10), (1, 11), (2, 20), (3, 30)]
+    finally:
+        table_backing_for(spark).pop("cfb_t", None)
+        spark.catalog.dropTempView("cfb_t")
+        con.execute("DROP TABLE cfb_t")
+
+
+def test_alter_partition_column_degrades_layout_instead_of_failing(
+    spark, con, tmp_path
+):
+    """Round-12 ADVICE (low): DROP/RENAME/TYPE on a hive PARTITION column
+    of a backed table used to error inside _dml_persist (partitionBy on
+    a now-missing name). DuckDB succeeds; we succeed by degrading to a
+    flat (or renamed-column) layout."""
+    cases = [
+        ("ALTER TABLE apc DROP COLUMN p", "v", [(10,), (20,)]),
+        ("ALTER TABLE apc RENAME COLUMN p TO q", "v, q", [(10, 1), (20, 2)]),
+        ("ALTER TABLE apc ALTER COLUMN p TYPE VARCHAR", "v, p", [(10, "1"), (20, "2")]),
+    ]
+    for i, (stmt, sel, expected) in enumerate(cases):
+        name, dest = f"apc{i}", str(tmp_path / f"apc{i}")
+        stmt = stmt.replace("apc", name)
+        spark.sql(
+            "SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(p, v)"
+        ).write.partitionBy("p").parquet(dest)
+        spark.read.parquet(dest).createOrReplaceTempView(name)
+        table_backing_for(spark)[name] = dest
+        con.execute(
+            f"CREATE TABLE {name} AS SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(p, v)"
+        )
+        try:
+            con.execute(stmt)
+            _run(spark, stmt)
+            q = f"SELECT {sel} FROM {name} ORDER BY v"
+            got = [tuple(r) for r in spark.sql(q).collect()]
+            exp = con.execute(q).fetchall()
+            assert got == exp == expected, stmt
+        finally:
+            table_backing_for(spark).pop(name, None)
+            spark.catalog.dropTempView(name)
+            con.execute(f"DROP TABLE {name}")
