@@ -81,66 +81,64 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The two round-8-cohort queries the round-11 mandatory slots displace
-#: (each has an EXACT sibling with r10 evidence and an EVIDENCE.json
-#: hash pin proving its source byte-identical since its last green run;
-#: they rotate into the r12 window with the r9 cohort).
-#: Each displaced query has an EXACT same-family sibling with
-#: round-10-or-newer evidence (agg_stats_exact, fn_math: pass r10;
-#: union_distinct_by_name: holds a round-11 slot) and an EVIDENCE.json
-#: hash pin proving its source unchanged since its last green run.
-#: union_all was displaced mid-round by the NEW dedup_substring_windows
-#: query, which the never-run gate requires windowed immediately;
-#: agg_percentile_approx likewise by the NEW dedup_semantic query (its
-#: exact sibling agg_percentile_exact carries r10 evidence),
-#: text_quality_score by the NEW text_dsir_weights query (same-module
-#: siblings text_tfidf_top_terms / text_quality_gopher carry r10/r9
-#: evidence); every displaced query's source is manifest-hash-pinned
-#: byte-identical since its last green run.
-#: sliding_window was displaced by the NEW asof_join_bucketed strategy
-#: (same-family siblings tumbling_window / session_window_native hold
-#: r11 slots and window_running_frame carries r10 evidence).
-R11_DISPLACED = {
-    "agg_stats_native",
-    "fn_math_native",
-    "union_all",
-    "agg_percentile_approx",
-    "text_quality_score",
-    "sliding_window",
+#: The seven round-9-cohort queries the round-12 mandatory slots (one
+#: NEW query + the six r8-stale queries) displace. Each has an EXACT
+#: same-family sibling with round-10-or-newer evidence and an
+#: EVIDENCE.json hash pin proving its source byte-identical since its
+#: last green run; they take the FIRST r13 rotation slots. Siblings:
+#: asof_join_pandas → asof_join (r10) / asof_join_bucketed (r11);
+#: dedup_exact → dedup_incremental (r11, same md5-digest operator);
+#: dedup_minhash_lsh → dedup_ngram_jaccard (r11, same banded LSH);
+#: knn_cosine_brute → ann_lsh_bucketed (r11, same cosine top-k
+#: contract); multimodal_resize → multimodal_decode_features (r11,
+#: same Arrow binary plumbing); stream_tumbling_counts_materialized →
+#: tumbling_window + stream_session_counts_materialized (both r11);
+#: join_salted_skew → agg_salted_skew (r10, the same salting pattern).
+R12_DISPLACED = {
+    "asof_join_pandas",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_brute",
+    "multimodal_resize",
+    "stream_tumbling_counts_materialized",
+    "join_salted_skew",
 }
 
 
-def test_r11_window_covers_stale_evidence_queries():
-    """The r11 window holds the round-8-latest-evidence cohort —
-    computed from the committed CORRECTNESS_r{01..10}.json union
-    (latest green round wins per query), not hand-maintained — minus
-    the three DOCUMENTED displaced queries, so after the r11 run no
-    registry query's driver evidence is older than two rounds except
-    those hash-pinned rows (the invariant r5 established).
-    Slots 1-2 are the round-11 additions (never-run gate: the
-    series/COLUMNS/CASE-fold composite and the DESCRIBE layout);
-    slot 3 re-verifies dedup_ngram_jaccard on this round's S-curve
-    banding re-derivation; slot 4 is the new substring-window dedup
-    operator."""
+def test_r12_window_covers_stale_evidence_queries():
+    """The r12 window holds every query whose latest driver evidence is
+    r9 or older — computed from the committed CORRECTNESS_r{01..11}.json
+    union (latest green round wins per query), not hand-maintained —
+    minus the seven DOCUMENTED displaced queries, so after the r12 run
+    no registry query's driver evidence predates r9 and the six
+    three-round-stale r8 rows (the r11 verdict's ask #2) are retired.
+    Slot 1 is the round-12 addition (never-run gate: the DML
+    statement-path script); slots 2-7 are the six r8-stale queries."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             rnd = int(f[len("CORRECTNESS_r"):-len(".json")])
-            if rnd > 10:
-                continue  # this pin describes the r11 rotation input
+            if rnd > 11:
+                continue  # this pin describes the r12 rotation input
             with open(os.path.join(REPO, f)) as fh:
                 for name in json.load(fh):
                     latest[name] = max(latest.get(name, 0), rnd)
     if not latest:
         pytest.skip("no correctness snapshot yet")
-    stale = {n for n, r in latest.items() if r <= 8}
-    assert stale - R11_DISPLACED <= set(CURATED_FIRST), sorted(
-        stale - R11_DISPLACED - set(CURATED_FIRST)
+    stale = {n for n, r in latest.items() if r <= 9}
+    assert stale - R12_DISPLACED <= set(CURATED_FIRST), sorted(
+        stale - R12_DISPLACED - set(CURATED_FIRST)
     )
-    assert R11_DISPLACED.isdisjoint(CURATED_FIRST)
-    assert CURATED_FIRST[0] == "dialect_series_columns"
-    assert CURATED_FIRST[1] == "dialect_describe_layout"
-    assert CURATED_FIRST[2] == "dedup_ngram_jaccard"
+    assert R12_DISPLACED.isdisjoint(CURATED_FIRST)
+    assert CURATED_FIRST[0] == "dml_statement_script"
+    assert set(CURATED_FIRST[1:7]) == {
+        "agg_percentile_approx",
+        "agg_stats_native",
+        "fn_math_native",
+        "sliding_window",
+        "text_quality_score",
+        "union_all",
+    }
 
 
 def test_never_driver_verified_queries_hold_window_slots():
