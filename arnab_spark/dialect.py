@@ -2384,916 +2384,6 @@ _ARG_CALL_REWRITES = {
         ),
     ),
 }
-#: C-style (strftime) directive → Spark/Java datetime pattern. Only
-#: directives with an exact Java twin are mapped; any other % code makes
-#: the whole call pass through untouched → loud UNRESOLVED_ROUTINE.
-_STRF_MAP = {
-    "Y": "yyyy",
-    "y": "yy",
-    "m": "MM",
-    "d": "dd",
-    "H": "HH",
-    "I": "hh",
-    "M": "mm",
-    "S": "ss",
-    "f": "SSSSSS",
-    "g": "SSS",
-    "p": "a",
-    "j": "DDD",
-    "a": "EEE",
-    "A": "EEEE",
-    "b": "MMM",
-    "B": "MMMM",
-    # %-X no-padding variants: Java's single pattern letter means
-    # minimum-width (no zero pad) — verified equal output
-    "-d": "d",
-    "-m": "M",
-    "-H": "H",
-    "-I": "h",
-    "-M": "m",
-    "-S": "s",
-    "-j": "D",
-    # composite ISO directives (round 9, probed on the pinned DuckDB:
-    # %c = ISO datetime, %x = ISO date, %X = ISO time — fixed layouts,
-    # so they are plain multi-letter Java patterns)
-    "c": "yyyy-MM-dd HH:mm:ss",
-    "x": "yyyy-MM-dd",
-    "X": "HH:mm:ss",
-}
-
-#: Directives with NO Java pattern twin, compiled to plain Spark SQL
-#: expressions instead (round 9 — closes the unmapped-literal-directive
-#: gap; every formula differentially verified against the pinned DuckDB
-#: incl. the ISO year/week boundaries 2000-01-02, 2018-12-31,
-#: 2021-01-01). DuckDB zero-pads %V/%U/%W to 2 and %G to 4.
-_STRF_EXPR = {
-    # ISO week number — Spark's weekofyear IS ISO 8601
-    "V": lambda e: f"lpad(CAST(weekofyear({e}) AS STRING), 2, '0')",
-    # ISO week-numbering year
-    "G": lambda e: f"lpad(CAST(extract(YEAROFWEEK FROM {e}) AS STRING), 4, '0')",
-    # weekday numbers spelled through DOW_ISO (Mon=1..Sun=7) — the same
-    # rescan-immune spelling the dayofweek/weekday call rewrites use
-    # (a plain dayofweek()/weekday() here would be re-matched by those
-    # DuckDB-semantics rewrites and double-shifted)
-    "w": lambda e: f"CAST(extract(DOW_ISO FROM {e}) % 7 AS STRING)",
-    "u": lambda e: f"CAST(extract(DOW_ISO FROM {e}) AS STRING)",
-    # week of year, first Sunday starts week 01, days before it week 00
-    "U": lambda e: (
-        f"lpad(CAST(CAST(floor((dayofyear({e}) - 1 + 7 - "
-        f"(extract(DOW_ISO FROM {e}) % 7)) / 7) AS INT) AS STRING), 2, '0')"
-    ),
-    # week of year, Monday-based
-    "W": lambda e: (
-        f"lpad(CAST(CAST(floor((dayofyear({e}) - 1 + 7 - "
-        f"(extract(DOW_ISO FROM {e}) - 1)) / 7) AS INT) AS STRING), 2, '0')"
-    ),
-    # 2-digit year WITHOUT zero padding (no Java twin: 'y' pads to the
-    # full year, 'yy' zero-pads to 2)
-    "-y": lambda e: f"CAST(year({e}) % 100 AS STRING)",
-    # nanoseconds: timestamps are µs-precision, so the last 3 digits
-    # are always 0 (probed: DuckDB prints 123456000)
-    "n": lambda e: f"concat(date_format({e}, 'SSSSSS'), '000')",
-}
-
-
-def _c_format_to_sql_expr(fmt: str, arg: str) -> str | None:
-    """Compile a C-style strftime format whose directives do NOT all
-    have Java twins into a pure-JVM Spark SQL expression: contiguous
-    Java-mappable runs become ``date_format`` chunks, the special
-    directives above become scalar expressions, and the chunks
-    ``concat`` together. Literal text rides inside the date_format
-    chunks, so a NULL input propagates to a NULL result exactly like
-    DuckDB (concat/date_format are both NULL-strict). Returns None when
-    any directive maps to neither table (loud)."""
-    segments: list[tuple[str, str]] = []
-    buf: list[str] = []
-    i, n = 0, len(fmt)
-    while i < n:
-        key = None
-        if fmt[i] == "%" and i + 1 < n:
-            if fmt[i + 1] == "-" and i + 2 < n and "-" + fmt[i + 2] in _STRF_EXPR:
-                key, step = "-" + fmt[i + 2], 3
-            elif fmt[i + 1] in _STRF_EXPR:
-                key, step = fmt[i + 1], 2
-        if key is not None:
-            if buf:
-                segments.append(("fmt", "".join(buf)))
-                buf = []
-            segments.append(("expr", _STRF_EXPR[key](arg)))
-            i += step
-            continue
-        if fmt[i] == "%" and i + 1 < n:
-            # copy the whole directive so a later '-x' never splits
-            take = 3 if fmt[i + 1] == "-" and i + 2 < n else 2
-            buf.append(fmt[i:i + take])
-            i += take
-            continue
-        buf.append(fmt[i])
-        i += 1
-    if buf:
-        segments.append(("fmt", "".join(buf)))
-    if not any(kind == "expr" for kind, _ in segments):
-        return None  # nothing special: the single-pattern path owns it
-    parts: list[str] = []
-    for kind, text in segments:
-        if kind == "expr":
-            parts.append(text)
-            continue
-        java = _c_format_to_java(text)
-        if java is None:
-            return None
-        if java == "":
-            continue
-        parts.append(
-            f"date_format({arg}, '{java.replace(chr(39), chr(39) * 2)}')"
-        )
-    if len(parts) == 1:
-        return parts[0]
-    return f"concat({', '.join(parts)})"
-
-
-def _c_format_to_java(fmt: str) -> str | None:
-    """Translate a C-style strftime format to a Java datetime pattern,
-    quoting literal runs (Java treats bare letters as pattern chars).
-    Returns None when any directive has no exact Java equivalent."""
-    out: list[str] = []
-    lit: list[str] = []
-
-    def flush() -> None:
-        if lit:
-            run = "".join(lit)
-            if any(c.isalpha() or c == "'" for c in run):
-                out.append("'" + run.replace("'", "''") + "'")
-            else:
-                out.append(run)
-            lit.clear()
-
-    i, n = 0, len(fmt)
-    while i < n:
-        ch = fmt[i]
-        if ch == "%":
-            if i + 1 >= n:
-                return None
-            code = fmt[i + 1]
-            if code == "-" and i + 2 < n and ("-" + fmt[i + 2]) in _STRF_MAP:
-                flush()
-                out.append(_STRF_MAP["-" + fmt[i + 2]])
-                i += 3
-                continue
-            if code == "%":
-                lit.append("%")
-            elif code in _STRF_MAP:
-                flush()
-                out.append(_STRF_MAP[code])
-            else:
-                return None
-            i += 2
-            continue
-        lit.append(ch)
-        i += 1
-    flush()
-    return "".join(out)
-
-
-def _fold_literal_concat(s: str) -> str | None:
-    """Constant-fold a ``'a' || 'b' || …`` chain of plain string
-    literals into one literal value (round 9). DuckDB binds strftime/
-    strptime formats as CONSTANTS — any constant-foldable expression
-    works there (probed: ``strftime(ts, '%Y' || '/%m')`` runs; a
-    column-sourced format is an InvalidInputException in DuckDB itself,
-    so staying loud on those IS parity). Folding literal chains (the
-    shape macro composition produces) closes the gap the shim can
-    prove; general constant expressions stay loud. Returns the folded
-    string value or None."""
-    depth = 0
-    quote = None
-    parts: list[str] = []
-    last = 0
-    i, n = 0, len(s)
-    while i < n:
-        ch = s[i]
-        if quote:
-            if ch == quote:
-                if quote == "'" and i + 1 < n and s[i + 1] == "'":
-                    i += 2
-                    continue
-                quote = None
-        elif ch in ("'", '"'):
-            quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "|" and i + 1 < n and s[i + 1] == "|" and depth == 0:
-            parts.append(s[last:i])
-            last = i + 2
-            i += 2
-            continue
-        i += 1
-    parts.append(s[last:])
-    if len(parts) < 2:
-        return None
-    out: list[str] = []
-    for p in parts:
-        m = _lit_match(p)
-        if not m:
-            return None
-        out.append(m.group(1))
-    return "".join(out)
-
-
-class _ConstNull:
-    """Sentinel: a format expression that folds to SQL NULL (distinct
-    from 'not foldable')."""
-
-
-_CONST_NULL = _ConstNull()
-
-
-class _NotConst(Exception):
-    """Raised when the mini-evaluator meets anything outside the
-    literal-only grammar — the caller then stays loud, which is parity
-    for column-sourced formats (DuckDB errors on those itself)."""
-
-
-_FOLD_TOKEN = re.compile(
-    r"\s*(?:('(?:[^']|'')*')"            # string literal w/ '' escape
-    r"|(\d+(?:\.\d+)?(?![\w.]))"          # numeric literal
-    r"|([A-Za-z_]\w*)"                    # word (keyword or identifier)
-    r"|(\|\||<>|!=|<=|>=|==|[=<>()])"     # operator / paren
-    r")"
-)
-
-_FOLD_KEYWORDS = frozenset(
-    {"case", "when", "then", "else", "end", "and", "or", "not",
-     "null", "true", "false", "is"}
-)
-
-
-def _fold_tokenize(s: str) -> list[tuple[str, object]]:
-    toks: list[tuple[str, object]] = []
-    i, n = 0, len(s)
-    while i < n:
-        m = _FOLD_TOKEN.match(s, i)
-        if not m or m.end() == i:
-            if s[i:].strip():
-                raise _NotConst()
-            break
-        i = m.end()
-        if m.group(1) is not None:
-            toks.append(("str", m.group(1)[1:-1].replace("''", "'")))
-        elif m.group(2) is not None:
-            t = m.group(2)
-            toks.append(("num", float(t) if "." in t else int(t)))
-        elif m.group(3) is not None:
-            w = m.group(3).lower()
-            if w not in _FOLD_KEYWORDS:
-                raise _NotConst()  # identifier / function name: loud
-            toks.append(("kw", w))
-        else:
-            toks.append(("op", m.group(4)))
-    return toks
-
-
-class _FoldEval:
-    """Recursive-descent evaluator for CONSTANT scalar expressions built
-    from string/numeric/bool/NULL literals, ``||``, comparisons,
-    NOT/AND/OR, parens and CASE (searched and operand forms) — the
-    shape templating/macro expansion produces for strftime/strptime
-    formats. DuckDB's binder constant-folds ANY constant expression
-    there (probed: ``upper('%y')`` and ``length('ab') = 2`` conditions
-    fold); this evaluator deliberately excludes function calls — those
-    stay loud (documented residue) rather than risk replicating DuckDB
-    function semantics blind. Three-valued logic mirrors SQL exactly
-    (probed: ``1 = NULL`` → NULL, ``NULL AND false`` → false,
-    ``NULL OR true`` → true, ``'a' || NULL`` → NULL, a NULL CASE
-    condition is not-matched)."""
-
-    def __init__(self, toks: list[tuple[str, object]]):
-        self.toks = toks
-        self.i = 0
-
-    def peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
-
-    def take(self):
-        t = self.peek()
-        self.i += 1
-        return t
-
-    def expect_kw(self, w: str):
-        k, v = self.take()
-        if k != "kw" or v != w:
-            raise _NotConst()
-
-    def parse(self):
-        v = self.expr()
-        if self.i != len(self.toks):
-            raise _NotConst()
-        return v
-
-    @staticmethod
-    def _boolish(x):
-        if x is not None and not isinstance(x, bool):
-            raise _NotConst()  # non-bool AND/OR/NOT operand: DuckDB casts
-        return x
-
-    def expr(self):
-        v = self.and_expr()
-        while self.peek() == ("kw", "or"):
-            self.take()
-            v, r = self._boolish(v), self._boolish(self.and_expr())
-            if v is True or r is True:
-                v = True
-            elif v is None or r is None:
-                v = None
-            else:
-                v = v or r
-        return v
-
-    def and_expr(self):
-        v = self.not_expr()
-        while self.peek() == ("kw", "and"):
-            self.take()
-            v, r = self._boolish(v), self._boolish(self.not_expr())
-            if v is False or r is False:
-                v = False
-            elif v is None or r is None:
-                v = None
-            else:
-                v = v and r
-        return v
-
-    def not_expr(self):
-        if self.peek() == ("kw", "not"):
-            self.take()
-            v = self._boolish(self.not_expr())
-            return None if v is None else not v
-        return self.cmp()
-
-    def cmp(self):
-        v = self.concat()
-        k, op = self.peek()
-        if k == "op" and op in ("=", "==", "<>", "!=", "<", ">", "<=", ">="):
-            self.take()
-            r = self.concat()
-            if v is None or r is None:
-                return None
-            if isinstance(v, bool) != isinstance(r, bool) or (
-                isinstance(v, str) != isinstance(r, str)
-            ):
-                raise _NotConst()  # mixed-type compare: DuckDB casts
-            if op in ("=", "=="):
-                return v == r
-            if op in ("<>", "!="):
-                return v != r
-            return {"<": v < r, ">": v > r, "<=": v <= r, ">=": v >= r}[op]
-        if k == "kw" and op == "is":
-            self.take()
-            neg = False
-            if self.peek() == ("kw", "not"):
-                self.take()
-                neg = True
-            self.expect_kw("null")
-            return (v is not None) if neg else (v is None)
-        return v
-
-    def concat(self):
-        v = self.primary()
-        while self.peek() == ("op", "||"):
-            self.take()
-            r = self.primary()
-            if v is None or r is None:
-                v = None
-            elif isinstance(v, str) and isinstance(r, str):
-                v = v + r
-            else:
-                raise _NotConst()  # non-string ||: DuckDB casts; loud
-        return v
-
-    def primary(self):
-        k, v = self.take()
-        if k == "str" or k == "num":
-            return v
-        if k == "op" and v == "(":
-            inner = self.expr()
-            if self.take() != ("op", ")"):
-                raise _NotConst()
-            return inner
-        if k == "kw":
-            if v == "null":
-                return None
-            if v == "true":
-                return True
-            if v == "false":
-                return False
-            if v == "case":
-                return self.case_expr()
-        raise _NotConst()
-
-    def case_expr(self):
-        operand = _NOT_SET = object()
-        if self.peek() != ("kw", "when"):
-            operand = self.expr()
-        result = None
-        matched = False
-        while self.peek() == ("kw", "when"):
-            self.take()
-            cond = self.expr()
-            self.expect_kw("then")
-            val = self.expr()
-            if not matched:
-                if operand is not _NOT_SET:
-                    if (
-                        operand is not None
-                        and cond is not None
-                        and (
-                            isinstance(operand, bool) != isinstance(cond, bool)
-                            or isinstance(operand, str) != isinstance(cond, str)
-                        )
-                    ):
-                        raise _NotConst()  # mixed-type operand compare
-                    hit = (
-                        operand is not None
-                        and cond is not None
-                        and operand == cond
-                    )
-                else:
-                    hit = self._boolish(cond) is True
-                if hit:
-                    result, matched = val, True
-        if self.peek() == ("kw", "else"):
-            self.take()
-            val = self.expr()
-            if not matched:
-                result, matched = val, True
-        self.expect_kw("end")
-        return result
-
-
-def _fold_const_expr(arg: str):
-    """Fold an all-literal scalar expression to its string value,
-    :data:`_CONST_NULL` when it folds to SQL NULL, or ``None`` when it
-    is not a foldable constant (identifiers, function calls, mixed-type
-    casts — loud IS parity for column-sourced formats; function calls
-    are the documented residue)."""
-    try:
-        v = _FoldEval(_fold_tokenize(arg)).parse()
-    except _NotConst:
-        return None
-    if v is None:
-        return _CONST_NULL
-    return v if isinstance(v, str) else None
-
-
-def _strf_rewrite(spark_fn: str):
-    """strftime with a CONSTANT format: plain string literals and
-    folded literal ``||`` chains rewrite; every directive must map to a
-    Java pattern or to the pure-SQL expression table
-    (``_c_format_to_sql_expr``). Column-sourced formats are an
-    InvalidInputException in DuckDB itself ("strftime format must be a
-    constant", probed) — leaving them loud IS parity."""
-
-    def build(a: list[str]) -> str | None:
-        fmt = _const_format(a[1])
-        if fmt is None:
-            return None
-        if fmt is _CONST_NULL:
-            # probed: DuckDB strftime(ts, NULL) is NULL VARCHAR
-            return "CAST(NULL AS STRING)"
-        java = _c_format_to_java(fmt)
-        if java is not None:
-            # the Java pattern may contain single quotes (literal-run
-            # escaping) — double them for the SQL string literal
-            return f"{spark_fn}({a[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
-        if spark_fn == "date_format":
-            return _c_format_to_sql_expr(fmt, a[0])
-        return None
-
-    return build
-
-
-def _const_format(arg: str):
-    """Extract a constant C-format string from an argument expression:
-    a plain literal, a foldable literal ``||`` chain, or (round 11) any
-    all-literal scalar expression — CASE-built formats, boolean-guarded
-    chains — folded by :class:`_FoldEval` exactly as DuckDB's binder
-    constant-folds them. Returns the string, :data:`_CONST_NULL` when
-    the constant folds to SQL NULL, or None when not a constant
-    (column-sourced formats error in DuckDB itself — loud IS parity)."""
-    m = _lit_match(arg)
-    if m:
-        return m.group(1)
-    folded = _fold_literal_concat(arg)
-    if folded is not None:
-        return folded
-    return _fold_const_expr(arg)
-
-
-# ---------------------------------------------------------------------
-# strptime PARSE-side compiler (round 10). The format side (strftime)
-# maps to Java patterns / JVM expressions above; the parse side CANNOT
-# share that path safely: DuckDB's strptime accepts 1-2 digit numeric
-# fields where Java's paired pattern letters demand zero-padding
-# ('2021-3-5' parses in DuckDB, fails Java 'yyyy-MM-dd'), defaults the
-# missing date to 1900-01-01 where Java defaults to 1970, parses %g as
-# integer MILLIseconds where Java 'SSS' is a fraction, and IGNORES %j
-# order-dependently (probed: '%j %Y' uses the day-of-year, '%Y %j'
-# drops it). So every constant-format strptime/try_strptime compiles
-# here to a pure-JVM expression: ONE anchored regex derived from the
-# format extracts each directive's digits (regexp_extract), range
-# checks mirror DuckDB's field validation, and the date is rebuilt
-# arithmetically — including the ISO (%G/%V/%u), Sunday-week (%U/%w)
-# and Monday-week (%W/%w) systems that have no Java parse twin at all.
-# Every branch of the semantics below was probed on the pinned DuckDB
-# (reference delegates strptime through node.rs:176):
-#   * leading/trailing input whitespace tolerated; format whitespace
-#     matches one-or-more input whitespace chars
-#   * %-X no-padding variants parse exactly like %X (both are \d{1,2})
-#   * a month/day field present => week-number fields are validated
-#     but IGNORED ('%Y %U %d' uses the day, month defaults to 1)
-#   * %V pairs with %G only ('%Y %V' validates-and-ignores %V); bare
-#     '%V %u' is ISO with the default year 1900
-#   * %u is used in ISO mode only, %w in %U/%W modes only; each is
-#     range-validated even where ignored
-#   * %U with %W, or %G with %U/%W/%Y: DuckDB errors — stays loud here
-#   * duplicate same-role directives: LAST wins ('%Y %y' = the %y)
-#   * %I without %p is the hour as written (12 stays 12); with %p,
-#     12am=0 / 12pm=12; %p without %I errors in DuckDB — loud
-#   * fractions: %f = integer microseconds (1-6 digits), %g = integer
-#     milliseconds (1-3), %n = integer nanoseconds (1-9, rounded
-#     half-up to micros); DuckDB defaults everything missing to
-#     1900-01-01 00:00:00
-#   * %j (round 11): DuckDB applies it POSITION-dependently — recorded
-#     only when no numeric %Y/%y/%m/%d parsed yet, cleared by a later
-#     %m/%d, kept across a later year (converted leap-aware with the
-#     final year), conflicting with a second %j at runtime, ignoring
-#     month NAMES in either order, range-validated even where skipped,
-#     erroring beside any week-system field (stays loud there) — all
-#     probed, compiled in the token loop below
-#   * %z, %Z stay loud (they produce TIMESTAMP WITH TIME ZONE, a
-#     different result type)
-# Failure parity: strptime raises on a non-matching or out-of-range
-# input (raise_error), try_strptime yields NULL; a NULL input is NULL
-# through both. Invalid calendar dates (Feb 30) are rejected by an
-# explicit last-day check so the try_ variant stays NULL-not-error.
-
-_STRP_NUM = {
-    # directive -> (regex snippet [1 capture], role, lo, hi)
-    "j": (r"(\d{1,3})", "yearday", 1, 366),
-    "Y": (r"(\d{1,4})", "year", None, None),
-    "y": (r"(\d{1,2})", "year2", None, None),
-    "m": (r"(\d{1,2})", "month", 1, 12),
-    "d": (r"(\d{1,2})", "day", 1, 31),
-    "H": (r"(\d{1,2})", "hour24", 0, 23),
-    "I": (r"(\d{1,2})", "hour12", 1, 12),
-    "M": (r"(\d{1,2})", "minute", 0, 59),
-    "S": (r"(\d{1,2})", "second", 0, 59),
-    "f": (r"(\d{1,6})", "micros", None, None),
-    "g": (r"(\d{1,3})", "millis", None, None),
-    "n": (r"(\d{1,9})", "nanos", None, None),
-    "G": (r"(\d{1,4})", "isoyear", None, None),
-    "V": (r"(\d{1,2})", "isoweek", 1, 53),
-    "U": (r"(\d{1,2})", "sunweek", 0, 53),
-    "W": (r"(\d{1,2})", "monweek", 0, 53),
-    "u": (r"(\d)", "isodow", 1, 7),
-    "w": (r"(\d)", "sundow", 0, 6),
-}
-_STRP_MONTHS = "jan feb mar apr may jun jul aug sep oct nov dec".split()
-_STRP_MONTHS_FULL = (
-    "january february march april may june july august september "
-    "october november december"
-).split()
-_STRP_DAYS = "mon tue wed thu fri sat sun".split()
-_STRP_DAYS_FULL = (
-    "monday tuesday wednesday thursday friday saturday sunday"
-).split()
-_STRP_NAME = {
-    # directive -> (regex snippet [1 capture, case-insensitive], role)
-    # abbreviated vs full names DON'T cross-match (probed: 'Jan' fails
-    # %B, 'Mon' fails %A) — each alternation lists only its own forms
-    "p": (r"((?i:[ap]m))", "ampm"),
-    "b": (r"((?i:%s))" % "|".join(_STRP_MONTHS), "month_name"),
-    "B": (r"((?i:%s))" % "|".join(_STRP_MONTHS_FULL), "month_name_full"),
-    "a": (r"((?i:%s))" % "|".join(_STRP_DAYS), "dayname"),
-    "A": (r"((?i:%s))" % "|".join(_STRP_DAYS_FULL), "dayname"),
-}
-#: composite directives expand to their probed fixed sub-formats
-_STRP_COMPOSITE = {"c": "%Y-%m-%d %H:%M:%S", "x": "%Y-%m-%d", "X": "%H:%M:%S"}
-
-
-def _strp_tokens(fmt: str) -> list[tuple] | None:
-    """Tokenize a C parse format: ('lit', text) / ('ws',) /
-    ('num'|'name', directive-key). None on any unsupported directive."""
-    toks: list[tuple] = []
-    i, n = 0, len(fmt)
-    while i < n:
-        ch = fmt[i]
-        if ch == "%":
-            if i + 1 >= n:
-                return None
-            code = fmt[i + 1]
-            if code == "%":
-                toks.append(("lit", "%"))
-                i += 2
-                continue
-            if code == "-" and i + 2 < n and fmt[i + 2] in "dmHIMSyj":
-                # no-padding variants parse like the padded ones — only
-                # DuckDB's documented set (probed: %-V / %-Y are BIND
-                # errors there, so other '-' combos must stay loud)
-                code, i = fmt[i + 2], i + 1
-            if code in _STRP_COMPOSITE:
-                sub = _strp_tokens(_STRP_COMPOSITE[code])
-                if sub is None:
-                    return None
-                toks.extend(sub)
-            elif code in _STRP_NUM:
-                toks.append(("num", code))
-            elif code in _STRP_NAME:
-                toks.append(("name", code))
-            else:
-                return None  # %z / %Z / unknown: loud
-            i += 2
-            continue
-        if ch in " \t\n\r\f\v":
-            if not toks or toks[-1] != ("ws",):
-                toks.append(("ws",))
-            i += 1
-            continue
-        if toks and toks[-1][0] == "lit":
-            toks[-1] = ("lit", toks[-1][1] + ch)
-        else:
-            toks.append(("lit", ch))
-        i += 1
-    return toks
-
-
-def _sql_str(s: str) -> str:
-    """Render a Python string as a Spark SQL string literal (the session
-    keeps escapedStringLiterals at its default, so backslashes must be
-    doubled alongside quote-doubling)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
-
-
-def _strp_name_pos(names: list[str], val: str) -> str:
-    """1-based month number from a lowercased captured name."""
-    arr = ", ".join(f"'{m}'" for m in names)
-    return f"CAST(array_position(array({arr}), {val}) AS INT)"
-
-
-def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
-    """Compile ``strptime(arg, '<fmt>')`` to a Spark SQL expression per
-    the probed DuckDB semantics documented above. ``fail_sql`` is the
-    expression for a non-matching / out-of-range input (raise_error for
-    strptime, a typed NULL for try_strptime). Returns None when the
-    format contains a directive or combination with no proven mapping
-    (the call then stays loud)."""
-    toks = _strp_tokens(fmt)
-    if toks is None or not toks:
-        return None  # empty format errors in DuckDB's binder: loud
-    if "__RX__" in fmt or "__RX__" in arg:
-        return None  # would collide with the regex splice marker
-    arg = f"({arg})"
-    rx_parts: list[str] = [r"^\s*"]
-    conds: list[str] = []  # ordered: each becomes its own WHEN branch
-    vals: dict[str, str] = {}  # role -> value SQL (LAST occurrence wins)
-    roles_seen: set[str] = set()
-    gi = 0
-    # %j is POSITION-dependent in DuckDB (every rule probed on the
-    # embedded engine): it records a pending day-of-year ONLY when no
-    # numeric %Y/%y/%m/%d has been parsed yet; a numeric year AFTER it
-    # keeps the pending value (converted leap-aware with the FINAL
-    # year — '060 2020','%j %Y' = 2020-02-29), a %m or %d AFTER it
-    # CLEARS it and applies normally ('%j %m %Y' uses the month), and
-    # a second %j while one is pending is a runtime parse error even
-    # on matching input ('%j %j' errors, '%Y %j %j' does not — both
-    # skipped). Month NAMES (%b/%B) neither block nor clear: a pending
-    # %j wins over them in either order ('100 Feb 2020','%j %b %Y' =
-    # 2020-04-09). Skipped occurrences are still range-validated
-    # ('2021 000','%Y %j' errors; try_ yields NULL).
-    yearday_pending = False
-    ymd_seen = False  # numeric year/month/day parsed so far
-    always_fail = False  # pending-%j conflict: every matching input fails
-
-    def ex_int(idx: int) -> str:
-        return (
-            f"CAST(regexp_extract({arg}, __RX__, {idx}) AS INT)"
-        )
-
-    def ex_str(idx: int) -> str:
-        return f"lower(regexp_extract({arg}, __RX__, {idx}))"
-
-    for tok in toks:
-        if tok[0] == "lit":
-            rx_parts.append(re.escape(tok[1]))
-            continue
-        if tok[0] == "ws":
-            rx_parts.append(r"\s+")
-            continue
-        kind, code = tok
-        gi += 1
-        if kind == "num":
-            rx, role, lo, hi = _STRP_NUM[code]
-            rx_parts.append(rx)
-            v = ex_int(gi)
-            if lo is not None:
-                conds.append(f"{v} BETWEEN {lo} AND {hi}")
-            if code == "j":
-                # see the position-dependence comment above the loop
-                if yearday_pending:
-                    always_fail = True
-                elif not ymd_seen:
-                    yearday_pending = True
-                    roles_seen.add(role)
-                    vals[role] = v
-                continue  # skipped %j: range-validated only
-            if code in ("Y", "y"):
-                ymd_seen = True
-            elif code in ("m", "d"):
-                ymd_seen = True
-                yearday_pending = False
-                roles_seen.discard("yearday")
-                vals.pop("yearday", None)
-            roles_seen.add(role)
-            vals[role] = v
-        else:
-            rx, role = _STRP_NAME[code]
-            rx_parts.append(rx)
-            roles_seen.add(role)
-            if role == "month_name":
-                vals[role] = _strp_name_pos(_STRP_MONTHS, ex_str(gi))
-            elif role == "month_name_full":
-                vals[role] = _strp_name_pos(_STRP_MONTHS_FULL, ex_str(gi))
-            elif role == "ampm":
-                vals[role] = ex_str(gi)
-            # dayname: validated by the regex alternation, never used
-    rx_parts.append(r"\s*$")
-    rx_lit = _sql_str("".join(rx_parts))
-
-    # ---- role reconciliation (all combination rules probed) ----
-    has_j = any(t == ("num", "j") for t in toks)
-    if has_j and roles_seen & {
-        "isoyear", "isoweek", "sunweek", "monweek", "isodow", "sundow",
-    }:
-        return None  # %j beside ANY week-system field errors in DuckDB
-    if always_fail:
-        conds.append("1 = 0")  # pending-%j conflict: matching input fails
-    if {"sunweek", "monweek"} <= roles_seen:
-        return None  # DuckDB errors on %U+%W
-    if "isoyear" in roles_seen and roles_seen & {
-        "sunweek", "monweek", "year", "year2",
-    }:
-        return None  # %G beside %U/%W errors; %G beside %Y unprobed
-    if "ampm" in roles_seen and "hour12" not in roles_seen:
-        return None  # %p needs %I (DuckDB errors on %H %p)
-    if len(roles_seen & {"micros", "millis", "nanos"}) > 1:
-        return None  # stacked fraction fields: unprobed
-    if len(roles_seen & {"month", "month_name", "month_name_full"}) > 1:
-        return None  # %m beside %b/%B: positional last-wins unprobed
-
-    year = vals.get("year")
-    if "year2" in roles_seen and (
-        "year" not in roles_seen or _strp_last_year_role(toks) == "year2"
-    ):
-        y2 = vals["year2"]
-        year = f"(CASE WHEN {y2} < 69 THEN 2000 + {y2} ELSE 1900 + {y2} END)"
-    year = year or "1900"
-    month = vals.get("month") or vals.get("month_name") or vals.get(
-        "month_name_full"
-    )
-    has_md = bool(month) or "day" in roles_seen
-
-    if "yearday" in roles_seen:
-        # pending day-of-year wins: Jan 1 of the FINAL year + (j - 1),
-        # leap-aware and overflowing into the next year exactly like
-        # DuckDB ('366 2021' = 2022-01-01); a %b/%B name may be present
-        # but is validated-and-ignored (probed)
-        date_sql = f"date_add(make_date({year}, 1, 1), {vals['yearday']} - 1)"
-    elif has_md:
-        m_sql = month or "1"
-        d_sql = vals.get("day", "1")
-        if "day" in roles_seen:
-            # explicit last-day check instead of letting make_date blow
-            # up under ANSI: keeps try_strptime NULL-not-error on Feb 30
-            conds.append(
-                f"{d_sql} <= extract(DAY FROM "
-                f"last_day(make_date({year}, {m_sql}, 1)))"
-            )
-        date_sql = f"make_date({year}, {m_sql}, {d_sql})"
-    elif "isoyear" in roles_seen or (
-        "isoweek" in roles_seen and not roles_seen & {"year", "year2"}
-    ):
-        g = vals.get("isoyear", "1900")
-        v = vals.get("isoweek", "1")
-        u = vals.get("isodow", "1")
-        anchor = f"make_date({g}, 1, 4)"  # Jan 4 is always in ISO week 1
-        wk1 = f"date_sub({anchor}, extract(DOW_ISO FROM {anchor}) - 1)"
-        date_sql = f"date_add({wk1}, ({v} - 1) * 7 + ({u} - 1))"
-    elif "sunweek" in roles_seen or "monweek" in roles_seen:
-        jan1 = f"make_date({year}, 1, 1)"
-        if "sunweek" in roles_seen:
-            wk = vals["sunweek"]
-            off = vals.get("sundow", "0")
-            wk1 = f"date_add({jan1}, (7 - extract(DOW_ISO FROM {jan1})) % 7)"
-        else:
-            wk = vals["monweek"]
-            w = vals.get("sundow")
-            off = f"(({w} + 6) % 7)" if w else "0"
-            wk1 = f"date_add({jan1}, (8 - extract(DOW_ISO FROM {jan1})) % 7)"
-        date_sql = f"date_add({wk1}, ({wk} - 1) * 7 + {off})"
-    else:
-        date_sql = f"make_date({year}, 1, 1)"
-
-    # ---- time of day ----
-    if "hour12" in roles_seen:
-        h = vals["hour12"]
-        if "ampm" in roles_seen:
-            hour = (
-                f"(({h}) % 12 + CASE WHEN {vals['ampm']} = 'pm' "
-                f"THEN 12 ELSE 0 END)"
-            )
-        else:
-            hour = h  # probed: %I without %p keeps the hour as written
-    else:
-        hour = vals.get("hour24", "0")
-    minute = vals.get("minute", "0")
-    second = vals.get("second", "0")
-    if "micros" in roles_seen:
-        frac = vals["micros"]
-    elif "millis" in roles_seen:
-        frac = f"({vals['millis']} * 1000)"
-    elif "nanos" in roles_seen:
-        # DuckDB rounds nanoseconds half-up to the µs (probed both sides
-        # of the .5 boundary)
-        frac = f"CAST(floor(({vals['nanos']} + 500) / 1000) AS INT)"
-    else:
-        frac = None
-
-    ts = f"CAST({date_sql} AS TIMESTAMP)"
-    time_terms = []
-    if hour != "0":
-        time_terms.append(f"CAST({hour} AS BIGINT) * 3600000000")
-    if minute != "0":
-        time_terms.append(f"CAST({minute} AS BIGINT) * 60000000")
-    if second != "0":
-        time_terms.append(f"CAST({second} AS BIGINT) * 1000000")
-    if frac is not None:
-        time_terms.append(f"CAST({frac} AS BIGINT)")
-    if time_terms:
-        ts = f"timestampadd(MICROSECOND, {' + '.join(time_terms)}, {ts})"
-
-    branches = [
-        f"WHEN {arg} IS NULL THEN CAST(NULL AS TIMESTAMP)",
-        f"WHEN NOT ({arg} RLIKE __RX__) THEN {fail_sql}",
-    ]
-    # each range/validity check is its OWN branch: within a single AND
-    # Spark may evaluate the calendar check before the month-range one
-    # and error inside make_date instead of failing cleanly
-    branches += [f"WHEN NOT ({c}) THEN {fail_sql}" for c in conds]
-    branches.append(f"ELSE {ts} END")
-    out = "CASE " + " ".join(branches)
-    return out.replace("__RX__", rx_lit)
-
-
-def _strp_last_year_role(toks: list[tuple]) -> str:
-    """Which of %Y/%y appears LAST in the format (duplicates last-win,
-    probed: strptime('2021 22', '%Y %y') = 2022)."""
-    last = "year"
-    for kind, code in ((t[0], t[1]) for t in toks if len(t) == 2):
-        if kind == "num" and code == "Y":
-            last = "year"
-        elif kind == "num" and code == "y":
-            last = "year2"
-    return last
-
-
-def _strp_rewrite(try_variant: bool):
-    def build(a: list[str]) -> str | None:
-        fmt = _const_format(a[1])
-        if fmt is None:
-            return None
-        if fmt is _CONST_NULL:
-            # probed: strptime AND try_strptime with NULL format are
-            # NULL TIMESTAMP in DuckDB (no error)
-            return "CAST(NULL AS TIMESTAMP)"
-        fail = (
-            "CAST(NULL AS TIMESTAMP)"
-            if try_variant
-            else "raise_error("
-            + _sql_str(
-                f"strptime: input does not match format {fmt!r} "
-                "(arnab-spark parse-compiled; DuckDB raises here too)"
-            )
-            + ")"
-        )
-        return _c_parse_to_sql_expr(fmt, a[0], fail)
-
-    return build
-
-
-_ARG_CALL_REWRITES["strftime"] = (2, _strf_rewrite("date_format"))
-_ARG_CALL_REWRITES["strptime"] = (2, _strp_rewrite(False))
-_ARG_CALL_REWRITES["try_strptime"] = (2, _strp_rewrite(True))
 
 
 def _substr_zero(a: list[str]) -> str | None:
@@ -3535,9 +2625,22 @@ _ARG_CALL_REWRITES["xor"] = (
     lambda a: f"(({a[0].strip()}) ^ ({a[1].strip()}))",
 )
 
-_ARG_CALL = re.compile(
-    r"\b(" + "|".join(_ARG_CALL_REWRITES) + r")\s*\(", re.IGNORECASE
-)
+_ARG_CALL_CACHE: list = [None, -1]
+
+
+def _arg_call_re():
+    """The dispatch regex over :data:`_ARG_CALL_REWRITES`' keys, rebuilt
+    whenever the registry grows — ``_dialect_datetime`` registers the
+    strftime/strptime/substr/… entries when the core module's bottom
+    re-export imports it, AFTER this point in the file (round-12 split:
+    a snapshot regex here silently stopped dispatching every
+    late-registered rewrite)."""
+    if _ARG_CALL_CACHE[1] != len(_ARG_CALL_REWRITES):
+        _ARG_CALL_CACHE[0] = re.compile(
+            r"\b(" + "|".join(_ARG_CALL_REWRITES) + r")\s*\(", re.IGNORECASE
+        )
+        _ARG_CALL_CACHE[1] = len(_ARG_CALL_REWRITES)
+    return _ARG_CALL_CACHE[0]
 
 
 def _rewrite_arg_transform_calls(sql: str) -> str:
@@ -3548,6 +2651,7 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
     guard = 0
     pos = 0
     spans = _quoted_spans(sql)
+    _arg_call = _arg_call_re()
     while True:
         guard += 1
         if guard > 2000:
@@ -3558,7 +2662,7 @@ def _rewrite_arg_transform_calls(sql: str) -> str:
                 "dialect rewrite did not converge after 2000 substitutions; "
                 "statement too pathological to transpile safely"
             )
-        m = _ARG_CALL.search(sql, pos)
+        m = _arg_call.search(sql, pos)
         if not m:
             return sql
         if any(s <= m.start() <= e for s, e in spans):
@@ -5059,2497 +4163,6 @@ def _rewrite_using_sample(sql: str) -> str:
     return _USING_SAMPLE.sub(sub, sql)
 
 
-# ------------------------------------------------------- DuckDB macros
-#
-# DuckDB's CREATE MACRO registers a named SQL template expanded at bind
-# time (scalar: an expression; TABLE: a query). The reference reaches
-# it through the verbatim passthrough (node.rs:176 / main.rs:165). The
-# shim mirrors bind-time expansion textually: a CREATE MACRO statement
-# registers the template (scoped per SparkSession, matching DuckDB's
-# in-memory-database scope) and transpiles to the empty statement;
-# every later statement has its call sites expanded inline before the
-# other rewrites run. Unsupported shapes (default parameters `p := v`)
-# are left untouched so Spark rejects the MACRO keyword loudly.
-
-_CREATE_MACRO = re.compile(
-    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?MACRO\s+"
-    r"([A-Za-z_]\w*)\s*\("
-)
-_MACRO_FALLBACK: dict[str, tuple[list[str], str, bool]] = {}
-
-try:  # WeakKeyDictionary so a closed session's macros are collectable
-    from weakref import WeakKeyDictionary
-
-    _MACRO_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _MACRO_BY_SESSION = {}
-
-
-def _macros_for(spark) -> dict[str, tuple[list[str], str, bool, bool]]:
-    if spark is None:
-        return _MACRO_FALLBACK
-    reg = _MACRO_BY_SESSION.get(spark)
-    if reg is None:
-        reg = {}
-        _MACRO_BY_SESSION[spark] = reg
-    return reg
-
-
-_DROPPED_FALLBACK: set = set()
-
-try:
-    _DROPPED_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _DROPPED_BY_SESSION = {}
-
-
-def dropped_macros_for(spark) -> set:
-    """Names DROP MACRO removed this session. ``record_macros`` deletes
-    these from the persisted warehouse file so a drop of a persisted
-    macro is durable (DuckDB parity: DROP MACRO persists in the
-    database file — round-5 advice; previously the dropped macro
-    resurrected on the next attach)."""
-    if spark is None:
-        return _DROPPED_FALLBACK
-    reg = _DROPPED_BY_SESSION.get(spark)
-    if reg is None:
-        reg = set()
-        _DROPPED_BY_SESSION[spark] = reg
-    return reg
-
-
-def reset_macros(spark=None) -> None:
-    """Drop registered macros (the ``spark=None`` fallback registry is
-    process-global — tests exercising sessionless transpile reset it)."""
-    _macros_for(spark).clear()
-    dropped_macros_for(spark).clear()
-
-
-# ---------------------------------------------------- ATTACH / DETACH
-#
-# DuckDB's ATTACH opens another database file whose objects resolve as
-# ``alias.name`` (reachable reference surface: run-file scripts go to
-# DuckDB verbatim, main.rs:165). The Spark twin attaches another
-# arnab-spark WAREHOUSE directory: its cataloged models register as
-# ``alias__model`` temp views (Spark temp views cannot be dotted) and
-# every later ``alias.model`` reference is rewritten to that name.
-# Macros persisted in the attached warehouse load too.
-
-_ATTACH_STMT = re.compile(
-    r"(?is)^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_]\w*)"
-    r"\s*(?:\(\s*READ_ONLY\s*\))?\s*;?\s*$"
-)
-_DETACH_STMT = re.compile(
-    r"(?is)^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*;?\s*$"
-)
-_ATTACH_FALLBACK: dict[str, set[str]] = {}
-try:
-    _ATTACHED_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _ATTACHED_BY_SESSION = {}
-
-
-def _attached_for(spark) -> dict[str, set[str]]:
-    if spark is None:
-        return _ATTACH_FALLBACK
-    reg = _ATTACHED_BY_SESSION.get(spark)
-    if reg is None:
-        reg = {}
-        _ATTACHED_BY_SESSION[spark] = reg
-    return reg
-
-
-def reset_attached(spark=None) -> None:
-    _attached_for(spark).clear()
-
-
-try:
-    _TEMP_DDL_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _TEMP_DDL_BY_SESSION = {}
-_TEMP_DDL_FALLBACK: set = set()
-
-
-def _temp_ddl_for(spark) -> set:
-    """Names created via an EXPLICIT ``CREATE TEMP[ORARY] VIEW`` DDL in
-    this session. In DuckDB those live in the ``temp`` database
-    (``temporary = true`` in SHOW ALL TABLES), while warehouse models —
-    which this engine also registers as Spark temp views — are tables/
-    views of the CURRENT database (``memory``, ``temporary = false``).
-    The Spark catalog cannot tell the two apart, so the distinction is
-    recorded at DDL time (statement parity for node.rs:176 run-files)."""
-    if spark is None:
-        return _TEMP_DDL_FALLBACK
-    reg = _TEMP_DDL_BY_SESSION.get(spark)
-    if reg is None:
-        reg = set()
-        _TEMP_DDL_BY_SESSION[spark] = reg
-    return reg
-
-
-_TEMP_VIEW_DDL = re.compile(
-    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+"
-    r'(?:IF\s+NOT\s+EXISTS\s+)?("?)([A-Za-z_]\w*)\1\s'
-)
-_DROP_VIEW_DDL = re.compile(
-    r'(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?("?)([A-Za-z_]\w*)\1\s*;?\s*$'
-)
-#: non-TEMP CREATE VIEW: with a warehouse open it persists in the
-#: catalog like DuckDB persists views in the database file
-_PERM_VIEW_DDL = re.compile(
-    r"(?is)^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?VIEW\s+"
-    r'(?P<ine>IF\s+NOT\s+EXISTS\s+)?("?)(?P<name>[A-Za-z_]\w*)\3\s+AS\s+'
-    r"(?P<body>.*?)\s*;?\s*$"
-)
-
-
-def _user_cache_base(kind: str) -> str:
-    """Per-user cache directory (``$TMPDIR/arnab_spark_<kind>_<uid>``),
-    created 0700 and ownership-verified before reuse. If a same-named
-    path exists but is a symlink or owned by someone else (a squatting
-    attack on multi-user hosts), fall back to a fresh ``mkdtemp`` —
-    correctness over cache reuse. Shared by the ATTACH export cache and
-    the https ``read_parquet`` fetch cache (round-5 advice: the scheme
-    was applied to ATTACH only, leaving the remote fetch cache on a
-    world-shared predictable path)."""
-    import os as _os
-    import tempfile as _tf
-
-    uid = _os.getuid() if hasattr(_os, "getuid") else 0
-    base = _os.path.join(_tf.gettempdir(), f"arnab_spark_{kind}_{uid}")
-    try:
-        _os.makedirs(base, mode=0o700, exist_ok=True)
-        stb = _os.lstat(base)
-        import stat as _stat
-
-        if (
-            _stat.S_ISDIR(stb.st_mode)
-            and not _stat.S_ISLNK(stb.st_mode)
-            and (not hasattr(_os, "getuid") or stb.st_uid == uid)
-        ):
-            _os.chmod(base, 0o700)
-            return base
-    except OSError:
-        pass
-    return _tf.mkdtemp(prefix=f"arnab_spark_{kind}_")
-
-
-def _attach_cache_base() -> str:
-    return _user_cache_base("attach")
-
-
-def _attach_duckdb_file(spark, path: str, alias: str) -> list[str] | None:
-    """Attach a REAL DuckDB database file — the reference's own
-    persistence format (main.rs:126-132): every table and view exports
-    once through DuckDB to a content-addressed local parquet cache
-    (keyed on path + mtime, so re-ATTACH after a file change
-    re-exports) and registers as an ``alias__name`` Spark view. The
-    export is a one-time driver-local bridge — afterwards Spark scans
-    parquet natively with pushdown/pruning; bounded by local disk, the
-    honest limit of bridging an in-process single-file engine into a
-    distributed one. Returns None when the file is not a readable
-    DuckDB database (caller leaves the statement loud)."""
-    import hashlib as _hl
-    import os as _os
-
-    try:
-        import duckdb
-    except Exception:  # pragma: no cover
-        return None
-    try:
-        con = duckdb.connect(path, read_only=True)
-        names = [
-            r[0]
-            for r in con.execute(
-                "SELECT table_name FROM information_schema.tables "
-                "WHERE table_schema = 'main' ORDER BY table_name"
-            ).fetchall()
-        ]
-    except Exception:
-        return None
-    # Cache key: path + mtime_ns + size, so an in-place rewrite of the
-    # source .duckdb file (same path) re-exports instead of silently
-    # serving stale data (round-5 verdict item 6). Cache base: a
-    # PER-USER 0700 directory whose ownership is verified before reuse
-    # — a world-shared /tmp path with a predictable name could be
-    # pre-created by another local user to poison the attached data,
-    # and exported table contents must not land world-readable
-    # (round-5 advice).
-    st = _os.stat(path)
-    key = f"{_os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
-    cache = _os.path.join(
-        _attach_cache_base(), _hl.sha256(key.encode()).hexdigest()[:20]
-    )
-    _os.makedirs(cache, mode=0o700, exist_ok=True)
-    out: list[str] = []
-    for name in names:
-        dest = _os.path.join(cache, f"{name}.parquet")
-        if not _os.path.exists(dest):
-            quoted = name.replace('"', '""')
-            con.execute(
-                f'COPY (SELECT * FROM "{quoted}") TO \'{dest}\' (FORMAT PARQUET)'
-            )
-        spark.read.parquet(dest).createOrReplaceTempView(f"{alias}__{name}")
-        out.append(name)
-    # macros persisted in the file load too (round-10, r9 verdict ask
-    # #7 follow-through: the reference's warehouse IS a .duckdb file and
-    # CREATE MACRO persists there, main.rs:126-132) — read the
-    # non-internal macro catalog and register each through the shim's
-    # own CREATE MACRO pass, bare-named like the warehouse-attach path.
-    # Parameter DEFAULTS are not exposed by duckdb_functions(), so a
-    # macro invoked with fewer args than parameters stays loud
-    # (arity-mismatch), never silently wrong; a macro the shim cannot
-    # register is skipped — its call sites then fail loud too.
-    try:
-        mrows = con.execute(
-            "SELECT function_name, function_type, parameters, "
-            "macro_definition FROM duckdb_functions() "
-            "WHERE function_type IN ('macro', 'table_macro') "
-            "AND NOT internal AND database_name = current_database()"
-        ).fetchall()
-    except Exception:
-        mrows = []
-    con.close()
-    for mname, mtype, params, body in mrows:
-        if not re.match(r"^[A-Za-z_]\w*$", mname) or not all(
-            re.match(r"^[A-Za-z_]\w*$", p) for p in (params or [])
-        ):
-            continue  # operator-named / exotic-param macros: loud at use
-        if mname.lower() in _macros_for(spark):
-            # DuckDB resolves unqualified macro calls from the CURRENT
-            # database before any attached catalog (probed) — a
-            # session-defined macro must therefore win over a
-            # same-named macro arriving via ATTACH, not be silently
-            # last-attach-overwritten (round-10 advice).
-            continue
-        head = f"CREATE OR REPLACE MACRO {mname}({', '.join(params or [])}) AS "
-        stmt = head + ("TABLE " + body if mtype == "table_macro" else body)
-        try:
-            transpile_statement(stmt, spark)
-        except Exception:
-            continue  # unregistrable body: call sites stay loud
-    return out
-
-
-_SHOW_TABLES_STMT = re.compile(r"(?is)^\s*SHOW\s+TABLES\s*;?\s*$")
-_SHOW_ALL_TABLES_STMT = re.compile(r"(?is)^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$")
-
-
-def _visible_catalog_names(spark) -> tuple[list[str], dict[str, tuple[str, str]]]:
-    """Session catalog entries a DuckDB user would see, split the way
-    DuckDB's catalog splits them. Returns (local_names, attach_map)
-    where ``local_names`` are the current-database + explicit-temp
-    entries and ``attach_map`` maps a registered ``alias__model`` view
-    name to its (alias, model) pair. Internal helper views
-    (``_arnab_*`` source caches / probe scratch) are never shown —
-    DuckDB has no catalog object for a ``read_csv_auto`` call."""
-    attached = _attached_for(spark)
-    local: list[str] = []
-    attach_map: dict[str, tuple[str, str]] = {}
-    for t in spark.catalog.listTables():
-        n = t.name
-        low = n.lower()
-        if low.startswith("_arnab_"):
-            continue
-        hit = None
-        for alias, models in attached.items():
-            pre = alias + "__"
-            if low.startswith(pre) and low[len(pre):] in models:
-                hit = (alias, n[len(pre):])
-                break
-        if hit is not None:
-            attach_map[n] = hit
-        else:
-            local.append(n)
-    return local, attach_map
-
-
-def _rewrite_show_tables(sql: str, spark) -> str:
-    """DuckDB ``SHOW TABLES`` → a literal VALUES table with the single
-    ``name`` column DuckDB emits (probed), listing the session's
-    tables + temp views sorted by name. Probed: DuckDB lists the
-    CURRENT database's entries plus temp views, NOT attached
-    databases' — so views registered by ATTACH (``alias__model``) and
-    internal ``_arnab_*`` helpers are excluded. Needs a session."""
-    if spark is None or not _SHOW_TABLES_STMT.match(sql):
-        return sql
-    try:
-        local, _ = _visible_catalog_names(spark)
-    except Exception:
-        return sql
-    names = sorted(local)
-    if not names:
-        return "SELECT CAST(NULL AS STRING) AS name WHERE 1 = 0"
-    rows = ", ".join("('" + n.replace("'", "''") + "')" for n in names)
-    return f"SELECT * FROM (VALUES {rows}) AS __arnab_sht(name)"
-
-
-def _rewrite_show_all_tables(sql: str, spark) -> str:
-    """DuckDB ``SHOW ALL TABLES`` → its six-column catalog dump
-    (database, schema, name, column_names VARCHAR[], column_types
-    VARCHAR[], temporary), probed on the embedded engine and rendered
-    from the live Spark catalog: ATTACHed models under their alias
-    (``ext/main/<model>``), explicit ``CREATE TEMP VIEW`` DDL names
-    under ``temp/main`` with ``temporary = true`` (the
-    :func:`_temp_ddl_for` record), and every other session entry —
-    warehouse models, which the reference keeps as tables/views of the
-    current database — under ``memory/main`` with ``temporary =
-    false``. Types in DuckDB spellings via :func:`_duck_type_name`;
-    rows ordered (database, name) like DuckDB's own output."""
-    if spark is None or not _SHOW_ALL_TABLES_STMT.match(sql):
-        return sql
-    try:
-        local, attach_map = _visible_catalog_names(spark)
-    except Exception:
-        return sql
-    temp_ddl = _temp_ddl_for(spark)
-    rows: list[tuple[str, str, str, list[str], list[str], bool]] = []
-
-    def _schema_of(view: str):
-        try:
-            return spark.table(view).schema.fields
-        except Exception:
-            return None  # stale/unresolvable catalog entry: skip
-
-    for view, (alias, model) in attach_map.items():
-        fields = _schema_of(view)
-        if fields is None:
-            continue
-        rows.append(
-            (alias, "main", model, [f.name for f in fields],
-             [_duck_type_name(f.dataType) for f in fields], False)
-        )
-    for n in local:
-        fields = _schema_of(n)
-        if fields is None:
-            continue
-        is_temp = n.lower() in temp_ddl
-        rows.append(
-            ("temp" if is_temp else "memory", "main", n,
-             [f.name for f in fields],
-             [_duck_type_name(f.dataType) for f in fields], is_temp)
-        )
-    rows.sort(key=lambda r: (r[0], r[2]))
-    if not rows:
-        return (
-            "SELECT CAST(NULL AS STRING) AS database, "
-            "CAST(NULL AS STRING) AS schema, CAST(NULL AS STRING) AS name, "
-            "CAST(array() AS ARRAY<STRING>) AS column_names, "
-            "CAST(array() AS ARRAY<STRING>) AS column_types, "
-            "CAST(NULL AS BOOLEAN) AS temporary WHERE 1 = 0"
-        )
-
-    def _q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    def _arr(items: list[str]) -> str:
-        return "array(" + ", ".join(_q(i) for i in items) + ")"
-
-    vals = ", ".join(
-        f"({_q(db)}, {_q(sch)}, {_q(nm)}, {_arr(cn)}, {_arr(ct)}, "
-        f"{'true' if tmp else 'false'})"
-        for db, sch, nm, cn, ct, tmp in rows
-    )
-    return (
-        f"SELECT * FROM (VALUES {vals}) AS __arnab_shat"
-        "(database, schema, name, column_names, column_types, temporary)"
-    )
-
-
-_DESCRIBE_STMT = re.compile(r"(?is)^\s*DESC(?:RIBE)?\s+(.+?)\s*;?\s*$")
-
-
-def _duck_type_name(dt) -> str:
-    """Render a Spark DataType in DuckDB's type spelling (probed
-    DESCRIBE layout: VARCHAR / INTEGER / DOUBLE[] /
-    STRUCT(x INTEGER, …) / MAP(K, V) / DECIMAL(p,s))."""
-    from pyspark.sql import types as T
-
-    if isinstance(dt, T.ArrayType):
-        return _duck_type_name(dt.elementType) + "[]"
-    if isinstance(dt, T.MapType):
-        return (
-            f"MAP({_duck_type_name(dt.keyType)}, "
-            f"{_duck_type_name(dt.valueType)})"
-        )
-    if isinstance(dt, T.StructType):
-        inner = ", ".join(
-            f"{f.name} {_duck_type_name(f.dataType)}" for f in dt.fields
-        )
-        return f"STRUCT({inner})"
-    s = dt.simpleString()
-    return {
-        "string": "VARCHAR",
-        "int": "INTEGER",
-        "binary": "BLOB",
-        "timestamp_ntz": "TIMESTAMP",
-    }.get(s, s.upper())
-
-
-def _describe_values_sql(rel: str, spark) -> str | None:
-    """Core of the DESCRIBE rewrite: the six-column VALUES table for a
-    relation text (table name, (query), or bare SELECT/WITH/VALUES/
-    FROM); None when the relation does not resolve (loud)."""
-    rel = rel.strip()
-    if re.match(r"(?is)^(select|with|values|from)\b", rel):
-        rel_sql = rel
-    elif rel.startswith("("):
-        rel_sql = _strip_outer_parens(rel)
-    else:
-        rel_sql = f"SELECT * FROM {rel}"
-    try:
-        fields = spark.sql(
-            f"SELECT * FROM ({rel_sql}) __arnab_dsc WHERE 1=0"
-        ).schema
-    except Exception:
-        return None  # unresolvable relation: leave → loud
-    rows = ", ".join(
-        "('{n}', '{t}', '{nl}', CAST(NULL AS STRING), "
-        "CAST(NULL AS STRING), CAST(NULL AS STRING))".format(
-            n=f.name.replace("'", "''"),
-            t=_duck_type_name(f.dataType).replace("'", "''"),
-            nl="YES" if f.nullable else "NO",
-        )
-        for f in fields
-    )
-    return (
-        f"SELECT * FROM (VALUES {rows}) AS __arnab_dsc"
-        "(column_name, column_type, `null`, key, `default`, extra)"
-    )
-
-
-_PRAGMA_TABLE_INFO = re.compile(
-    r"(?is)^\s*(?:PRAGMA\s+table_info\s*\(\s*'?([A-Za-z_]\w*)'?\s*\)"
-    r"|CALL\s+pragma_table_info\s*\(\s*'([A-Za-z_]\w*)'\s*\))\s*;?\s*$"
-)
-_PRAGMA_SHOW_TABLES = re.compile(r"(?is)^\s*PRAGMA\s+(show_tables|database_list)\s*;?\s*$")
-_CHECKPOINT_STMT = re.compile(r"(?is)^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$")
-
-
-_TXN_STMT = re.compile(
-    r"(?is)^\s*(?P<verb>BEGIN|COMMIT|ROLLBACK|ABORT|END)"
-    r"(?:\s+(?:TRANSACTION|WORK))?\s*;?\s*$"
-)
-
-
-def _rewrite_txn(sql: str, spark) -> str:
-    """Transaction statements. BEGIN/COMMIT/END consume as no-ops with
-    a one-line stderr note: this engine is per-statement durable
-    (every DML persists via its own staged swap/append), so a script
-    that runs to COMMIT observes identical results — what is NOT
-    reproduced is atomicity across a mid-script failure, hence the
-    note rather than silence. ROLLBACK cannot be honored at all
-    (already-persisted statements have no undo log) and raises a
-    targeted error instead of silently keeping the changes it was
-    asked to discard. The reference's own run loop (session.rs:189-279)
-    continues past statement errors rather than rolling back, so loud
-    here is the conservative posture, not a parity loss."""
-    m = _TXN_STMT.match(sql)
-    if m is None or spark is None:
-        return sql
-    verb = m.group("verb").upper()
-    if verb in ("ROLLBACK", "ABORT"):
-        from arnab_spark.errors import ArnabError
-
-        raise ArnabError(
-            f"{verb}: this engine is per-statement durable (staged parquet "
-            "swaps), so already-executed statements cannot be undone. "
-            "Structure the pipeline so each model materializes atomically "
-            "(the engine's per-statement swap already guarantees that)."
-        )
-    import sys as _sys
-
-    print(
-        f"note: {verb} consumed — statements here are individually "
-        "durable; cross-statement atomicity is not provided",
-        file=_sys.stderr,
-    )
-    return ""
-
-
-_EXT_STMT = re.compile(
-    r"(?is)^\s*(?P<verb>INSTALL|LOAD)\s+'?(?P<ext>[A-Za-z_]\w*)'?\s*;?\s*$"
-)
-#: DuckDB extensions whose capability is BUILT IN here (httpfs → the
-#: read_parquet http(s) fetch-cache; parquet/json/icu are native Spark)
-_BUILTIN_EXTS = {"httpfs", "parquet", "json", "icu", "autocomplete", "fts"}
-_MAINT_STMT = re.compile(
-    r"(?is)^\s*(?:VACUUM(?:\s+ANALYZE)?|ANALYZE)(?:\s+[\w.\"]+)?\s*;?\s*$"
-)
-
-
-def _rewrite_extensions(sql: str, spark) -> str:
-    """``INSTALL x`` / ``LOAD x``: the common DuckDB extensions a
-    reference-style script loads are built-in capabilities here
-    (httpfs → the read_* http(s) fetch-cache; parquet/json/icu are
-    native Spark), so they consume as no-ops; an extension with no
-    engine equivalent raises a targeted error rather than silently
-    pretending it loaded. ``VACUUM``/``ANALYZE`` consume: VACUUM is a
-    compatibility no-op in DuckDB itself, and static table stats do
-    not drive this engine's planning (AQE re-plans on runtime stats;
-    on-disk sizes feed the broadcast decisions directly)."""
-    if spark is None:
-        return sql
-    if _MAINT_STMT.match(sql):
-        return ""
-    m = _EXT_STMT.match(sql)
-    if m is None:
-        return sql
-    ext = m.group("ext").lower()
-    if ext in _BUILTIN_EXTS:
-        return ""
-    from arnab_spark.errors import ArnabError
-
-    raise ArnabError(
-        f"{m.group('verb').upper()} {ext}: no engine equivalent for this "
-        "DuckDB extension. Built-in capabilities cover httpfs (http(s) "
-        "reads via the fetch-cache), parquet, json, and icu collation/"
-        "timezone handling."
-    )
-
-
-_SET_STMT = re.compile(
-    r"(?is)^\s*(?P<verb>SET|RESET)\s+(?:GLOBAL\s+|SESSION\s+|LOCAL\s+)?"
-    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:=\s*|TO\s+)?(?P<val>.*?)\s*;?\s*$"
-)
-#: DuckDB performance/UX hints with no Spark semantic content — a SET
-#: of these consumes silently (passing through would create an inert
-#: same-named Spark conf, a fake acknowledgment either way; consuming
-#: is honest because they are hints, not semantics)
-_DUCK_HINT_SETTINGS = {
-    "threads",
-    "memory_limit",
-    "max_memory",
-    "temp_directory",
-    "enable_progress_bar",
-    "progress_bar_time",
-    "enable_object_cache",
-    "preserve_insertion_order",
-    "checkpoint_threshold",
-    "wal_autocheckpoint",
-    "enable_profiling",
-    "explain_output",
-    "profiling_output",
-}
-#: DuckDB settings that CHANGE QUERY RESULTS and have no Spark
-#: equivalent — silently ignoring them would be a semantic divergence
-_DUCK_RESULT_SETTINGS = {
-    "default_null_order",
-    "default_order",
-    "default_collation",
-    "calendar",
-    "ieee_floating_point_ops",
-    "integer_division",
-    "ordered_aggregate_threshold",
-}
-
-
-def _rewrite_set(sql: str, spark) -> str:
-    """In-script ``SET``/``RESET``: DuckDB's ``timezone`` maps to
-    Spark's session timezone (the one result-affecting setting with an
-    exact equivalent); other result-affecting DuckDB settings raise a
-    targeted error (passing them through would create an inert Spark
-    conf — a silent semantic divergence, probed: ``default_null_order``
-    really flips DuckDB's ORDER BY NULL placement); pure performance
-    hints consume silently; everything else (spark.* confs, unknown
-    names) passes through to Spark's own SET."""
-    m = _SET_STMT.match(sql)
-    if m is None or spark is None:
-        return sql
-    name = m.group("name").lower()
-    if name in ("timezone", "time_zone"):
-        if m.group("verb").lower() == "reset":
-            return "RESET spark.sql.session.timeZone"
-        # Spark's SET takes the raw text after `=` as the value —
-        # DuckDB's quoted string must be unwrapped or the conf value
-        # would include the quote characters (probed: INVALID_CONF_VALUE)
-        val = m.group("val").strip().strip("'\"")
-        return f"SET spark.sql.session.timeZone = {val}"
-    if name in _DUCK_HINT_SETTINGS:
-        return ""
-    if name in _DUCK_RESULT_SETTINGS:
-        from arnab_spark.errors import ArnabError
-
-        raise ArnabError(
-            f"SET {m.group('name')}: this DuckDB setting changes query "
-            "RESULTS and has no Spark equivalent — accepting it as an "
-            "inert conf would silently diverge. Rewrite the affected "
-            "queries explicitly (e.g. ORDER BY … NULLS FIRST/LAST)."
-        )
-    return sql
-
-
-def _rewrite_pragmas(sql: str, spark) -> str:
-    """The PRAGMA forms a reference-style script actually reaches for:
-    ``PRAGMA table_info('t')`` / ``CALL pragma_table_info('t')`` → the
-    probed six-column layout (cid, name, type, notnull, dflt_value, pk
-    — booleans false / NULL defaults, like DESCRIBE's probed NULLs),
-    ``PRAGMA show_tables`` → the SHOW TABLES pass. ``CHECKPOINT``
-    consumes as a no-op: it flushes DuckDB's WAL, and this engine's
-    staged parquet swaps are already durable at statement end — there
-    is nothing left to flush. Unknown PRAGMAs stay loud."""
-    if spark is None:
-        return sql
-    if _CHECKPOINT_STMT.match(sql):
-        return ""
-    pm = _PRAGMA_SHOW_TABLES.match(sql)
-    if pm is not None and pm.group(1).lower() == "show_tables":
-        return _rewrite_show_tables("SHOW TABLES", spark)
-    tm = _PRAGMA_TABLE_INFO.match(sql)
-    if tm is not None:
-        name = tm.group(1) or tm.group(2)
-        try:
-            fields = spark.table(name).schema
-        except Exception:
-            return sql  # unresolvable: leave -> loud
-        rows = ", ".join(
-            "(CAST({i} AS INT), '{n}', '{t}', false, "
-            "CAST(NULL AS STRING), false)".format(
-                i=i,
-                n=f.name.replace("'", "''"),
-                t=_duck_type_name(f.dataType).replace("'", "''"),
-            )
-            for i, f in enumerate(fields)
-        )
-        return (
-            f"SELECT * FROM (VALUES {rows}) AS __arnab_ti"
-            "(cid, name, type, notnull, dflt_value, pk)"
-        )
-    return sql
-
-
-def _rewrite_describe(sql: str, spark) -> str:
-    """DuckDB ``DESCRIBE <table | (query) | SELECT …>`` → a literal
-    VALUES table in DuckDB's exact six-column layout (column_name,
-    column_type in DuckDB type spelling, null YES/NO from the analyzed
-    schema, key/default/extra all NULL — probed: DuckDB itself emits
-    NULL for those on every ordinary table). Pure schema work, no data
-    scan. An inspection statement like SUMMARIZE — the contract is the
-    layout, not hash equality. Needs a session; without one the
-    statement stays loud."""
-    m = _DESCRIBE_STMT.match(sql)
-    if not m or spark is None:
-        return sql
-    out = _describe_values_sql(m.group(1), spark)
-    return sql if out is None else out
-
-
-_DESCRIBE_SUBQ = re.compile(r"(?is)\(\s*DESC(?:RIBE)?\s")
-
-
-def _rewrite_describe_subqueries(sql: str, spark) -> str:
-    """DuckDB also accepts DESCRIBE as a TABLE EXPRESSION —
-    ``SELECT … FROM (DESCRIBE t)`` (probed on the pinned DuckDB; the
-    reference's verbatim passthrough reaches it at node.rs:176, and it
-    is the only record-classifier-compatible way to SELECT over a
-    schema in a reference model, since node.rs:112-123 classifies a
-    bare DESCRIBE as non-record). Each parenthesized DESCRIBE group
-    outside quotes rewrites to the same six-column VALUES table as the
-    statement form; an unresolvable relation leaves the group for a
-    loud parse error. Back-to-front so offsets survive substitution."""
-    if spark is None:
-        return sql
-    sites = []
-    spans = _quoted_spans(sql)
-    for m in _DESCRIBE_SUBQ.finditer(sql):
-        if any(s <= m.start() <= e for s, e in spans):
-            continue
-        depth = 0
-        quote = None
-        i = m.start()
-        n = len(sql)
-        while i < n:
-            ch = sql[i]
-            if quote:
-                if ch == quote:
-                    quote = None
-            elif ch in ("'", '"', "`"):
-                quote = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            i += 1
-        if i >= n:
-            continue  # unbalanced: leave loud
-        sites.append((m.start(), i + 1))
-    for start, end in sorted(sites, reverse=True):
-        inner = sql[start + 1: end - 1].strip()
-        dm = re.match(r"(?is)^DESC(?:RIBE)?\s+(.+)$", inner)
-        if not dm:
-            continue
-        values = _describe_values_sql(dm.group(1), spark)
-        if values is None:
-            continue
-        sql = sql[:start] + f"({values})" + sql[end:]
-    return sql
-
-
-_SUMMARIZE_STMT = re.compile(r"(?is)^\s*SUMMARIZE\s+(.+?)\s*;?\s*$")
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-)
-
-
-def _rewrite_summarize(sql: str, spark) -> str:
-    """DuckDB's ``SUMMARIZE <table | (query)>`` → a generated per-column
-    aggregate UNION in DuckDB's exact column layout (column_name,
-    column_type, min, max, approx_unique, avg, std, q25/q50/q75, count,
-    null_percentage). min/max/avg/std/quantiles render as strings like
-    DuckDB's output; distinct counts are approximate in BOTH engines
-    (HLL), so this statement's contract is inspection, not hash
-    equality. Needs a session to resolve the relation's schema;
-    without one the statement stays loud."""
-    m = _SUMMARIZE_STMT.match(sql)
-    if not m or spark is None:
-        return sql
-    rel = m.group(1).strip()
-    rel_sql = (
-        _strip_outer_parens(rel) if rel.startswith("(") else f"SELECT * FROM {rel}"
-    )
-    try:
-        fields = spark.sql(f"SELECT * FROM ({rel_sql}) __arnab_sz WHERE 1=0").schema
-    except Exception:
-        return sql  # unresolvable relation: leave → loud
-    parts = []
-    for f in fields:
-        c = f"`{f.name}`"
-        t = f.dataType.simpleString()
-        is_num = t.lower().startswith(_NUMERIC_PREFIXES)
-        num = (
-            f"CAST(avg({c}) AS STRING) AS avg, "
-            f"CAST(stddev({c}) AS STRING) AS std, "
-            f"CAST(percentile_approx({c}, 0.25) AS STRING) AS q25, "
-            f"CAST(percentile_approx({c}, 0.5) AS STRING) AS q50, "
-            f"CAST(percentile_approx({c}, 0.75) AS STRING) AS q75, "
-            if is_num
-            else (
-                "CAST(NULL AS STRING) AS avg, CAST(NULL AS STRING) AS std, "
-                "CAST(NULL AS STRING) AS q25, CAST(NULL AS STRING) AS q50, "
-                "CAST(NULL AS STRING) AS q75, "
-            )
-        )
-        parts.append(
-            f"SELECT '{f.name}' AS column_name, '{t}' AS column_type, "
-            f"CAST(min({c}) AS STRING) AS min, CAST(max({c}) AS STRING) AS max, "
-            f"approx_count_distinct({c}) AS approx_unique, "
-            f"{num}"
-            f"count(*) AS count, "
-            f"CAST(100.0 * (count(*) - count({c})) / greatest(count(*), 1) AS DOUBLE) "
-            f"AS null_percentage "
-            f"FROM ({rel_sql}) __arnab_sz"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-def _rewrite_attached_refs(sql: str, attached: dict[str, set[str]]) -> str:
-    """``alias.model`` → ``alias__model`` for every (alias, model) pair
-    actually attached — quote-aware, whole-word both sides, so a table
-    alias that happens to share the name is untouched unless it
-    dereferences a real attached model."""
-    out: list[str] = []
-    quote: str | None = None
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if quote:
-            out.append(ch)
-            if ch == quote:
-                quote = None
-            i += 1
-            continue
-        if ch in ("'", '"', "`"):
-            quote = ch
-            out.append(ch)
-            i += 1
-            continue
-        if ch.isalpha() or ch == "_":
-            j = i
-            while j < n and (sql[j].isalnum() or sql[j] == "_"):
-                j += 1
-            tok = sql[i:j]
-            models = attached.get(tok.lower())
-            prev = next((c for c in reversed(out) if not c.isspace()), "")
-            if models is not None and prev != "." and j < n and sql[j] == ".":
-                k = j + 1
-                while k < n and (sql[k].isalnum() or sql[k] == "_"):
-                    k += 1
-                member = sql[j + 1: k]
-                if member.lower() in models:
-                    out.append(f"{tok}__{member}")
-                    i = k
-                    continue
-            out.append(tok)
-            i = j
-            continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
-
-
-try:
-    _USE_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _USE_BY_SESSION = {}
-
-_USE_STMT = re.compile(r'(?is)^\s*USE\s+("?)([A-Za-z_]\w*)\1\s*;?\s*$')
-
-
-def _rewrite_use_fallback(sql: str, alias: str, models: set, spark) -> str:
-    """With ``USE <alias>`` active, a BARE name in table position
-    (immediately after FROM/JOIN/INTO/UPDATE) that does not resolve in
-    the session but names a model of the USEd attached catalog rewrites
-    to its ``alias__model`` view — DuckDB's current-database resolution
-    for the common statement shapes. Honest divergence, documented: a
-    session object of the same name keeps precedence here (DuckDB's
-    search path puts the USEd database first; this engine's session
-    namespace is also its 'main', so true precedence is undecidable),
-    and positions other than the four keywords stay unresolved-loud."""
-    out: list[str] = []
-    quote: str | None = None
-    prev_tok = ""
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if quote:
-            out.append(ch)
-            if ch == quote:
-                quote = None
-            i += 1
-            continue
-        if ch in ("'", '"', "`"):
-            quote = ch
-            out.append(ch)
-            i += 1
-            continue
-        if ch.isalpha() or ch == "_":
-            j = i
-            while j < n and (sql[j].isalnum() or sql[j] == "_"):
-                j += 1
-            tok = sql[i:j]
-            if (
-                prev_tok in ("from", "join", "into", "update")
-                and tok.lower() in models
-                and (j >= n or sql[j] != ".")
-                and not spark.catalog.tableExists(tok)
-            ):
-                out.append(f"{alias}__{tok}")
-            else:
-                out.append(tok)
-            prev_tok = tok.lower()
-            i = j
-            continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
-
-
-def _parse_create_macro(sql: str):
-    m = _CREATE_MACRO.match(sql)
-    if not m:
-        return None
-    is_temp = bool(m.group(1))
-    name = m.group(2)
-    # matching close paren of the parameter list (quote-aware)
-    depth, i, quote = 1, m.end(), None
-    n = len(sql)
-    while i < n and depth:
-        ch = sql[i]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in ("'", '"', "`"):
-            quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        i += 1
-    if depth:
-        return None
-    raw_params = sql[m.end(): i - 1].strip()
-    params: list[tuple[str, str | None]] = []
-    for p in _split_top_level_commas(raw_params) if raw_params else []:
-        p = p.strip()
-        dm = re.match(r"(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$", p)
-        if dm:
-            params.append((dm.group(1), dm.group(2).strip()))
-        elif re.match(r"^[A-Za-z_]\w*$", p):
-            params.append((p, None))
-        else:
-            return None  # exotic parameter shapes: leave → loud
-    am = re.match(r"(?is)^\s*AS\s+(TABLE\s+)?(.*)$", sql[i:], re.DOTALL)
-    if not am:
-        return None
-    return name, params, am.group(2).strip().rstrip(";").strip(), bool(am.group(1)), is_temp
-
-
-def _replace_params(body: str, values: dict[str, str]) -> str:
-    """Whole-word, quote-aware SIMULTANEOUS substitution of every
-    parameter in ``values`` (lowercased name → argument text) with its
-    parenthesized argument — one pass, so an argument that itself names
-    another parameter is never re-substituted (classic capture), and
-    qualified references (``t.param`` is a column of t) are skipped,
-    exactly as DuckDB binds macro bodies."""
-    out: list[str] = []
-    quote: str | None = None
-    i, n = 0, len(body)
-    while i < n:
-        ch = body[i]
-        if quote:
-            out.append(ch)
-            if ch == quote:
-                quote = None
-            i += 1
-            continue
-        if ch in ("'", '"', "`"):
-            quote = ch
-            out.append(ch)
-            i += 1
-            continue
-        if ch.isalpha() or ch == "_":
-            j = i
-            while j < n and (body[j].isalnum() or body[j] == "_"):
-                j += 1
-            tok = body[i:j]
-            prev = out[-1] if out else ""
-            arg = values.get(tok.lower())
-            if arg is not None and prev != ".":
-                out.append(f"({arg})")
-            else:
-                out.append(tok)
-            i = j
-            continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
-
-
-def _bind_macro_args(
-    params: list, args: list[str]
-) -> dict[str, str] | None:
-    """Bind call arguments to macro parameters: positionals fill
-    left-to-right, ``name := value`` named args fill/override by name
-    (DuckDB's rule for defaulted parameters), declared defaults fill the
-    rest. Returns lowercased name → argument text, or None when the
-    call cannot bind (left in place → loud)."""
-    # registry round-trips through JSON (warehouse persistence), so a
-    # param may arrive as a 2-list instead of a tuple
-    norm = [(p[0], p[1]) if not isinstance(p, str) else (p, None) for p in params]
-    names = [n.lower() for n, _ in norm]
-    positional: list[str] = []
-    named: dict[str, str] = {}
-    for a in args:
-        nm = re.match(r"(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$", a.strip())
-        if nm:
-            named[nm.group(1).lower()] = nm.group(2).strip()
-        elif named:
-            return None  # positional after named
-        else:
-            positional.append(a.strip())
-    # DuckDB's binder rules, verified empirically on the pinned build:
-    # positional args bind EXACTLY the non-default parameters (passing
-    # a default param positionally is a Binder Error), and named args
-    # may name ONLY defaulted parameters.
-    required = [n.lower() for n, d in norm if d is None]
-    defaulted = {n.lower(): d for n, d in norm if d is not None}
-    if len(positional) != len(required):
-        return None
-    values: dict[str, str] = dict(zip(required, positional))
-    for k, v in named.items():
-        if k not in defaulted or k in values:
-            return None
-        values[k] = v
-    for k, d in defaulted.items():
-        values.setdefault(k, d)
-    return values
-
-
-def _expand_macros(sql: str, macros: dict) -> str:
-    """Inline every registered macro call (rescanning, so macros may
-    call macros; 50-round guard). A call that cannot bind its arguments
-    is left in place → Spark reports an unresolved function loudly."""
-    guard = 0
-    while guard < 50:
-        guard += 1
-        replaced = False
-        for name, (params, body, *_rest) in macros.items():
-            pat = re.compile(rf"(?is)\b{re.escape(name)}\s*\(")
-            pos = 0
-            while True:
-                m = pat.search(sql, pos)
-                if not m:
-                    break
-                # reject call sites inside quoted regions (span-exact,
-                # not quote-parity — '' escapes would fool parity) or
-                # qualified (x.name())
-                if any(
-                    s0 <= m.start() <= e0 for s0, e0 in _quoted_spans(sql)
-                ) or sql[: m.start()].rstrip().endswith("."):
-                    pos = m.end()
-                    continue
-                depth, i, quote = 1, m.end(), None
-                n = len(sql)
-                while i < n and depth:
-                    ch = sql[i]
-                    if quote:
-                        if ch == quote:
-                            quote = None
-                    elif ch in ("'", '"', "`"):
-                        quote = ch
-                    elif ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
-                    i += 1
-                if depth:
-                    break
-                raw_args = sql[m.end(): i - 1].strip()
-                args = _split_top_level_commas(raw_args) if raw_args else []
-                values = _bind_macro_args(params, args)
-                if values is None:
-                    pos = m.end()
-                    continue
-                subst = _replace_params(body, values)
-                sql = sql[: m.start()] + f"({subst})" + sql[i:]
-                replaced = True
-                break
-            if replaced:
-                break
-        if not replaced:
-            return sql
-    return sql
-
-
-_CLAUSE_AFTER_ON = (
-    "where",
-    "group",
-    "order",
-    "limit",
-    "offset",
-    "having",
-    "window",
-    "union",
-    "intersect",
-    "except",
-    "qualify",
-)
-_JOIN_WORDS = ("join", "left", "right", "full", "inner", "cross", "asof", "semi", "anti")
-_INEQ = re.compile(r"(?s)^(.*?)(<=|>=|<|>)(.*)$")
-_EQ_SPLIT = re.compile(r"(?s)^(.*?)=(.*)$")
-
-
-def _rewrite_asof_join(sql: str) -> str:
-    """Rewrite DuckDB's ``ASOF [LEFT] JOIN right [AS] r ON <conds>``
-    (reachable reference surface: model SQL goes to DuckDB verbatim,
-    node.rs:176) into a lateral correlated subquery:
-
-        [LEFT] JOIN LATERAL (
-          SELECT * FROM right r WHERE <conds>
-          ORDER BY <right time expr> DESC|ASC LIMIT 1
-        ) r ON true
-
-    which Spark decorrelates into a window plan. Supported shape: one
-    ASOF join, right side a named table/view with optional alias, ON =
-    equalities AND exactly ONE inequality whose right-side operand is
-    qualified by the right alias; no join may follow. Anything else is
-    left untouched → Spark's parser rejects ``ASOF`` loudly. This is
-    the compatibility path; ``operators.asof_join`` (union +
-    carry-forward, one shuffle) is the 100 TB path."""
-    idx, _ = _scan_top_level(sql, ("asof",))
-    if idx < 0:
-        return sql
-    m = re.match(
-        r"(?is)^ASOF\s+(?:(LEFT)\s+)?JOIN\s+([A-Za-z_][\w.]*)"
-        r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\s+",
-        sql[idx:],
-    )
-    if not m:
-        return sql
-    left_kw, table, alias = m.group(1), m.group(2), m.group(3)
-    alias = alias or table
-    conds_start = idx + m.end()
-    rest = sql[conds_start:]
-    stop, _ = _scan_top_level(rest, _CLAUSE_AFTER_ON + _JOIN_WORDS)
-    conds_text = rest[:stop] if stop >= 0 else rest
-    tail = rest[stop:] if stop >= 0 else ""
-    if stop >= 0:
-        nxt, kw = _scan_top_level(tail, _JOIN_WORDS)
-        if nxt == 0:
-            return sql  # a second join follows — out of conservative reach
-    conds = [c.strip() for c in re.split(r"(?is)\bAND\b", conds_text) if c.strip()]
-    ineqs = [c for c in conds if _INEQ.match(c)]
-    if len(ineqs) != 1:
-        return sql
-    im = _INEQ.match(ineqs[0])
-    lhs, op, rhs = im.group(1).strip(), im.group(2), im.group(3).strip()
-    qual = re.compile(rf"(?i)\b{re.escape(alias)}\s*\.")
-    lhs_r, rhs_r = bool(qual.search(lhs)), bool(qual.search(rhs))
-    if lhs_r == rhs_r:
-        return sql  # can't tell which operand is the right side
-    right_expr = lhs if lhs_r else rhs
-    # normalize to "left REL right": backward join (left >= right)
-    # wants the LATEST right row → DESC; forward wants EARLIEST → ASC
-    rel = op if rhs_r else {"<=": ">=", ">=": "<=", "<": ">", ">": "<"}[op]
-    direction = "DESC" if rel in (">=", ">") else "ASC"
-    lateral = (
-        f"{'LEFT ' if left_kw else ''}JOIN LATERAL ("
-        f"SELECT * FROM {table} {alias} WHERE {' AND '.join(conds)} "
-        f"ORDER BY {right_expr} {direction} LIMIT 1) {alias} ON true"
-    )
-    return sql[:idx] + lateral + tail
-
-
-#: read_parquet/read_csv/read_json with a LIST of path literals —
-#: DuckDB's multi-file scan. Spark's file-query syntax takes one path,
-#: so the list form substitutes a temp view built by the multi-path
-#: DataFrame reader (needs a live session; without one it is left for
-#: Spark to reject loudly).
-_READ_LIST = re.compile(
-    r"\bread_(parquet|csv|json)\s*\(\s*\[([^\]]+)\]\s*\)", re.IGNORECASE
-)
-
-
-def _rewrite_read_file_lists(sql: str, spark) -> str:
-    if spark is None:
-        return sql
-
-    def sub(m: re.Match) -> str:
-        fmt = m.group(1).lower()
-        paths = []
-        for item in _split_top_level_commas(m.group(2)):
-            lm = _lit_match(item)
-            if not lm:
-                return m.group(0)  # dynamic/exotic entry: leave, loud
-            paths.append(_resolve_path(lm.group(1)))
-        import hashlib
-
-        view = (
-            "_arnab_src_"
-            + hashlib.md5(f"{fmt}|{'|'.join(paths)}".encode()).hexdigest()[:12]
-        )
-        getattr(spark.read, fmt)(*paths).createOrReplaceTempView(view)
-        return view
-
-    return _READ_LIST.sub(sub, sql)
-
-
-_SEQUENCE_SITE = re.compile(
-    r"(?is)\b(?:(CREATE(?:\s+OR\s+REPLACE)?(?:\s+TEMP(?:ORARY)?)?\s+SEQUENCE)"
-    r"|(DROP\s+SEQUENCE)|((?:next|curr)val)\s*\()"
-)
-
-_POSITIONAL_JOIN_SITE = re.compile(r"(?is)\bPOSITIONAL\s+JOIN\b")
-
-
-def _reject_positional_join(sql: str) -> None:
-    """Targeted error for DuckDB's POSITIONAL JOIN (round 10): it pairs
-    rows by PHYSICAL ORDER (row 1 with row 1, NULL-padding the shorter
-    side — probed), and a distributed DataFrame has no physical row
-    order — any Spark spelling (zipWithIndex, monotonically_increasing_
-    id + row_number) would either force a global sort that INVENTS an
-    order the source never promised, or pair rows nondeterministically
-    across recomputations. Name the construct and the honest
-    alternatives instead of a generic parse failure."""
-    spans = _quoted_spans(sql) + _comment_spans(sql)
-    for m in _POSITIONAL_JOIN_SITE.finditer(sql):
-        if any(s <= m.start() <= e for s, e in spans):
-            continue
-        from arnab_spark.errors import ArnabError
-
-        raise ArnabError(
-            "POSITIONAL JOIN: DuckDB pairs rows by physical order, which "
-            "a distributed DataFrame does not have — no sound Spark "
-            "mapping exists (zipWithIndex pairs nondeterministically "
-            "across recomputations; a global sort invents an order the "
-            "source never promised). Join on an explicit key instead, or "
-            "derive one deterministically: row_number() OVER (ORDER BY "
-            "<stable unique key>) on both sides, then an equi-join."
-        )
-
-
-def _reject_sequences(sql: str) -> None:
-    """Targeted error for DuckDB sequences (round-9, r8 verdict ask #6:
-    the top remaining loud gap a real DuckDB-project user hits through
-    the reference's verbatim passthrough, node.rs:176). Sequences are
-    cross-row mutable state with strict-ordering semantics — there is
-    NO sound distributed mapping with identical behavior (Spark's
-    ``monotonically_increasing_id()`` is unique and increasing but
-    NEITHER gapless NOR stable across recomputation, and
-    ``row_number()`` forces a global sort + single-partition window).
-    Rather than let Spark throw a generic parse error, name the
-    construct and the alternatives so a ported model fails with a
-    decision, not a mystery."""
-    # quote- AND comment-aware (round-10 advice: a comment merely
-    # MENTIONING 'nextval(' must not fail the statement), mirroring the
-    # power-operator pass
-    spans = _quoted_spans(sql) + _comment_spans(sql)
-    for m in _SEQUENCE_SITE.finditer(sql):
-        if any(s <= m.start() <= e for s, e in spans):
-            continue
-        construct = (m.group(1) or m.group(2) or m.group(3)).strip()
-        from arnab_spark.errors import ArnabError
-
-        raise ArnabError(
-            f"{construct.upper()}: DuckDB sequences have no sound "
-            "distributed equivalent — a sequence is cross-row mutable "
-            "state, and Spark cannot reproduce its gapless, "
-            "recomputation-stable numbering. For surrogate keys use "
-            "monotonically_increasing_id() (unique + increasing, but "
-            "NOT gapless and NOT stable if the plan recomputes) or "
-            "row_number() OVER (ORDER BY <stable key>) (deterministic, "
-            "but forces a global sort); for content-derived stable ids "
-            "use xxhash64()/sha2() over the natural key."
-        )
-
-
-# ------------------------------------------- DML: INSERT / DELETE / UPDATE
-#
-# The reference's embedded DuckDB mutates tables in place
-# (node.rs:176 passthrough); this engine's tables are parquet dirs
-# re-exposed as temp views, so DML is lifted to a read-transform-swap:
-# compute the post-statement relation, persist it atomically (staged
-# parquet swap for warehouse-backed tables; an eager localCheckpoint
-# for session-scratch temp views — scratch is memory-bounded by
-# design, the warehouse swap is the scale path), and re-register the
-# view. Spark-native catalog tables keep their native paths where one
-# exists (INSERT INTO, TRUNCATE) and get the overwrite lift where
-# Spark has none (DELETE/UPDATE on v1 tables).
-
-_BACKING_FALLBACK: dict = {}
-
-try:
-    _BACKING_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _BACKING_BY_SESSION = {}
-
-
-def table_backing_for(spark) -> dict:
-    """Lowered view name → parquet dir backing it (written by
-    ``node.py`` on table/incremental materialization and by
-    ``catalog.attach_warehouse`` for the session's own warehouse).
-    DML statements against these names persist through a staged
-    parquet swap, so the mutation survives the session — parity with
-    the reference's DuckDB-file persistence."""
-    if spark is None:
-        return _BACKING_FALLBACK
-    reg = _BACKING_BY_SESSION.get(spark)
-    if reg is None:
-        reg = {}
-        _BACKING_BY_SESSION[spark] = reg
-    return reg
-
-
-try:
-    _WAREHOUSE_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _WAREHOUSE_BY_SESSION = {}
-
-
-def set_warehouse_for(spark, db_path: str | None) -> None:
-    """Record the session's warehouse dir (A2 connection open) so
-    script-level ``CREATE [OR REPLACE] TABLE`` persists there — the
-    Spark twin of DuckDB tables living in the opened database file."""
-    if spark is not None and db_path:
-        _WAREHOUSE_BY_SESSION[spark] = db_path
-
-
-def warehouse_for(spark) -> str | None:
-    if spark is None:
-        return None
-    return _WAREHOUSE_BY_SESSION.get(spark)
-
-
-try:
-    _SESSION_TABLES_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _SESSION_TABLES_BY_SESSION = {}
-
-
-def session_tables_for(spark) -> set:
-    """Lowered names created by the script-level CREATE TABLE lift
-    WITHOUT a warehouse backing (DuckDB temp / in-memory-DB tables).
-    They live as eagerly-checkpointed temp views; membership here is
-    what distinguishes a mutable TABLE from a view — DuckDB rejects
-    DML against views, and so does this shim."""
-    if spark is None:
-        return set()
-    reg = _SESSION_TABLES_BY_SESSION.get(spark)
-    if reg is None:
-        reg = set()
-        _SESSION_TABLES_BY_SESSION[spark] = reg
-    return reg
-
-
-_DML_IDENT = r'(?:"[^"]+"|[A-Za-z_]\w*)'
-_DML_QUAL = rf"{_DML_IDENT}(?:\s*\.\s*{_DML_IDENT})*"
-_INSERT_DML = re.compile(
-    rf"(?is)^\s*INSERT\s+(?:OR\s+(?P<conflict>REPLACE|IGNORE)\s+)?INTO\s+"
-    rf"(?P<target>{_DML_QUAL})\s*(?P<rest>.*?)\s*;?\s*$"
-)
-_DELETE_DML = re.compile(
-    rf"(?is)^\s*DELETE\s+FROM\s+(?P<target>{_DML_QUAL})"
-    rf"(?:\s+WHERE\s+(?P<pred>.*?))?\s*;?\s*$"
-)
-_UPDATE_DML = re.compile(
-    rf"(?is)^\s*UPDATE\s+(?P<target>{_DML_QUAL})\s+SET\s+(?P<rest>.*?)\s*;?\s*$"
-)
-_TRUNCATE_DML = re.compile(
-    rf"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<target>{_DML_QUAL})\s*;?\s*$"
-)
-
-
-def _dml_resolve(spark, raw_target: str, on_view: str = "raise"):
-    """Resolve a DML target to (name, kind) where kind is ``backed``
-    (parquet-swap persistence), ``tempview`` (checkpoint re-register),
-    ``native`` (Spark catalog table), ``view`` (only when
-    ``on_view="return"``; mutation raises otherwise — DuckDB rejects
-    DML against views), or None (not ours — leave the statement to
-    Spark's own resolution/errors). Attached catalogs are read-only,
-    matching DuckDB's ``ATTACH … (READ_ONLY)`` posture — this engine
-    cannot write back into a foreign .duckdb file."""
-    from arnab_spark.errors import ArnabError
-
-    parts = [
-        p.strip().strip('"')
-        for p in re.split(r"\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", raw_target)
-    ]
-    while len(parts) > 1 and parts[0].lower() in ("memory", "main", "temp", "system"):
-        parts.pop(0)
-    if len(parts) > 1:
-        alias = parts[0].lower()
-        attached = _attached_for(spark)
-        if alias in attached:
-            raise ArnabError(
-                f"DML against attached catalog '{alias}' is not supported: "
-                "attached catalogs are read-only in this engine (this Spark "
-                "rebuild cannot write back into a foreign catalog file). "
-                "COPY the data into a session table first."
-            )
-        return None, None  # qualified non-attached name: Spark's problem
-    name = parts[0]
-    backing = table_backing_for(spark)
-    if name.lower() in backing:
-        return name, "backed"
-    if name.lower() in session_tables_for(spark):
-        return name, "tempview"
-    try:
-        tbl = spark.catalog.getTable(name)
-    except Exception:
-        return None, None
-    if (tbl.tableType or "").upper() == "TEMPORARY":
-        # a temp view that is NOT an engine table is a VIEW — DuckDB
-        # rejects DML against views, and silently mutating one here
-        # would be a semantic divergence
-        if on_view == "return":
-            return name, "view"
-        raise ArnabError(
-            f"'{name}' is a view, not a table — DuckDB does not allow "
-            "INSERT/DELETE/UPDATE/TRUNCATE against views. Materialize "
-            "it as a table first (materialize: table, or CREATE TABLE "
-            f"… AS SELECT * FROM {name})."
-        )
-    return name, "native"
-
-
-def _hive_partition_cols(dest: str) -> list[str]:
-    """Partition columns of a hive-layout parquet dir (outermost-in),
-    detected from the ``col=value`` directory names the engine's
-    ``partition_by`` layout hint writes; [] for flat layouts."""
-    import os as _os
-
-    cols: list[str] = []
-    cur = dest
-    while True:
-        try:
-            subs = [
-                d
-                for d in _os.listdir(cur)
-                if "=" in d and _os.path.isdir(_os.path.join(cur, d))
-            ]
-        except OSError:
-            break
-        if not subs:
-            break
-        cols.append(subs[0].split("=", 1)[0])
-        cur = _os.path.join(cur, subs[0])
-    return cols
-
-
-def _dml_append(spark, name: str, aligned) -> None:
-    """INSERT fast path for backed tables: write ONLY the new batch and
-    move its part-files into the table dir (mirroring hive partition
-    subdirs) — O(batch), never a table rewrite. At 100 TB this is the
-    difference between appending a day's rows and rewriting the table;
-    the staged-swap path remains for transforms that must touch
-    existing rows. Part-file names carry task UUIDs, so moves cannot
-    collide; a crash mid-move leaves a prefix of the batch's files
-    appended (DuckDB's WAL gives all-or-nothing here — documented
-    trade for not rewriting the table)."""
-    import os as _os
-    import shutil as _shutil
-
-    dest = table_backing_for(spark)[name.lower()]
-    pcols = _hive_partition_cols(dest)
-    staging = f"{dest}__dml_append"
-    w = aligned.write.mode("overwrite")
-    if pcols:
-        w = w.partitionBy(*pcols)
-    w.parquet(staging)
-    for root, _dirs, files in _os.walk(staging):
-        rel = _os.path.relpath(root, staging)
-        for f in files:
-            if not f.endswith(".parquet"):
-                continue  # _SUCCESS and friends
-            tgt = dest if rel == "." else _os.path.join(dest, rel)
-            _os.makedirs(tgt, exist_ok=True)
-            _os.rename(_os.path.join(root, f), _os.path.join(tgt, f))
-    _shutil.rmtree(staging, ignore_errors=True)
-    spark.read.parquet(dest).createOrReplaceTempView(name)
-
-
-def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
-    """DELETE fast path for hive-partitioned backed tables: find the
-    partitions holding any row the predicate kills, rewrite ONLY those
-    via dynamic partition overwrite, and drop the dirs of partitions
-    left empty. Untouched partitions are neither read (pushdown prunes
-    the scan) nor written. Returns False when nothing matched (no-op).
-
-    The touched-partition list is a ``collect`` bounded by the table's
-    partition count — a layout choice, not a data-sized set (the same
-    bound the layout hint's one-file-per-partition write relies on)."""
-    import os as _os
-    import shutil as _shutil
-
-    from pyspark.sql import functions as F
-
-    dest = table_backing_for(spark)[name.lower()]
-    kill = f"coalesce(({pred}), false)" if pred else "true"
-    touched = (
-        spark.sql(
-            transpile_statement(
-                f"SELECT DISTINCT {', '.join(f'`{c}`' for c in pcols)} "
-                f"FROM `{name}` WHERE {kill}",
-                spark,
-            )
-        )
-        .collect()
-    )
-    if not touched:
-        return True  # predicate kills nothing: the delete is a no-op
-    # two shapes bail to the full swap: NULL partition values (their
-    # dir is Spark's __HIVE_DEFAULT_PARTITION__ sentinel) and values
-    # whose dir name Spark would URL-escape — the fully-dead-partition
-    # cleanup below locates dirs by plain "col=value" formatting, and
-    # missing an escaped dir would leave deleted rows readable
-    def _plain(v) -> bool:
-        return v is not None and all(
-            ch.isalnum() or ch in "-_." for ch in str(v)
-        )
-
-    if not all(_plain(r[c]) for r in touched for c in pcols):
-        return False
-    tfilter = None
-    for r in touched:
-        c_and = None
-        for c in pcols:
-            eq = F.col(c) == F.lit(r[c])
-            c_and = eq if c_and is None else (c_and & eq)
-        tfilter = c_and if tfilter is None else (tfilter | c_and)
-    survivors = (
-        spark.sql(
-            transpile_statement(f"SELECT * FROM `{name}` WHERE NOT {kill}", spark)
-        )
-        .filter(tfilter)
-        .localCheckpoint(eager=True)  # break lineage off the files being replaced
-    )
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*pcols)
-        .parquet(dest)
-    )
-    # dynamic overwrite only replaces partitions PRESENT in the frame —
-    # a partition whose every row died must have its dir dropped
-    alive = {
-        tuple(r[c] for c in pcols)
-        for r in survivors.select(*pcols).distinct().collect()
-    }
-    for r in touched:
-        key = tuple(r[c] for c in pcols)
-        if key not in alive:
-            sub = _os.path.join(
-                dest, *[f"{c}={v}" for c, v in zip(pcols, key)]
-            )
-            _shutil.rmtree(sub, ignore_errors=True)
-    if not _has_part_files(dest):
-        # the predicate killed EVERY partition: the dynamic overwrite
-        # wrote nothing and the cleanup removed every dir, leaving a
-        # fileless table root — rewrite it as a schema-bearing empty
-        # flat relation (DuckDB parity: empty table, schema intact)
-        spark.createDataFrame([], survivors.schema).write.mode(
-            "overwrite"
-        ).parquet(dest)
-    spark.read.parquet(dest).createOrReplaceTempView(name)
-    return True
-
-
-def _has_part_files(root: str) -> bool:
-    """True when ``root`` holds at least one ``.parquet`` part file
-    (``_SUCCESS`` and friends don't count) — the readability invariant
-    every DML write must leave behind."""
-    import os as _os
-
-    return any(
-        f.endswith(".parquet")
-        for _r, _d, files in _os.walk(root)
-        for f in files
-    )
-
-
-def _dml_persist(spark, name: str, kind: str, df) -> None:
-    """Atomically replace ``name``'s contents with ``df``."""
-    if kind == "backed":
-        import os as _os
-        import shutil as _shutil
-
-        dest = table_backing_for(spark)[name.lower()]
-        staging, old = f"{dest}__dml_staging", f"{dest}__dml_old"
-        # the write triggers the lazy read of dest; dest stays intact
-        # until the rename pair below (same staged-swap discipline as
-        # node._write_incremental). A hive-partitioned table keeps its
-        # layout through the swap — a plain rewrite would silently
-        # flatten the dirs and disable every later pruned fast path
-        # (found by the DML scale harness)
-        # intersect the on-disk layout with the NEW relation's columns:
-        # ALTER TABLE DROP/RENAME of a partition column hands us a frame
-        # without that column, and partitionBy on a missing name errors
-        # (dest intact, but the statement fails where DuckDB succeeds) —
-        # such a table degrades to a flat layout instead
-        have = {c.lower(): c for c in df.columns}
-        pcols = [
-            have[c.lower()]
-            for c in _hive_partition_cols(dest)
-            if c.lower() in have
-        ]
-        w = df.write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        w.parquet(staging)
-        if not _has_part_files(staging):
-            # an EMPTY relation written with partitionBy produces no
-            # parquet files (only _SUCCESS), and swapping that in would
-            # leave the table unreadable (UNABLE_TO_INFER_SCHEMA on the
-            # next read) — DuckDB leaves an empty table with its schema
-            # intact, so write the schema-bearing empty part file flat
-            spark.createDataFrame([], df.schema).write.mode(
-                "overwrite"
-            ).parquet(staging)
-        elif pcols:
-            # hive dirs carry partition values as TEXT and the re-read
-            # re-infers their type — an ALTER COLUMN p TYPE VARCHAR
-            # would silently read back as INT. Self-validate: if the
-            # staged read-back disagrees with the frame's type for any
-            # partition column, type fidelity beats layout — rewrite
-            # flat so the parquet file carries the real type (footer
-            # read only; the full swap already paid the table rewrite)
-            back = dict(spark.read.parquet(staging).dtypes)
-            want = dict(df.dtypes)
-            if any(back.get(c) != want[c] for c in pcols):
-                df.write.mode("overwrite").parquet(staging)
-        _shutil.rmtree(old, ignore_errors=True)
-        _os.rename(dest, old)
-        _os.rename(staging, dest)
-        _shutil.rmtree(old, ignore_errors=True)
-        spark.read.parquet(dest).createOrReplaceTempView(name)
-    elif kind == "tempview":
-        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
-    else:  # native catalog table without its own DELETE/UPDATE
-        ckpt = df.localCheckpoint(eager=True)
-        tmp = f"_arnab_dml_{abs(hash(name)) % 10**8}"
-        ckpt.createOrReplaceTempView(tmp)
-        try:
-            spark.sql(f"INSERT OVERWRITE TABLE `{name}` SELECT * FROM {tmp}")
-        finally:
-            spark.catalog.dropTempView(tmp)
-
-
-_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
-
-
-def _cast_like_duck(col, src_simple: str, dst_simple: str):
-    """DuckDB's assignment coercion, not Spark's (both probed):
-
-    - floating/decimal → integral ROUNDS half-away-from-zero (3.7→4,
-      2.5→3, -3.5→-4) where Spark's CAST truncates toward zero —
-      Spark's round() is exactly half-away-from-zero;
-    - decimal → decimal with a SMALLER scale TRUNCATES toward zero
-      (12.345→12.34, -12.345→-12.34) where Spark's CAST rounds
-      half-up — Spark's scaled floor/ceil pair truncates exactly on
-      decimals (no float detour).
-
-    double→decimal keeps the plain cast: both engines round to
-    nearest, and a decimal-exact tie cannot arise from a binary
-    double. Every other pair keeps Spark's cast (verified equal on
-    the fuzz + directed differential suites)."""
-    from pyspark.sql import functions as F
-
-    if dst_simple in _INTEGRAL_TYPES and (
-        src_simple in ("float", "double") or src_simple.startswith("decimal")
-    ):
-        return F.round(col).cast(dst_simple)
-    dm = re.match(r"^decimal\((\d+),(\d+)\)$", dst_simple)
-    sm = re.match(r"^decimal\((\d+),(\d+)\)$", src_simple)
-    if dm and sm and int(sm.group(2)) > int(dm.group(2)):
-        s = int(dm.group(2))
-        trunc = F.when(col >= 0, F.floor(col, s)).otherwise(F.ceil(col, s))
-        return trunc.cast(dst_simple)
-    return col.cast(dst_simple)
-
-
-def _dml_align(new, tfields, cols, by_name: bool):
-    """Project ``new`` onto the target's columns with DuckDB's INSERT
-    alignment rules: positional by default (arity must match), named
-    subset via an explicit column list or BY NAME (absent columns fill
-    with NULL), every value cast to the target column's type."""
-    from pyspark.sql import functions as F
-
-    from arnab_spark.errors import ArnabError
-
-    names = [f.name for f in tfields]
-    types = {f.name.lower(): f.dataType.simpleString() for f in tfields}
-    src = {
-        c: f.dataType.simpleString() for c, f in zip(new.columns, new.schema.fields)
-    }
-    lower_target = {n.lower() for n in names}
-    exprs = []
-    if by_name:
-        extra = [c for c in new.columns if c.lower() not in lower_target]
-        if extra:
-            raise ArnabError(
-                f"INSERT BY NAME: column(s) {extra} do not exist in the target"
-            )
-        have = {c.lower(): c for c in new.columns}
-        for n in names:
-            if n.lower() in have:
-                c = have[n.lower()]
-                exprs.append(
-                    _cast_like_duck(new[c], src[c], types[n.lower()]).alias(n)
-                )
-            else:
-                exprs.append(F.lit(None).cast(types[n.lower()]).alias(n))
-    elif cols is not None:
-        unknown = [c for c in cols if c.lower() not in lower_target]
-        if unknown:
-            raise ArnabError(
-                f"INSERT: column(s) {unknown} do not exist in the target"
-            )
-        if len(cols) != len(new.columns):
-            raise ArnabError(
-                f"INSERT: {len(cols)} columns listed but the source "
-                f"supplies {len(new.columns)}"
-            )
-        pos = {c.lower(): i for i, c in enumerate(cols)}
-        for n in names:
-            if n.lower() in pos:
-                c = new.columns[pos[n.lower()]]
-                exprs.append(
-                    _cast_like_duck(new[c], src[c], types[n.lower()]).alias(n)
-                )
-            else:
-                exprs.append(F.lit(None).cast(types[n.lower()]).alias(n))
-    else:
-        if len(new.columns) != len(names):
-            raise ArnabError(
-                f"INSERT: table has {len(names)} columns but "
-                f"{len(new.columns)} values were supplied"
-            )
-        for c, n in zip(new.columns, names):
-            exprs.append(_cast_like_duck(new[c], src[c], types[n.lower()]).alias(n))
-    return new.select(*exprs)
-
-
-_CREATE_TABLE_DDL = re.compile(
-    rf"(?is)^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?P<temp>TEMP(?:ORARY)?\s+)?TABLE\s+"
-    rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<target>{_DML_QUAL})\s*(?P<rest>.*?)\s*;?\s*$"
-)
-_DROP_TABLE_DDL = re.compile(
-    rf"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<target>{_DML_QUAL})\s*;?\s*$"
-)
-#: a CREATE TABLE carrying any of these top-level words is Spark-shaped
-#: DDL the user wrote deliberately — leave it native
-_SPARK_DDL_WORDS = (
-    "using",
-    "partitioned",
-    "location",
-    "tblproperties",
-    "options",
-    "stored",
-    "clustered",
-    "row",
-)
-_COL_CONSTRAINT = re.compile(
-    r"(?i)\b(PRIMARY|UNIQUE|CHECK|DEFAULT|REFERENCES|COLLATE|GENERATED)\b"
-    r"|\bNOT\s+NULL\b"
-)
-
-
-def _rewrite_create_table(sql: str, spark):
-    """DuckDB-shaped ``CREATE [OR REPLACE] [TEMP] TABLE`` — both the
-    CTAS form and the schema-only column-list form — neither of which
-    Spark's v1 catalog supports (probed: OR REPLACE →
-    UNSUPPORTED_FEATURE.TABLE_OPERATION, TEMP TABLE → ParseException).
-
-    TEMP tables (and all tables when no warehouse is open — DuckDB's
-    in-memory-database default, main.rs:126-132) become eagerly
-    checkpointed temp views registered as session tables, so DML works
-    and the data is session-scoped exactly like DuckDB temp tables.
-    With a warehouse open, non-temp tables persist as parquet dirs
-    under it, recorded in the catalog — the next session reattaches
-    them, parity with tables living in the reference's .duckdb file.
-    Spark-shaped DDL (USING/PARTITIONED BY/LOCATION/…) stays native."""
-    from arnab_spark.errors import ArnabError
-
-    m = _CREATE_TABLE_DDL.match(sql)
-    if m is None:
-        return None
-    rest = m.group("rest").lstrip()
-    first = re.match(r"(?is)^([a-z_]+)", rest)
-    if first is not None and first.group(1).lower() in _SPARK_DDL_WORDS:
-        return None
-    schema_inner = None
-    if rest.startswith("("):
-        depth, j = 0, 0
-        for j, ch in enumerate(rest):
-            depth += ch == "("
-            depth -= ch == ")"
-            if depth == 0:
-                break
-        if rest[j + 1:].strip().strip(";").strip():
-            return None  # "(cols) USING …" and friends: Spark-shaped
-        schema_inner = rest[1:j]
-    else:
-        am = re.match(r"(?is)^AS\s+(.*)$", rest)
-        if am is None:
-            return None
-        body = am.group(1)
-
-    parts = [
-        p.strip().strip('"')
-        for p in re.split(r"\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", m.group("target"))
-    ]
-    while len(parts) > 1 and parts[0].lower() in ("memory", "main", "temp", "system"):
-        parts.pop(0)
-    if len(parts) > 1:
-        alias = parts[0].lower()
-        if alias in _attached_for(spark):
-            raise ArnabError(
-                f"CREATE TABLE in attached catalog '{alias}' is not "
-                "supported: attached catalogs are read-only in this engine."
-            )
-        return None
-    name = parts[0]
-
-    exists = (
-        name.lower() in table_backing_for(spark)
-        or name.lower() in session_tables_for(spark)
-    )
-    if not exists:
-        try:
-            spark.catalog.getTable(name)
-            exists = True
-        except Exception:
-            exists = False
-    if exists and not m.group("replace"):
-        if m.group("ine"):
-            return ""  # IF NOT EXISTS: no-op, consumed
-        raise ArnabError(
-            f"table '{name}' already exists (DuckDB parity — use CREATE "
-            "OR REPLACE TABLE or IF NOT EXISTS)"
-        )
-
-    if schema_inner is not None:
-        casts = []
-        for d in _split_top_level_commas(schema_inner):
-            dm = re.match(r'(?s)^\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)\s*$', d)
-            if dm is None or _COL_CONSTRAINT.search(dm.group(2)):
-                raise ArnabError(
-                    f"CREATE TABLE {name}: unsupported column definition "
-                    f"{d.strip()!r} — plain `name TYPE` columns only "
-                    "(this engine's tables declare no constraints, "
-                    "defaults, or generated columns)"
-                )
-            cn = dm.group(1).strip('"')
-            casts.append(f"CAST(NULL AS {dm.group(2).strip()}) AS `{cn}`")
-        body = f"SELECT {', '.join(casts)} WHERE false"
-
-    df = spark.sql(transpile_statement(body, spark))
-    wh = None if m.group("temp") else warehouse_for(spark)
-    if wh is None:
-        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
-        session_tables_for(spark).add(name.lower())
-    else:
-        import os as _os
-
-        from arnab_spark.catalog import record_model
-
-        dest = _os.path.join(wh, name)
-        if _os.path.exists(dest):
-            table_backing_for(spark)[name.lower()] = dest
-            _dml_persist(spark, name, "backed", df)
-        else:
-            df.write.mode("overwrite").parquet(dest)
-            spark.read.parquet(dest).createOrReplaceTempView(name)
-            table_backing_for(spark)[name.lower()] = dest
-        record_model(wh, name, "table")
-    return ""
-
-
-def _rewrite_drop_table(sql: str, spark):
-    """DROP TABLE over engine tables: unregister + delete the backing
-    parquet dir (DuckDB's DROP TABLE removes the data) + remove the
-    warehouse catalog entry. Native catalog tables and missing names
-    stay with Spark's own DROP TABLE (loud on missing without IF
-    EXISTS, no-op with it)."""
-    from arnab_spark.errors import ArnabError
-
-    m = _DROP_TABLE_DDL.match(sql)
-    if m is None:
-        return None
-    name, kind = _dml_resolve(spark, m.group("target"), on_view="return")
-    if kind == "view":
-        # DuckDB's DROP TABLE errors on views, but Spark's native DROP
-        # TABLE silently drops a temp view (probed) — passing through
-        # would be a silent divergence
-        raise ArnabError(
-            f"DROP TABLE {name}: the target is a view, not a table — "
-            "DuckDB rejects this; use DROP VIEW."
-        )
-    if kind == "backed":
-        import os as _os
-        import shutil as _shutil
-
-        dest = table_backing_for(spark).pop(name.lower())
-        spark.catalog.dropTempView(name)
-        _shutil.rmtree(dest, ignore_errors=True)
-        wh = warehouse_for(spark)
-        if wh and _os.path.dirname(dest) == _os.path.normpath(wh):
-            from arnab_spark.catalog import remove_model
-
-            remove_model(wh, name)
-        return ""
-    if kind == "tempview":
-        session_tables_for(spark).discard(name.lower())
-        spark.catalog.dropTempView(name)
-        return ""
-    return None
-
-
-_ALTER_TABLE_DDL = re.compile(
-    rf"(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<target>{_DML_QUAL})\s+"
-    rf"(?P<action>.*?)\s*;?\s*$"
-)
-
-
-def _rewrite_alter_table(sql: str, spark):
-    """DuckDB's ALTER TABLE verbs over engine tables, each a
-    read-transform-persist (probed semantics on the pinned DuckDB):
-    RENAME TO, RENAME [COLUMN] a TO b, ADD [COLUMN] [IF NOT EXISTS]
-    c TYPE (NULL-filled, appended last), DROP [COLUMN] [IF EXISTS] c,
-    ALTER [COLUMN] c [SET DATA] TYPE T [USING expr] (cast, or the USING
-    expression evaluated over old rows). ADD COLUMN … DEFAULT stays
-    loud: DuckDB back-fills the default AND applies it to later
-    INSERTs omitting the column — this engine's tables declare no
-    defaults, so accepting it would silently diverge on those INSERTs.
-    Native catalog tables keep Spark's own (narrower) ALTER TABLE."""
-    from arnab_spark.errors import ArnabError
-
-    m = _ALTER_TABLE_DDL.match(sql)
-    if m is None:
-        return None
-    name, kind = _dml_resolve(spark, m.group("target"), on_view="return")
-    if kind == "view":
-        raise ArnabError(
-            f"ALTER TABLE {name}: the target is a view, not a table — "
-            "DuckDB rejects this."
-        )
-    if kind is None or kind == "native":
-        return None
-    action = m.group("action").strip()
-
-    rt = re.match(rf"(?is)^RENAME\s+TO\s+(?P<new>{_DML_IDENT})\s*$", action)
-    if rt is not None:
-        new = rt.group("new").strip('"')
-        if kind == "backed":
-            import os as _os
-
-            backing = table_backing_for(spark)
-            dest = backing.pop(name.lower())
-            new_dest = _os.path.join(_os.path.dirname(dest), new)
-            _os.rename(dest, new_dest)
-            backing[new.lower()] = new_dest
-            spark.catalog.dropTempView(name)
-            spark.read.parquet(new_dest).createOrReplaceTempView(new)
-            wh = warehouse_for(spark)
-            if wh and _os.path.dirname(new_dest) == _os.path.normpath(wh):
-                from arnab_spark.catalog import record_model, remove_model
-
-                remove_model(wh, name)
-                record_model(wh, new, "table")
-        else:
-            df = spark.table(name)
-            spark.catalog.dropTempView(name)
-            df.createOrReplaceTempView(new)
-            session_tables_for(spark).discard(name.lower())
-            session_tables_for(spark).add(new.lower())
-        return ""
-
-    rc = re.match(
-        rf"(?is)^RENAME\s+(?:COLUMN\s+)?(?P<old>{_DML_IDENT})\s+TO\s+"
-        rf"(?P<new>{_DML_IDENT})\s*$",
-        action,
-    )
-    if rc is not None:
-        old_c, new_c = rc.group("old").strip('"'), rc.group("new").strip('"')
-        t = spark.table(name)
-        if old_c.lower() not in (c.lower() for c in t.columns):
-            raise ArnabError(f"ALTER TABLE {name}: column '{old_c}' does not exist")
-        _dml_persist(spark, name, kind, t.withColumnRenamed(old_c, new_c))
-        return ""
-
-    ac = re.match(
-        rf"(?is)^ADD\s+(?:COLUMN\s+)?(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-        rf"(?P<col>{_DML_IDENT})\s+(?P<type>.+?)\s*$",
-        action,
-    )
-    if ac is not None:
-        col = ac.group("col").strip('"')
-        ctype = ac.group("type").strip()
-        if _COL_CONSTRAINT.search(ctype):
-            raise ArnabError(
-                f"ALTER TABLE {name} ADD COLUMN: constraints/defaults are "
-                "not supported — this engine's tables declare none (a "
-                "DEFAULT would silently diverge on later INSERTs). Add "
-                "the plain column, then UPDATE to back-fill."
-            )
-        t = spark.table(name)
-        if col.lower() in (c.lower() for c in t.columns):
-            if ac.group("ine"):
-                return ""
-            raise ArnabError(f"ALTER TABLE {name}: column '{col}' already exists")
-        add = spark.sql(
-            transpile_statement(
-                f"SELECT *, CAST(NULL AS {ctype}) AS `{col}` FROM `{name}`", spark
-            )
-        )
-        _dml_persist(spark, name, kind, add)
-        return ""
-
-    dc = re.match(
-        rf"(?is)^DROP\s+(?:COLUMN\s+)?(?P<ife>IF\s+EXISTS\s+)?"
-        rf"(?P<col>{_DML_IDENT})\s*$",
-        action,
-    )
-    if dc is not None:
-        col = dc.group("col").strip('"')
-        t = spark.table(name)
-        if col.lower() not in (c.lower() for c in t.columns):
-            if dc.group("ife"):
-                return ""
-            raise ArnabError(f"ALTER TABLE {name}: column '{col}' does not exist")
-        if len(t.columns) == 1:
-            raise ArnabError(
-                f"ALTER TABLE {name}: cannot drop the only column (DuckDB parity)"
-            )
-        _dml_persist(spark, name, kind, t.drop(col))
-        return ""
-
-    at = re.match(
-        rf"(?is)^ALTER\s+(?:COLUMN\s+)?(?P<col>{_DML_IDENT})\s+"
-        rf"(?:SET\s+DATA\s+)?TYPE\s+(?P<type>.+?)"
-        rf"(?:\s+USING\s+(?P<using>.+?))?\s*$",
-        action,
-    )
-    if at is not None:
-        col = at.group("col").strip('"')
-        ctype = at.group("type").strip()
-        t = spark.table(name)
-        if col.lower() not in (c.lower() for c in t.columns):
-            raise ArnabError(f"ALTER TABLE {name}: column '{col}' does not exist")
-        expr = at.group("using") or f"`{col}`"
-        sel = [
-            f"CAST(({expr}) AS {ctype}) AS `{c}`" if c.lower() == col.lower()
-            else f"`{c}`"
-            for c in t.columns
-        ]
-        altered = spark.sql(
-            transpile_statement(
-                f"SELECT {', '.join(sel)} FROM `{name}`", spark
-            )
-        )
-        _dml_persist(spark, name, kind, altered)
-        return ""
-
-    raise ArnabError(
-        f"ALTER TABLE {name}: unsupported action {action[:60]!r} — "
-        "supported: RENAME TO, RENAME COLUMN, ADD COLUMN, DROP COLUMN, "
-        "ALTER COLUMN TYPE [USING expr]"
-    )
-
-
-_COPY_FROM_DML = re.compile(
-    rf"(?is)^\s*COPY\s+(?P<target>{_DML_QUAL})\s*"
-    rf"(?:\((?P<cols>[^)]*)\)\s*)?FROM\s+'(?P<path>[^']+)'\s*"
-    rf"(?:\((?P<opts>.*)\)\s*)?;?\s*$"
-)
-
-
-def _rewrite_copy_from(sql: str, spark):
-    """``COPY <table> [(cols)] FROM '<file>' (options)`` — DuckDB's
-    bulk load, the mirror of the COPY … TO export pass. The file is
-    read (parquet / csv / json — FORMAT option or extension sniff,
-    globs work), aligned onto the target with INSERT's positional /
-    column-list rules (probed: DuckDB binds COPY FROM positionally,
-    a column list maps file columns onto the LISTED columns and
-    NULL-fills the rest), cast per target column type (CSV reads as
-    strings and casts, DuckDB's parse-per-target-type behavior), and
-    appended through the same persist path as INSERT."""
-    from arnab_spark.errors import ArnabError
-
-    m = _COPY_FROM_DML.match(sql)
-    if m is None:
-        return None
-    name, kind = _dml_resolve(spark, m.group("target"))
-    if kind is None:
-        return None
-    path = _resolve_path(m.group("path"))
-    fmt, header, delim = None, False, ","
-    if m.group("opts"):
-        for opt in _split_top_level_commas(m.group("opts")):
-            om = re.match(
-                r"(?is)^\s*(\w+)\s*(?:\s+|\s*)?('[^']*'|\S+)?\s*$", opt.strip()
-            )
-            key = (om.group(1) if om else opt).strip().lower()
-            val = (om.group(2) or "").strip().strip("'").lower() if om else ""
-            if key == "format":
-                fmt = val
-            elif key == "header":
-                header = val in ("", "1", "true")
-            elif key in ("delim", "delimiter", "sep"):
-                delim = (om.group(2) or ",").strip().strip("'")
-            else:
-                raise ArnabError(
-                    f"COPY {name} FROM: unsupported option {opt.strip()!r} "
-                    "(supported: FORMAT, HEADER, DELIM[ITER])"
-                )
-    if fmt is None:
-        low = path.lower()
-        fmt = (
-            "parquet"
-            if ".parquet" in low
-            else "json" if ".json" in low or ".ndjson" in low else "csv"
-        )
-    if fmt == "parquet":
-        new = spark.read.parquet(path)
-    elif fmt == "json":
-        new = spark.read.json(path)
-    elif fmt == "csv":
-        # no inferSchema: every field reads as string and the align
-        # below casts to the target column's type — DuckDB's own
-        # parse-per-target-type contract
-        new = spark.read.csv(path, header=header, sep=delim)
-    else:
-        raise ArnabError(
-            f"COPY {name} FROM: unsupported FORMAT '{fmt}' "
-            "(parquet, csv, json)"
-        )
-    cols = None
-    if m.group("cols"):
-        cols = [c.strip().strip('"') for c in _split_top_level_commas(m.group("cols"))]
-    target = spark.table(name)
-    aligned = _dml_align(new, target.schema.fields, cols, by_name=False)
-    if kind == "backed":
-        # appended through the same O(batch) part-file path as INSERT —
-        # a bulk load must never rewrite the table it loads into
-        _dml_append(spark, name, aligned)
-    else:
-        _dml_persist(spark, name, kind, target.unionByName(aligned))
-    return ""
-
-
-_EXPORT_DB_DML = re.compile(
-    r"(?is)^\s*EXPORT\s+DATABASE\s+'(?P<dir>[^']+)'\s*"
-    r"(?:\((?P<opts>.*)\)\s*)?;?\s*$"
-)
-_IMPORT_DB_DML = re.compile(
-    r"(?is)^\s*IMPORT\s+DATABASE\s+'(?P<dir>[^']+)'\s*;?\s*$"
-)
-
-#: Spark → DuckDB type names for EXPORT DATABASE's schema.sql
-_EXPORT_TYPES = {
-    "tinyint": "TINYINT",
-    "smallint": "SMALLINT",
-    "int": "INTEGER",
-    "bigint": "BIGINT",
-    "float": "FLOAT",
-    "double": "DOUBLE",
-    "string": "VARCHAR",
-    "boolean": "BOOLEAN",
-    "date": "DATE",
-    "timestamp": "TIMESTAMP",
-    "timestamp_ntz": "TIMESTAMP",
-    "binary": "BLOB",
-}
-
-
-def _export_type(dt) -> str:
-    from arnab_spark.errors import ArnabError
-
-    s = dt.simpleString()
-    if s in _EXPORT_TYPES:
-        return _EXPORT_TYPES[s]
-    dm = re.match(r"^decimal\((\d+),(\d+)\)$", s)
-    if dm:
-        return f"DECIMAL({dm.group(1)},{dm.group(2)})"
-    am = re.match(r"^array<(.+)>$", s)
-    if am and am.group(1) in _EXPORT_TYPES:
-        return f"{_EXPORT_TYPES[am.group(1)]}[]"
-    raise ArnabError(
-        f"EXPORT DATABASE: no DuckDB schema spelling for column type "
-        f"'{s}' (struct/map/nested-array columns are not exportable)"
-    )
-
-
-def _rewrite_export_import_db(sql: str, spark):
-    """``EXPORT DATABASE 'dir' (FORMAT PARQUET|CSV)`` writes DuckDB's
-    own export layout — schema.sql (CREATE TABLE column lists +
-    CREATE VIEW statements), load.sql (one COPY … FROM per table), and
-    per-table data — so the dir round-trips through IMPORT DATABASE
-    here AND loads into a real DuckDB (data paths are written as
-    ``<dir>/<t>.parquet/*.parquet`` globs both engines read; view SQL
-    is stored post-transpile, i.e. engine-dialect — noted in
-    schema.sql). ``IMPORT DATABASE 'dir'`` executes schema.sql +
-    load.sql through the statement pipeline, which also imports a dir
-    exported by a REAL DuckDB (its CREATE TABLE / COPY FROM statements
-    are exactly the lifted shapes)."""
-    from arnab_spark.errors import ArnabError
-
-    im = _IMPORT_DB_DML.match(sql)
-    if im is not None:
-        import os as _os
-
-        d = _resolve_path(im.group("dir"))
-        from arnab_spark.node import Node
-
-        for script in ("schema.sql", "load.sql"):
-            p = _os.path.join(d, script)
-            if not _os.path.isfile(p):
-                raise ArnabError(f"IMPORT DATABASE: missing {p}")
-            with open(p, encoding="utf-8") as fh:
-                for stmt in Node.split_statements(fh.read()):
-                    out = transpile_statement(stmt, spark)
-                    if out.strip():
-                        spark.sql(out)
-        return ""
-
-    em = _EXPORT_DB_DML.match(sql)
-    if em is None:
-        return None
-    import os as _os
-
-    d = _resolve_path(em.group("dir"))
-    fmt = "csv"  # DuckDB's default export format
-    if em.group("opts"):
-        fm = re.search(r"(?i)FORMAT\s+'?(\w+)'?", em.group("opts"))
-        if fm:
-            fmt = fm.group(1).lower()
-    if fmt not in ("parquet", "csv"):
-        raise ArnabError(f"EXPORT DATABASE: unsupported FORMAT '{fmt}'")
-    _os.makedirs(d, exist_ok=True)
-    tables = sorted(
-        set(table_backing_for(spark)) | session_tables_for(spark)
-    )
-    schema_lines, load_lines = [], []
-    backing = table_backing_for(spark)
-    for t in tables:
-        # a registry entry can outlive its view or backing dir (a
-        # previous pipeline's since-deleted warehouse); a dead entry
-        # is not a table this session can read, so skip it loudly
-        # rather than crash the export of the live ones
-        dead = t in backing and not _os.path.isdir(backing[t])
-        if not dead:
-            try:
-                df = spark.table(t)
-                df.schema
-            except Exception:
-                dead = True
-        if dead:
-            import sys as _sys
-
-            print(
-                f"warning: EXPORT DATABASE skipping '{t}' — registered "
-                "but not resolvable in this session",
-                file=_sys.stderr,
-            )
-            continue
-        cols = ", ".join(
-            f'"{f.name}" {_export_type(f.dataType)}' for f in df.schema.fields
-        )
-        schema_lines.append(f"CREATE TABLE {t}({cols});")
-        data = _os.path.join(d, f"{t}.{fmt}")
-        if fmt == "parquet":
-            df.write.mode("overwrite").parquet(data)
-            load_lines.append(
-                f"COPY {t} FROM '{data}/*.parquet' (FORMAT 'parquet');"
-            )
-        else:
-            df.write.mode("overwrite").option("header", True).csv(data)
-            load_lines.append(
-                f"COPY {t} FROM '{data}/*.csv' (FORMAT 'csv', HEADER 1);"
-            )
-    wh = warehouse_for(spark)
-    if wh is not None:
-        from arnab_spark.catalog import load_catalog
-
-        view_lines = [
-            f"CREATE VIEW {vid} AS {entry['select']};"
-            for vid, entry in load_catalog(wh).items()
-            if entry.get("materialize") == "view" and entry.get("select")
-        ]
-        # no inline comment markers: statement splitting would glue a
-        # comment onto the next statement and defeat the anchored
-        # CREATE VIEW lift on import (found by the round-trip test);
-        # the engine-dialect caveat lives in this function's docstring
-        schema_lines.extend(view_lines)
-    with open(_os.path.join(d, "schema.sql"), "w", encoding="utf-8") as fh:
-        fh.write("\n".join(schema_lines) + "\n")
-    with open(_os.path.join(d, "load.sql"), "w", encoding="utf-8") as fh:
-        fh.write("\n".join(load_lines) + "\n")
-    return ""
-
-
-def _rewrite_dml(sql: str, spark):
-    """Statement-shape handler for INSERT/DELETE/UPDATE/TRUNCATE and
-    the DuckDB-shaped CREATE/DROP TABLE forms Spark lacks.
-    Returns None when the statement is not DML this pass owns (the
-    normal rewrite pipeline then applies — in particular a native
-    catalog-table INSERT still gets its body's dialect rewrites), or
-    the replacement text ("" when fully consumed here)."""
-    from arnab_spark.errors import ArnabError
-
-    ct = _rewrite_create_table(sql, spark)
-    if ct is not None:
-        return ct
-    dt = _rewrite_drop_table(sql, spark)
-    if dt is not None:
-        return dt
-    at = _rewrite_alter_table(sql, spark)
-    if at is not None:
-        return at
-    cf = _rewrite_copy_from(sql, spark)
-    if cf is not None:
-        return cf
-    ei = _rewrite_export_import_db(sql, spark)
-    if ei is not None:
-        return ei
-
-    tm = _TRUNCATE_DML.match(sql)
-    if tm is not None:
-        name, kind = _dml_resolve(spark, tm.group("target"))
-        if kind in ("backed", "tempview"):
-            _dml_persist(spark, name, kind, spark.table(name).limit(0))
-            return ""
-        return None  # native TRUNCATE TABLE is Spark SQL
-
-    dm = _DELETE_DML.match(sql)
-    if dm is not None:
-        name, kind = _dml_resolve(spark, dm.group("target"))
-        if kind is None:
-            return None
-        pred = dm.group("pred")
-        if kind == "backed" and pred:
-            # copy-on-write fast path: rewrite only the hive partitions
-            # the predicate touches (falls through on flat layouts /
-            # NULL partition values)
-            pcols = _hive_partition_cols(table_backing_for(spark)[name.lower()])
-            if pcols and _dml_pruned_rewrite(spark, name, pcols, pred):
-                return ""
-        # DuckDB deletes rows where the predicate is TRUE; NULL keeps
-        cond = f"NOT coalesce(({pred}), false)" if pred else "false"
-        kept = spark.sql(
-            transpile_statement(f"SELECT * FROM `{name}` WHERE {cond}", spark)
-        )
-        _dml_persist(spark, name, kind, kept)
-        return ""
-
-    um = _UPDATE_DML.match(sql)
-    if um is not None:
-        name, kind = _dml_resolve(spark, um.group("target"))
-        if kind is None:
-            return None
-        rest = um.group("rest")
-        widx, _ = _scan_top_level(rest, ("where",))
-        assigns_text = rest[:widx] if widx >= 0 else rest
-        pred = rest[widx + len("where"):].strip() if widx >= 0 else None
-        fields = spark.table(name).schema.fields
-        types = {f.name.lower(): f.dataType.simpleString() for f in fields}
-        assigns: dict[str, str] = {}
-        for a in _split_top_level_commas(assigns_text):
-            m2 = re.match(r'(?s)^\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$', a)
-            if m2 is None:
-                raise ArnabError(f"UPDATE: cannot parse assignment {a.strip()!r}")
-            col = m2.group(1).strip('"')
-            if col.lower() not in types:
-                raise ArnabError(f"UPDATE: column '{col}' does not exist in '{name}'")
-            if col.lower() in assigns:
-                raise ArnabError(f"UPDATE: multiple assignments to column '{col}'")
-            assigns[col.lower()] = m2.group(2)
-        cond = f"coalesce(({pred}), false)" if pred else "true"
-        # evaluate the predicate + every assignment expression FIRST
-        # (so their analyzed types are known), then apply DuckDB's
-        # assignment coercion per column — float→integral assignment
-        # ROUNDS in DuckDB where a plain Spark CAST would truncate
-        from pyspark.sql import functions as F
-
-        keys = list(assigns)
-        helper_items = [f"({cond}) AS __arnab_upd"] + [
-            f"({assigns[k]}) AS __arnab_e_{i}" for i, k in enumerate(keys)
-        ]
-        raw = spark.sql(
-            transpile_statement(
-                f"SELECT {', '.join(helper_items)}, * FROM `{name}`", spark
-            )
-        )
-        rawtypes = {f2.name: f2.dataType.simpleString() for f2 in raw.schema.fields}
-        sel = []
-        for f in fields:
-            if f.name.lower() in assigns:
-                i = keys.index(f.name.lower())
-                newv = _cast_like_duck(
-                    F.col(f"__arnab_e_{i}"),
-                    rawtypes[f"__arnab_e_{i}"],
-                    types[f.name.lower()],
-                )
-                sel.append(
-                    F.when(F.col("__arnab_upd"), newv)
-                    .otherwise(F.col(f.name).cast(types[f.name.lower()]))
-                    .alias(f.name)
-                )
-            else:
-                sel.append(F.col(f.name))
-        if kind == "backed" and pred:
-            # copy-on-write fast path: rewrite only the hive partitions
-            # holding rows the predicate updates — unless an assignment
-            # targets a partition column (rows would move between
-            # partitions, stranding stale copies under dynamic
-            # overwrite: that shape takes the full swap)
-            dest = table_backing_for(spark)[name.lower()]
-            pcols = _hive_partition_cols(dest)
-            if pcols and not (set(assigns) & {c.lower() for c in pcols}):
-                touched = (
-                    raw.filter(F.col("__arnab_upd"))
-                    .select(*pcols)
-                    .distinct()
-                    .collect()
-                )
-                if not touched:
-                    return ""  # predicate matches nothing: no-op
-                if not any(r[c] is None for r in touched for c in pcols):
-                    tfilter = None
-                    for r in touched:
-                        c_and = None
-                        for c in pcols:
-                            eq = F.col(c) == F.lit(r[c])
-                            c_and = eq if c_and is None else (c_and & eq)
-                        tfilter = c_and if tfilter is None else (tfilter | c_and)
-                    updated = (
-                        raw.filter(tfilter)
-                        .select(*sel)
-                        .localCheckpoint(eager=True)
-                    )
-                    (
-                        updated.write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
-                        .partitionBy(*pcols)
-                        .parquet(dest)
-                    )
-                    spark.read.parquet(dest).createOrReplaceTempView(name)
-                    return ""
-        _dml_persist(spark, name, kind, raw.select(*sel))
-        return ""
-
-    im = _INSERT_DML.match(sql)
-    if im is not None:
-        name, kind = _dml_resolve(spark, im.group("target"))
-        if kind is None or kind == "native":
-            return None  # Spark's own INSERT INTO handles catalog tables
-        if im.group("conflict"):
-            raise ArnabError(
-                f"INSERT OR {im.group('conflict').upper()} needs a PRIMARY "
-                "KEY, which this engine's tables do not declare. Express "
-                "the upsert as a left-anti join + union (see the "
-                "incremental materialization) or a row_number window."
-            )
-        rest = im.group("rest").lstrip()
-        if _scan_top_level(rest, ("returning",))[0] >= 0:
-            raise ArnabError(
-                "INSERT … RETURNING is not supported: the mutation is a "
-                "write, not a relation. SELECT from the table afterwards."
-            )
-        if _scan_top_level(rest, ("conflict",))[0] >= 0:
-            raise ArnabError(
-                "INSERT … ON CONFLICT needs key constraints, which this "
-                "engine's tables do not declare. Express the upsert as a "
-                "left-anti join + union (see the incremental "
-                "materialization) or a row_number window."
-            )
-        cols = None
-        if rest.startswith("("):
-            depth, j = 0, 0
-            for j, ch in enumerate(rest):
-                depth += ch == "("
-                depth -= ch == ")"
-                if depth == 0:
-                    break
-            cols = [
-                c.strip().strip('"')
-                for c in _split_top_level_commas(rest[1:j])
-            ]
-            rest = rest[j + 1:].lstrip()
-        by_name = False
-        bn = re.match(r"(?is)^BY\s+NAME\b", rest)
-        if bn is not None:
-            by_name = True
-            rest = rest[bn.end():].lstrip()
-        if re.match(r"(?is)^DEFAULT\s+VALUES\b", rest):
-            raise ArnabError(
-                "INSERT … DEFAULT VALUES is not supported: this engine's "
-                "tables declare no column defaults. Insert explicit NULLs."
-            )
-        if re.match(r"(?is)^VALUES\b", rest):
-            body_sql = f"SELECT * FROM ({rest})"
-        elif re.match(r"(?is)^(SELECT|WITH|FROM)\b", rest):
-            body_sql = rest
-        else:
-            raise ArnabError(
-                f"INSERT INTO {name}: unsupported source {rest[:40]!r} — "
-                "expected VALUES, SELECT, WITH, or FROM"
-            )
-        target = spark.table(name)
-        new = spark.sql(transpile_statement(body_sql, spark))
-        aligned = _dml_align(new, target.schema.fields, cols, by_name)
-        if kind == "backed":
-            # O(batch) append — never a table rewrite (100 TB design
-            # point: an INSERT's cost must scale with the batch)
-            _dml_append(spark, name, aligned)
-        else:
-            _dml_persist(spark, name, kind, target.unionByName(aligned))
-        return ""
-
-    return None
-
 
 def transpile_statement(sql: str, spark=None) -> str:
     """Apply the DuckDB→Spark rewrites to one statement.
@@ -7778,3 +4391,156 @@ def transpile_statement(sql: str, spark=None) -> str:
     sql = _rewrite_pivot(sql, spark)
     sql = _rewrite_star_replace(sql, spark)
     return _rewrite_union_by_name(sql, spark)
+
+
+# ---------------------------------------------------------------------
+# Statement-surface submodules (round-12 maintainability split — the
+# r11 verdict's ask #7: this file carried ~35% of the engine and every
+# new pass raised collision risk with the masking invariants). The
+# public surface is unchanged: every name is re-imported here, and the
+# submodules bind the shared helpers from THIS module at this point,
+# when everything above is defined. Order matters: _dialect_dml
+# imports _attached_for from _dialect_statements.
+from arnab_spark._dialect_datetime import (  # noqa: E402,F401
+    _STRF_MAP,
+    _STRF_EXPR,
+    _c_format_to_sql_expr,
+    _c_format_to_java,
+    _fold_literal_concat,
+    _ConstNull,
+    _CONST_NULL,
+    _NotConst,
+    _FOLD_TOKEN,
+    _FOLD_KEYWORDS,
+    _fold_tokenize,
+    _FoldEval,
+    _fold_const_expr,
+    _strf_rewrite,
+    _const_format,
+    _STRP_NUM,
+    _STRP_MONTHS,
+    _STRP_MONTHS_FULL,
+    _STRP_DAYS,
+    _STRP_DAYS_FULL,
+    _STRP_NAME,
+    _STRP_COMPOSITE,
+    _strp_tokens,
+    _sql_str,
+    _strp_name_pos,
+    _c_parse_to_sql_expr,
+    _strp_last_year_role,
+    _strp_rewrite,
+)
+from arnab_spark._dialect_statements import (  # noqa: E402,F401
+    _CREATE_MACRO,
+    _MACRO_FALLBACK,
+    _MACRO_BY_SESSION,
+    _macros_for,
+    _DROPPED_FALLBACK,
+    _DROPPED_BY_SESSION,
+    dropped_macros_for,
+    reset_macros,
+    _ATTACH_STMT,
+    _DETACH_STMT,
+    _ATTACH_FALLBACK,
+    _ATTACHED_BY_SESSION,
+    _attached_for,
+    reset_attached,
+    _TEMP_DDL_BY_SESSION,
+    _TEMP_DDL_FALLBACK,
+    _temp_ddl_for,
+    _TEMP_VIEW_DDL,
+    _DROP_VIEW_DDL,
+    _PERM_VIEW_DDL,
+    _user_cache_base,
+    _attach_cache_base,
+    _attach_duckdb_file,
+    _SHOW_TABLES_STMT,
+    _SHOW_ALL_TABLES_STMT,
+    _visible_catalog_names,
+    _rewrite_show_tables,
+    _rewrite_show_all_tables,
+    _DESCRIBE_STMT,
+    _duck_type_name,
+    _describe_values_sql,
+    _PRAGMA_TABLE_INFO,
+    _PRAGMA_SHOW_TABLES,
+    _CHECKPOINT_STMT,
+    _TXN_STMT,
+    _rewrite_txn,
+    _EXT_STMT,
+    _BUILTIN_EXTS,
+    _MAINT_STMT,
+    _rewrite_extensions,
+    _SET_STMT,
+    _DUCK_HINT_SETTINGS,
+    _DUCK_RESULT_SETTINGS,
+    _rewrite_set,
+    _rewrite_pragmas,
+    _rewrite_describe,
+    _DESCRIBE_SUBQ,
+    _rewrite_describe_subqueries,
+    _SUMMARIZE_STMT,
+    _NUMERIC_PREFIXES,
+    _rewrite_summarize,
+    _rewrite_attached_refs,
+    _USE_BY_SESSION,
+    _USE_STMT,
+    _rewrite_use_fallback,
+    _parse_create_macro,
+    _replace_params,
+    _bind_macro_args,
+    _expand_macros,
+    _CLAUSE_AFTER_ON,
+    _JOIN_WORDS,
+    _INEQ,
+    _EQ_SPLIT,
+    _rewrite_asof_join,
+    _READ_LIST,
+    _rewrite_read_file_lists,
+    _SEQUENCE_SITE,
+    _POSITIONAL_JOIN_SITE,
+    _reject_positional_join,
+    _reject_sequences,
+)
+from arnab_spark._dialect_dml import (  # noqa: E402,F401
+    _BACKING_FALLBACK,
+    _BACKING_BY_SESSION,
+    table_backing_for,
+    _WAREHOUSE_BY_SESSION,
+    set_warehouse_for,
+    warehouse_for,
+    _SESSION_TABLES_BY_SESSION,
+    session_tables_for,
+    _DML_IDENT,
+    _DML_QUAL,
+    _INSERT_DML,
+    _DELETE_DML,
+    _UPDATE_DML,
+    _TRUNCATE_DML,
+    _dml_resolve,
+    _hive_partition_cols,
+    _dml_append,
+    _dml_pruned_rewrite,
+    _has_part_files,
+    _dml_persist,
+    _INTEGRAL_TYPES,
+    _cast_like_duck,
+    _dml_align,
+    _CREATE_TABLE_DDL,
+    _DROP_TABLE_DDL,
+    _SPARK_DDL_WORDS,
+    _COL_CONSTRAINT,
+    _rewrite_create_table,
+    _rewrite_drop_table,
+    _ALTER_TABLE_DDL,
+    _rewrite_alter_table,
+    _COPY_FROM_DML,
+    _rewrite_copy_from,
+    _EXPORT_DB_DML,
+    _IMPORT_DB_DML,
+    _EXPORT_TYPES,
+    _export_type,
+    _rewrite_export_import_db,
+    _rewrite_dml,
+)

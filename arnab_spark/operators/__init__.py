@@ -19,6 +19,7 @@ from arnab_spark.operators.similarity import (
     cosine_knn,
     int_dot,
     ivf_assign,
+    ivf_assign_coarse,
     ivf_centroids,
     ivf_probe,
     ivf_refine,
@@ -57,6 +58,7 @@ __all__ = [
     "cosine_knn",
     "ivf_centroids",
     "ivf_assign",
+    "ivf_assign_coarse",
     "ivf_probe",
     "ivf_refine",
     "int_dot",

@@ -17,9 +17,14 @@ The docstring claim "skew handled by AQE" is exactly what this tool
 confirms or refutes with numbers — the verdict lands in SCALE.md
 either way.
 
-Usage: python tools/asof_skew.py [sf_dir] [out.json] [passes]
-Defaults: .scaledata/sf10, ASOF_SKEW_r11.json, 3. The skewed events
-parquet is cached at <sf_dir>/../asof_skew_events.parquet.
+Usage: python tools/asof_skew.py [sf_dir] [out.json] [passes] [skew_mod]
+                            [queries]
+Defaults: .scaledata/sf10, ASOF_SKEW_r11.json, 3, 10,
+"asof_join,asof_join_pandas". The skewed events parquet is cached at
+<sf_dir>/../asof_skew_m<mod>/. Round 12 (r11 verdict ask #8): pass
+"asof_join,asof_join_bucketed" to pin the bucketed segmented scan —
+shipped as the documented hot-key mitigation — against the plain
+carry under the same harness.
 """
 
 from __future__ import annotations
@@ -44,6 +49,11 @@ def main() -> None:
     )
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     skew_mod = int(sys.argv[4]) if len(sys.argv) > 4 else SKEW_MOD
+    qnames = (
+        sys.argv[5].split(",")
+        if len(sys.argv) > 5
+        else ["asof_join", "asof_join_pandas"]
+    )
 
     from arnab_spark.queries import all_queries
     from arnab_spark.spark_utils import get_spark
@@ -76,7 +86,7 @@ def main() -> None:
         return round(min(walls), 2), n
 
     result: dict = {"sf_dir": sf_dir, "skew_mod": skew_mod, "passes": passes}
-    for qname in ("asof_join", "asof_join_pandas"):
+    for qname in qnames:
         fn = reg[qname].fn
         w_u, n_u = best_wall(fn, sf_dir)
         w_s, n_s = best_wall(fn, skew_dir)
