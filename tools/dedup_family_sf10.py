@@ -48,6 +48,11 @@ def main() -> None:
         return time.perf_counter() - t0
 
     per: dict[str, list[float]] = {n: [] for n in DEDUP_FAMILY}
+    # session warm-up BEFORE the per-query warm pass (round 12, r11
+    # wrong #3): the family's first query used to absorb JVM/codegen/
+    # reader init — dedup_incremental's 8.97 s "warm" vs 1.73 s min was
+    # exactly this, reproduced + attributed in DEDUP_INCR_GAP_r12.json
+    spark.range(1000).selectExpr("sum(id)").collect()
     warm: dict[str, float] = {}
     for n in DEDUP_FAMILY:  # warm pass (JIT, codegen, file listing)
         warm[n] = run(n)
