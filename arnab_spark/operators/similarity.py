@@ -342,10 +342,17 @@ def ivf_assign_coarse(
     O(k). Same zero-shuffle map-side Arrow plan as :func:`ivf_assign`;
     same tie rule (first max over cid-sorted fine centroids within the
     probed set). Disagreements vs the exact assign are boundary
-    vectors whose true cell's coarse parent was not probed — measured
-    at sf10 by ``tools/semdedup_ann_assign.py`` (agreement + wall per
-    n_probe); the exact path remains the oracled default, this is the
-    documented 100 TB knob."""
+    vectors whose true cell's coarse parent was not probed.
+
+    Measured verdict (round 12, ``SEMDEDUP_ASSIGN_r12.json``): NOT the
+    shipped default — on the fixture's near-isotropic synthetic
+    embeddings the nearest-centroid margins are noise-level, so
+    agreement collapses (0.55 at n_probe=8) for only ~2x assign
+    speedup at sf10. :func:`ivf_assign` (exact) stays the default;
+    this operator is the measured knob for corpora where the paper's
+    premise holds (trained centroids over clustered real embeddings),
+    with ``tools/semdedup_ann_assign.py`` as the re-evaluation
+    harness."""
     import math
 
     import numpy as np
