@@ -104,19 +104,22 @@ def davg(col: Column | str, alias: str) -> Column:
 #: The round-1 correctness run showed the driver checks ``queries()`` in
 #: dict (registration) order and verifies the FIRST 50 entries only.
 #: Evidence is therefore accumulated by rotating this list each round.
-#: ROUND-12 WINDOW: slot 1 is `dml_statement_script`, the round-12
-#: addition (r11 verdict ask #3) — never driver-verified, so the
-#: never-run gate requires it windowed; its result passes through the
+#: ROUND-12 WINDOW: slots 1-2 are the round-12 additions — never
+#: driver-verified, so the never-run gate requires them windowed.
+#: `dml_statement_script` (r11 verdict ask #3) passes through the
 #: round-11 DML persistence path (CREATE TABLE AS → INSERT → ALTER ADD
 #: → UPDATE ×2 → DELETE), giving the statement surface its first driver
-#: hash. Slots 2-7 are the six queries whose latest evidence is r8 —
-#: three rounds stale, past the two-round invariant, mandatory this
-#: round (r11 verdict ask #2): `agg_percentile_approx`,
-#: `agg_stats_native`, `fn_math_native`, `sliding_window`,
-#: `text_quality_score`, `union_all`. Slots 8-50 are 43 of the 50-query
-#: round-9-latest-evidence cohort (computed from the committed
-#: CORRECTNESS_r{01..11}.json union, latest green round per query).
-#: DISPLACED (the seven r9-cohort queries the mandatory slots push out,
+#: hash; `text_decontaminate_bloom` is the NEW Bloom-filter
+#: decontamination operator (fixed-size membership, FP behavior
+#: bit-identical across engines). Slots 3-8 are the six queries whose
+#: latest evidence is r8 — three rounds stale, past the two-round
+#: invariant, mandatory this round (r11 verdict ask #2):
+#: `agg_percentile_approx`, `agg_stats_native`, `fn_math_native`,
+#: `sliding_window`, `text_quality_score`, `union_all`. Slots 9-50 are
+#: 42 of the 50-query round-9-latest-evidence cohort (computed from the
+#: committed CORRECTNESS_r{01..11}.json union, latest green round per
+#: query).
+#: DISPLACED (the eight r9-cohort queries the mandatory slots push out,
 #: each chosen because an EXACT sibling sharing its operator family
 #: carries round-10-or-newer evidence and EVIDENCE.json pins its source
 #: byte-identical since its last green run; they rotate into the r13
@@ -136,7 +139,11 @@ def davg(col: Column | str, alias: str) -> Column:
 #:     `tumbling_window` and `stream_session_counts_materialized`, both
 #:     r11 — the same streaming-materialization twin machinery),
 #:   - `join_salted_skew` (sibling `agg_salted_skew` r10 — the same
-#:     salting pattern — plus nine plain-join siblings at r10/r11).
+#:     salting pattern — plus nine plain-join siblings at r10/r11),
+#:   - `text_vocab_topk` (sibling `text_tfidf_top_terms` r10 — the
+#:     same corpus term-statistics family — displaced by the NEW
+#:     `text_decontaminate_bloom`, which the never-run gate requires
+#:     windowed immediately).
 #: `tests/test_registry_order.py` pins the window, the never-run gate,
 #: and the source-hash freshness manifest so an import reorder, an
 #: unrotated rewrite, or an unwindowed NEW query fails CI, not the
@@ -145,7 +152,11 @@ CURATED_FIRST: tuple[str, ...] = (
     # --- slot 1: round-12 addition (DML statement-path evidence),
     #     never driver-verified ---
     "dml_statement_script",
-    # --- slots 2-7: the r8-latest-evidence queries (three rounds
+    # --- slot 2: round-12 addition (Bloom-filter decontamination —
+    #     fixed-size membership with driver-hashed FP behavior),
+    #     never driver-verified ---
+    "text_decontaminate_bloom",
+    # --- slots 3-8: the r8-latest-evidence queries (three rounds
     #     stale — mandatory per the two-round freshness invariant) ---
     "agg_percentile_approx",
     "agg_stats_native",
@@ -153,7 +164,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "sliding_window",
     "text_quality_score",
     "union_all",
-    # --- slots 8-50: round-9-latest-evidence cohort (43 of 50) ---
+    # --- slots 9-50: round-9-latest-evidence cohort (42 of 50) ---
     "agg_approx_count_distinct",
     "agg_important_part_value",
     "agg_late_shipment_priority",
@@ -194,7 +205,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "text_quality_gopher",
     "text_token_count",
     "text_train_split",
-    "text_vocab_topk",
     "time_weighted_avg",
     "window_ranking",
 )

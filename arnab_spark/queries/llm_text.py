@@ -871,3 +871,105 @@ def text_dsir_weights(spark, sf_dir):
     with the deterministic hash-bucket sampler (text_train_split)."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_dsir_sql("spark"))
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter decontamination (round 12): the O(m)-bits membership
+# alternative to text_decontaminate's digest broadcast join. At 100 TB
+# the held-out benchmark's n-gram set is still MBs, but a multi-
+# benchmark deployment probes MANY sets per document; a Bloom filter
+# folds each set into a fixed bit array (here 2048 x 32-bit words =
+# 64 Ki bits, k=3) that rides a broadcast regardless of gram count,
+# and the probe stream touches the shuffle only for grams with >=1
+# matching hash — a false-positive-rate-bounded fraction. Determinism:
+# bit positions come from three 32-bit md5 hex slices (identical hex
+# in both engines), so both engines build the IDENTICAL filter and
+# flag the IDENTICAL false positives — the driver hash pins the whole
+# construction, not just the happy path.
+
+_BLOOM_WORDS = 2048  # 32-bit words -> m = 65536 bits
+_BLOOM_K = 3
+
+
+def _bloom_pos(engine: str, j: int) -> str:
+    """Bit position j (0..k-1) of an n-gram: 32-bit slice j of
+    md5(ngram) mod m — same value in both engines (probed)."""
+    sub = f"substr(md5(ngram), {1 + 8 * j}, 8)"
+    if engine == "spark":
+        return f"CAST(conv({sub}, 16, 10) AS BIGINT) % {_BLOOM_WORDS * 32}"
+    return f"CAST(('0x' || {sub}) AS BIGINT) % {_BLOOM_WORDS * 32}"
+
+
+def _bloom_sql(engine: str) -> str:
+    spark_side = engine == "spark"
+    ngram = _NGRAM_SPARK if spark_side else _NGRAM_DUCK
+    split_fn = "split" if spark_side else "string_split"
+    if spark_side:
+        grams_item = f"explode(array_distinct({ngram})) AS ngram"
+        posexpr = f"explode(array({', '.join(_bloom_pos(engine, j) for j in range(_BLOOM_K))})) AS pos"
+        word = "pos DIV 32"
+        mask = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+    else:
+        grams_item = f"unnest(list_distinct({ngram})) AS ngram"
+        posexpr = f"unnest([{', '.join(_bloom_pos(engine, j) for j in range(_BLOOM_K))}]) AS pos"
+        word = "pos // 32"
+        mask = "(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))"
+    return f"""
+WITH words AS (
+  SELECT doc_id, {split_fn}(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, {grams_item} FROM words
+),
+positions AS (
+  SELECT doc_id, ngram, {posexpr} FROM grams
+),
+bloom AS (
+  SELECT {word} AS word_idx, bit_or({mask}) AS word
+  FROM positions WHERE {_HELD_OUT}
+  GROUP BY {word}
+),
+probe AS (
+  SELECT doc_id, ngram, {word} AS word_idx, {mask} AS mask
+  FROM positions WHERE NOT ({_HELD_OUT})
+),
+gram_hits AS (
+  SELECT p.doc_id, p.ngram
+  FROM probe p JOIN bloom b ON p.word_idx = b.word_idx
+  WHERE (b.word & p.mask) = p.mask
+  GROUP BY p.doc_id, p.ngram
+  HAVING COUNT(*) = {_BLOOM_K}
+)
+SELECT doc_id, COUNT(*) AS n_flagged_ngrams
+FROM gram_hits
+GROUP BY doc_id
+"""
+
+
+@query(
+    "text_decontaminate_bloom",
+    oracle=_bloom_sql("duckdb"),
+    tags=("text", "dedup", "bloom"),
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    """Benchmark decontamination through a Bloom filter — the
+    fixed-size-membership variant of :func:`text_decontaminate` (GPT-3
+    appendix C protocol): fold the held-out split's word-8-grams into a
+    64 Ki-bit, k=3 Bloom filter (three 32-bit md5 slices -> bit
+    positions; bit_or per 32-bit word), then flag each training
+    document's grams whose THREE positions are all set, counting
+    flagged grams per doc — false positives included by construction
+    and bit-identical on both engines, so the driver hash pins the
+    filter build, the probe, and the FP behavior.
+
+    Scale shape: the filter is {words} words after one partial-
+    aggregated groupBy — a broadcast no matter how many grams the
+    benchmark holds (the digest-join variant's broadcast grows with
+    the benchmark; this one is O(m) forever, the knob a
+    many-benchmarks deployment needs). The probe joins the gram
+    stream against the {words}-row filter (AQE broadcast) and only
+    grams with >=1 matching hash slice reach the count-3 shuffle — an
+    FP-rate-bounded fraction. No UDFs; md5/conv/bit ops are all
+    whole-stage-codegen expressions.""".format(words=_BLOOM_WORDS)
+    register_spread_views(spark, sf_dir, ("documents",))
+    return spark.sql(_bloom_sql("spark"))

@@ -81,8 +81,8 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The seven round-9-cohort queries the round-12 mandatory slots (one
-#: NEW query + the six r8-stale queries) displace. Each has an EXACT
+#: The eight round-9-cohort queries the round-12 mandatory slots (two
+#: NEW queries + the six r8-stale queries) displace. Each has an EXACT
 #: same-family sibling with round-10-or-newer evidence and an
 #: EVIDENCE.json hash pin proving its source byte-identical since its
 #: last green run; they take the FIRST r13 rotation slots. Siblings:
@@ -93,8 +93,12 @@ def test_every_query_is_oracled():
 #: contract); multimodal_resize → multimodal_decode_features (r11,
 #: same Arrow binary plumbing); stream_tumbling_counts_materialized →
 #: tumbling_window + stream_session_counts_materialized (both r11);
-#: join_salted_skew → agg_salted_skew (r10, the same salting pattern).
+#: join_salted_skew → agg_salted_skew (r10, the same salting pattern);
+#: text_vocab_topk → text_tfidf_top_terms (r10, same corpus
+#: term-statistics family; displaced by the NEW
+#: text_decontaminate_bloom, which the never-run gate windows).
 R12_DISPLACED = {
+    "text_vocab_topk",
     "asof_join_pandas",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -109,11 +113,12 @@ def test_r12_window_covers_stale_evidence_queries():
     """The r12 window holds every query whose latest driver evidence is
     r9 or older — computed from the committed CORRECTNESS_r{01..11}.json
     union (latest green round wins per query), not hand-maintained —
-    minus the seven DOCUMENTED displaced queries, so after the r12 run
+    minus the eight DOCUMENTED displaced queries, so after the r12 run
     no registry query's driver evidence predates r9 and the six
     three-round-stale r8 rows (the r11 verdict's ask #2) are retired.
-    Slot 1 is the round-12 addition (never-run gate: the DML
-    statement-path script); slots 2-7 are the six r8-stale queries."""
+    Slots 1-2 are the round-12 additions (never-run gate: the DML
+    statement-path script and the Bloom decontamination operator);
+    slots 3-8 are the six r8-stale queries."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
@@ -131,7 +136,8 @@ def test_r12_window_covers_stale_evidence_queries():
     )
     assert R12_DISPLACED.isdisjoint(CURATED_FIRST)
     assert CURATED_FIRST[0] == "dml_statement_script"
-    assert set(CURATED_FIRST[1:7]) == {
+    assert CURATED_FIRST[1] == "text_decontaminate_bloom"
+    assert set(CURATED_FIRST[2:8]) == {
         "agg_percentile_approx",
         "agg_stats_native",
         "fn_math_native",
