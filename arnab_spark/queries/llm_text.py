@@ -970,6 +970,14 @@ def text_decontaminate_bloom(spark, sf_dir):
     stream against the {words}-row filter (AQE broadcast) and only
     grams with >=1 matching hash slice reach the count-3 shuffle — an
     FP-rate-bounded fraction. No UDFs; md5/conv/bit ops are all
-    whole-stage-codegen expressions.""".format(words=_BLOOM_WORDS)
+    whole-stage-codegen expressions.
+
+    Measured verdict (round 12, ``BLOOM_SCALE_r12.json``): the digest
+    join stays the corpus DEFAULT — it wins every fixture decade, and
+    at sf10 this query's pinned m saturates (held-out grams grow 100x
+    past 64 Ki bits, FP -> 1, probe shuffle explodes: 35.3 s vs the
+    digest's 12.9 s). This spelling is the many-benchmarks /
+    memory-budgeted knob; production sizing is m proportional to the
+    benchmark's gram count.""".format(words=_BLOOM_WORDS)
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_bloom_sql("spark"))
