@@ -770,3 +770,39 @@ def dedup_semantic(spark, sf_dir):
     n·k assignment term, which the paper replaces with approximate
     (ANN) centroid assignment at extreme scale — same plan shape."""
     return semantic_dedup_frame(spark, sf_dir, SEM_K)
+
+
+@query(
+    "stream_dedup_exact_materialized",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup", "streaming"),
+)
+def stream_dedup_exact_materialized(spark, sf_dir):
+    """Round-12 dedup-on-ingest: the exact-dedup operator as a REAL
+    Structured Streaming run (document drop-zone file source →
+    per-digest streaming aggregation → memory sink,
+    Trigger.AvailableNow, complete mode), materialized and hashed
+    against the SAME DuckDB oracle as the batch ``dedup_exact`` — the
+    streaming and batch spellings of one operator provably produce the
+    identical relation. min/count are order-insensitive, so the result
+    does not depend on batch arrival order (a streaming
+    ``dropDuplicates`` would — that spelling stays in
+    ``streaming.jobs.stream_distinct_pairs`` with its caveat).
+
+    Scale: state is one row per DISTINCT digest — the honest floor for
+    exact streaming dedup; the pipeline-scale alternatives (watermarked
+    eviction with re-emission, or periodic compaction into the snapshot
+    ``dedup_incremental`` anti-joins against) are documented on the job.
+    The unique sink name keeps repeated invocations independent."""
+    import uuid
+
+    from arnab_spark.streaming.jobs import run_stream_to_memory, stream_dedup_exact
+
+    sink = f"arnab_stream_dedup_{uuid.uuid4().hex[:12]}"
+    return run_stream_to_memory(stream_dedup_exact(spark, sf_dir), sink)

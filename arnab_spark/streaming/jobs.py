@@ -237,3 +237,50 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "purchase_ts",
     )
+
+
+def _read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents fixture — same symlink
+    drop-zone staging as :func:`_read_events_stream` (a production
+    ingest would watch exactly this layout as crawl batches land)."""
+    configure(spark)
+    stage = os.path.join(
+        "/tmp", "arnab_stream_docs", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    fixture_schema = spark.read.parquet(link).schema
+    return spark.readStream.schema(fixture_schema).parquet(stage)
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: the exact-dedup operator (md5 digest →
+    keep-min-id + copy count) as a STREAMING aggregation over the
+    document drop zone — the shape a training-data pipeline runs
+    continuously as crawl batches land, instead of re-running batch
+    dedup over the whole corpus.
+
+    Determinism: min/count are order-insensitive, so the materialized
+    result is independent of file/batch arrival order — byte-equal to
+    the batch twin (``dedup_exact``'s shape) and oracle-able, where a
+    streaming ``dropDuplicates`` would keep an arrival-order-dependent
+    row. State: one row per DISTINCT digest (complete mode, no
+    watermark — digests have no event time). That is the honest cost
+    of exact streaming dedup at any scale; the bounded-state
+    alternatives are :func:`stream_dedup_watermarked` (time-bounded
+    eviction, re-emission possible) or periodically compacting the
+    state into the snapshot table ``dedup_incremental`` anti-joins
+    against."""
+    docs = _read_documents_stream(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -81,7 +81,7 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The eight round-9-cohort queries the round-12 mandatory slots (two
+#: The nine round-9-cohort queries the round-12 mandatory slots (three
 #: NEW queries + the six r8-stale queries) displace. Each has an EXACT
 #: same-family sibling with round-10-or-newer evidence and an
 #: EVIDENCE.json hash pin proving its source byte-identical since its
@@ -96,8 +96,12 @@ def test_every_query_is_oracled():
 #: join_salted_skew → agg_salted_skew (r10, the same salting pattern);
 #: text_vocab_topk → text_tfidf_top_terms (r10, same corpus
 #: term-statistics family; displaced by the NEW
-#: text_decontaminate_bloom, which the never-run gate windows).
+#: text_decontaminate_bloom, which the never-run gate windows);
+#: join_customer_distribution → join_large_orders_customers (r10, same
+#: customer-order outer-join family; displaced by the NEW
+#: stream_dedup_exact_materialized).
 R12_DISPLACED = {
+    "join_customer_distribution",
     "text_vocab_topk",
     "asof_join_pandas",
     "dedup_exact",
@@ -113,12 +117,13 @@ def test_r12_window_covers_stale_evidence_queries():
     """The r12 window holds every query whose latest driver evidence is
     r9 or older — computed from the committed CORRECTNESS_r{01..11}.json
     union (latest green round wins per query), not hand-maintained —
-    minus the eight DOCUMENTED displaced queries, so after the r12 run
+    minus the nine DOCUMENTED displaced queries, so after the r12 run
     no registry query's driver evidence predates r9 and the six
     three-round-stale r8 rows (the r11 verdict's ask #2) are retired.
-    Slots 1-2 are the round-12 additions (never-run gate: the DML
-    statement-path script and the Bloom decontamination operator);
-    slots 3-8 are the six r8-stale queries."""
+    Slots 1-3 are the round-12 additions (never-run gate: the DML
+    statement-path script, the Bloom decontamination operator, and the
+    streaming exact-dedup twin); slots 4-9 are the six r8-stale
+    queries."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
@@ -137,7 +142,8 @@ def test_r12_window_covers_stale_evidence_queries():
     assert R12_DISPLACED.isdisjoint(CURATED_FIRST)
     assert CURATED_FIRST[0] == "dml_statement_script"
     assert CURATED_FIRST[1] == "text_decontaminate_bloom"
-    assert set(CURATED_FIRST[2:8]) == {
+    assert CURATED_FIRST[2] == "stream_dedup_exact_materialized"
+    assert set(CURATED_FIRST[3:9]) == {
         "agg_percentile_approx",
         "agg_stats_native",
         "fn_math_native",
