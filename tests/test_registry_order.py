@@ -81,7 +81,7 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The nine round-9-cohort queries the round-12 mandatory slots (three
+#: The ten round-9-cohort queries the round-12 mandatory slots (four
 #: NEW queries + the six r8-stale queries) displace. Each has an EXACT
 #: same-family sibling with round-10-or-newer evidence and an
 #: EVIDENCE.json hash pin proving its source byte-identical since its
@@ -99,8 +99,12 @@ def test_every_query_is_oracled():
 #: text_decontaminate_bloom, which the never-run gate windows);
 #: join_customer_distribution → join_large_orders_customers (r10, same
 #: customer-order outer-join family; displaced by the NEW
-#: stream_dedup_exact_materialized).
+#: stream_dedup_exact_materialized); join_idle_rich_customers →
+#: join_anti + join_large_orders_customers (both r10, the same
+#: customer/orders anti-join shape; displaced by the NEW
+#: text_dsir_resample).
 R12_DISPLACED = {
+    "join_idle_rich_customers",
     "join_customer_distribution",
     "text_vocab_topk",
     "asof_join_pandas",
@@ -117,13 +121,13 @@ def test_r12_window_covers_stale_evidence_queries():
     """The r12 window holds every query whose latest driver evidence is
     r9 or older — computed from the committed CORRECTNESS_r{01..11}.json
     union (latest green round wins per query), not hand-maintained —
-    minus the nine DOCUMENTED displaced queries, so after the r12 run
+    minus the ten DOCUMENTED displaced queries, so after the r12 run
     no registry query's driver evidence predates r9 and the six
     three-round-stale r8 rows (the r11 verdict's ask #2) are retired.
-    Slots 1-3 are the round-12 additions (never-run gate: the DML
-    statement-path script, the Bloom decontamination operator, and the
-    streaming exact-dedup twin); slots 4-9 are the six r8-stale
-    queries."""
+    Slots 1-4 are the round-12 additions (never-run gate: the DML
+    statement-path script, the Bloom decontamination operator, the
+    streaming exact-dedup twin, and the DSIR resampling step); slots
+    5-10 are the six r8-stale queries."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
@@ -143,7 +147,8 @@ def test_r12_window_covers_stale_evidence_queries():
     assert CURATED_FIRST[0] == "dml_statement_script"
     assert CURATED_FIRST[1] == "text_decontaminate_bloom"
     assert CURATED_FIRST[2] == "stream_dedup_exact_materialized"
-    assert set(CURATED_FIRST[3:9]) == {
+    assert CURATED_FIRST[3] == "text_dsir_resample"
+    assert set(CURATED_FIRST[4:10]) == {
         "agg_percentile_approx",
         "agg_stats_native",
         "fn_math_native",
