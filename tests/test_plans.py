@@ -154,6 +154,7 @@ NESTED_LOOP_ALLOWED = {
     "text_tfidf_top_terms",    # 1-row broadcast scalar (corpus doc count for IDF)
     "agg_important_part_value",  # 1-row broadcast scalar total (Q11 fraction threshold)
     "text_dsir_weights",       # 1-row broadcast scalar totals (T/R token counts for the smoothed log-ratio)
+    "text_dsir_resample",      # same 1-row totals broadcast, inherited via the weights CTE
     "dialect_series_columns",  # deliberate cross of constant-size series CTEs (4x3) + two 1-row aggregates — all broadcast
     # (join_top_supplier_revenue's scalar-MAX equality is NOT here:
     # Catalyst rewrites the 1-row cross join + units == max_units filter
