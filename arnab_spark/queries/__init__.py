@@ -104,7 +104,7 @@ def davg(col: Column | str, alias: str) -> Column:
 #: The round-1 correctness run showed the driver checks ``queries()`` in
 #: dict (registration) order and verifies the FIRST 50 entries only.
 #: Evidence is therefore accumulated by rotating this list each round.
-#: ROUND-12 WINDOW: slots 1-4 are the round-12 additions — never
+#: ROUND-12 WINDOW: slots 1-5 are the round-12 additions — never
 #: driver-verified, so the never-run gate requires them windowed.
 #: `dml_statement_script` (r11 verdict ask #3) passes through the
 #: round-11 DML persistence path (CREATE TABLE AS → INSERT → ALTER ADD
@@ -115,15 +115,18 @@ def davg(col: Column | str, alias: str) -> Column:
 #: the NEW streaming dedup-on-ingest twin (a real Structured Streaming
 #: run hashed against the batch operator's own oracle);
 #: `text_dsir_resample` is the NEW Gumbel-top-k importance resampling
-#: step completing the DSIR pipeline. Slots 5-10 are the six queries
-#: whose latest evidence is r8 — three rounds stale, past the two-round
-#: invariant, mandatory this round (r11 verdict ask #2):
-#: `agg_percentile_approx`, `agg_stats_native`, `fn_math_native`,
-#: `sliding_window`, `text_quality_score`, `union_all`. Slots 11-50 are
-#: 40 of the 50-query round-9-latest-evidence cohort (computed from the
+#: step completing the DSIR pipeline; `dedup_cluster_best` is the NEW
+#: keep-the-best-member cluster-representative selection over the CC
+#: dedup graph. Slots 6-11 are the six queries whose latest evidence
+#: is r8 — three rounds stale, past the two-round invariant, mandatory
+#: this round (r11 verdict ask #2): `agg_percentile_approx`,
+#: `agg_stats_native`, `fn_math_native`, `sliding_window`,
+#: `text_quality_score`, `union_all`. Slots 12-50 are 39 of the
+#: 50-query round-9-latest-evidence cohort (computed from the
 #: committed CORRECTNESS_r{01..11}.json union, latest green round per
 #: query).
-#: DISPLACED (the ten r9-cohort queries the mandatory slots push out,
+#: DISPLACED (the eleven r9-cohort queries the mandatory slots push
+#: out,
 #: each chosen because an EXACT sibling sharing its operator family
 #: carries round-10-or-newer evidence and EVIDENCE.json pins its source
 #: byte-identical since its last green run; they rotate into the r13
@@ -155,7 +158,10 @@ def davg(col: Column | str, alias: str) -> Column:
 #:   - `join_idle_rich_customers` (siblings `join_large_orders_customers`
 #:     and the anti-join family `join_anti`, both r10 — the same
 #:     customer/orders anti-join shape; displaced by the NEW
-#:     `text_dsir_resample`).
+#:     `text_dsir_resample`),
+#:   - `join_local_supplier_volume` (sibling `join_volume_shipping`
+#:     r10 — the same multi-table volume-join family; displaced by the
+#:     NEW `dedup_cluster_best`).
 #: `tests/test_registry_order.py` pins the window, the never-run gate,
 #: and the source-hash freshness manifest so an import reorder, an
 #: unrotated rewrite, or an unwindowed NEW query fails CI, not the
@@ -175,7 +181,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # --- slot 4: round-12 addition (DSIR Gumbel-top-k importance
     #     resampling), never driver-verified ---
     "text_dsir_resample",
-    # --- slots 5-10: the r8-latest-evidence queries (three rounds
+    # --- slot 5: round-12 addition (best-of-cluster representative
+    #     selection over the CC dedup graph), never driver-verified ---
+    "dedup_cluster_best",
+    # --- slots 6-11: the r8-latest-evidence queries (three rounds
     #     stale — mandatory per the two-round freshness invariant) ---
     "agg_percentile_approx",
     "agg_stats_native",
@@ -183,7 +192,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "sliding_window",
     "text_quality_score",
     "union_all",
-    # --- slots 11-50: round-9-latest-evidence cohort (40 of 50) ---
+    # --- slots 12-50: round-9-latest-evidence cohort (39 of 50) ---
     "agg_approx_count_distinct",
     "agg_important_part_value",
     "agg_late_shipment_priority",
@@ -202,7 +211,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "fn_explode_unnest",
     "fn_posexplode_ordinality",
     "join_bracketed_discounts",
-    "join_local_supplier_volume",
     "join_majority_part_suppliers",
     "join_national_market_share",
     "join_product_type_profit",

@@ -425,7 +425,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-_CC_ORACLE = f"""
+_CC_REACH_DUCK = f"""
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -457,7 +457,9 @@ reach(s, d) AS (
   UNION
   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
-SELECT s AS doc_id, MIN(d) AS canonical_id FROM reach GROUP BY s
+"""
+
+_CC_ORACLE = _CC_REACH_DUCK + """SELECT s AS doc_id, MIN(d) AS canonical_id FROM reach GROUP BY s
 """
 
 
@@ -806,3 +808,78 @@ def stream_dedup_exact_materialized(spark, sf_dir):
 
     sink = f"arnab_stream_dedup_{uuid.uuid4().hex[:12]}"
     return run_stream_to_memory(stream_dedup_exact(spark, sf_dir), sink)
+
+
+_CLUSTER_BEST_ORACLE = _CC_REACH_DUCK + """,
+comp AS (
+  SELECT s AS doc_id, MIN(d) AS canonical_id FROM reach GROUP BY s
+),
+q AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.canonical_id, c.doc_id, q.n_tokens,
+         row_number() OVER (PARTITION BY c.canonical_id
+                            ORDER BY q.n_tokens DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.canonical_id) AS n_members
+  FROM comp c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT canonical_id, doc_id AS kept_doc_id, n_tokens AS kept_n_tokens,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "dedup_cluster_best",
+    oracle=_CLUSTER_BEST_ORACLE,
+    tags=("dedup", "lsh", "graph"),
+)
+def dedup_cluster_best(spark, sf_dir):
+    """Round-12 cluster-representative selection: instead of keeping
+    each near-dup cluster's MINIMUM doc_id (``dedup_connected_groups``'
+    canonical), keep its BEST member — here the longest (token count),
+    the keep-the-longest-duplicate heuristic production pipelines apply
+    so boilerplate-trimmed fragments lose to their fullest copy. Same
+    LSH pair graph, same large-star/small-star contraction; one extra
+    broadcast-sized join against per-doc token counts and a per-cluster
+    window (row_number over n_tokens DESC, doc_id — total-order
+    deterministic at any parallelism; n_members makes the cluster size
+    hash-visible). Swap the ordering key for any quality column
+    (``text_quality_score``) without touching the plan."""
+    from pyspark.sql import Window
+
+    from arnab_spark.operators import connected_components
+
+    register_spread_views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(
+        _MINHASH_SPARK
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {CC_MIN_BANDS}
+"""
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    toks = spark.sql(
+        "SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    )
+    j = comps.join(toks, comps["node"] == toks["doc_id"]).select(
+        F.col("comp").alias("canonical_id"), "doc_id", "n_tokens"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("canonical_id"))
+    )
+    return ranked.filter("rn = 1").select(
+        "canonical_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tokens").alias("kept_n_tokens"),
+        "n_members",
+    )

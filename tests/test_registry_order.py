@@ -81,8 +81,8 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The ten round-9-cohort queries the round-12 mandatory slots (four
-#: NEW queries + the six r8-stale queries) displace. Each has an EXACT
+#: The eleven round-9-cohort queries the round-12 mandatory slots
+#: (five NEW queries + the six r8-stale queries) displace. Each has an EXACT
 #: same-family sibling with round-10-or-newer evidence and an
 #: EVIDENCE.json hash pin proving its source byte-identical since its
 #: last green run; they take the FIRST r13 rotation slots. Siblings:
@@ -102,8 +102,11 @@ def test_every_query_is_oracled():
 #: stream_dedup_exact_materialized); join_idle_rich_customers →
 #: join_anti + join_large_orders_customers (both r10, the same
 #: customer/orders anti-join shape; displaced by the NEW
-#: text_dsir_resample).
+#: text_dsir_resample); join_local_supplier_volume →
+#: join_volume_shipping (r10, the same multi-table volume-join family;
+#: displaced by the NEW dedup_cluster_best).
 R12_DISPLACED = {
+    "join_local_supplier_volume",
     "join_idle_rich_customers",
     "join_customer_distribution",
     "text_vocab_topk",
@@ -121,13 +124,14 @@ def test_r12_window_covers_stale_evidence_queries():
     """The r12 window holds every query whose latest driver evidence is
     r9 or older — computed from the committed CORRECTNESS_r{01..11}.json
     union (latest green round wins per query), not hand-maintained —
-    minus the ten DOCUMENTED displaced queries, so after the r12 run
+    minus the eleven DOCUMENTED displaced queries, so after the r12 run
     no registry query's driver evidence predates r9 and the six
     three-round-stale r8 rows (the r11 verdict's ask #2) are retired.
-    Slots 1-4 are the round-12 additions (never-run gate: the DML
+    Slots 1-5 are the round-12 additions (never-run gate: the DML
     statement-path script, the Bloom decontamination operator, the
-    streaming exact-dedup twin, and the DSIR resampling step); slots
-    5-10 are the six r8-stale queries."""
+    streaming exact-dedup twin, the DSIR resampling step, and the
+    best-of-cluster selection); slots 6-11 are the six r8-stale
+    queries."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
@@ -148,7 +152,8 @@ def test_r12_window_covers_stale_evidence_queries():
     assert CURATED_FIRST[1] == "text_decontaminate_bloom"
     assert CURATED_FIRST[2] == "stream_dedup_exact_materialized"
     assert CURATED_FIRST[3] == "text_dsir_resample"
-    assert set(CURATED_FIRST[4:10]) == {
+    assert CURATED_FIRST[4] == "dedup_cluster_best"
+    assert set(CURATED_FIRST[5:11]) == {
         "agg_percentile_approx",
         "agg_stats_native",
         "fn_math_native",
