@@ -741,3 +741,47 @@ def agg_mode_bool_bits(spark, sf_dir):
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_MODE_BOOL_BITS_SQL)
+
+
+# ---------------------------------------------------------------------
+# Cohort retention (round 13): the canonical product-analytics rollup —
+# pure ANSI SQL, identical text on both engines.
+
+_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  CAST(date_trunc('month', f.first_dt) AS TIMESTAMP) AS cohort_month,
+  CAST((year(o.o_orderdate) - year(f.first_dt)) * 12
+       + (month(o.o_orderdate) - month(f.first_dt)) AS BIGINT) AS month_offset,
+  COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY CAST(date_trunc('month', f.first_dt) AS TIMESTAMP),
+         CAST((year(o.o_orderdate) - year(f.first_dt)) * 12
+              + (month(o.o_orderdate) - month(f.first_dt)) AS BIGINT)
+"""
+
+
+@query("orders_retention_cohort", oracle=_RETENTION_SQL, tags=("agg", "retention"))
+def orders_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: customers grouped by the month of their
+    FIRST order (the cohort), counted in every month-offset where they
+    ordered again — the triangle every growth dashboard draws. The
+    month offset is exact integer calendar arithmetic
+    ((Δyear)*12 + Δmonth), never a float day-difference, so both
+    engines bucket identically across month-length boundaries.
+
+    Scale shape: one partial-aggregated MIN groupBy on o_custkey, one
+    equi-join back to orders on the same key (the first agg's output
+    is already hash-partitioned by o_custkey, so AQE plans the join
+    without re-shuffling that side), then a COUNT(DISTINCT custkey)
+    over (cohort, offset) — Spark expands distinct-agg into a
+    two-phase partial aggregate, so the shuffle carries
+    (cohort, offset, custkey) triples deduplicated map-side. Output
+    cardinality is O(months^2), independent of row count."""
+    from arnab_spark.spark_utils import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RETENTION_SQL)

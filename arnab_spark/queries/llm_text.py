@@ -874,46 +874,65 @@ def text_dsir_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# Bloom-filter decontamination (round 12): the O(m)-bits membership
-# alternative to text_decontaminate's digest broadcast join. At 100 TB
-# the held-out benchmark's n-gram set is still MBs, but a multi-
-# benchmark deployment probes MANY sets per document; a Bloom filter
-# folds each set into a fixed bit array (here 2048 x 32-bit words =
-# 64 Ki bits, k=3) that rides a broadcast regardless of gram count,
-# and the probe stream touches the shuffle only for grams with >=1
-# matching hash — a false-positive-rate-bounded fraction. Determinism:
-# bit positions come from three 32-bit md5 hex slices (identical hex
-# in both engines), so both engines build the IDENTICAL filter and
-# flag the IDENTICAL false positives — the driver hash pins the whole
-# construction, not just the happy path.
+# Bloom-filter decontamination (round 12; m-sizing round 13): the
+# O(m)-bits membership alternative to text_decontaminate's digest
+# broadcast join. At 100 TB the held-out benchmark's n-gram set is
+# still MBs, but a multi-benchmark deployment probes MANY sets per
+# document; a Bloom filter folds each set into a bit array that rides
+# a broadcast, and the probe stream touches the shuffle only for grams
+# with >=1 matching hash — a false-positive-rate-bounded fraction.
+#
+# m-SIZING (round 13, r12 verdict ask #3): round 12 pinned m at 64 Ki
+# bits and the filter SATURATED at sf10 (held-out grams grow ~100x
+# past 64 Ki -> FP -> 1 -> nearly every probe gram reached the count-k
+# shuffle: 35.3 s vs the digest join's 12.9 s, BLOOM_SCALE_r12.json).
+# m is now derived IN THE QUERY from the held-out distinct-gram count:
+# the next power of two >= 16x grams (k=3 at 16 bits/gram -> FP =
+# (1-e^(-3/16))^3 ~ 0.5%), floored at 64 Ki bits so tiny fixtures keep
+# a real filter. The derivation is integer-exact in both engines —
+# bit-length via bin()/ltrim, never a float log2 that could round
+# differently across engines — and lives in BOTH SQL texts, so the
+# driver hash still pins filter build + probe + FP behavior, now at
+# every scale. Determinism of the bits themselves is unchanged: three
+# 32-bit md5 hex slices mod m (identical hex in both engines).
 
-_BLOOM_WORDS = 2048  # 32-bit words -> m = 65536 bits
 _BLOOM_K = 3
+_BLOOM_MIN_GRAMS = 4096  # floor: m >= 16 * 4096 = 64 Ki bits
+_BLOOM_BITS_PER_GRAM = 16
 
 
 def _bloom_pos(engine: str, j: int) -> str:
     """Bit position j (0..k-1) of an n-gram: 32-bit slice j of
-    md5(ngram) mod m — same value in both engines (probed)."""
+    md5(ngram) mod m_bits — same value in both engines (probed)."""
     sub = f"substr(md5(ngram), {1 + 8 * j}, 8)"
     if engine == "spark":
-        return f"CAST(conv({sub}, 16, 10) AS BIGINT) % {_BLOOM_WORDS * 32}"
-    return f"CAST(('0x' || {sub}) AS BIGINT) % {_BLOOM_WORDS * 32}"
+        return f"CAST(conv({sub}, 16, 10) AS BIGINT) % m_bits"
+    return f"CAST(('0x' || {sub}) AS BIGINT) % m_bits"
 
 
-def _bloom_sql(engine: str) -> str:
+def _bloom_sql(engine: str, final_select: str | None = None) -> str:
     spark_side = engine == "spark"
     ngram = _NGRAM_SPARK if spark_side else _NGRAM_DUCK
     split_fn = "split" if spark_side else "string_split"
+    # next power of two >= 16 * max(grams, 4096), integer-exact:
+    # bit-length(x-1) via bin() — PROBED to emit no leading zeros for
+    # positive BIGINTs in both engines (and two-arg ltrim is NOT
+    # portable: Spark's is ltrim(trimStr, str), DuckDB's is
+    # ltrim(str, chars)) — then 1 << bitlen
+    count = f"{_BLOOM_BITS_PER_GRAM} * GREATEST(COUNT(DISTINCT ngram), {_BLOOM_MIN_GRAMS}) - 1"
+    bitlen = f"CAST(length(bin({count})) AS INTEGER)"
     if spark_side:
         grams_item = f"explode(array_distinct({ngram})) AS ngram"
         posexpr = f"explode(array({', '.join(_bloom_pos(engine, j) for j in range(_BLOOM_K))})) AS pos"
         word = "pos DIV 32"
         mask = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+        msize = f"CAST(shiftleft(CAST(1 AS BIGINT), {bitlen}) AS BIGINT) AS m_bits"
     else:
         grams_item = f"unnest(list_distinct({ngram})) AS ngram"
         posexpr = f"unnest([{', '.join(_bloom_pos(engine, j) for j in range(_BLOOM_K))}]) AS pos"
         word = "pos // 32"
         mask = "(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))"
+        msize = f"CAST((CAST(1 AS BIGINT) << {bitlen}) AS BIGINT) AS m_bits"
     return f"""
 WITH words AS (
   SELECT doc_id, {split_fn}(text, ' ') AS w FROM documents
@@ -921,8 +940,11 @@ WITH words AS (
 grams AS (
   SELECT doc_id, {grams_item} FROM words
 ),
+msize AS (
+  SELECT {msize} FROM grams WHERE {_HELD_OUT}
+),
 positions AS (
-  SELECT doc_id, ngram, {posexpr} FROM grams
+  SELECT doc_id, ngram, {posexpr} FROM grams CROSS JOIN msize
 ),
 bloom AS (
   SELECT {word} AS word_idx, bit_or({mask}) AS word
@@ -940,10 +962,26 @@ gram_hits AS (
   GROUP BY p.doc_id, p.ngram
   HAVING COUNT(*) = {_BLOOM_K}
 )
-SELECT doc_id, COUNT(*) AS n_flagged_ngrams
+{final_select or '''SELECT doc_id, COUNT(*) AS n_flagged_ngrams
 FROM gram_hits
-GROUP BY doc_id
+GROUP BY doc_id'''}
 """
+
+
+def _bloom_diag_sql(engine: str) -> str:
+    """Saturation diagnostics over the SAME filter the query builds:
+    m_bits, filter word count, bits set, fill fraction (tools/
+    bloom_scale.py records these per decade — the r12 failure mode was
+    fill -> 1 at sf10 under the old fixed m)."""
+    return _bloom_sql(
+        engine,
+        final_select="""SELECT
+  (SELECT m_bits FROM msize) AS m_bits,
+  COUNT(*) AS filter_words,
+  SUM(bit_count(word)) AS bits_set,
+  CAST(SUM(bit_count(word)) AS DOUBLE) / (SELECT m_bits FROM msize) AS fill_fraction
+FROM bloom""",
+    )
 
 
 @query(
@@ -953,32 +991,39 @@ GROUP BY doc_id
 )
 def text_decontaminate_bloom(spark, sf_dir):
     """Benchmark decontamination through a Bloom filter — the
-    fixed-size-membership variant of :func:`text_decontaminate` (GPT-3
-    appendix C protocol): fold the held-out split's word-8-grams into a
-    64 Ki-bit, k=3 Bloom filter (three 32-bit md5 slices -> bit
-    positions; bit_or per 32-bit word), then flag each training
-    document's grams whose THREE positions are all set, counting
-    flagged grams per doc — false positives included by construction
-    and bit-identical on both engines, so the driver hash pins the
-    filter build, the probe, and the FP behavior.
+    bounded-size-membership variant of :func:`text_decontaminate`
+    (GPT-3 appendix C protocol): fold the held-out split's
+    word-8-grams into a k=3 Bloom filter whose size m is DERIVED from
+    the held-out distinct-gram count (next power of two >= 16x grams,
+    floor 64 Ki bits -> FP ~ 0.5% at every scale; round 13, closing
+    the r12 fixed-m saturation), then flag each training document's
+    grams whose THREE positions are all set, counting flagged grams
+    per doc — false positives included by construction and
+    bit-identical on both engines, so the driver hash pins the filter
+    build, the m derivation, the probe, and the FP behavior.
 
-    Scale shape: the filter is {words} words after one partial-
-    aggregated groupBy — a broadcast no matter how many grams the
-    benchmark holds (the digest-join variant's broadcast grows with
-    the benchmark; this one is O(m) forever, the knob a
-    many-benchmarks deployment needs). The probe joins the gram
-    stream against the {words}-row filter (AQE broadcast) and only
-    grams with >=1 matching hash slice reach the count-3 shuffle — an
-    FP-rate-bounded fraction. No UDFs; md5/conv/bit ops are all
+    Scale shape: the m derivation is one distinct-count over the
+    held-out grams (a 1-row broadcast, the same shape as the DSIR
+    totals); the filter is m/32 words after one partial-aggregated
+    groupBy (~grams/2 rows — 16x fewer BITS than the digest join
+    broadcasts as 32-char strings, the memory-budget knob a
+    many-benchmarks deployment needs). The probe joins the gram stream
+    against the filter (AQE broadcast) and only grams with >=1
+    matching hash slice reach the count-3 shuffle — an FP-rate-bounded
+    (~0.5%) fraction. No UDFs; md5/conv/bit ops are all
     whole-stage-codegen expressions.
 
-    Measured verdict (round 12, ``BLOOM_SCALE_r12.json``): the digest
-    join stays the corpus DEFAULT — it wins every fixture decade, and
-    at sf10 this query's pinned m saturates (held-out grams grow 100x
-    past 64 Ki bits, FP -> 1, probe shuffle explodes: 35.3 s vs the
-    digest's 12.9 s). This spelling is the many-benchmarks /
-    memory-budgeted knob; production sizing is m proportional to the
-    benchmark's gram count.""".format(words=_BLOOM_WORDS)
+    Crossover rule (when to pick which): the digest join stays the
+    corpus DEFAULT — exact (no FPs), one build pass (no per-gram k
+    hashes), and it won every measured decade on this fixture
+    (BLOOM_SCALE_r12.json with the saturating m; re-measured with
+    derived m in BLOOM_SCALE_r13.json). Pick the Bloom spelling when
+    the probe side is re-scanned against MANY benchmark sets or the
+    broadcast budget is the binding constraint: its broadcast is
+    ~m/32 words = ~grams/2 BIGINTs vs the digest join's one 32-char
+    string per gram (~16x the bytes), and a ~0.5% FP rate on flag
+    COUNTS is acceptable for a contamination REPORT (never for the
+    removal list itself — route removals through the digest join)."""
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_bloom_sql("spark"))
 
@@ -1042,3 +1087,90 @@ def text_dsir_resample(spark, sf_dir):
     deterministic at any parallelism."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_dsir_resample_sql("spark"))
+
+
+# ---------------------------------------------------------------------
+# BM25 ranking (round 13): lexical relevance scoring over the corpus —
+# the retrieval half of a RAG / data-curation pipeline (Robertson &
+# Zaragoza 2009, the Okapi BM25 formulation). Float determinism
+# follows the DSIR idiom: every score is a chain of single IEEE ops on
+# exact-integer-derived operands, quantized to integer micro-units
+# BEFORE any cross-row summation, so the per-doc total is an exact
+# associative BIGINT sum.
+
+_BM25_TERMS = ("'join'", "'filter'", "'vector'", "'scan'")
+_BM25_K = 20  # top-k documents returned
+
+
+def _bm25_sql(engine: str) -> str:
+    tok = (
+        "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
+        if engine == "spark"
+        else "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+    )
+    # BM25 with k1=1.2, b=0.75:
+    #   idf = ln((N - df + 0.5) / (df + 0.5))
+    #   tfn = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),  avgdl = total/N
+    # dl/avgdl is spelled dl*N/total so the numerator stays an exact
+    # 53-bit integer product; every other step is one IEEE op on
+    # operands identical across engines (same expression text).
+    score = """CAST(floor(1000000 * (
+      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / CAST(total_tokens AS DOUBLE))))
+    )) AS BIGINT)"""
+    return f"""
+WITH tok AS (
+  {tok}
+),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM tok WHERE word IN ({', '.join(_BM25_TERMS)})
+  GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+scored AS (
+  SELECT tf.doc_id, {score} AS score_micro
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.word = df.word
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_sql("duckdb"), tags=("text", "ranking"))
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval: score every document against a fixed
+    query-term set (k1=1.2, b=0.75) and return the {k} most relevant —
+    the lexical-ranking step of retrieval / curation pipelines, and
+    the standard sparse complement to the corpus's dense ANN
+    operators. Scores are quantized to integer micro-units per
+    (doc, term) before summation (the DSIR float contract), so the
+    ranking and the driver hash are bit-identical across engines; the
+    final tie on doc_id makes the LIMIT deterministic.
+
+    Scale shape: term frequencies are computed AFTER the IN-list
+    filter (only query-term postings reach the tf groupBy — the
+    filter prunes at the token stream, the moral equivalent of an
+    inverted-index lookup); doc lengths are one partial-aggregated
+    groupBy; corpus stats are a 1-row broadcast (allowlisted like the
+    DSIR totals); df is O(terms) rows. The final top-k is
+    TakeOrderedAndProject — k rows cross the wire, never a global
+    sort.""".format(k=_BM25_K)
+    register_spread_views(spark, sf_dir, ("documents",))
+    return spark.sql(_bm25_sql("spark"))

@@ -572,3 +572,104 @@ def stream_asof_enriched_materialized(spark, sf_dir):
     )
     sink = f"arnab_asof_mat_{uuid.uuid4().hex[:12]}"
     return run_stream_to_memory(stream_asof_enrich(events), sink, "append")
+
+
+# ---------------------------------------------------------------------
+# Funnel analysis + OHLC resampling (round 13): the two event-analytics
+# shapes a reference user runs constantly against the events table and
+# the corpus did not yet spell out — both pure ANSI SQL, identical text
+# on both engines.
+
+_FUNNEL_SQL = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN first_view v
+    ON e.user_id = v.user_id AND e.ts > v.view_ts
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN first_click c
+    ON e.user_id = c.user_id AND e.ts > c.click_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage,
+         COUNT(*) AS n_users FROM first_view
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM first_click
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM first_purchase
+) t
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_SQL, tags=("timeseries", "events"))
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per user, the first
+    view, then the first click strictly AFTER that view, then the first
+    purchase strictly after that click; output is users reaching each
+    stage. The strict time ordering is what makes this a funnel and not
+    three independent counts — a user who purchased before ever
+    clicking does not convert.
+
+    Scale shape: each stage is an equi-join on user_id with the time
+    predicate as a residual filter (hash join, never a range/NL join)
+    followed by a partial-aggregated MIN groupBy; the stage outputs
+    shrink monotonically (stage N+1's build side is stage N's
+    user-level result), so the expensive side of every join is the
+    events scan, read once per stage with the event_type filter pushed
+    to parquet. Per-stage intermediate state is one row per surviving
+    user — the same O(users) bound a 100 TB funnel needs."""
+    from arnab_spark.spark_utils import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_FUNNEL_SQL)
+
+
+_OHLC_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn_first,
+    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+  MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+  COUNT(*) AS n_events
+FROM ranked
+GROUP BY event_type, CAST(bucket AS TIMESTAMP)
+"""
+
+
+@query("time_resample_ohlc", oracle=_OHLC_SQL, tags=("timeseries", "events"))
+def time_resample_ohlc(spark, sf_dir):
+    """OHLC downsampling: per (event_type, hour) bucket, the opening
+    value (first by (ts, event_id)), high, low, closing value (last by
+    (ts, event_id)), and event count — the classic time-series
+    resample. Open/close tie-break on the unique event_id so the
+    result is deterministic even with equal timestamps; no float
+    SUM anywhere (min/max/single-value picks only), so DOUBLE is safe
+    under the corpus float contract.
+
+    Scale shape: both row_number windows share one hash partitioning
+    on (event_type, hour-bucket) — one Exchange, two in-partition
+    sorts — and the final groupBy lands on the SAME keys, which
+    Catalyst recognizes as already-partitioned (no second shuffle).
+    State per bucket is O(1); buckets grow with time span, not volume,
+    so at 100 TB this is an embarrassingly parallel per-bucket fold."""
+    from arnab_spark.spark_utils import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_OHLC_SQL)

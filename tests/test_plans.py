@@ -155,6 +155,8 @@ NESTED_LOOP_ALLOWED = {
     "agg_important_part_value",  # 1-row broadcast scalar total (Q11 fraction threshold)
     "text_dsir_weights",       # 1-row broadcast scalar totals (T/R token counts for the smoothed log-ratio)
     "text_dsir_resample",      # same 1-row totals broadcast, inherited via the weights CTE
+    "text_decontaminate_bloom",  # 1-row broadcast scalar m_bits (derived Bloom size, round 13)
+    "text_bm25_topk",          # 1-row broadcast corpus stats (N docs + total tokens for idf/avgdl)
     "dialect_series_columns",  # deliberate cross of constant-size series CTEs (4x3) + two 1-row aggregates — all broadcast
     # (join_top_supplier_revenue's scalar-MAX equality is NOT here:
     # Catalyst rewrites the 1-row cross join + units == max_units filter

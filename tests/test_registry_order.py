@@ -81,86 +81,113 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The eleven round-9-cohort queries the round-12 mandatory slots
-#: (five NEW queries + the six r8-stale queries) displace. Each has an EXACT
-#: same-family sibling with round-10-or-newer evidence and an
-#: EVIDENCE.json hash pin proving its source byte-identical since its
-#: last green run; they take the FIRST r13 rotation slots. Siblings:
-#: asof_join_pandas → asof_join (r10) / asof_join_bucketed (r11);
-#: dedup_exact → dedup_incremental (r11, same md5-digest operator);
-#: dedup_minhash_lsh → dedup_ngram_jaccard (r11, same banded LSH);
-#: knn_cosine_brute → ann_lsh_bucketed (r11, same cosine top-k
-#: contract); multimodal_resize → multimodal_decode_features (r11,
-#: same Arrow binary plumbing); stream_tumbling_counts_materialized →
-#: tumbling_window + stream_session_counts_materialized (both r11);
-#: join_salted_skew → agg_salted_skew (r10, the same salting pattern);
-#: text_vocab_topk → text_tfidf_top_terms (r10, same corpus
-#: term-statistics family; displaced by the NEW
-#: text_decontaminate_bloom, which the never-run gate windows);
-#: join_customer_distribution → join_large_orders_customers (r10, same
-#: customer-order outer-join family; displaced by the NEW
-#: stream_dedup_exact_materialized); join_idle_rich_customers →
-#: join_anti + join_large_orders_customers (both r10, the same
-#: customer/orders anti-join shape; displaced by the NEW
-#: text_dsir_resample); join_local_supplier_volume →
-#: join_volume_shipping (r10, the same multi-table volume-join family;
-#: displaced by the NEW dedup_cluster_best).
-R12_DISPLACED = {
-    "join_local_supplier_volume",
-    "join_idle_rich_customers",
-    "join_customer_distribution",
-    "text_vocab_topk",
-    "asof_join_pandas",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "knn_cosine_brute",
-    "multimodal_resize",
-    "stream_tumbling_counts_materialized",
-    "join_salted_skew",
+#: The fifteen round-10-cohort queries the round-13 mandatory slots
+#: (four NEW queries + the changed-source Bloom re-slot + the eleven
+#: r9-stale ceiling queries) displace. Each is hash-pinned in
+#: EVIDENCE.json and names a same-family sibling with r11-or-newer
+#: evidence or one verified in the r13 window itself (full sibling
+#: table: the CURATED_FIRST header in arnab_spark/queries/__init__.py).
+#: After r13 they sit at exactly three rounds stale — the ceiling —
+#: so ALL FIFTEEN take mandatory r14 slots.
+R13_DISPLACED = {
+    "agg_cube",
+    "agg_count_star_zeroarg",
+    "agg_string_agg",
+    "agg_stats_exact",
+    "agg_percentile_exact",
+    "agg_forecast_revenue",
+    "join_right_outer",
+    "join_cross",
+    "join_using",
+    "fn_math",
+    "fn_string",
+    "fn_json",
+    "dialect_seq_comment",
+    "dialect_len_setop_arms",
+    "multimodal_metadata",
 }
 
 
-def test_r12_window_covers_stale_evidence_queries():
-    """The r12 window holds every query whose latest driver evidence is
-    r9 or older — computed from the committed CORRECTNESS_r{01..11}.json
-    union (latest green round wins per query), not hand-maintained —
-    minus the eleven DOCUMENTED displaced queries, so after the r12 run
-    no registry query's driver evidence predates r9 and the six
-    three-round-stale r8 rows (the r11 verdict's ask #2) are retired.
-    Slots 1-5 are the round-12 additions (never-run gate: the DML
-    statement-path script, the Bloom decontamination operator, the
-    streaming exact-dedup twin, the DSIR resampling step, and the
-    best-of-cluster selection); slots 6-11 are the six r8-stale
-    queries."""
+def _latest_evidence(max_round: int | None = None) -> dict[str, int]:
+    """Latest green driver-evidence round per query, computed from the
+    committed CORRECTNESS_r*.json union — never hand-maintained."""
     latest: dict[str, int] = {}
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             rnd = int(f[len("CORRECTNESS_r"):-len(".json")])
-            if rnd > 11:
-                continue  # this pin describes the r12 rotation input
+            if max_round is not None and rnd > max_round:
+                continue
             with open(os.path.join(REPO, f)) as fh:
-                for name in json.load(fh):
-                    latest[name] = max(latest.get(name, 0), rnd)
+                for name, row in json.load(fh).items():
+                    if (
+                        row.get("rows_match")
+                        and row.get("schema_match", True)
+                        and row.get("hash_match", True)
+                    ):
+                        latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_r13_window_covers_stale_evidence_queries():
+    """The r13 window holds every query whose latest driver evidence is
+    r10 or older — computed from the committed CORRECTNESS_r{01..12}.json
+    union — minus the fifteen DOCUMENTED displaced queries, so after the
+    r13 run no registry query's driver evidence predates r10 (the
+    staleness ceiling holds at round 13). Slots 1-4 are the round-13
+    additions (never-run gate); slot 5 is the changed-source Bloom
+    re-slot; slots 6-16 are the eleven r9-stale ceiling queries."""
+    latest = _latest_evidence(max_round=12)  # r13 rotation input
     if not latest:
         pytest.skip("no correctness snapshot yet")
-    stale = {n for n, r in latest.items() if r <= 9}
-    assert stale - R12_DISPLACED <= set(CURATED_FIRST), sorted(
-        stale - R12_DISPLACED - set(CURATED_FIRST)
+    stale = {n for n, r in latest.items() if r <= 10}
+    assert stale - R13_DISPLACED <= set(CURATED_FIRST), sorted(
+        stale - R13_DISPLACED - set(CURATED_FIRST)
     )
-    assert R12_DISPLACED.isdisjoint(CURATED_FIRST)
-    assert CURATED_FIRST[0] == "dml_statement_script"
-    assert CURATED_FIRST[1] == "text_decontaminate_bloom"
-    assert CURATED_FIRST[2] == "stream_dedup_exact_materialized"
-    assert CURATED_FIRST[3] == "text_dsir_resample"
-    assert CURATED_FIRST[4] == "dedup_cluster_best"
-    assert set(CURATED_FIRST[5:11]) == {
-        "agg_percentile_approx",
-        "agg_stats_native",
-        "fn_math_native",
-        "sliding_window",
-        "text_quality_score",
-        "union_all",
+    assert R13_DISPLACED.isdisjoint(CURATED_FIRST)
+    assert list(CURATED_FIRST[:5]) == [
+        "events_funnel",
+        "time_resample_ohlc",
+        "orders_retention_cohort",
+        "text_bm25_topk",
+        "text_decontaminate_bloom",
+    ]
+    assert set(CURATED_FIRST[5:16]) == {
+        "asof_join_pandas",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "join_customer_distribution",
+        "join_idle_rich_customers",
+        "join_local_supplier_volume",
+        "join_salted_skew",
+        "knn_cosine_brute",
+        "multimodal_resize",
+        "stream_tumbling_counts_materialized",
+        "text_vocab_topk",
     }
+
+
+def test_no_query_evidence_older_than_three_rounds():
+    """THE staleness ceiling (round 13, r12 verdict ask #2): with 164
+    registry queries and 50 window slots a full evidence cycle takes 4
+    rounds, so the honest invariant is latest-evidence >= N-3 for every
+    query (N = the newest committed snapshot round), with exactly-3-
+    stale queries hash-pinned + sibling-documented. Queries inside the
+    CURRENT window are exempt for the in-flight round (their fresh
+    evidence lands when the driver runs); a query that is BOTH past the
+    ceiling AND unwindowed is the failure this test exists to catch."""
+    latest = _latest_evidence()
+    if not latest:
+        pytest.skip("no correctness snapshot yet")
+    newest = max(latest.values())
+    too_stale = sorted(
+        n
+        for n, r in latest.items()
+        if n in _REGISTRY and r < newest - 3 and n not in CURATED_FIRST
+    )
+    assert not too_stale, (
+        f"queries with evidence older than r{newest - 3} and no window "
+        f"slot (the <=3-round ceiling is broken): {too_stale}"
+    )
 
 
 def test_never_driver_verified_queries_hold_window_slots():
