@@ -24,22 +24,48 @@ def shingle_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, n_bands: int = 8
+    shingles: DataFrame, id_col: str, n_bands: int = 8, shingle_hash: str = "sha256"
 ) -> DataFrame:
-    """(id, band, sig) MinHash signatures: ONE sha256 per shingle, band
-    b's signature = min over shingles of digest slice b (one-permutation-
-    hashing style — each slice is an independent hash function). n_bands
-    MIN aggregates in one pass + stack wide→long: no bands× row blowup
-    and the shingle stream is hashed once, not n_bands times (see
-    SCALE.md). Docs sharing (band, sig) are near-dup candidates; join on
-    it. n_bands ≤ 8 (sha256 yields eight 32-bit hex slices)."""
-    if n_bands > 8:
-        raise ValueError("n_bands > 8 needs a second digest; sha256 has 8 slices")
-    digest = F.sha2(F.col("shingle").cast("binary"), 256)
-    mins = [
-        F.min(F.substring(digest, b * 8 + 1, 8)).alias(f"m{b}")
-        for b in range(n_bands)
-    ]
+    """(id, band, sig) MinHash signatures. Two hash families (round 13,
+    exposing the swap the r11 CC decomposition named — 86% of the CC
+    pair build is map-side shingle hashing):
+
+    - ``"sha256"`` (default, the ORACLE contract): ONE sha256 per
+      shingle, band b's signature = min over shingles of digest slice b
+      (one-permutation-hashing style — each slice is an independent
+      hash function). n_bands MIN aggregates in one pass + stack
+      wide→long: no bands× row blowup and the shingle stream is hashed
+      once, not n_bands times (see SCALE.md). Kept as the default so
+      the oracled corpus queries stay bit-identical to their DuckDB
+      sha256 spellings.
+    - ``"xxhash64"``: band b's signature = min of xxhash64(shingle, b)
+      — Spark's native 64-bit hash (JVM intrinsic, no hex encoding, no
+      crypto rounds), seeded per band so the bands stay independent
+      hash functions. n_bands hash calls per shingle, each ~10-30x
+      cheaper than one sha256. Both families are uniform, so the LSH
+      S-curve / banding math is unchanged; candidate SETS differ in
+      their false-positive tails only (every candidate pair is
+      Jaccard-verified downstream anyway). Adopt-or-refute measurement:
+      tools/cc_hash_swap.py, SCALE.md round 13.
+
+    Docs sharing (band, sig) are near-dup candidates; join on it.
+    n_bands ≤ 8 for sha256 (eight 32-bit hex slices); xxhash64 takes
+    any n_bands."""
+    if shingle_hash == "sha256":
+        if n_bands > 8:
+            raise ValueError("n_bands > 8 needs a second digest; sha256 has 8 slices")
+        digest = F.sha2(F.col("shingle").cast("binary"), 256)
+        mins = [
+            F.min(F.substring(digest, b * 8 + 1, 8)).alias(f"m{b}")
+            for b in range(n_bands)
+        ]
+    elif shingle_hash == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(b))).alias(f"m{b}")
+            for b in range(n_bands)
+        ]
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r} (sha256|xxhash64)")
     wide = shingles.groupBy(id_col).agg(*mins)
     stack_args = ", ".join(f"{b}, m{b}" for b in range(n_bands))
     return wide.selectExpr(

@@ -563,6 +563,36 @@ SELECT DISTINCT g.doc_id FROM grams g JOIN held h USING (ngram) WHERE g.split = 
 """).fetchall()
     }
     assert decon == {r.doc_id for r in rows} - contaminated
+    # DSIR weights -> Gumbel-top-k resample -> packing (round 13, the
+    # engine-path twin of text_dsir_weights / text_dsir_resample /
+    # text_pack_sequences): the resampled MODEL must select the exact
+    # doc set (and scores) the registry query computes — the reference's
+    # own usage mode (SQL files through the DAG) reaches the same
+    # result as the driver-verified corpus entry.
+    from arnab_spark.queries import all_queries
+
+    reg_rows = sorted(
+        (r.doc_id, r.n_tokens, r.log_weight_micro, r.gumbel_micro, r.score_micro)
+        for r in all_queries()["text_dsir_resample"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    model_rows = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT doc_id, n_tokens, log_weight_micro, gumbel_micro, score_micro "
+            "FROM doc_dsir_resampled"
+        ).collect()
+    )
+    assert model_rows == reg_rows
+    # packing covers every resampled doc exactly once, cumsum is exact
+    packed = spark.sql("SELECT * FROM train_packed").collect()
+    assert {r.doc_id for r in packed} == {t[0] for t in reg_rows}
+    by_src: dict = {}
+    for r in sorted(packed, key=lambda r: (r.source, r.doc_id)):
+        prev = by_src.get(r.source, 0)
+        assert r.cum_tokens == prev + r.n_tokens
+        by_src[r.source] = r.cum_tokens
+        assert r.pack_id == (r.cum_tokens - r.n_tokens) // 2048
 
 
 def test_union_by_name_model_file(spark, tmp_path):

@@ -81,6 +81,45 @@ def test_shingle_minhash_operator_matches_corpus_sql(spark):
     assert cmp.ok, str(cmp)
 
 
+def test_minhash_xxhash64_family_finds_the_same_duplicates(spark):
+    """The xxhash64 signature family (round 13, the CC-pair-build swap
+    candidate) must behave as a MinHash family: exact-duplicate docs
+    collide on every band, disjoint docs collide on none, and the
+    per-band seeds give independent (non-identical) hash functions."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "one two three four five six seven"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(
+        shingle_ngrams(d, "doc_id", "text", 3), "doc_id", shingle_hash="xxhash64"
+    )
+    pdf = sigs.toPandas()
+    assert set(pdf["band"].unique()) == set(range(8))
+    by_doc = {
+        doc: dict(zip(g["band"], g["sig"])) for doc, g in pdf.groupby("doc_id")
+    }
+    assert by_doc[1] == by_doc[2]  # dup docs collide on all 8 bands
+    assert all(by_doc[1][b] != by_doc[3][b] for b in range(8))
+    # the per-band seed must differentiate the bands (independent fns)
+    assert len(set(by_doc[1].values())) > 1
+    # sig column is BIGINT (native xxhash64), not hex
+    assert dict(sigs.dtypes)["sig"] == "bigint"
+
+
+def test_minhash_rejects_unknown_hash_family(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="shingle_hash"):
+        minhash_signatures(
+            shingle_ngrams(d, "doc_id", "text", 3), "doc_id", shingle_hash="md5"
+        )
+
+
 def test_top_k_per_group_bound(spark):
     c = load_table(spark, SF, "customer")
     top2 = top_k_per_group(
