@@ -24,29 +24,32 @@ def shingle_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, n_bands: int = 8, shingle_hash: str = "sha256"
+    shingles: DataFrame, id_col: str, n_bands: int = 8, shingle_hash: str = "xxhash64"
 ) -> DataFrame:
     """(id, band, sig) MinHash signatures. Two hash families (round 13,
     exposing the swap the r11 CC decomposition named — 86% of the CC
     pair build is map-side shingle hashing):
 
-    - ``"sha256"`` (default, the ORACLE contract): ONE sha256 per
-      shingle, band b's signature = min over shingles of digest slice b
+    - ``"xxhash64"`` (DEFAULT since round 13 — ADOPTED under the
+      pre-stated rule in tools/cc_hash_swap.py: signature stage 1.98x
+      faster at sf10 (11.05 s -> 5.57 s), full pair build 1.5x, with
+      identical 1.0 true-pair recall at sf1 — CC_HASH_SWAP_r13.json):
+      band b's signature = min of xxhash64(shingle, b) — Spark's
+      native 64-bit hash (JVM intrinsic, no hex encoding, no crypto
+      rounds), seeded per band so the bands stay independent hash
+      functions. Both families are uniform, so the LSH S-curve /
+      banding math is unchanged; candidate SETS differ in their
+      false-positive tails only (every candidate pair is
+      Jaccard-verified downstream anyway).
+    - ``"sha256"`` (the ORACLE contract): ONE sha256 per shingle, band
+      b's signature = min over shingles of digest slice b
       (one-permutation-hashing style — each slice is an independent
       hash function). n_bands MIN aggregates in one pass + stack
       wide→long: no bands× row blowup and the shingle stream is hashed
-      once, not n_bands times (see SCALE.md). Kept as the default so
-      the oracled corpus queries stay bit-identical to their DuckDB
-      sha256 spellings.
-    - ``"xxhash64"``: band b's signature = min of xxhash64(shingle, b)
-      — Spark's native 64-bit hash (JVM intrinsic, no hex encoding, no
-      crypto rounds), seeded per band so the bands stay independent
-      hash functions. n_bands hash calls per shingle, each ~10-30x
-      cheaper than one sha256. Both families are uniform, so the LSH
-      S-curve / banding math is unchanged; candidate SETS differ in
-      their false-positive tails only (every candidate pair is
-      Jaccard-verified downstream anyway). Adopt-or-refute measurement:
-      tools/cc_hash_swap.py, SCALE.md round 13.
+      once, not n_bands times (see SCALE.md). The oracled corpus
+      queries pass this explicitly so their results stay bit-identical
+      to their DuckDB sha256 spellings; DuckDB has no xxhash64, so the
+      fast family is operator-level only.
 
     Docs sharing (band, sig) are near-dup candidates; join on it.
     n_bands ≤ 8 for sha256 (eight 32-bit hex slices); xxhash64 takes

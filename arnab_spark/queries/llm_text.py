@@ -1016,14 +1016,21 @@ def text_decontaminate_bloom(spark, sf_dir):
     Crossover rule (when to pick which): the digest join stays the
     corpus DEFAULT — exact (no FPs), one build pass (no per-gram k
     hashes), and it won every measured decade on this fixture
-    (BLOOM_SCALE_r12.json with the saturating m; re-measured with
-    derived m in BLOOM_SCALE_r13.json). Pick the Bloom spelling when
-    the probe side is re-scanned against MANY benchmark sets or the
-    broadcast budget is the binding constraint: its broadcast is
-    ~m/32 words = ~grams/2 BIGINTs vs the digest join's one 32-char
-    string per gram (~16x the bytes), and a ~0.5% FP rate on flag
-    COUNTS is acceptable for a contamination REPORT (never for the
-    removal list itself — route removals through the digest join)."""
+    (BLOOM_SCALE_r13.json, derived m: bloom/digest wall 1.7x/2.3x/1.5x
+    at sf0.1/1/10). What the derivation FIXED is the r12 scale
+    failure: fill fraction now reads 0.12/0.15/0.09 across the three
+    decades (r12's fixed m saturated to ~1 at sf10), so the probe
+    shuffle stays FP-rate-bounded at every scale. Pick the Bloom
+    spelling when the probe side is re-scanned against MANY benchmark
+    sets or the broadcast budget is the binding constraint: its
+    broadcast is ~m/32 words = ~grams/2 BIGINTs vs the digest join's
+    one 32-char string per gram (~16x the bytes). FP accounting
+    (measured r13): per-probed-gram FP = fill^3 ~ 0.1-0.4%, which on
+    this fixture puts 6-25% of the flag ROWS as false positives (true
+    matches are rare) — fine for a contamination REPORT, never for
+    the removal list itself (route removals through the digest join);
+    double _BLOOM_BITS_PER_GRAM to cut FPs ~8x per step at 2x
+    broadcast."""
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_bloom_sql("spark"))
 

@@ -74,7 +74,9 @@ def test_shingle_minhash_operator_matches_corpus_sql(spark):
     from arnab_spark.queries.dedup import _MINHASH_SPARK
 
     d = load_table(spark, SF, "documents")
-    got = minhash_signatures(shingle_ngrams(d, "doc_id", "text", 3), "doc_id").toPandas()
+    got = minhash_signatures(
+        shingle_ngrams(d, "doc_id", "text", 3), "doc_id", shingle_hash="sha256"
+    ).toPandas()
     d.createOrReplaceTempView("documents")
     want = spark.sql(_MINHASH_SPARK + "SELECT doc_id, band, sig FROM sigs").toPandas()
     cmp = compare_frames("minhash_op_vs_sql", got, want)
