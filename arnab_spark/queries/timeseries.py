@@ -634,22 +634,27 @@ def events_funnel(spark, sf_dir):
 
 
 _OHLC_SQL = """
-WITH ranked AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
-    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                       ORDER BY ts, event_id) AS rn_first,
-    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                       ORDER BY ts DESC, event_id DESC) AS rn_last
+WITH base AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         value, ts, event_id
   FROM events
+),
+ranked AS (
+  SELECT event_type, bucket, value,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts, event_id) AS rn_first,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM base
 )
-SELECT event_type, CAST(bucket AS TIMESTAMP) AS bucket,
+SELECT event_type, bucket,
   MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
   MAX(value) AS high,
   MIN(value) AS low,
   MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
   COUNT(*) AS n_events
 FROM ranked
-GROUP BY event_type, CAST(bucket AS TIMESTAMP)
+GROUP BY event_type, bucket
 """
 
 
@@ -663,10 +668,11 @@ def time_resample_ohlc(spark, sf_dir):
     SUM anywhere (min/max/single-value picks only), so DOUBLE is safe
     under the corpus float contract.
 
-    Scale shape: both row_number windows share one hash partitioning
-    on (event_type, hour-bucket) — one Exchange, two in-partition
-    sorts — and the final groupBy lands on the SAME keys, which
-    Catalyst recognizes as already-partitioned (no second shuffle).
+    Scale shape: the bucket is computed BEFORE the window so both
+    row_number windows and the final groupBy share the identical
+    (event_type, bucket) attribute refs — ONE Exchange total (two
+    in-partition sorts; the groupBy reuses the window's partitioning,
+    pinned by the plan audit).
     State per bucket is O(1); buckets grow with time span, not volume,
     so at 100 TB this is an embarrassingly parallel per-bucket fold."""
     from arnab_spark.spark_utils import register_views

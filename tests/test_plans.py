@@ -75,6 +75,39 @@ def test_pack_sequences_single_shuffle(spark):
     assert audit.n_exchanges == 1, audit.plan_text[:800]
 
 
+def test_ohlc_single_shuffle(spark):
+    """OHLC resample (round 13): both row_number windows AND the final
+    groupBy share the identical (event_type, bucket) attribute refs, so
+    the whole query runs on ONE Exchange — the bucket is computed
+    before the window precisely so the groupBy reuses the window's
+    partitioning (a CAST in the grouping key broke it, caught by this
+    pin's first run)."""
+    audit = audit_plan(REG["time_resample_ohlc"].fn(spark, SF))
+    assert audit.n_exchanges == 1, audit.plan_text[:800]
+
+
+def test_bm25_topk_is_take_ordered_with_pushed_terms(spark):
+    """BM25 (round 13): the final top-k must compile to
+    TakeOrderedAndProject (k rows cross the wire, never a global sort)
+    and the query-term IN-list must prune the token stream BEFORE the
+    tf aggregate (the inverted-index moral equivalent)."""
+    audit = audit_plan(REG["text_bm25_topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in audit.plan_text, audit.plan_text[:800]
+    assert "word IN" in audit.plan_text or "word#" in audit.plan_text, (
+        audit.plan_text[:800]
+    )
+
+
+def test_funnel_joins_are_hash_not_range(spark):
+    """Funnel (round 13): each stage's strictly-after predicate must be
+    a RESIDUAL filter on a hash equi-join (user_id), never a range/NL
+    join — the time predicate rides the join for free."""
+    audit = audit_plan(REG["events_funnel"].fn(spark, SF))
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in audit.joins), (
+        audit.joins
+    )
+
+
 def test_q5_broadcasts_dims(spark):
     """The Q5-shape composite must broadcast at least the constant dims
     (nation/region) — no shuffle for 25- and 5-row tables."""
