@@ -376,8 +376,16 @@ def main() -> None:
                 }
             )
             results.append(result)
+            # SYMMETRIC drift (round-13 validation finding): load can
+            # also be DRAINING at entry — two dedup sections entered
+            # with wide probes at 0.25-0.43 s vs clean 0.11 exits and
+            # the one-sided exit>entry rule never fired, leaving the
+            # walls inflated with attribution but no re-run. Either
+            # direction of a >1.5x probe gap triggers the re-run.
             drifted = any(
-                p_in is not None and p_out is not None and p_out > 1.5 * p_in
+                p_in is not None
+                and p_out is not None
+                and max(p_in, p_out) > 1.5 * min(p_in, p_out)
                 for p_in, p_out in ((n_in, n_out), (w_in, w_out))
             )
             if not (
@@ -1142,7 +1150,11 @@ def main() -> None:
             ("entry_pace", "exit_pace"),
             ("entry_pace_wide", "exit_pace_wide"),
         ):
-            if a.get(ek) and a.get(xk) and a[xk] > 1.5 * a[ek]:
+            if (
+                a.get(ek)
+                and a.get(xk)
+                and max(a[ek], a[xk]) > 1.5 * min(a[ek], a[xk])
+            ):
                 pace_flags.append(s if ek == "entry_pace" else f"{s}:wide")
                 break
     # local pace-norms: the same dimensionless shape as value_pace_norm
@@ -1190,8 +1202,12 @@ def main() -> None:
     # norms restated round 10/11; narrow locals seeded round 12; wide
     # locals seeded from the round-13 calibration run.
     PACE_NORM_BANDS = {
-        "value_pace_norm": (14.0, 18.0),
-        "tpch22_pace_norm": (100.0, 120.0),
+        # global bands RESTATED round 13 for the min-merged floor
+        # estimator (denominator = min of early+late passes, ~10-15%
+        # smaller than the single early probe the 14-18 / 100-120
+        # bands were seeded on)
+        "value_pace_norm": (15.0, 21.0),
+        "tpch22_pace_norm": (100.0, 135.0),
         "value_pace_norm_local": (18.0, 25.0),
         "tpch22_pace_norm_local": (115.0, 145.0),
         "value_pace_norm_wide": (13.0, 24.0),
