@@ -1083,26 +1083,66 @@ def _rewrite_dml(sql: str, spark):
             return ""
         return None  # native TRUNCATE TABLE is Spark SQL
 
+    # RETURNING (round 13 — closes a documented DML residue): DuckDB's
+    # INSERT/DELETE/UPDATE … RETURNING <exprs> yields the affected rows
+    # as a relation (INSERT: the rows as inserted, post-coercion;
+    # DELETE: the deleted rows; UPDATE: the updated rows with their NEW
+    # values). The clause is stripped here, the affected-row frame is
+    # FROZEN (eager localCheckpoint) BEFORE the mutation lands — the
+    # returned rows must be the batch that actually mutated, not a
+    # re-evaluation against post-mutation state — and the handler
+    # returns a transpiled SELECT over the frozen view, which the
+    # normal statement pipeline executes as this statement's records.
+    ret_clause = None
+    if re.match(r"(?is)^\s*(INSERT|DELETE|UPDATE)\b", sql):
+        rpos, _ = _scan_top_level(sql, ("returning",))
+        if rpos >= 0:
+            ret_clause = sql[rpos + len("returning"):].strip().rstrip(";").strip()
+            sql = sql[:rpos].rstrip()
+            if not ret_clause:
+                raise ArnabError("RETURNING: empty expression list")
+
+    def _freeze_rows(rows_df) -> str:
+        import uuid
+
+        view = f"__arnab_returning_{uuid.uuid4().hex[:10]}"
+        rows_df.localCheckpoint(eager=True).createOrReplaceTempView(view)
+        return view
+
+    def _returning_select(view: str) -> str:
+        return transpile_statement(f"SELECT {ret_clause} FROM {view}", spark)
+
     dm = _DELETE_DML.match(sql)
     if dm is not None:
         name, kind = _dml_resolve(spark, dm.group("target"))
         if kind is None:
             return None
         pred = dm.group("pred")
+        ret_view = None
+        if ret_clause is not None:
+            # the deleted rows, frozen PRE-mutation
+            dcond = f"coalesce(({pred}), false)" if pred else "true"
+            ret_view = _freeze_rows(
+                spark.sql(
+                    transpile_statement(
+                        f"SELECT * FROM `{name}` WHERE {dcond}", spark
+                    )
+                )
+            )
         if kind == "backed" and pred:
             # copy-on-write fast path: rewrite only the hive partitions
             # the predicate touches (falls through on flat layouts /
             # NULL partition values)
             pcols = _hive_partition_cols(table_backing_for(spark)[name.lower()])
             if pcols and _dml_pruned_rewrite(spark, name, pcols, pred):
-                return ""
+                return _returning_select(ret_view) if ret_view else ""
         # DuckDB deletes rows where the predicate is TRUE; NULL keeps
         cond = f"NOT coalesce(({pred}), false)" if pred else "false"
         kept = spark.sql(
             transpile_statement(f"SELECT * FROM `{name}` WHERE {cond}", spark)
         )
         _dml_persist(spark, name, kind, kept)
-        return ""
+        return _returning_select(ret_view) if ret_view else ""
 
     um = _UPDATE_DML.match(sql)
     if um is not None:
@@ -1159,6 +1199,10 @@ def _rewrite_dml(sql: str, spark):
                 )
             else:
                 sel.append(F.col(f.name))
+        ret_view = None
+        if ret_clause is not None:
+            # the updated rows with their NEW values, frozen PRE-mutation
+            ret_view = _freeze_rows(raw.filter(F.col("__arnab_upd")).select(*sel))
         if kind == "backed" and pred:
             # copy-on-write fast path: rewrite only the hive partitions
             # holding rows the predicate updates — unless an assignment
@@ -1175,7 +1219,9 @@ def _rewrite_dml(sql: str, spark):
                     .collect()
                 )
                 if not touched:
-                    return ""  # predicate matches nothing: no-op
+                    # predicate matches nothing: no-op (RETURNING on a
+                    # no-op yields the frozen empty set)
+                    return _returning_select(ret_view) if ret_view else ""
                 if not any(r[c] is None for r in touched for c in pcols):
                     tfilter = None
                     for r in touched:
@@ -1196,9 +1242,9 @@ def _rewrite_dml(sql: str, spark):
                         .parquet(dest)
                     )
                     spark.read.parquet(dest).createOrReplaceTempView(name)
-                    return ""
+                    return _returning_select(ret_view) if ret_view else ""
         _dml_persist(spark, name, kind, raw.select(*sel))
-        return ""
+        return _returning_select(ret_view) if ret_view else ""
 
     im = _INSERT_DML.match(sql)
     if im is not None:
@@ -1213,11 +1259,6 @@ def _rewrite_dml(sql: str, spark):
                 "incremental materialization) or a row_number window."
             )
         rest = im.group("rest").lstrip()
-        if _scan_top_level(rest, ("returning",))[0] >= 0:
-            raise ArnabError(
-                "INSERT … RETURNING is not supported: the mutation is a "
-                "write, not a relation. SELECT from the table afterwards."
-            )
         if _scan_top_level(rest, ("conflict",))[0] >= 0:
             raise ArnabError(
                 "INSERT … ON CONFLICT needs key constraints, which this "
@@ -1260,13 +1301,20 @@ def _rewrite_dml(sql: str, spark):
         target = spark.table(name)
         new = spark.sql(transpile_statement(body_sql, spark))
         aligned = _dml_align(new, target.schema.fields, cols, by_name)
+        ret_view = None
+        if ret_clause is not None:
+            # freeze the batch so the mutation and the RETURNING rows
+            # are the SAME evaluation (a nondeterministic SELECT body
+            # must not run twice)
+            ret_view = _freeze_rows(aligned)
+            aligned = spark.table(ret_view)
         if kind == "backed":
             # O(batch) append — never a table rewrite (100 TB design
             # point: an INSERT's cost must scale with the batch)
             _dml_append(spark, name, aligned)
         else:
             _dml_persist(spark, name, kind, target.unionByName(aligned))
-        return ""
+        return _returning_select(ret_view) if ret_view else ""
 
     return None
 

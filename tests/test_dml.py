@@ -112,13 +112,56 @@ def test_insert_unknown_column_raises(spark, dml_table):
         _run(spark, "INSERT INTO dml_t (nope) VALUES (1)")
 
 
-def test_insert_or_replace_and_returning_raise_targeted(spark, dml_table):
+def test_insert_or_replace_and_default_values_raise_targeted(spark, dml_table):
     with pytest.raises(ArnabError, match="PRIMARY"):
         _run(spark, "INSERT OR REPLACE INTO dml_t VALUES (1, 'a', 0.0)")
-    with pytest.raises(ArnabError, match="RETURNING"):
-        _run(spark, "INSERT INTO dml_t VALUES (1, 'a', 0.0) RETURNING id")
     with pytest.raises(ArnabError, match="DEFAULT VALUES"):
         _run(spark, "INSERT INTO dml_t DEFAULT VALUES")
+
+
+def _run_returning(spark, stmt: str):
+    out = transpile_statement(stmt, spark)
+    return [tuple(r) for r in spark.sql(out).collect()] if out.strip() else []
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        "INSERT INTO dml_t VALUES (9, 'z', 1.5) RETURNING *",
+        "INSERT INTO dml_t (tag) VALUES ('q') RETURNING id, upper(tag) AS ut",
+        "UPDATE dml_t SET score = score + 1 WHERE id < 3 RETURNING id, score",
+        "UPDATE dml_t SET score = 0 WHERE id > 99 RETURNING *",  # no-op
+        "DELETE FROM dml_t WHERE score IS NULL RETURNING tag",
+        "DELETE FROM dml_t RETURNING *",
+    ],
+)
+def test_dml_returning_differential(spark, con, dml_table, stmt):
+    """RETURNING (round 13, closes a documented residue): DuckDB yields
+    the affected rows as a relation — INSERT: the rows as inserted,
+    DELETE: the deleted rows, UPDATE: the updated rows with their NEW
+    values. Each statement's returned set AND the post-statement table
+    must match DuckDB exactly."""
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    assert sorted(got_ret, key=key) == sorted(exp_ret, key=key), stmt
+    got, exp = _table_rows(spark, con, "dml_t", "tag")
+    assert got == exp, stmt
+
+
+def test_returning_freezes_the_inserted_batch(spark, con, dml_table):
+    """The RETURNING rows must be the batch that actually mutated —
+    one evaluation, frozen pre-append — so a second SELECT from the
+    table agrees with the returned rows (and with DuckDB)."""
+    stmt = (
+        "INSERT INTO dml_t SELECT id + 100, tag || '!', score FROM dml_t "
+        "RETURNING id, tag"
+    )
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    assert sorted(got_ret) == sorted(exp_ret)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
 
 
 def test_insert_body_gets_dialect_rewrites(spark, con, dml_table):
