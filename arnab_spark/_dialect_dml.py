@@ -1112,6 +1112,24 @@ def _rewrite_dml(sql: str, spark):
     def _returning_select(view: str) -> str:
         return transpile_statement(f"SELECT {ret_clause} FROM {view}", spark)
 
+    # joined-DML forms (round 13): DuckDB's UPDATE … FROM and
+    # DELETE … USING previously fell through to a raw Spark parse error
+    # (UPDATE) or silently past the DML pass entirely (DELETE USING —
+    # the worst failure class). Loud, with the working alternative
+    # named: both are one CTAS join away in this engine.
+    if re.match(r"(?is)^\s*UPDATE\b", sql) and _scan_top_level(sql, ("from",))[0] >= 0:
+        raise ArnabError(
+            "UPDATE … FROM (joined update) is not supported: express it "
+            "as CREATE OR REPLACE TABLE t AS SELECT with the join "
+            "deciding the new values (or the incremental "
+            "materialization's keyed upsert)."
+        )
+    if re.match(r"(?is)^\s*DELETE\s+FROM\b", sql) and _scan_top_level(sql, ("using",))[0] >= 0:
+        raise ArnabError(
+            "DELETE … USING (joined delete) is not supported: express it "
+            "as DELETE … WHERE key IN (SELECT …) or an anti-join CTAS."
+        )
+
     dm = _DELETE_DML.match(sql)
     if dm is not None:
         name, kind = _dml_resolve(spark, dm.group("target"))

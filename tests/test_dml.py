@@ -119,6 +119,20 @@ def test_insert_or_replace_and_default_values_raise_targeted(spark, dml_table):
         _run(spark, "INSERT INTO dml_t DEFAULT VALUES")
 
 
+def test_joined_dml_forms_raise_targeted(spark, dml_table):
+    """UPDATE … FROM and DELETE … USING (round 13): previously a raw
+    Spark parse error (UPDATE) or a silent fall-through past the DML
+    pass (DELETE USING — the worst class); now targeted errors naming
+    the working alternative. Parenthesized subqueries in predicates or
+    assignments must NOT trip the top-level keyword scan."""
+    with pytest.raises(ArnabError, match="joined update"):
+        _run(spark, "UPDATE dml_t SET tag = o.tag FROM dml_t o WHERE dml_t.id = o.id")
+    with pytest.raises(ArnabError, match="joined delete"):
+        _run(spark, "DELETE FROM dml_t USING dml_t o WHERE dml_t.id = o.id")
+    _run(spark, "UPDATE dml_t SET tag = (SELECT 'z' FROM range(1)) WHERE id = 1")
+    _run(spark, "DELETE FROM dml_t WHERE id IN (SELECT 99 FROM range(1))")
+
+
 def _run_returning(spark, stmt: str):
     out = transpile_statement(stmt, spark)
     return [tuple(r) for r in spark.sql(out).collect()] if out.strip() else []
