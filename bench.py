@@ -1203,15 +1203,19 @@ def main() -> None:
     # locals seeded from the round-13 calibration run.
     PACE_NORM_BANDS = {
         # global bands RESTATED round 13 for the min-merged floor
-        # estimator (denominator = min of early+late passes, ~10-15%
-        # smaller than the single early probe the 14-18 / 100-120
-        # bands were seeded on)
-        "value_pace_norm": (15.0, 21.0),
-        "tpch22_pace_norm": (100.0, 135.0),
+        # estimator, then widened to the measured THREE-RUN same-code
+        # spread (BASELINE.md round-13 note): the min-merged floor is
+        # a biased-down estimator whose own spread is ~±20%
+        # (0.076-0.094 s across three quiet-to-loaded calibration
+        # runs), so norms vary 19-24 / 121-143 on identical plans with
+        # best-ever walls. A real 2x plan regression still reads far
+        # outside these.
+        "value_pace_norm": (16.0, 26.0),
+        "tpch22_pace_norm": (105.0, 145.0),
         "value_pace_norm_local": (18.0, 25.0),
-        "tpch22_pace_norm_local": (115.0, 145.0),
+        "tpch22_pace_norm_local": (115.0, 150.0),
         "value_pace_norm_wide": (13.0, 24.0),
-        "tpch22_pace_norm_wide": (85.0, 140.0),
+        "tpch22_pace_norm_wide": (85.0, 145.0),
     }
     for key, val in (
         ("value_pace_norm", value_pace_norm),
