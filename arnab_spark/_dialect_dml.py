@@ -240,11 +240,6 @@ def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
     The touched-partition list is a ``collect`` bounded by the table's
     partition count — a layout choice, not a data-sized set (the same
     bound the layout hint's one-file-per-partition write relies on)."""
-    import os as _os
-    import shutil as _shutil
-
-    from pyspark.sql import functions as F
-
     dest = table_backing_for(spark)[name.lower()]
     kill = f"coalesce(({pred}), false)" if pred else "true"
     touched = (
@@ -262,57 +257,25 @@ def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
     # two shapes bail to the full swap: NULL partition values (their
     # dir is Spark's __HIVE_DEFAULT_PARTITION__ sentinel) and values
     # whose dir name Spark would URL-escape — the fully-dead-partition
-    # cleanup below locates dirs by plain "col=value" formatting, and
+    # cleanup locates dirs by plain "col=value" formatting, and
     # missing an escaped dir would leave deleted rows readable
-    def _plain(v) -> bool:
-        return v is not None and all(
-            ch.isalnum() or ch in "-_." for ch in str(v)
-        )
-
-    if not all(_plain(r[c]) for r in touched for c in pcols):
+    if not all(_plain_hive_value(r[c]) for r in touched for c in pcols):
         return False
-    tfilter = None
-    for r in touched:
-        c_and = None
-        for c in pcols:
-            eq = F.col(c) == F.lit(r[c])
-            c_and = eq if c_and is None else (c_and & eq)
-        tfilter = c_and if tfilter is None else (tfilter | c_and)
     survivors = (
         spark.sql(
             transpile_statement(f"SELECT * FROM `{name}` WHERE NOT {kill}", spark)
         )
-        .filter(tfilter)
+        .filter(_touched_filter(touched, pcols))
         .localCheckpoint(eager=True)  # break lineage off the files being replaced
     )
-    (
-        survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*pcols)
-        .parquet(dest)
+    _overwrite_touched_partitions(
+        spark,
+        name,
+        dest,
+        pcols,
+        [tuple(r[c] for c in pcols) for r in touched],
+        survivors,
     )
-    # dynamic overwrite only replaces partitions PRESENT in the frame —
-    # a partition whose every row died must have its dir dropped
-    alive = {
-        tuple(r[c] for c in pcols)
-        for r in survivors.select(*pcols).distinct().collect()
-    }
-    for r in touched:
-        key = tuple(r[c] for c in pcols)
-        if key not in alive:
-            sub = _os.path.join(
-                dest, *[f"{c}={v}" for c, v in zip(pcols, key)]
-            )
-            _shutil.rmtree(sub, ignore_errors=True)
-    if not _has_part_files(dest):
-        # the predicate killed EVERY partition: the dynamic overwrite
-        # wrote nothing and the cleanup removed every dir, leaving a
-        # fileless table root — rewrite it as a schema-bearing empty
-        # flat relation (DuckDB parity: empty table, schema intact)
-        spark.createDataFrame([], survivors.schema).write.mode(
-            "overwrite"
-        ).parquet(dest)
-    spark.read.parquet(dest).createOrReplaceTempView(name)
     return True
 
 
@@ -394,6 +357,370 @@ def _dml_persist(spark, name: str, kind: str, df) -> None:
             spark.sql(f"INSERT OVERWRITE TABLE `{name}` SELECT * FROM {tmp}")
         finally:
             spark.catalog.dropTempView(tmp)
+
+
+try:
+    _RETURNING_VIEWS_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _RETURNING_VIEWS_BY_SESSION = {}
+
+
+def _freeze_returning_rows(spark, rows_df) -> str:
+    """Freeze a RETURNING row set (eager localCheckpoint) under a temp
+    view BEFORE the mutation lands, reaping the PREVIOUS statement's
+    returning view first (round 14, advice): its SELECT has executed by
+    the time a later RETURNING statement reaches this point, so the
+    reap bounds a long-lived session to ONE outstanding view +
+    checkpoint instead of one per statement. (The reap cannot run at
+    statement entry: inner ``transpile_statement`` calls re-enter
+    ``_rewrite_dml`` while the current statement's own view is still
+    pending consumption.)"""
+    import uuid
+
+    prev = _RETURNING_VIEWS_BY_SESSION.pop(spark, None)
+    if prev is not None:
+        view_name, ckpt = prev
+        try:
+            spark.catalog.dropTempView(view_name)
+        except Exception:
+            pass
+        try:
+            ckpt.unpersist()
+        except Exception:
+            pass
+    view = f"__arnab_returning_{uuid.uuid4().hex[:10]}"
+    ckpt = rows_df.localCheckpoint(eager=True)
+    ckpt.createOrReplaceTempView(view)
+    _RETURNING_VIEWS_BY_SESSION[spark] = (view, ckpt)
+    return view
+
+
+def _plain_hive_value(v) -> bool:
+    """True when a partition value formats to a plain ``col=value`` dir
+    name — not NULL (Spark's ``__HIVE_DEFAULT_PARTITION__`` sentinel)
+    and not URL-escaped — the precondition for any fast path whose
+    dead-partition cleanup locates dirs by plain formatting."""
+    return v is not None and all(ch.isalnum() or ch in "-_." for ch in str(v))
+
+
+def _touched_filter(touched, pcols: list[str]):
+    """OR-of-ANDs partition filter selecting exactly the touched
+    partitions (pushdown prunes the scan to those dirs)."""
+    from pyspark.sql import functions as F
+
+    tfilter = None
+    for r in touched:
+        c_and = None
+        for c in pcols:
+            eq = F.col(c) == F.lit(r[c])
+            c_and = eq if c_and is None else (c_and & eq)
+        tfilter = c_and if tfilter is None else (tfilter | c_and)
+    return tfilter
+
+
+def _overwrite_touched_partitions(
+    spark, name: str, dest: str, pcols: list[str], touched_keys, survivors
+) -> None:
+    """Dynamic-overwrite the touched hive partitions with ``survivors``
+    (the post-statement rows of those partitions, already
+    checkpointed), drop the dirs of partitions left empty (dynamic
+    overwrite only replaces partitions PRESENT in the frame), and keep
+    the table readable when every partition died — DuckDB parity:
+    empty table, schema intact."""
+    import os as _os
+    import shutil as _shutil
+
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*pcols)
+        .parquet(dest)
+    )
+    alive = {
+        tuple(r[c] for c in pcols)
+        for r in survivors.select(*pcols).distinct().collect()
+    }
+    for key in touched_keys:
+        if key not in alive:
+            sub = _os.path.join(dest, *[f"{c}={v}" for c, v in zip(pcols, key)])
+            _shutil.rmtree(sub, ignore_errors=True)
+    if not _has_part_files(dest):
+        spark.createDataFrame([], survivors.schema).write.mode(
+            "overwrite"
+        ).parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView(name)
+
+
+def _parse_assignments(assigns_text: str, types: dict, name: str) -> dict:
+    """Parse an UPDATE SET list into {lowered column: expression text},
+    with DuckDB's errors for unknown / doubly-assigned columns."""
+    from arnab_spark.errors import ArnabError
+
+    assigns: dict[str, str] = {}
+    for a in _split_top_level_commas(assigns_text):
+        m2 = re.match(r'(?s)^\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$', a)
+        if m2 is None:
+            raise ArnabError(f"UPDATE: cannot parse assignment {a.strip()!r}")
+        col = m2.group(1).strip('"')
+        if col.lower() not in types:
+            raise ArnabError(f"UPDATE: column '{col}' does not exist in '{name}'")
+        if col.lower() in assigns:
+            raise ArnabError(f"UPDATE: multiple assignments to column '{col}'")
+        assigns[col.lower()] = m2.group(2)
+    return assigns
+
+
+def _split_from_where(tail: str):
+    """Split the text after FROM/USING into (relation text, predicate)."""
+    widx, _ = _scan_top_level(tail, ("where",))
+    fromtext = (tail[:widx] if widx >= 0 else tail).strip().rstrip(";").strip()
+    pred = tail[widx + len("where"):].strip().rstrip(";").strip() if widx >= 0 else None
+    return fromtext, pred
+
+
+def _joindml_base(spark, name: str):
+    """The pre-mutation target frozen (eager localCheckpoint) with a
+    synthetic row id, exposed under a scratch view so the probe join
+    can alias it back to the target's own name (qualified references
+    in SET/WHERE then bind exactly as DuckDB binds them)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    rid_view = f"__arnab_joindml_{uuid.uuid4().hex[:10]}"
+    base = (
+        spark.table(name)
+        .withColumn("__arnab_rid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    base.createOrReplaceTempView(rid_view)
+    return base, rid_view
+
+
+def _rewrite_update_from(sql: str, ret_clause, spark, returning_select):
+    """DuckDB's ``UPDATE t SET … FROM <relations> [WHERE pred]``
+    (reference reach: node.rs:176 passthrough), lifted to a probe join
+    + per-column CASE reconstruction:
+
+    1. freeze the pre-mutation target with a synthetic row id;
+    2. probe-join it against the VERBATIM FROM text (so every DuckDB
+       FROM shape — tables, subqueries, comma lists — works) under the
+       statement's predicate, evaluating each assignment expression per
+       MATCH: one join sized by the match count;
+    3. RETURNING = the match rows with their NEW values — one row per
+       match, duplicates on fan-out (probed DuckDB behavior);
+    4. next table state = target LEFT JOIN one-winner-per-row-id: the
+       fan-out winner is physical-scan-arbitrary in DuckDB (probed:
+       reversing the source's insert order flips it), so this engine
+       picks an arbitrary-but-DETERMINISTIC winner (first join-output
+       position) and applies DuckDB's assignment coercion per column.
+       The winner set is keyed by row id, so AQE broadcasts it when
+       the match count is small — the target is never rewritten
+       through a fan-out duplicate;
+    5. hive-partitioned backed tables keep the partition-pruned
+       dynamic-overwrite fast path when no partition column is
+       assigned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arnab_spark.errors import ArnabError
+
+    um = _UPDATE_DML.match(sql)
+    if um is None:
+        raise ArnabError("UPDATE … FROM: cannot parse statement head")
+    raw_target = um.group("target")
+    name, kind = _dml_resolve(spark, raw_target)
+    if kind is None:
+        raise ArnabError(
+            f"UPDATE … FROM: target '{raw_target}' is not an engine "
+            "table (backed table or session temp table)."
+        )
+    rest = um.group("rest")
+    fidx, _ = _scan_top_level(rest, ("from",))
+    fromtext, pred = _split_from_where(rest[fidx + len("from"):])
+    if not fromtext:
+        raise ArnabError("UPDATE … FROM: empty FROM clause")
+    fields = spark.table(name).schema.fields
+    types = {f.name.lower(): f.dataType.simpleString() for f in fields}
+    assigns = _parse_assignments(rest[:fidx], types, name)
+    keys = list(assigns)
+
+    base, rid_view = _joindml_base(spark, name)
+    try:
+        cond = f"coalesce(({pred}), false)" if pred else "true"
+        items = (
+            [f"`{name}`.`__arnab_rid` AS `__arnab_rid`"]
+            + [f"({assigns[k]}) AS `__arnab_e_{i}`" for i, k in enumerate(keys)]
+            + [f"`{name}`.`{f.name}` AS `{f.name}`" for f in fields]
+        )
+        pairs = spark.sql(
+            transpile_statement(
+                f"SELECT {', '.join(items)} FROM `{rid_view}` AS `{name}`, "
+                f"{fromtext} WHERE {cond}",
+                spark,
+            )
+        )
+        etypes = {
+            f2.name: f2.dataType.simpleString() for f2 in pairs.schema.fields
+        }
+
+        def _new_value(df, f):
+            i = keys.index(f.name.lower())
+            return _cast_like_duck(
+                df[f"__arnab_e_{i}"],
+                etypes[f"__arnab_e_{i}"],
+                types[f.name.lower()],
+            )
+
+        ret_view = None
+        if ret_clause is not None:
+            ret_view = _freeze_returning_rows(
+                spark,
+                pairs.select(
+                    *[
+                        _new_value(pairs, f).alias(f.name)
+                        if f.name.lower() in assigns
+                        else pairs[f.name]
+                        for f in fields
+                    ]
+                ),
+            )
+
+        w = Window.partitionBy("__arnab_rid").orderBy("__arnab_pos")
+        winners = (
+            pairs.withColumn("__arnab_pos", F.monotonically_increasing_id())
+            .withColumn("__arnab_rn", F.row_number().over(w))
+            .filter(F.col("__arnab_rn") == 1)
+            .select(
+                "__arnab_rid",
+                *[f"__arnab_e_{i}" for i in range(len(keys))],
+                F.lit(True).alias("__arnab_upd"),
+            )
+        )
+        joined = base.join(winners, "__arnab_rid", "left")
+        sel = []
+        for f in fields:
+            if f.name.lower() in assigns:
+                sel.append(
+                    F.when(F.col("__arnab_upd"), _new_value(joined, f))
+                    .otherwise(F.col(f.name).cast(types[f.name.lower()]))
+                    .alias(f.name)
+                )
+            else:
+                sel.append(F.col(f.name))
+        if kind == "backed":
+            dest = table_backing_for(spark)[name.lower()]
+            pcols = _hive_partition_cols(dest)
+            if pcols and not (set(assigns) & {c.lower() for c in pcols}):
+                touched = (
+                    joined.filter(F.col("__arnab_upd"))
+                    .select(*pcols)
+                    .distinct()
+                    .collect()
+                )
+                if not touched:
+                    return returning_select(ret_view) if ret_view else ""
+                if all(_plain_hive_value(r[c]) for r in touched for c in pcols):
+                    survivors = (
+                        joined.filter(_touched_filter(touched, pcols))
+                        .select(*sel)
+                        .localCheckpoint(eager=True)
+                    )
+                    _overwrite_touched_partitions(
+                        spark,
+                        name,
+                        dest,
+                        pcols,
+                        [tuple(r[c] for c in pcols) for r in touched],
+                        survivors,
+                    )
+                    return returning_select(ret_view) if ret_view else ""
+        _dml_persist(spark, name, kind, joined.select(*sel))
+        return returning_select(ret_view) if ret_view else ""
+    finally:
+        try:
+            spark.catalog.dropTempView(rid_view)
+        except Exception:
+            pass
+
+
+def _rewrite_delete_using(sql: str, ret_clause, spark, returning_select):
+    """DuckDB's ``DELETE FROM t USING <relations> [WHERE pred]``
+    (reference reach: node.rs:176 passthrough): a semi-join delete.
+    Probe-join the row-id-frozen target against the verbatim USING
+    text → matched row ids; next state = target ANTI JOIN the matched
+    ids (a small distinct id set in the common case, which AQE
+    broadcasts); RETURNING = one row per MATCH, duplicates on fan-out
+    (probed DuckDB behavior). Hive-partitioned backed tables keep the
+    partition-pruned dynamic-overwrite fast path: only partitions
+    holding a matched row are rewritten, and fully-emptied partition
+    dirs are dropped."""
+    from arnab_spark.errors import ArnabError
+
+    m = re.match(
+        rf"(?is)^\s*DELETE\s+FROM\s+(?P<target>{_DML_QUAL})\s+USING\s+"
+        rf"(?P<rest>.*?)\s*;?\s*$",
+        sql,
+    )
+    if m is None:
+        raise ArnabError("DELETE … USING: cannot parse statement head")
+    raw_target = m.group("target")
+    name, kind = _dml_resolve(spark, raw_target)
+    if kind is None:
+        raise ArnabError(
+            f"DELETE … USING: target '{raw_target}' is not an engine "
+            "table (backed table or session temp table)."
+        )
+    fromtext, pred = _split_from_where(m.group("rest"))
+    if not fromtext:
+        raise ArnabError("DELETE … USING: empty USING clause")
+    base, rid_view = _joindml_base(spark, name)
+    try:
+        cond = f"coalesce(({pred}), false)" if pred else "true"
+        matches = spark.sql(
+            transpile_statement(
+                f"SELECT `{name}`.* FROM `{rid_view}` AS `{name}`, "
+                f"{fromtext} WHERE {cond}",
+                spark,
+            )
+        )
+        ret_view = None
+        if ret_clause is not None:
+            ret_view = _freeze_returning_rows(spark, matches.drop("__arnab_rid"))
+        matched_rids = matches.select("__arnab_rid").distinct()
+        if kind == "backed":
+            dest = table_backing_for(spark)[name.lower()]
+            pcols = _hive_partition_cols(dest)
+            if pcols:
+                touched = matches.select(*pcols).distinct().collect()
+                if not touched:
+                    return returning_select(ret_view) if ret_view else ""
+                if all(_plain_hive_value(r[c]) for r in touched for c in pcols):
+                    survivors = (
+                        base.filter(_touched_filter(touched, pcols))
+                        .join(matched_rids, "__arnab_rid", "left_anti")
+                        .drop("__arnab_rid")
+                        .localCheckpoint(eager=True)
+                    )
+                    _overwrite_touched_partitions(
+                        spark,
+                        name,
+                        dest,
+                        pcols,
+                        [tuple(r[c] for c in pcols) for r in touched],
+                        survivors,
+                    )
+                    return returning_select(ret_view) if ret_view else ""
+        kept = base.join(matched_rids, "__arnab_rid", "left_anti").drop(
+            "__arnab_rid"
+        )
+        _dml_persist(spark, name, kind, kept)
+        return returning_select(ret_view) if ret_view else ""
+    finally:
+        try:
+            spark.catalog.dropTempView(rid_view)
+        except Exception:
+            pass
 
 
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
@@ -1097,43 +1424,68 @@ def _rewrite_dml(sql: str, spark):
     if re.match(r"(?is)^\s*(INSERT|DELETE|UPDATE)\b", sql):
         rpos, _ = _scan_top_level(sql, ("returning",))
         if rpos >= 0:
-            ret_clause = sql[rpos + len("returning"):].strip().rstrip(";").strip()
-            sql = sql[:rpos].rstrip()
-            if not ret_clause:
-                raise ArnabError("RETURNING: empty expression list")
+            tail = sql[rpos + len("returning"):].strip().rstrip(";").strip()
+            # misfire guard (round 14): a column/alias literally named
+            # "returning" inside an unparenthesized INSERT … SELECT body
+            # also matches the top-level scan. A genuine RETURNING
+            # clause is the LAST top-level clause — an expression list —
+            # so any top-level query keyword in the remainder means the
+            # match is part of the statement body, not a clause.
+            _NOT_EXPR_LIST = (
+                "from", "where", "group", "order", "having", "qualify",
+                "values", "select", "union", "intersect", "except",
+                "limit", "offset", "window",
+            )
+            if _scan_top_level(tail, _NOT_EXPR_LIST)[0] < 0:
+                ret_clause = tail
+                sql = sql[:rpos].rstrip()
+                if not ret_clause:
+                    raise ArnabError("RETURNING: empty expression list")
 
     def _freeze_rows(rows_df) -> str:
-        import uuid
-
-        view = f"__arnab_returning_{uuid.uuid4().hex[:10]}"
-        rows_df.localCheckpoint(eager=True).createOrReplaceTempView(view)
-        return view
+        return _freeze_returning_rows(spark, rows_df)
 
     def _returning_select(view: str) -> str:
         return transpile_statement(f"SELECT {ret_clause} FROM {view}", spark)
 
-    # joined-DML forms (round 13): DuckDB's UPDATE … FROM and
-    # DELETE … USING previously fell through to a raw Spark parse error
-    # (UPDATE) or silently past the DML pass entirely (DELETE USING —
-    # the worst failure class). Loud, with the working alternative
-    # named: both are one CTAS join away in this engine.
+    def _require_engine_table(raw_target: str, verb: str):
+        # round 14 (advice): once RETURNING is stripped, a None-kind
+        # fallthrough would hand the ORIGINAL statement (with the
+        # RETURNING clause Spark cannot parse) back to native Spark —
+        # a raw parse error instead of this engine's targeted style.
+        if ret_clause is not None:
+            raise ArnabError(
+                f"{verb} … RETURNING: target '{raw_target}' is not an "
+                "engine table (backed table or session temp table). "
+                "RETURNING is supported on engine tables only — "
+                "CREATE TABLE it in this session first."
+            )
+
+    # joined-DML forms (round 14 — closes r13 "What's missing #1"):
+    # DuckDB's UPDATE … FROM and DELETE … USING, semantics probed on
+    # live DuckDB (tests/test_dml.py differential suite):
+    #   - DELETE … USING deletes every target row with >=1 match (a
+    #     semi-join); RETURNING yields ONE ROW PER MATCH (a 2-way
+    #     fan-out returns the deleted row twice);
+    #   - UPDATE … FROM updates matched rows; on fan-out the winning
+    #     source row is SCAN-ORDER-ARBITRARY (probed: reversing the
+    #     source's insert order flips the winner), while RETURNING
+    #     yields one row per match with that match's NEW values;
+    #   - assignment coercion is DuckDB's (float→int ROUNDS, probed
+    #     2.6→3: _cast_like_duck);
+    #   - the FROM/USING text is an arbitrary relation list (tables,
+    #     subqueries, comma joins) — embedded verbatim in the probe
+    #     join here, so all of DuckDB's FROM shapes work.
     if re.match(r"(?is)^\s*UPDATE\b", sql) and _scan_top_level(sql, ("from",))[0] >= 0:
-        raise ArnabError(
-            "UPDATE … FROM (joined update) is not supported: express it "
-            "as CREATE OR REPLACE TABLE t AS SELECT with the join "
-            "deciding the new values (or the incremental "
-            "materialization's keyed upsert)."
-        )
+        return _rewrite_update_from(sql, ret_clause, spark, _returning_select)
     if re.match(r"(?is)^\s*DELETE\s+FROM\b", sql) and _scan_top_level(sql, ("using",))[0] >= 0:
-        raise ArnabError(
-            "DELETE … USING (joined delete) is not supported: express it "
-            "as DELETE … WHERE key IN (SELECT …) or an anti-join CTAS."
-        )
+        return _rewrite_delete_using(sql, ret_clause, spark, _returning_select)
 
     dm = _DELETE_DML.match(sql)
     if dm is not None:
         name, kind = _dml_resolve(spark, dm.group("target"))
         if kind is None:
+            _require_engine_table(dm.group("target"), "DELETE")
             return None
         pred = dm.group("pred")
         ret_view = None
@@ -1166,6 +1518,7 @@ def _rewrite_dml(sql: str, spark):
     if um is not None:
         name, kind = _dml_resolve(spark, um.group("target"))
         if kind is None:
+            _require_engine_table(um.group("target"), "UPDATE")
             return None
         rest = um.group("rest")
         widx, _ = _scan_top_level(rest, ("where",))
@@ -1173,17 +1526,7 @@ def _rewrite_dml(sql: str, spark):
         pred = rest[widx + len("where"):].strip() if widx >= 0 else None
         fields = spark.table(name).schema.fields
         types = {f.name.lower(): f.dataType.simpleString() for f in fields}
-        assigns: dict[str, str] = {}
-        for a in _split_top_level_commas(assigns_text):
-            m2 = re.match(r'(?s)^\s*("[^"]+"|[A-Za-z_]\w*)\s*=\s*(.*?)\s*$', a)
-            if m2 is None:
-                raise ArnabError(f"UPDATE: cannot parse assignment {a.strip()!r}")
-            col = m2.group(1).strip('"')
-            if col.lower() not in types:
-                raise ArnabError(f"UPDATE: column '{col}' does not exist in '{name}'")
-            if col.lower() in assigns:
-                raise ArnabError(f"UPDATE: multiple assignments to column '{col}'")
-            assigns[col.lower()] = m2.group(2)
+        assigns = _parse_assignments(assigns_text, types, name)
         cond = f"coalesce(({pred}), false)" if pred else "true"
         # evaluate the predicate + every assignment expression FIRST
         # (so their analyzed types are known), then apply DuckDB's
@@ -1268,6 +1611,7 @@ def _rewrite_dml(sql: str, spark):
     if im is not None:
         name, kind = _dml_resolve(spark, im.group("target"))
         if kind is None or kind == "native":
+            _require_engine_table(im.group("target"), "INSERT")
             return None  # Spark's own INSERT INTO handles catalog tables
         if im.group("conflict"):
             raise ArnabError(

@@ -583,3 +583,142 @@ def dml_statement_script(spark, sf_dir):
         if out.strip():
             spark.sql(out)
     return spark.sql(transpile_statement(_DML_FINAL, spark))
+
+
+# --------------------------------------------------------- joined DML scripts
+# Round 14 driver evidence for UPDATE … FROM / DELETE … USING (closes
+# r13 "What's missing #1"; reference reach: node.rs:176 passthrough of
+# ordinary DuckDB 0.10 joined-DML statements).
+
+_UPDATE_FROM_SCRIPT = (
+    """CREATE OR REPLACE TABLE juf_t AS
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+       FROM orders WHERE o_orderkey % 11 = 0""",
+    # dimension-driven update — THE common joined-DML shape in real
+    # pipelines: c_custkey is unique, so every match is unique and the
+    # statement is deterministic on both engines
+    """UPDATE juf_t
+       SET o_orderstatus = lower(c.c_mktsegment),
+           o_totalprice = juf_t.o_totalprice + c.c_acctbal
+       FROM customer c
+       WHERE juf_t.o_custkey = c.c_custkey AND c.c_acctbal > 5000""",
+)
+
+_UPDATE_FROM_FINAL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+FROM juf_t
+GROUP BY o_orderstatus
+"""
+
+# the oracle folds the joined update into a LEFT JOIN + CASE: matched
+# rows take the dimension-derived values, unmatched keep their own.
+# o_totalprice and c_acctbal both carry <=2 dp, their sum is one IEEE
+# add, so the 1e2 snap is exact on both engines.
+_UPDATE_FROM_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+dim AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  WHERE c_acctbal > 5000
+),
+updated AS (
+  SELECT CASE WHEN d.c_custkey IS NOT NULL THEN lower(d.c_mktsegment)
+              ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN d.c_custkey IS NOT NULL THEN b.o_totalprice + d.c_acctbal
+              ELSE b.o_totalprice END AS o_totalprice
+  FROM base b LEFT JOIN dim d ON b.o_custkey = d.c_custkey
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+FROM updated
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "dml_update_from_script",
+    oracle=_UPDATE_FROM_ORACLE,
+    tags=("dml", "dialect", "statements", "join"),
+)
+def dml_update_from_script(spark, sf_dir):
+    """UPDATE … FROM through the engine statement path (round 14): a
+    dimension-driven joined update — the probe join evaluates each
+    assignment per match, the winner set joins back on a frozen row id
+    (AQE broadcasts it when small), and DuckDB's assignment coercion
+    applies per column (``_dialect_dml._rewrite_update_from``). The
+    fixture join is unique-match (c_custkey is a key), so the statement
+    is deterministic on both engines; fan-out arbitrariness is pinned
+    separately in tests/test_dml.py. Scale shape: one equi-join sized
+    by the match count + one row-id join back — no O(rows²) anywhere.
+    Exact hash match on the post-statement table aggregation."""
+    from arnab_spark.dialect import transpile_statement
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    for stmt in _UPDATE_FROM_SCRIPT:
+        out = transpile_statement(stmt, spark)
+        if out.strip():
+            spark.sql(out)
+    return spark.sql(transpile_statement(_UPDATE_FROM_FINAL, spark))
+
+
+_DELETE_USING_SCRIPT = (
+    """CREATE OR REPLACE TABLE jdu_t AS
+       SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_orderkey % 13 = 0""",
+    # semi-join delete against a filtered subquery relation
+    """DELETE FROM jdu_t
+       USING (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') f
+       WHERE jdu_t.l_orderkey = f.o_orderkey""",
+)
+
+_DELETE_USING_FINAL = """
+SELECT l_partkey % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+FROM jdu_t
+GROUP BY l_partkey % 10
+"""
+
+_DELETE_USING_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_orderkey % 13 = 0
+)
+SELECT l_partkey % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_price
+FROM base
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY l_partkey % 10
+"""
+
+
+@query(
+    "dml_delete_using_script",
+    oracle=_DELETE_USING_ORACLE,
+    tags=("dml", "dialect", "statements", "join"),
+)
+def dml_delete_using_script(spark, sf_dir):
+    """DELETE … USING through the engine statement path (round 14): a
+    semi-join delete — the probe join collects matched frozen row ids,
+    the next table state is target ANTI JOIN that id set (broadcast by
+    AQE when small), mirroring DuckDB's delete-if-any-match semantics
+    incl. NULL-key non-matches (``_rewrite_delete_using``). The oracle
+    is the equivalent NOT IN anti-join. Scale shape: one equi-join +
+    one anti-join, both on the delete key — never a table rewrite per
+    match. Exact hash match on the post-statement table aggregation."""
+    from arnab_spark.dialect import transpile_statement
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    for stmt in _DELETE_USING_SCRIPT:
+        out = transpile_statement(stmt, spark)
+        if out.strip():
+            spark.sql(out)
+    return spark.sql(transpile_statement(_DELETE_USING_FINAL, spark))

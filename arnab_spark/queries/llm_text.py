@@ -1120,7 +1120,9 @@ def _bm25_sql(engine: str) -> str:
     #   tfn = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),  avgdl = total/N
     # dl/avgdl is spelled dl*N/total so the numerator stays an exact
     # 53-bit integer product; every other step is one IEEE op on
-    # operands identical across engines (same expression text).
+    # operands identical across engines (same expression text) —
+    # EXCEPT ln, which is the same-libm ~1-ulp bet probed per fixture
+    # rather than guaranteed (see the query docstring).
     score = """CAST(floor(1000000 * (
       ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
       * (CAST(tf AS DOUBLE) * 2.2)
@@ -1163,13 +1165,19 @@ LIMIT {_BM25_K}
 @query("text_bm25_topk", oracle=_bm25_sql("duckdb"), tags=("text", "ranking"))
 def text_bm25_topk(spark, sf_dir):
     """BM25 top-k retrieval: score every document against a fixed
-    query-term set (k1=1.2, b=0.75) and return the {k} most relevant —
-    the lexical-ranking step of retrieval / curation pipelines, and
-    the standard sparse complement to the corpus's dense ANN
-    operators. Scores are quantized to integer micro-units per
-    (doc, term) before summation (the DSIR float contract), so the
-    ranking and the driver hash are bit-identical across engines; the
-    final tie on doc_id makes the LIMIT deterministic.
+    query-term set (k1=1.2, b=0.75) and return the 20 (_BM25_K) most
+    relevant — the lexical-ranking step of retrieval / curation
+    pipelines, and the standard sparse complement to the corpus's
+    dense ANN operators. Scores are quantized to integer micro-units
+    per (doc, term) before summation (the DSIR float contract), so
+    the per-doc total is an exact associative BIGINT sum; the final
+    tie on doc_id makes the LIMIT deterministic. One caveat, same as
+    the DSIR precedent: the idf term takes ln() of a ratio of exact
+    integers, and JVM Math.log / DuckDB's libm log are each ~1-ulp
+    accurate rather than correctly rounded — cross-engine bit
+    identity of floor(1e6*score) is therefore probed empirically on
+    the fixtures (the windowed driver run would catch a divergence),
+    not guaranteed by IEEE.
 
     Scale shape: term frequencies are computed AFTER the IN-list
     filter (only query-term postings reach the tf groupBy — the
@@ -1178,6 +1186,6 @@ def text_bm25_topk(spark, sf_dir):
     groupBy; corpus stats are a 1-row broadcast (allowlisted like the
     DSIR totals); df is O(terms) rows. The final top-k is
     TakeOrderedAndProject — k rows cross the wire, never a global
-    sort.""".format(k=_BM25_K)
+    sort."""
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_bm25_sql("spark"))

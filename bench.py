@@ -308,6 +308,13 @@ def main() -> None:
     # within one engine, and as the denominator of the _wide pace
     # norms (bands seeded in BASELINE.md round 13).
     _DUCK_WIDE_SQL = "SELECT sum(i % 1000003) AS s FROM range(20000000) t(i)"
+    # round 14 (advice): the wide probes saturate ALL benchmark cores —
+    # derive the count from SPARK_GRAFT_CPUS like every other DuckDB
+    # section instead of hardcoding 32. Total probe work stays fixed,
+    # so on a non-32-core box the quiet walls (and the r13/r14-seeded
+    # _wide bands in BASELINE.md) must be re-calibrated — noted there.
+    _cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+    _BENCH_CPUS = int(_cpus_env) if _cpus_env.isdigit() else 32
 
     def _duck_pace():
         """Box pace before the JVM exists, as a (narrow, wide) pair:
@@ -320,7 +327,7 @@ def main() -> None:
             from arnab_spark.oracle import duckdb_connection as _dc
 
             c = _dc(tiny_dir)
-            c.execute("SET threads=32")
+            c.execute(f"SET threads={_BENCH_CPUS}")
             c.execute(_PACE_SQL).fetchall()
             runs = []
             for _ in range(3):
@@ -601,7 +608,7 @@ def main() -> None:
                 _noop(q.fn(spark, tiny_dir))
                 runs.append(time.perf_counter() - t0)
             narrow = round(min(runs), 4)
-            wide_df = spark.range(0, 400_000_000, 1, 32).selectExpr(
+            wide_df = spark.range(0, 400_000_000, 1, _BENCH_CPUS).selectExpr(
                 "sum(id % 1000003) AS s"
             )
             _noop(wide_df)

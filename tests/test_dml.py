@@ -119,18 +119,300 @@ def test_insert_or_replace_and_default_values_raise_targeted(spark, dml_table):
         _run(spark, "INSERT INTO dml_t DEFAULT VALUES")
 
 
-def test_joined_dml_forms_raise_targeted(spark, dml_table):
-    """UPDATE … FROM and DELETE … USING (round 13): previously a raw
-    Spark parse error (UPDATE) or a silent fall-through past the DML
-    pass (DELETE USING — the worst class); now targeted errors naming
-    the working alternative. Parenthesized subqueries in predicates or
-    assignments must NOT trip the top-level keyword scan."""
-    with pytest.raises(ArnabError, match="joined update"):
-        _run(spark, "UPDATE dml_t SET tag = o.tag FROM dml_t o WHERE dml_t.id = o.id")
-    with pytest.raises(ArnabError, match="joined delete"):
-        _run(spark, "DELETE FROM dml_t USING dml_t o WHERE dml_t.id = o.id")
+def test_joined_dml_subqueries_stay_plain(spark, dml_table):
+    """Parenthesized subqueries in predicates or assignments must NOT
+    trip the top-level FROM/USING scan that routes to the joined-DML
+    handlers — these are plain single-table statements."""
     _run(spark, "UPDATE dml_t SET tag = (SELECT 'z' FROM range(1)) WHERE id = 1")
     _run(spark, "DELETE FROM dml_t WHERE id IN (SELECT 99 FROM range(1))")
+    got = spark.sql("SELECT tag FROM dml_t WHERE id = 1").collect()
+    assert got[0][0] == "z"
+
+
+# ---------------------------------------------------------------- joined DML
+# UPDATE … FROM and DELETE … USING (round 14 — closes r13 "What's
+# missing #1"). Probed DuckDB semantics this suite pins:
+#   - DELETE … USING is a semi-join delete; RETURNING yields one row
+#     PER MATCH (duplicates on fan-out);
+#   - UPDATE … FROM updates matched rows; the fan-out winner is
+#     physical-scan-arbitrary in DuckDB, so value-exact comparisons
+#     use unique-match fixtures and fan-out is asserted as one-of;
+#   - assignment coercion rounds float→integral (2.6→3);
+#   - the FROM/USING text may be a table, a subquery, or a comma list.
+
+
+@pytest.fixture()
+def src_table(spark, con):
+    stmt = (
+        "CREATE TABLE dml_s AS SELECT * FROM (VALUES "
+        "(1, 50.0, 'X'), (2, 20.0, 'Y'), (2, 99.0, 'Z'), "
+        "(5, 5.0, 'W'), (NULL, 77.0, 'N')) AS s(id, nv, lbl)"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    yield "dml_s"
+    _run(spark, "DROP TABLE dml_s")
+
+
+def test_update_from_unique_match(spark, con, dml_table, src_table):
+    # id=2 excluded -> every surviving match is unique -> value-exact
+    stmt = (
+        "UPDATE dml_t SET score = s.nv FROM dml_s s "
+        "WHERE dml_t.id = s.id AND s.id <> 2"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[0] == (1, "a", 50.0)
+
+
+def test_update_from_mixed_expression_and_extra_pred(spark, con, dml_table, src_table):
+    stmt = (
+        "UPDATE dml_t SET score = dml_t.score + s.nv, tag = upper(dml_t.tag) "
+        "FROM dml_s s WHERE dml_t.id = s.id AND s.lbl = 'X'"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[0] == (1, "A", 60.5)
+
+
+def test_update_from_subquery_source(spark, con, dml_table, src_table):
+    # aggregated subquery -> one source row per id -> deterministic
+    stmt = (
+        "UPDATE dml_t SET score = q.mnv FROM "
+        "(SELECT id, max(nv) AS mnv FROM dml_s GROUP BY id) q "
+        "WHERE dml_t.id = q.id"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[1] == (2, "b", 99.0)
+
+
+def test_update_from_comma_relation_list(spark, con, dml_table, src_table):
+    stmt = (
+        "UPDATE dml_t SET score = s.nv + o.one FROM dml_s s, "
+        "(SELECT 1 AS one) o WHERE dml_t.id = s.id AND s.id = 1"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    assert got[0] == (1, "a", 51.0)
+
+
+def test_update_from_fanout_winner_is_one_of(spark, con, dml_table, src_table):
+    """DuckDB's fan-out winner is scan-order-arbitrary (probed both
+    orders), so the engines may legitimately disagree on WHICH source
+    row wins — the contract is: some matching row's value, exactly one
+    update per target row, non-matching rows untouched."""
+    _run(spark, "UPDATE dml_t SET score = s.nv FROM dml_s s WHERE dml_t.id = s.id")
+    rows = {
+        r[0]: tuple(r)
+        for r in spark.sql("SELECT * FROM dml_t ORDER BY id").collect()
+    }
+    assert len(rows) == 3
+    assert rows[1] == (1, "a", 50.0)
+    assert rows[2][2] in (20.0, 99.0)
+    assert rows[3] == (3, "c", 7.25)
+
+
+def test_update_from_returning_is_per_match(spark, con, dml_table, src_table):
+    """RETURNING on a fan-out yields one row PER MATCH with that
+    match's NEW values (probed) — deterministic as a set even though
+    the table's winner is not."""
+    stmt = (
+        "UPDATE dml_t SET score = s.nv FROM dml_s s "
+        "WHERE dml_t.id = s.id RETURNING id, score"
+    )
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    assert sorted(got_ret) == sorted(exp_ret) == [(1, 50.0), (2, 20.0), (2, 99.0)]
+
+
+def test_update_from_no_match_is_noop(spark, con, dml_table, src_table):
+    stmt = (
+        "UPDATE dml_t SET score = s.nv FROM dml_s s "
+        "WHERE dml_t.id = s.id AND s.nv > 1e9 RETURNING *"
+    )
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    assert got_ret == exp_ret == []
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp and len(got) == 3
+
+
+def test_update_from_coercion_rounds_like_duckdb(spark, con, src_table):
+    stmt_mk = "CREATE TABLE dml_i AS SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(id, v)"
+    con.execute(stmt_mk)
+    _run(spark, stmt_mk)
+    try:
+        stmt = (
+            "UPDATE dml_i SET v = s.nv / 19.0 FROM dml_s s "
+            "WHERE dml_i.id = s.id AND s.id = 1"
+        )
+        # 50.0 / 19.0 = 2.63… -> DuckDB assignment-coerces by ROUNDING
+        con.execute(stmt)
+        _run(spark, stmt)
+        got, exp = _table_rows(spark, con, "dml_i", "id")
+        assert got == exp
+        assert got[0] == (1, 3)
+    finally:
+        _run(spark, "DROP TABLE dml_i")
+
+
+def test_update_from_ambiguous_unqualified_errors_both(spark, con, dml_table, src_table):
+    # "nv" is unambiguous (source-only) but "score" would not be; probe
+    # the unambiguous case binds, the ambiguous one errors in BOTH
+    stmt = "UPDATE dml_t SET score = nv FROM dml_s s WHERE dml_t.id = s.id AND s.id = 1"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    with pytest.raises(Exception, match="(?i)ambiguous"):
+        con.execute("UPDATE dml_t SET score = id FROM dml_s s WHERE dml_t.id = s.id")
+    with pytest.raises(Exception, match="(?i)ambiguous"):
+        _run(spark, "UPDATE dml_t SET score = id FROM dml_s s WHERE dml_t.id = s.id")
+
+
+def test_delete_using_semi_join(spark, con, dml_table, src_table):
+    stmt = "DELETE FROM dml_t USING dml_s s WHERE dml_t.id = s.id"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp == [(3, "c", 7.25)]
+
+
+def test_delete_using_subquery(spark, con, dml_table, src_table):
+    stmt = (
+        "DELETE FROM dml_t USING (SELECT id FROM dml_s WHERE nv > 90) q "
+        "WHERE dml_t.id = q.id"
+    )
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp and [r[0] for r in got] == [1, 3]
+
+
+def test_delete_using_returning_duplicates_per_match(spark, con, dml_table, src_table):
+    stmt = "DELETE FROM dml_t USING dml_s s WHERE dml_t.id = s.id RETURNING id, tag"
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    assert sorted(got_ret) == sorted(exp_ret) == [(1, "a"), (2, "b"), (2, "b")]
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+
+
+def test_delete_using_without_where_deletes_all_when_nonempty(spark, con, dml_table, src_table):
+    stmt = "DELETE FROM dml_t USING dml_s"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp == []
+
+
+def test_joined_dml_unresolvable_target_raises_targeted(spark, src_table):
+    with pytest.raises(ArnabError, match="not an engine table"):
+        _run(spark, "UPDATE no_such_t SET x = s.nv FROM dml_s s WHERE no_such_t.id = s.id")
+    with pytest.raises(ArnabError, match="not an engine table"):
+        _run(spark, "DELETE FROM no_such_t USING dml_s s WHERE no_such_t.id = s.id")
+
+
+def test_returning_alias_in_insert_body_is_not_a_clause(spark, con, dml_table):
+    """Misfire guard (round 14, advice): a column alias literally named
+    ``returning`` inside an unparenthesized INSERT … SELECT body is
+    LEGAL DuckDB (probed) and must not be stripped as a RETURNING
+    clause — the remainder carries a top-level FROM."""
+    stmt = "INSERT INTO dml_t SELECT id + 50, tag AS returning, score FROM dml_t"
+    con.execute(stmt)
+    _run(spark, stmt)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp and len(got) == 6
+
+
+def test_returning_on_non_engine_table_raises_targeted(spark):
+    """Round 14 (advice): RETURNING on a target this engine does not
+    own must raise the targeted error style, not fall through to a raw
+    Spark parse error on the un-stripped statement."""
+    spark.sql("DROP TABLE IF EXISTS native_ret_t")
+    spark.sql("CREATE TABLE native_ret_t (id INT) USING parquet")
+    try:
+        with pytest.raises(ArnabError, match="RETURNING"):
+            _run(spark, "INSERT INTO native_ret_t VALUES (1) RETURNING *")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS native_ret_t")
+
+
+def test_returning_views_are_reaped(spark, con, dml_table):
+    """Round 14 (advice): each RETURNING statement freezes its rows
+    under a temp view; the NEXT returning statement must reap the
+    previous one, bounding a long session to one outstanding view."""
+    _run_returning(spark, "UPDATE dml_t SET score = 1 WHERE id = 1 RETURNING id")
+    _run_returning(spark, "UPDATE dml_t SET score = 2 WHERE id = 1 RETURNING id")
+    _run_returning(spark, "UPDATE dml_t SET score = 3 WHERE id = 1 RETURNING id")
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__arnab_returning_")
+    ]
+    assert len(leftover) <= 1
+
+
+def test_joined_dml_pruned_rewrite_on_backed_table(spark, con, tmp_path):
+    """Backed hive-partitioned table: joined UPDATE and DELETE keep the
+    partition-pruned copy-on-write fast path — the untouched
+    partition's part files are NOT rewritten, the layout survives, and
+    the final contents match DuckDB."""
+    import glob
+
+    dest = str(tmp_path / "jt")
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 'p1', 10.0), (2, 'p1', 20.0), "
+        "(3, 'p2', 30.0), (4, 'p2', 40.0)) AS t(id, part, score)"
+    ).write.partitionBy("part").parquet(dest)
+    spark.read.parquet(dest).createOrReplaceTempView("jt")
+    table_backing_for(spark)["jt"] = dest
+    con.execute(
+        "CREATE TABLE jt AS SELECT * FROM (VALUES (1, 'p1', 10.0), "
+        "(2, 'p1', 20.0), (3, 'p2', 30.0), (4, 'p2', 40.0)) AS t(id, part, score)"
+    )
+    con.execute("CREATE TABLE js AS SELECT * FROM (VALUES (1, 5.0), (3, 7.0)) AS s(id, d)")
+    _run(spark, "CREATE TABLE js AS SELECT * FROM (VALUES (1, 5.0), (3, 7.0)) AS s(id, d)")
+    try:
+        p2_before = set(glob.glob(f"{dest}/part=p2/*.parquet"))
+        stmt = "UPDATE jt SET score = jt.score + js.d FROM js WHERE jt.id = js.id AND js.id = 1"
+        con.execute(stmt)
+        _run(spark, stmt)
+        assert set(glob.glob(f"{dest}/part=p2/*.parquet")) == p2_before
+        got = [
+            tuple(r)
+            for r in spark.sql("SELECT id, part, score FROM jt ORDER BY id").collect()
+        ]
+        exp = con.execute("SELECT id, part, score FROM jt ORDER BY id").fetchall()
+        assert got == exp
+        assert got[0] == (1, "p1", 15.0)
+
+        p1_files = set(glob.glob(f"{dest}/part=p1/*.parquet"))
+        stmt = "DELETE FROM jt USING js WHERE jt.id = js.id"
+        con.execute(stmt)
+        _run(spark, stmt)
+        assert set(glob.glob(f"{dest}/part=p1/*.parquet")) != p1_files
+        got = [
+            tuple(r)
+            for r in spark.sql("SELECT id, part, score FROM jt ORDER BY id").collect()
+        ]
+        exp = con.execute("SELECT id, part, score FROM jt ORDER BY id").fetchall()
+        assert got == exp and [r[0] for r in got] == [2, 4]
+        # layout survived both statements
+        assert glob.glob(f"{dest}/part=p1/*.parquet")
+    finally:
+        table_backing_for(spark).pop("jt", None)
+        spark.catalog.dropTempView("jt")
+        _run(spark, "DROP TABLE js")
 
 
 def _run_returning(spark, stmt: str):
