@@ -204,6 +204,17 @@ PIPELINE = [
 # per-key fan-out stays constant.
 ASOF_FAMILY = ["asof_join"]
 
+# round-14 (r13 "What's wrong #3"): the four r13 analytics additions
+# get a bench family with DuckDB twins at sf0.1 AND a measured sf1
+# point — they were sf0.01-verified and plan-pinned but had no scale
+# reading anywhere.
+EVENTS_FAMILY = [
+    "events_funnel",
+    "time_resample_ohlc",
+    "orders_retention_cohort",
+    "text_bm25_topk",
+]
+
 
 def main() -> None:
     # the bench session lives through ~60 queries x multiple passes of
@@ -469,6 +480,7 @@ def main() -> None:
     # would flatter the ratio.
     duck_timings: dict[str, float] = {}
     duck_scale: dict[str, dict[str, float]] = {}
+    duck_dedup_sf10: dict | None = None
     try:
         from arnab_spark.oracle import duckdb_connection
 
@@ -539,6 +551,11 @@ def main() -> None:
                 }
                 if sf10_dir:
                     out["asof"]["sf10"] = _duck_family(sf10_dir, ASOF_FAMILY, 2)
+                # single sf1 pass: BM25 tokenizes the whole sf1 corpus
+                out["events"] = {
+                    "sf0.1": _duck_family(sf_dir, EVENTS_FAMILY, 2),
+                    "sf1": _duck_family(sf1_dir, EVENTS_FAMILY, 1),
+                }
                 return out
 
             # probes-only (rerun=False): the section runs ~4-8 min of
@@ -556,6 +573,95 @@ def main() -> None:
                 thresh=1.5,
                 rerun=False,
             )
+
+            # round-14 (r13 "What's missing #3"): the dedup-family
+            # DuckDB wall at sf10 — every prior round's sf10 dedup
+            # ratio was vs a log-linear PROJECTION. One min-of-1,
+            # budget-capped attempt in a KILLABLE child process: a
+            # measured wall replaces the projection; a kill at the cap
+            # is recorded as the honest answer (with the per-query
+            # walls that finished before the cap). Skippable with
+            # ARNAB_BENCH_DEDUP_SF10=off.
+            if sf10_dir and os.environ.get("ARNAB_BENCH_DEDUP_SF10", "on") != "off":
+
+                def _duck_dedup_sf10_capped(cap_sec: int = 600) -> dict:
+                    import subprocess
+
+                    child_code = (
+                        "import json, sys, time\n"
+                        "payload = json.loads(sys.stdin.read())\n"
+                        "from arnab_spark.oracle import duckdb_connection\n"
+                        "con = duckdb_connection(payload['sf_dir'])\n"
+                        "if payload.get('threads'):\n"
+                        "    con.execute('SET threads=%d' % payload['threads'])\n"
+                        "t0 = time.perf_counter()\n"
+                        "for name, sql in payload['queries']:\n"
+                        "    q0 = time.perf_counter()\n"
+                        "    con.execute(sql).fetchall()\n"
+                        "    print('%s\\t%.2f' % (name, time.perf_counter() - q0),\n"
+                        "          file=sys.stderr, flush=True)\n"
+                        "print(json.dumps({'wall': round(time.perf_counter() - t0, 2)}))\n"
+                    )
+                    payload = json.dumps(
+                        {
+                            "sf_dir": sf10_dir,
+                            "threads": int(cpus) if cpus and cpus.isdigit() else None,
+                            "queries": [[n, registry[n].oracle] for n in DEDUP_FAMILY],
+                        }
+                    )
+                    child = subprocess.Popen(
+                        [sys.executable, "-c", child_code],
+                        stdin=subprocess.PIPE,
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.PIPE,
+                        text=True,
+                    )
+                    t0 = time.perf_counter()
+                    try:
+                        out_s, err_s = child.communicate(payload, timeout=cap_sec)
+                    except subprocess.TimeoutExpired:
+                        child.kill()
+                        out_s, err_s = child.communicate()
+                        partial = dict(
+                            line.split("\t")
+                            for line in (err_s or "").strip().splitlines()
+                            if "\t" in line
+                        )
+                        return {
+                            "measured": False,
+                            "cap_sec": cap_sec,
+                            "cap_event": (
+                                f"killed at {round(time.perf_counter() - t0, 1)}s; "
+                                f"{len(partial)}/{len(DEDUP_FAMILY)} queries finished"
+                            ),
+                            "partial_queries": {k: float(v) for k, v in partial.items()},
+                        }
+                    if child.returncode != 0:
+                        return {
+                            "measured": False,
+                            "cap_sec": cap_sec,
+                            "cap_event": f"child failed: {(err_s or '')[-200:]}",
+                        }
+                    per = dict(
+                        line.split("\t")
+                        for line in (err_s or "").strip().splitlines()
+                        if "\t" in line
+                    )
+                    wall = json.loads(out_s.strip().splitlines()[-1])["wall"]
+                    return {
+                        "measured": True,
+                        "cap_sec": cap_sec,
+                        "wall": wall,
+                        "queries": {k: float(v) for k, v in per.items()},
+                    }
+
+                duck_dedup_sf10 = _measured_section(
+                    "duckdb_dedup_sf10_capped",
+                    _duck_dedup_sf10_capped,
+                    cap_sec=660,
+                    thresh=1.5,
+                    rerun=False,
+                )
     except Exception as exc:  # bench must still emit its JSON line
         print(f"duckdb side skipped: {exc}", file=sys.stderr)
     duck_total = round(sum(duck_timings.values()), 4) or None
@@ -702,6 +808,7 @@ def main() -> None:
                 _noop(q.fn(spark, tiny_dir))
                 probe.append(time.perf_counter() - start)
             fp = round(min(probe), 4)
+            probe_runs = [round(r, 4) for r in probe]
 
             def _best(fn, n=7):
                 runs = []
@@ -746,11 +853,15 @@ def main() -> None:
                     _run(name, tiny_dir)
                     runs.append(time.perf_counter() - t0)
                 fpq[name] = round(min(runs), 4)
-            return fp, fb, fpq
+            return fp, fb, fpq, probe_runs
 
-        floor_probe, floor_breakdown, floor_per_query = _measured_section(
-            "floor_probe", _floor_section, cap_sec=90, thresh=load_thresh
+        floor_probe, floor_breakdown, floor_per_query, floor_probe_runs = (
+            _measured_section(
+                "floor_probe", _floor_section, cap_sec=90, thresh=load_thresh
+            )
         )
+    else:
+        floor_probe_runs = []
 
 
     #: every _family_pass records its per-iteration walls here (round-10,
@@ -796,12 +907,14 @@ def main() -> None:
         (pipeline_wall, pipeline_queries),
         (dedup_family_wall, dedup_family_queries),
         (ann_family_wall, ann_family_queries),
+        (events_family_wall, events_family_queries),
     ) = _measured_section(
         "spark_families",
         lambda: (
             _family_pass(PIPELINE),
             _family_pass(DEDUP_FAMILY),
             _family_pass(ANN_FAMILY),
+            _family_pass(EVENTS_FAMILY),
         ),
     )
 
@@ -915,6 +1028,7 @@ def main() -> None:
                 runs.append(time.perf_counter() - start)
             lt[name] = round(min(runs), 4)
         lf: dict[str, float] = {}
+        lf_pricing_runs: list[float] = []
         if os.path.isdir(tiny_dir):
             for name in names:
                 _run(name, tiny_dir)
@@ -924,9 +1038,11 @@ def main() -> None:
                     _run(name, tiny_dir)
                     runs.append(time.perf_counter() - start)
                 lf[name] = round(min(runs), 4)
-        return lt, lf
+                if name == "agg_pricing_summary":
+                    lf_pricing_runs = [round(r, 4) for r in runs]
+        return lt, lf, lf_pricing_runs
 
-    late_timings, late_floors = _measured_section(
+    late_timings, late_floors, late_floor_runs = _measured_section(
         "spark_headline_late", _spark_headline_late
     )
     early_timings = dict(timings)
@@ -944,6 +1060,25 @@ def main() -> None:
     # two passes of the SAME min-of-5 quantity.
     if floor_probe and late_floors.get("agg_pricing_summary"):
         floor_probe = min(floor_probe, late_floors["agg_pricing_summary"])
+    # GLOBAL pace-norm denominator (round 14, r13 "What's wrong #1"):
+    # the min-merged floor is a biased-down estimator whose own spread
+    # measured ±20% across same-code runs, forcing 16-26 / 105-145
+    # bands that a genuine ~30% plan regression fits inside. The norms
+    # therefore take a ROBUST floor: the lower of the two passes'
+    # MEDIAN-of-5 — the median kills within-pass tail noise (the min of
+    # a heavy-tailed 5-sample is itself noisy), and taking the better
+    # pass keeps the r13 property that one contended pass cannot
+    # inflate the denominator. floor_probe (min-merged) is unchanged
+    # for the floor-ADJUSTED ratios, where a biased-down estimate is
+    # the conservative side. Bands re-seeded in BASELINE.md round 14.
+    import statistics as _stats
+
+    _pass_medians = [
+        round(_stats.median(runs), 4)
+        for runs in (floor_probe_runs, late_floor_runs)
+        if runs
+    ]
+    floor_norm_den = round(min(_pass_medians), 4) if _pass_medians else None
     total = round(sum(timings.values()), 4)
     # AQE totals, consistent with the min-merged headline (round-9,
     # ADVICE item 3): the late re-pass runs at the BENCHED AQE setting,
@@ -966,6 +1101,7 @@ def main() -> None:
             "tpch8": tpch_wall,
             "dedup": dedup_family_wall,
             "asof": asof_family_wall,
+            "events": events_family_wall,
         }
         for fam, qs, iters in (
             # min-of-3 (round-10, r9 verdict ask #2): the r9 record
@@ -981,6 +1117,8 @@ def main() -> None:
             # at sf1 and the slope needs the trend, not 1% precision
             ("dedup", DEDUP_FAMILY, 1),
             ("asof", ASOF_FAMILY, 3),
+            # 2 passes: pass 1 carries the cold codegen for 4 plans
+            ("events", EVENTS_FAMILY, 2),
         ):
             # broadcast threshold is a TPCH-STAR-JOIN knob, scoped to
             # that family only (round-10): past sf1 the dimension
@@ -1084,7 +1222,7 @@ def main() -> None:
     scale_slope = None
     if sf1_dir and duck_scale:
         scale_slope = {}
-        for fam in ("tpch8", "dedup", "asof"):
+        for fam in ("tpch8", "dedup", "asof", "events"):
             # .get guards: if the DuckDB timing section raised mid-way
             # (it is one try/except) duck_scale may hold tpch8 but not
             # dedup — the slope must degrade to the families measured,
@@ -1110,18 +1248,21 @@ def main() -> None:
                     ),
                 }
         if "sf10" in spark_scale.get("dedup", {}):
-            # the dedup DuckDB side deliberately stops at sf1 (~2 min
-            # there, ~20 min projected at sf10 — it would dominate the
-            # bench); the sf10 entry carries the REAL Spark wall and a
-            # log-linear projection of the DuckDB denominator
-            # (sf1 * (sf1/sf0.1)), labeled so it can never be read as
-            # a measurement.
+            # round 14: the dedup DuckDB sf10 denominator is now
+            # ATTEMPTED once per run, min-of-1 in a killable child
+            # capped at ~10 min (r13 "What's missing #3") — a measured
+            # wall replaces the projection; a cap kill is recorded as
+            # the honest answer. The log-linear projection
+            # (sf1 * (sf1/sf0.1)) stays alongside for continuity with
+            # r9-r13 artifacts, always labeled.
             d01 = duck_scale.get("dedup", {}).get("sf0.1")
             d1 = duck_scale.get("dedup", {}).get("sf1")
             proj = round(d1 * (d1 / d01), 1) if d01 and d1 else None
-            scale_slope.setdefault("dedup", {})["sf10"] = {
+            entry = {
                 "spark": spark_scale["dedup"]["sf10"],
-                "duckdb_measured": False,
+                "duckdb_measured": bool(
+                    duck_dedup_sf10 and duck_dedup_sf10.get("measured")
+                ),
                 "duckdb_projected_loglinear": proj,
                 "ratio_vs_projection": (
                     round(spark_scale["dedup"]["sf10"] / proj, 2)
@@ -1129,6 +1270,18 @@ def main() -> None:
                     else None
                 ),
             }
+            if duck_dedup_sf10 and duck_dedup_sf10.get("measured"):
+                entry["duckdb"] = duck_dedup_sf10["wall"]
+                entry["duckdb_queries"] = duck_dedup_sf10.get("queries")
+                entry["ratio"] = round(
+                    spark_scale["dedup"]["sf10"] / duck_dedup_sf10["wall"], 2
+                )
+            elif duck_dedup_sf10:
+                entry["duckdb_cap_event"] = duck_dedup_sf10.get("cap_event")
+                entry["duckdb_partial_queries"] = duck_dedup_sf10.get(
+                    "partial_queries"
+                )
+            scale_slope.setdefault("dedup", {})["sf10"] = entry
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -1200,9 +1353,10 @@ def main() -> None:
     tpch22_pace_norm_wide = (
         round(tpch_full_wall / _tpw, 1) if (_tpw and tpch_full_wall) else None
     )
-    value_pace_norm = round(total / floor_probe, 1) if floor_probe else None
+    _norm_den = floor_norm_den or floor_probe
+    value_pace_norm = round(total / _norm_den, 1) if _norm_den else None
     tpch22_pace_norm = (
-        round(tpch_full_wall / floor_probe, 1) if (floor_probe and tpch_full_wall) else None
+        round(tpch_full_wall / _norm_den, 1) if (_norm_den and tpch_full_wall) else None
     )
     # BASELINE.md band contract, mirrored here so an out-of-band norm
     # self-flags in the record (round-13, r12 ask #1). Bands: global
@@ -1260,6 +1414,9 @@ def main() -> None:
         "dedup_family_queries": dedup_family_queries,
         "ann_family_wall_clock": ann_family_wall,
         "ann_family_queries": ann_family_queries,
+        "events_family_wall_clock": events_family_wall,
+        "events_family_queries": events_family_queries,
+        "duckdb_dedup_sf10_capped": duck_dedup_sf10,
         "tpch_composites_wall_clock": tpch_wall,
         "tpch_composites_queries": tpch_queries,
         "tpch_composites_concurrent_4way": tpch_concurrent,
@@ -1272,6 +1429,10 @@ def main() -> None:
         "scale_slope": scale_slope,
         "scale_slope_detail": scale_detail or None,
         "floor_probe_pricing_sf0001": floor_probe,
+        "floor_norm_den": floor_norm_den,
+        "floor_norm_pass_medians": _pass_medians or None,
+        "floor_probe_runs_early_pass": floor_probe_runs or None,
+        "floor_probe_runs_late_pass": late_floor_runs or None,
         "floor_breakdown": floor_breakdown,
         "floor_per_query": floor_per_query or None,
         "floor_per_query_early_pass": early_floors or None,
@@ -1313,6 +1474,7 @@ def main() -> None:
             "tpch22_c4": tpch_full_concurrent,
             "tpch22_c8": tpch_full_concurrent8,
             "asof": asof_family_wall,
+            "events": events_family_wall,
         },
         "scale_slope": scale_slope,
         "loadavg": loadavg_start + loadavg_end,
@@ -1321,6 +1483,7 @@ def main() -> None:
         "load_sections": {k: v["loadavg1"] for k, v in load_sections.items()},
         "knn_steady15": knn_steady15,
         "floor_probe_pricing_sf0001": floor_probe,
+        "floor_norm_den": floor_norm_den,
         "floor_breakdown": floor_breakdown,
         "session_warmup_sec": session_warmup,
         "duckdb_total": duck_total,

@@ -888,3 +888,32 @@ def test_columns_lambda_where_orderby_model_file(spark, tmp_path):
     assert spark.table("key_scan").columns == [
         "o_orderkey", "mx_o_orderkey", "mx_o_custkey"
     ]
+
+
+def test_event_analytics_example_project(spark, tmp_path, monkeypatch):
+    """examples/event_analytics (round 14, mirror of the r13 DSIR ask):
+    the funnel / OHLC / retention analytics written as DuckDB-idiom
+    model SQL must run end-to-end through Session — the reference's own
+    usage mode — and each model's relation must be IDENTICAL to the
+    registry query the driver verifies (engine path ≡ registry path)."""
+    import shutil
+
+    from arnab_spark.config import load_config
+    from arnab_spark.queries import all_queries
+    from arnab_spark.session import Session
+
+    proj = tmp_path / "event_analytics"
+    shutil.copytree("examples/event_analytics", proj)
+    monkeypatch.chdir(proj)
+    report = Session(load_config(".", None, None), spark).run(quiet=True)
+    assert not report.errors, report.errors
+    reg = all_queries()
+    for model, qname in (
+        ("funnel_stages", "events_funnel"),
+        ("ohlc_hourly", "time_resample_ohlc"),
+        ("retention_cohorts", "orders_retention_cohort"),
+    ):
+        got = sorted(tuple(r) for r in spark.table(model).collect())
+        exp = sorted(tuple(r) for r in reg[qname].fn(spark, SF).collect())
+        assert got == exp, f"{model} != {qname}: {got[:2]} vs {exp[:2]}"
+        assert spark.table(model).columns == reg[qname].fn(spark, SF).columns

@@ -82,13 +82,9 @@ def test_every_query_is_oracled():
 
 
 #: The fifteen round-10-cohort queries the round-13 mandatory slots
-#: (four NEW queries + the changed-source Bloom re-slot + the eleven
-#: r9-stale ceiling queries) displace. Each is hash-pinned in
-#: EVIDENCE.json and names a same-family sibling with r11-or-newer
-#: evidence or one verified in the r13 window itself (full sibling
-#: table: the CURATED_FIRST header in arnab_spark/queries/__init__.py).
-#: After r13 they sit at exactly three rounds stale — the ceiling —
-#: so ALL FIFTEEN take mandatory r14 slots.
+#: displaced. They sat at exactly three rounds stale after r13 — the
+#: ceiling — so all fifteen hold mandatory r14 window slots (pinned by
+#: test_r14_window_covers_stale_evidence_queries below).
 R13_DISPLACED = {
     "agg_cube",
     "agg_count_star_zeroarg",
@@ -105,6 +101,34 @@ R13_DISPLACED = {
     "dialect_seq_comment",
     "dialect_len_setop_arms",
     "multimodal_metadata",
+}
+
+#: The seventeen round-11-cohort queries the round-14 mandatory slots
+#: (two NEW joined-DML queries + the fifteen R13_DISPLACED ceiling
+#: queries) displace. Each is hash-pinned in EVIDENCE.json and names a
+#: same-family sibling with r12-or-newer evidence or one verified in
+#: the r14 window itself (full sibling table: the CURATED_FIRST header
+#: in arnab_spark/queries/__init__.py). After r14 they sit at exactly
+#: three rounds stale — the ceiling — so ALL SEVENTEEN take mandatory
+#: r15 slots.
+R14_DISPLACED = {
+    "agg_collect_set_array",
+    "intersect_except_all",
+    "dialect_unnest_qualified_star",
+    "dialect_unnest_embedded",
+    "dialect_unnest_recursive",
+    "distinct_rows",
+    "order_limit_offset",
+    "filter_ilike_nullsafe",
+    "fn_array",
+    "tumbling_window",
+    "window_navigation",
+    "dedup_substring_windows",
+    "stream_session_counts_materialized",
+    "values_inline",
+    "cte_chain",
+    "in_subquery",
+    "fn_nondeterministic",
 }
 
 
@@ -128,42 +152,28 @@ def _latest_evidence(max_round: int | None = None) -> dict[str, int]:
     return latest
 
 
-def test_r13_window_covers_stale_evidence_queries():
-    """The r13 window holds every query whose latest driver evidence is
-    r10 or older — computed from the committed CORRECTNESS_r{01..12}.json
-    union — minus the fifteen DOCUMENTED displaced queries, so after the
-    r13 run no registry query's driver evidence predates r10 (the
-    staleness ceiling holds at round 13). Slots 1-4 are the round-13
-    additions (never-run gate); slot 5 is the changed-source Bloom
-    re-slot; slots 6-16 are the eleven r9-stale ceiling queries."""
-    latest = _latest_evidence(max_round=12)  # r13 rotation input
+def test_r14_window_covers_stale_evidence_queries():
+    """The r14 window holds every query whose latest driver evidence is
+    r11 or older — computed from the committed CORRECTNESS_r{01..13}.json
+    union — minus the seventeen DOCUMENTED displaced queries, so after
+    the r14 run no registry query's driver evidence predates r11 (the
+    staleness ceiling holds at round 14). Slots 1-2 are the round-14
+    joined-DML additions (never-run gate); slots 3-17 are the fifteen
+    R13_DISPLACED ceiling queries (mandatory, pre-announced in the r13
+    header)."""
+    latest = _latest_evidence(max_round=13)  # r14 rotation input
     if not latest:
         pytest.skip("no correctness snapshot yet")
-    stale = {n for n, r in latest.items() if r <= 10}
-    assert stale - R13_DISPLACED <= set(CURATED_FIRST), sorted(
-        stale - R13_DISPLACED - set(CURATED_FIRST)
+    stale = {n for n, r in latest.items() if r <= 11}
+    assert stale - R14_DISPLACED <= set(CURATED_FIRST), sorted(
+        stale - R14_DISPLACED - set(CURATED_FIRST)
     )
-    assert R13_DISPLACED.isdisjoint(CURATED_FIRST)
-    assert list(CURATED_FIRST[:5]) == [
-        "events_funnel",
-        "time_resample_ohlc",
-        "orders_retention_cohort",
-        "text_bm25_topk",
-        "text_decontaminate_bloom",
+    assert R14_DISPLACED.isdisjoint(CURATED_FIRST)
+    assert list(CURATED_FIRST[:2]) == [
+        "dml_update_from_script",
+        "dml_delete_using_script",
     ]
-    assert set(CURATED_FIRST[5:16]) == {
-        "asof_join_pandas",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "join_customer_distribution",
-        "join_idle_rich_customers",
-        "join_local_supplier_volume",
-        "join_salted_skew",
-        "knn_cosine_brute",
-        "multimodal_resize",
-        "stream_tumbling_counts_materialized",
-        "text_vocab_topk",
-    }
+    assert set(CURATED_FIRST[2:17]) == R13_DISPLACED
 
 
 def test_no_query_evidence_older_than_three_rounds():

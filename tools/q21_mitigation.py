@@ -1,0 +1,200 @@
+"""Round-14 (r13 verdict ask #6, FINAL Q21 pass): join_waiting_suppliers
+measured 3.35x vs DuckDB at sf10 in r13's decomposition
+(Q21_BREAKDOWN_r13.json) with the residual placed in the ~6M-row fact
+join codegen (161 s task-time) and two exchanges of the ~1.5M-row pair
+set (28.3 s serialization). One alternative (window -> max-CASE second
+aggregation) was already REFUTED at 0.99x in r13. The r13 verdict
+pre-stated exactly two remaining mitigations; this tool measures both,
+then the query is marked terminal either way and never re-litigated.
+
+Mitigations measured (pre-stated in the r13 verdict):
+
+A. "Shrink the pair set before the exchanges": project the join output
+   to the minimal (l_orderkey, l_suppkey, late) triple EXPLICITLY
+   before the pair groupBy, so no carried o_orderdate/l_shipdate
+   columns can survive into shuffle 1's map side, and spell the pair
+   reduction as distinct-on-the-triple + a late-OR groupBy. (The
+   current spelling's map-side partial max(late) already combines
+   pre-shuffle — this tests whether an explicit minimal projection
+   buys anything Catalyst wasn't already doing.)
+
+B. zstd shuffle compression: spark.io.compression.codec=zstd (vs the
+   lz4 default) on the UNCHANGED current spelling — less shuffle I/O
+   for more CPU; a Spark-core conf, so it needs its own SparkContext.
+
+ADOPT RULE (pre-stated): adopt a variant iff it is >= 1.15x faster at
+sf10 (min-of-3, quiet box) AND result-identical to the current
+spelling at sf0.1 and sf10 (exact row sets). Otherwise record the
+TERMINAL structural-constant verdict in SCALE.md and stop re-measuring
+Q21 in future rounds.
+
+Usage: python tools/q21_mitigation.py [out.json]
+       (writes Q21_MITIGATION_r14.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _variant_a(spark, sf_dir):
+    """Minimal-projection pair build: explicit (okey, skey, late)
+    triple pre-shuffle, pair set via distinct + bool_or groupBy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arnab_spark.spark_utils import broadcast_if_small, load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    triples = (
+        l.join(
+            broadcast_if_small(
+                o.filter(F.col("o_orderstatus") == "F"), sf_dir, "orders"
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+    )
+    pairs = triples.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum(F.col("late").cast("int")).over(w))
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _min3(fn):
+    fn()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 2), [round(r, 2) for r in runs]
+
+
+def _session(app: str, codec: str | None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("ARNAB_SPARK_DRIVER_MEM", "16g"))
+    )
+    if codec:
+        b = b.config("spark.io.compression.codec", codec)
+    return b.getOrCreate()
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "Q21_MITIGATION_r14.json"
+    )
+    os.environ.setdefault("ARNAB_SPARK_DRIVER_MEM", "16g")
+    from arnab_spark.queries import all_queries
+    from tools.gen_scale import generate, generate_sf10
+
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = generate(src=sf01)
+    sf10 = generate_sf10(sf1)
+    reg = all_queries()
+    cur_fn = reg["join_waiting_suppliers"].fn
+
+    out: dict = {
+        "round": 14,
+        "adopt_rule": (
+            ">=1.15x faster at sf10 (min-of-3) AND result-identical at "
+            "sf0.1+sf10, else TERMINAL structural-constant verdict"
+        ),
+        "loadavg_start": list(os.getloadavg()),
+    }
+
+    # ---- session 1 (default lz4 codec): baseline + variant A
+    spark = _session("q21_mitigation_lz4", None)
+    cur_rows_01 = sorted(tuple(r) for r in cur_fn(spark, sf01).collect())
+    a_rows_01 = sorted(tuple(r) for r in _variant_a(spark, sf01).collect())
+    cur_rows_10 = sorted(tuple(r) for r in cur_fn(spark, sf10).collect())
+    a_rows_10 = sorted(tuple(r) for r in _variant_a(spark, sf10).collect())
+    out["variant_a_identical"] = {
+        "sf0.1": a_rows_01 == cur_rows_01,
+        "sf10": a_rows_10 == cur_rows_10,
+    }
+    base_min, base_runs = _min3(lambda: _noop(cur_fn(spark, sf10)))
+    a_min, a_runs = _min3(lambda: _noop(_variant_a(spark, sf10)))
+    out["current_sf10"] = {"min": base_min, "runs": base_runs}
+    out["variant_a_sf10"] = {
+        "min": a_min,
+        "runs": a_runs,
+        "speedup_vs_current": round(base_min / a_min, 2),
+    }
+    spark.stop()
+
+    # ---- session 2 (zstd shuffle codec): current spelling unchanged
+    spark = _session("q21_mitigation_zstd", "zstd")
+    z_rows_10 = sorted(tuple(r) for r in cur_fn(spark, sf10).collect())
+    out["variant_zstd_identical_sf10"] = z_rows_10 == cur_rows_10
+    z_min, z_runs = _min3(lambda: _noop(cur_fn(spark, sf10)))
+    out["variant_zstd_sf10"] = {
+        "min": z_min,
+        "runs": z_runs,
+        "speedup_vs_current": round(base_min / z_min, 2),
+    }
+    spark.stop()
+
+    adopted = []
+    if out["variant_a_identical"]["sf0.1"] and out["variant_a_identical"]["sf10"]:
+        if base_min / a_min >= 1.15:
+            adopted.append("variant_a")
+    if out["variant_zstd_identical_sf10"] and base_min / z_min >= 1.15:
+        adopted.append("variant_zstd")
+    out["adopted"] = adopted
+    out["verdict"] = (
+        "ADOPT: " + ", ".join(adopted)
+        if adopted
+        else (
+            "TERMINAL: both pre-stated mitigations refuted — the "
+            "residual vs DuckDB at sf10 is the shuffle/serialization "
+            "structural constant; Q21 is not re-measured after r14"
+        )
+    )
+    out["loadavg_end"] = list(os.getloadavg())
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({k: out[k] for k in ("verdict", "adopted")}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
