@@ -28,6 +28,16 @@ spelling at sf0.1 and sf10 (exact row sets). Otherwise record the
 TERMINAL structural-constant verdict in SCALE.md and stop re-measuring
 Q21 in future rounds.
 
+OUTCOME (r14, recorded in Q21_MITIGATION_r14.json): variant A first
+read 1.18x — but it was measured AFTER the baseline in one session,
+and a reversed-order confirm run read 1.06x: the gap was JVM-maturity
+order bias, and the normalized physical plans differ only in where the
+late boolean is computed (the partial aggregate's output, and so every
+exchange's bytes, is identical). zstd read 1.09x. Both REFUTED;
+verdict TERMINAL — the sf10 residual is the shuffle/serialization
+structural constant r13's breakdown placed, and Q21 is not re-measured
+after round 14.
+
 Usage: python tools/q21_mitigation.py [out.json]
        (writes Q21_MITIGATION_r14.json)
 """
