@@ -121,17 +121,23 @@ def davg(col: Column | str, alias: str) -> Column:
 #: driver-verified, so the never-run gate requires them windowed:
 #: `dml_update_from_script` / `dml_delete_using_script` (the joined-DML
 #: forms UPDATE … FROM and DELETE … USING, closing r13 "What's missing
-#: #1", driven through the engine statement path). Slots 3-17 are the
-#: fifteen `R13_DISPLACED` r10-cohort queries at the three-round
-#: staleness ceiling — mandatory, pre-announced in the r13 header.
-#: Slots 18-50 are 33 of the 50-query round-11-latest-evidence cohort.
+#: #1", driven through the engine statement path). Slot 3 is
+#: `text_bm25_topk`, re-windowed because its source changed this round
+#: (explode-free tf/dl rewrite — sf1 wall 2.92 → 1.62 s). Slots 4-18
+#: are the fifteen `R13_DISPLACED` r10-cohort queries at the
+#: three-round staleness ceiling — mandatory, pre-announced in the r13
+#: header. Slots 19-50 are 32 of the 50-query
+#: round-11-latest-evidence cohort.
 #:
-#: DISPLACED (the seventeen r11-cohort queries the mandatory slots push
+#: DISPLACED (the eighteen r11-cohort queries the mandatory slots push
 #: out; each is hash-pinned in EVIDENCE.json and names a same-family
 #: sibling with r12-or-newer evidence — or one verified in THIS
-#: round's window, giving it r14 evidence; all seventeen reach the
+#: round's window, giving it r14 evidence; all eighteen reach the
 #: three-round ceiling after r14 and therefore take mandatory r15
 #: slots):
+#:   - `dialect_datediff_week` (siblings `dialect_epoch_datediff` +
+#:     `dialect_strptime_roundtrip`, both r13 — the same datetime-shim
+#:     pass family),
 #:   - `agg_collect_set_array` (siblings `agg_string_agg` windowed r14
 #:     + `agg_arg_minmax` r13 — the same ordered-collect family),
 #:   - `intersect_except_all` (sibling `intersect_except` windowed
@@ -178,7 +184,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # --- slots 1-2: round-14 additions, never driver-verified ---
     "dml_update_from_script",
     "dml_delete_using_script",
-    # --- slots 3-17: the fifteen R13_DISPLACED r10-cohort queries
+    # --- slot 3: source changed this round (explode-free tf/dl
+    #     rewrite — changed queries must re-verify) ---
+    "text_bm25_topk",
+    # --- slots 4-18: the fifteen R13_DISPLACED r10-cohort queries
     #     (three rounds stale — mandatory per the staleness ceiling,
     #     pre-announced in the r13 header) ---
     "agg_cube",
@@ -196,7 +205,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "dialect_seq_comment",
     "dialect_len_setop_arms",
     "multimodal_metadata",
-    # --- slots 18-50: round-11-latest-evidence cohort (33 of 50) ---
+    # --- slots 19-50: round-11-latest-evidence cohort (32 of 50) ---
     "agg_pricing_summary",
     "ann_lsh_bucketed",
     "asof_join_bucketed",
@@ -205,7 +214,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_semantic",
-    "dialect_datediff_week",
     "dialect_describe_layout",
     "dialect_series_columns",
     "distinct_on",

@@ -1363,16 +1363,18 @@ def main() -> None:
     # norms restated round 10/11; narrow locals seeded round 12; wide
     # locals seeded from the round-13 calibration run.
     PACE_NORM_BANDS = {
-        # global bands RESTATED round 13 for the min-merged floor
-        # estimator, then widened to the measured THREE-RUN same-code
-        # spread (BASELINE.md round-13 note): the min-merged floor is
-        # a biased-down estimator whose own spread is ~±20%
-        # (0.076-0.094 s across three quiet-to-loaded calibration
-        # runs), so norms vary 19-24 / 121-143 on identical plans with
-        # best-ever walls. A real 2x plan regression still reads far
-        # outside these.
-        "value_pace_norm": (16.0, 26.0),
-        "tpch22_pace_norm": (105.0, 145.0),
+        # global bands RE-SEEDED round 14 for the ROBUST floor
+        # denominator (r13 "What's wrong #1"): min of the two passes'
+        # median-of-5 pricing floors, replacing the min-merged floor
+        # whose own ±20% spread had forced 16-26 / 105-145. The r14
+        # calibration run read den 0.0859 s (medians 0.1269 early —
+        # contended, correctly discarded — / 0.0859 late), norms
+        # 21.0 / 140.5. Residual band width is now the WALLS' own
+        # measured spread (headline 1.70-1.87 s, tpch22 10.5-12.5 s
+        # across the r13 same-code runs), not denominator noise; a
+        # genuine 30% plan regression reads ~27 / ~180 — far outside.
+        "value_pace_norm": (18.0, 24.0),
+        "tpch22_pace_norm": (112.0, 150.0),
         "value_pace_norm_local": (18.0, 25.0),
         "tpch22_pace_norm_local": (115.0, 150.0),
         "value_pace_norm_wide": (13.0, 24.0),

@@ -307,6 +307,27 @@ def test_delete_using_returning_duplicates_per_match(spark, con, dml_table, src_
     assert got == exp
 
 
+def test_joined_dml_returning_star_is_target_columns_only(spark, con, dml_table, src_table):
+    """Probed DuckDB scope rule: RETURNING * on joined DML exposes ONLY
+    the target's columns (the USING/FROM relation is not referencable
+    from RETURNING — DuckDB binder-errors on s.<col>, and so does this
+    engine since the frozen view carries exactly the target schema)."""
+    stmt = (
+        "DELETE FROM dml_t USING (SELECT id FROM dml_s WHERE nv > 90) q "
+        "WHERE dml_t.id = q.id RETURNING *"
+    )
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    assert sorted(got_ret, key=key) == sorted(exp_ret, key=key)
+    got, exp = _table_rows(spark, con, "dml_t", "id")
+    assert got == exp
+    with pytest.raises(Exception):
+        con.execute("UPDATE dml_t SET score = s.nv FROM dml_s s WHERE dml_t.id = s.id RETURNING s.nv")
+    with pytest.raises(Exception):
+        _run_returning(spark, "UPDATE dml_t SET score = s.nv FROM dml_s s WHERE dml_t.id = s.id RETURNING s.nv")
+
+
 def test_delete_using_without_where_deletes_all_when_nonempty(spark, con, dml_table, src_table):
     stmt = "DELETE FROM dml_t USING dml_s"
     con.execute(stmt)

@@ -1,9 +1,11 @@
 """Seeded randomized DML-script differential: every generated script —
 a CREATE TABLE followed by a random mix of INSERT (VALUES, column-list,
 self-referencing SELECT), UPDATE (expression + predicate combinations,
-incl. NULL-producing ones), and DELETE — runs verbatim on a live DuckDB
-and through the dialect shim, and the final table contents must match
-exactly. Deterministic seeds: a failure reproduces by seed number.
+incl. NULL-producing ones), DELETE, and (round 14) joined forms —
+UPDATE … FROM against a unique-key source (deterministic matches) and
+DELETE … USING — runs verbatim on a live DuckDB and through the
+dialect shim, and the final table contents must match exactly.
+Deterministic seeds: a failure reproduces by seed number.
 
 ALTER TABLE is exercised separately in test_dml.py (mixing it here
 would make later fixed-arity INSERTs error, turning the fuzz into an
@@ -19,10 +21,29 @@ from arnab_spark.dialect import transpile_statement
 
 
 def _gen_script(rng: random.Random) -> list[str]:
-    stmts = ["CREATE TABLE fz (i INTEGER, s VARCHAR, d DOUBLE, m DECIMAL(9,2))"]
+    stmts = [
+        "CREATE TABLE fz (i INTEGER, s VARCHAR, d DOUBLE, m DECIMAL(9,2))",
+        # joined-DML source (round 14): UNIQUE k values, so every
+        # UPDATE ... FROM match is unique and deterministic on both
+        # engines (fan-out winners are engine-arbitrary by probe)
+        "CREATE TABLE fzs (k INTEGER, w DOUBLE)",
+        "INSERT INTO fzs VALUES (0, 1.5), (2, -0.5), (4, 2.25), (7, 0.0)",
+    ]
     for _ in range(rng.randint(4, 8)):
         r = rng.random()
-        if r < 0.40:
+        if r < 0.06:
+            pred = rng.choice(["fzs.w > 0", "fz.d IS NULL", None])
+            stmts.append(
+                "UPDATE fz SET d = coalesce(fz.d, 0) + fzs.w, i = fzs.k + 1 "
+                "FROM fzs WHERE fz.i = fzs.k"
+                + (f" AND {pred}" if pred else "")
+            )
+        elif r < 0.12:
+            pred = rng.choice(["fzs.w < 1", "fz.s IS NOT NULL"])
+            stmts.append(
+                f"DELETE FROM fz USING fzs WHERE fz.i = fzs.k AND {pred}"
+            )
+        elif r < 0.40:
             rows = ", ".join(
                 "({}, {}, {}, {})".format(
                     rng.randint(-5, 9),
@@ -93,6 +114,7 @@ def test_random_dml_script_matches_duckdb(spark, seed):
         assert got == exp, f"seed={seed}\nscript={script}"
     finally:
         con.close()
-        out = transpile_statement("DROP TABLE fz", spark)
-        if out.strip():
-            spark.sql(out)
+        for tbl in ("fz", "fzs"):
+            out = transpile_statement(f"DROP TABLE {tbl}", spark)
+            if out.strip():
+                spark.sql(out)

@@ -86,16 +86,16 @@ def test_ohlc_single_shuffle(spark):
     assert audit.n_exchanges == 1, audit.plan_text[:800]
 
 
-def test_bm25_topk_is_take_ordered_with_pushed_terms(spark):
-    """BM25 (round 13): the final top-k must compile to
-    TakeOrderedAndProject (k rows cross the wire, never a global sort)
-    and the query-term IN-list must prune the token stream BEFORE the
-    tf aggregate (the inverted-index moral equivalent)."""
+def test_bm25_topk_is_take_ordered_with_no_token_explode(spark):
+    """BM25 (round 14 rewrite): the final top-k must compile to
+    TakeOrderedAndProject (k rows cross the wire, never a global
+    sort), and NO token explode may appear anywhere — doc length is
+    size(split(..)) and per-term tf is size(filter(..)) + stack(),
+    array expressions instead of O(tokens) generated rows (sf1
+    min-of-3: 2.92 s exploded -> 1.62 s)."""
     audit = audit_plan(REG["text_bm25_topk"].fn(spark, SF))
     assert "TakeOrderedAndProject" in audit.plan_text, audit.plan_text[:800]
-    assert "word IN" in audit.plan_text or "word#" in audit.plan_text, (
-        audit.plan_text[:800]
-    )
+    assert "Generate explode" not in audit.plan_text, audit.plan_text[:800]
 
 
 def test_funnel_joins_are_hash_not_range(spark):

@@ -103,15 +103,16 @@ R13_DISPLACED = {
     "multimodal_metadata",
 }
 
-#: The seventeen round-11-cohort queries the round-14 mandatory slots
-#: (two NEW joined-DML queries + the fifteen R13_DISPLACED ceiling
-#: queries) displace. Each is hash-pinned in EVIDENCE.json and names a
-#: same-family sibling with r12-or-newer evidence or one verified in
-#: the r14 window itself (full sibling table: the CURATED_FIRST header
-#: in arnab_spark/queries/__init__.py). After r14 they sit at exactly
-#: three rounds stale — the ceiling — so ALL SEVENTEEN take mandatory
-#: r15 slots.
+#: The eighteen round-11-cohort queries the round-14 mandatory slots
+#: (two NEW joined-DML queries + the changed-source BM25 re-slot + the
+#: fifteen R13_DISPLACED ceiling queries) displace. Each is hash-pinned
+#: in EVIDENCE.json and names a same-family sibling with r12-or-newer
+#: evidence or one verified in the r14 window itself (full sibling
+#: table: the CURATED_FIRST header in arnab_spark/queries/__init__.py).
+#: After r14 they sit at exactly three rounds stale — the ceiling — so
+#: ALL EIGHTEEN take mandatory r15 slots.
 R14_DISPLACED = {
+    "dialect_datediff_week",
     "agg_collect_set_array",
     "intersect_except_all",
     "dialect_unnest_qualified_star",
@@ -158,7 +159,8 @@ def test_r14_window_covers_stale_evidence_queries():
     union — minus the seventeen DOCUMENTED displaced queries, so after
     the r14 run no registry query's driver evidence predates r11 (the
     staleness ceiling holds at round 14). Slots 1-2 are the round-14
-    joined-DML additions (never-run gate); slots 3-17 are the fifteen
+    joined-DML additions (never-run gate); slot 3 is the changed-source
+    BM25 re-slot (explode-free rewrite); slots 4-18 are the fifteen
     R13_DISPLACED ceiling queries (mandatory, pre-announced in the r13
     header)."""
     latest = _latest_evidence(max_round=13)  # r14 rotation input
@@ -169,11 +171,12 @@ def test_r14_window_covers_stale_evidence_queries():
         stale - R14_DISPLACED - set(CURATED_FIRST)
     )
     assert R14_DISPLACED.isdisjoint(CURATED_FIRST)
-    assert list(CURATED_FIRST[:2]) == [
+    assert list(CURATED_FIRST[:3]) == [
         "dml_update_from_script",
         "dml_delete_using_script",
+        "text_bm25_topk",
     ]
-    assert set(CURATED_FIRST[2:17]) == R13_DISPLACED
+    assert set(CURATED_FIRST[3:18]) == R13_DISPLACED
 
 
 def test_no_query_evidence_older_than_three_rounds():
