@@ -109,12 +109,21 @@ _INSERT_DML = re.compile(
     rf"(?is)^\s*INSERT\s+(?:OR\s+(?P<conflict>REPLACE|IGNORE)\s+)?INTO\s+"
     rf"(?P<target>{_DML_QUAL})\s*(?P<rest>.*?)\s*;?\s*$"
 )
+#: optional target alias (round 14 — probed: DuckDB accepts
+#: ``UPDATE t [AS] x SET`` / ``DELETE FROM t [AS] x`` and the alias
+#: HIDES the base name, exactly like ``FROM t AS x`` in a SELECT).
+#: The lookahead keeps clause keywords from being eaten as an alias.
+_DML_TARGET = (
+    rf"(?P<target>{_DML_QUAL})"
+    rf"(?:\s+(?:AS\s+)?(?!SET\b|USING\b|WHERE\b|RETURNING\b|FROM\b)"
+    rf"(?P<alias>{_DML_IDENT}))?"
+)
 _DELETE_DML = re.compile(
-    rf"(?is)^\s*DELETE\s+FROM\s+(?P<target>{_DML_QUAL})"
+    rf"(?is)^\s*DELETE\s+FROM\s+{_DML_TARGET}"
     rf"(?:\s+WHERE\s+(?P<pred>.*?))?\s*;?\s*$"
 )
 _UPDATE_DML = re.compile(
-    rf"(?is)^\s*UPDATE\s+(?P<target>{_DML_QUAL})\s+SET\s+(?P<rest>.*?)\s*;?\s*$"
+    rf"(?is)^\s*UPDATE\s+{_DML_TARGET}\s+SET\s+(?P<rest>.*?)\s*;?\s*$"
 )
 _TRUNCATE_DML = re.compile(
     rf"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<target>{_DML_QUAL})\s*;?\s*$"
@@ -230,7 +239,9 @@ def _dml_append(spark, name: str, aligned) -> None:
     spark.read.parquet(dest).createOrReplaceTempView(name)
 
 
-def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
+def _dml_pruned_rewrite(
+    spark, name: str, pcols: list[str], pred: str, rel: str | None = None
+) -> bool:
     """DELETE fast path for hive-partitioned backed tables: find the
     partitions holding any row the predicate kills, rewrite ONLY those
     via dynamic partition overwrite, and drop the dirs of partitions
@@ -241,12 +252,13 @@ def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
     partition count — a layout choice, not a data-sized set (the same
     bound the layout hint's one-file-per-partition write relies on)."""
     dest = table_backing_for(spark)[name.lower()]
+    rel = rel or f"`{name}`"
     kill = f"coalesce(({pred}), false)" if pred else "true"
     touched = (
         spark.sql(
             transpile_statement(
                 f"SELECT DISTINCT {', '.join(f'`{c}`' for c in pcols)} "
-                f"FROM `{name}` WHERE {kill}",
+                f"FROM {rel} WHERE {kill}",
                 spark,
             )
         )
@@ -263,7 +275,7 @@ def _dml_pruned_rewrite(spark, name: str, pcols: list[str], pred: str) -> bool:
         return False
     survivors = (
         spark.sql(
-            transpile_statement(f"SELECT * FROM `{name}` WHERE NOT {kill}", spark)
+            transpile_statement(f"SELECT * FROM {rel} WHERE NOT {kill}", spark)
         )
         .filter(_touched_filter(touched, pcols))
         .localCheckpoint(eager=True)  # break lineage off the files being replaced
@@ -537,6 +549,8 @@ def _rewrite_update_from(sql: str, ret_clause, spark, returning_select):
         )
     rest = um.group("rest")
     fidx, _ = _scan_top_level(rest, ("from",))
+    if fidx < 0:
+        raise ArnabError("UPDATE … FROM: cannot locate the FROM clause")
     fromtext, pred = _split_from_where(rest[fidx + len("from"):])
     if not fromtext:
         raise ArnabError("UPDATE … FROM: empty FROM clause")
@@ -544,18 +558,21 @@ def _rewrite_update_from(sql: str, ret_clause, spark, returning_select):
     types = {f.name.lower(): f.dataType.simpleString() for f in fields}
     assigns = _parse_assignments(rest[:fidx], types, name)
     keys = list(assigns)
+    # target alias hides the base name in the probe join (DuckDB's
+    # probed binding rule)
+    tgt = (um.group("alias") or name).strip('"')
 
     base, rid_view = _joindml_base(spark, name)
     try:
         cond = f"coalesce(({pred}), false)" if pred else "true"
         items = (
-            [f"`{name}`.`__arnab_rid` AS `__arnab_rid`"]
+            [f"`{tgt}`.`__arnab_rid` AS `__arnab_rid`"]
             + [f"({assigns[k]}) AS `__arnab_e_{i}`" for i, k in enumerate(keys)]
-            + [f"`{name}`.`{f.name}` AS `{f.name}`" for f in fields]
+            + [f"`{tgt}`.`{f.name}` AS `{f.name}`" for f in fields]
         )
         pairs = spark.sql(
             transpile_statement(
-                f"SELECT {', '.join(items)} FROM `{rid_view}` AS `{name}`, "
+                f"SELECT {', '.join(items)} FROM `{rid_view}` AS `{tgt}`, "
                 f"{fromtext} WHERE {cond}",
                 spark,
             )
@@ -658,7 +675,7 @@ def _rewrite_delete_using(sql: str, ret_clause, spark, returning_select):
     from arnab_spark.errors import ArnabError
 
     m = re.match(
-        rf"(?is)^\s*DELETE\s+FROM\s+(?P<target>{_DML_QUAL})\s+USING\s+"
+        rf"(?is)^\s*DELETE\s+FROM\s+{_DML_TARGET}\s+USING\s+"
         rf"(?P<rest>.*?)\s*;?\s*$",
         sql,
     )
@@ -674,12 +691,14 @@ def _rewrite_delete_using(sql: str, ret_clause, spark, returning_select):
     fromtext, pred = _split_from_where(m.group("rest"))
     if not fromtext:
         raise ArnabError("DELETE … USING: empty USING clause")
+    # target alias hides the base name in the probe join (probed)
+    tgt = (m.group("alias") or name).strip('"')
     base, rid_view = _joindml_base(spark, name)
     try:
         cond = f"coalesce(({pred}), false)" if pred else "true"
         matches = spark.sql(
             transpile_statement(
-                f"SELECT `{name}`.* FROM `{rid_view}` AS `{name}`, "
+                f"SELECT `{tgt}`.* FROM `{rid_view}` AS `{tgt}`, "
                 f"{fromtext} WHERE {cond}",
                 spark,
             )
@@ -1488,6 +1507,11 @@ def _rewrite_dml(sql: str, spark):
             _require_engine_table(dm.group("target"), "DELETE")
             return None
         pred = dm.group("pred")
+        # target alias: the relation is exposed under ONLY the alias,
+        # hiding the base name — DuckDB's probed binding rule
+        rel = f"`{name}`" + (
+            f" AS `{dm.group('alias').strip(chr(34))}`" if dm.group("alias") else ""
+        )
         ret_view = None
         if ret_clause is not None:
             # the deleted rows, frozen PRE-mutation
@@ -1495,7 +1519,7 @@ def _rewrite_dml(sql: str, spark):
             ret_view = _freeze_rows(
                 spark.sql(
                     transpile_statement(
-                        f"SELECT * FROM `{name}` WHERE {dcond}", spark
+                        f"SELECT * FROM {rel} WHERE {dcond}", spark
                     )
                 )
             )
@@ -1504,12 +1528,12 @@ def _rewrite_dml(sql: str, spark):
             # the predicate touches (falls through on flat layouts /
             # NULL partition values)
             pcols = _hive_partition_cols(table_backing_for(spark)[name.lower()])
-            if pcols and _dml_pruned_rewrite(spark, name, pcols, pred):
+            if pcols and _dml_pruned_rewrite(spark, name, pcols, pred, rel):
                 return _returning_select(ret_view) if ret_view else ""
         # DuckDB deletes rows where the predicate is TRUE; NULL keeps
         cond = f"NOT coalesce(({pred}), false)" if pred else "false"
         kept = spark.sql(
-            transpile_statement(f"SELECT * FROM `{name}` WHERE {cond}", spark)
+            transpile_statement(f"SELECT * FROM {rel} WHERE {cond}", spark)
         )
         _dml_persist(spark, name, kind, kept)
         return _returning_select(ret_view) if ret_view else ""
@@ -1538,9 +1562,14 @@ def _rewrite_dml(sql: str, spark):
         helper_items = [f"({cond}) AS __arnab_upd"] + [
             f"({assigns[k]}) AS __arnab_e_{i}" for i, k in enumerate(keys)
         ]
+        # target alias: expose the relation under ONLY the alias
+        # (DuckDB's probed binding rule — the base name is hidden)
+        rel = f"`{name}`" + (
+            f" AS `{um.group('alias').strip(chr(34))}`" if um.group("alias") else ""
+        )
         raw = spark.sql(
             transpile_statement(
-                f"SELECT {', '.join(helper_items)}, * FROM `{name}`", spark
+                f"SELECT {', '.join(helper_items)}, * FROM {rel}", spark
             )
         )
         rawtypes = {f2.name: f2.dataType.simpleString() for f2 in raw.schema.fields}

@@ -336,6 +336,40 @@ def test_delete_using_without_where_deletes_all_when_nonempty(spark, con, dml_ta
     assert got == exp == []
 
 
+def test_dml_target_alias_differential(spark, con, dml_table, src_table):
+    """Target aliases (round 14, probed DuckDB grammar): UPDATE t [AS] x
+    and DELETE FROM t [AS] x bind the relation under ONLY the alias —
+    the base name is hidden (DuckDB binder-errors on t.col when
+    aliased, and so does this engine since the relation is exposed
+    solely under the alias)."""
+    for stmt in (
+        "UPDATE dml_t AS x SET score = x.score + 1 WHERE x.id = 1",
+        "UPDATE dml_t x SET tag = upper(x.tag) WHERE x.id <= 2",
+        "DELETE FROM dml_t AS x WHERE x.id = 3",
+        "UPDATE dml_t AS x SET score = s.nv FROM dml_s s WHERE x.id = s.id AND s.id = 1",
+        "DELETE FROM dml_t AS x USING dml_s s WHERE x.id = s.id AND s.lbl = 'Y'",
+    ):
+        con.execute(stmt)
+        _run(spark, stmt)
+        got, exp = _table_rows(spark, con, "dml_t", "id")
+        assert got == exp, stmt
+    # alias hides the base name — both engines reject t-qualified refs
+    with pytest.raises(Exception):
+        con.execute("UPDATE dml_t AS x SET score = dml_t.score WHERE x.id = 1")
+    with pytest.raises(Exception):
+        _run(spark, "UPDATE dml_t AS x SET score = dml_t.score WHERE x.id = 1")
+
+
+def test_dml_target_alias_with_returning(spark, con, dml_table, src_table):
+    stmt = (
+        "UPDATE dml_t AS x SET score = s.nv FROM dml_s s "
+        "WHERE x.id = s.id AND s.id = 1 RETURNING id, score"
+    )
+    exp_ret = con.execute(stmt).fetchall()
+    got_ret = _run_returning(spark, stmt)
+    assert sorted(got_ret) == sorted(exp_ret) == [(1, 50.0)]
+
+
 def test_joined_dml_unresolvable_target_raises_targeted(spark, src_table):
     with pytest.raises(ArnabError, match="not an engine table"):
         _run(spark, "UPDATE no_such_t SET x = s.nv FROM dml_s s WHERE no_such_t.id = s.id")
