@@ -556,6 +556,12 @@ def main() -> None:
                     "sf0.1": _duck_family(sf_dir, EVENTS_FAMILY, 2),
                     "sf1": _duck_family(sf1_dir, EVENTS_FAMILY, 1),
                 }
+                if sf10_dir:
+                    # third decade for the analytics family too —
+                    # cheap on DuckDB (unlike dedup's sha256 wall)
+                    out["events"]["sf10"] = _duck_family(
+                        sf10_dir, EVENTS_FAMILY, 1
+                    )
                 return out
 
             # probes-only (rerun=False): the section runs ~4-8 min of
@@ -1201,6 +1207,12 @@ def main() -> None:
                 )
                 spark_scale["asof"]["sf10"] = w10a
                 scale_detail["asof"]["sf10_queries"] = d10a
+            if "sf10" in duck_scale.get("events", {}):
+                w10e, d10e = _measured_section(
+                    "spark_scale_sf10_events", _sf10_family(EVENTS_FAMILY, 2)
+                )
+                spark_scale["events"]["sf10"] = w10e
+                scale_detail["events"]["sf10_queries"] = d10e
             # round-9 (r8 verdict ask #4): the dedup family's SPARK side
             # at sf10 — the strongest pro-Spark slope (0.63x at sf1)
             # gets its third decade measured. The DuckDB denominator
@@ -1236,7 +1248,7 @@ def main() -> None:
                 for s in ("sf0.1", "sf1")
                 if s in spark_scale.get(fam, {}) and s in duck_scale.get(fam, {})
             }
-        for fam in ("tpch8", "asof"):
+        for fam in ("tpch8", "asof", "events"):
             if "sf10" in spark_scale.get(fam, {}) and "sf10" in duck_scale.get(
                 fam, {}
             ):
