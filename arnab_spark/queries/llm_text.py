@@ -1125,38 +1125,57 @@ def _bm25_sql(engine: str) -> str:
          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / CAST(total_tokens AS DOUBLE))))
     )) AS BIGINT)"""
     if engine == "spark":
-        # round 14: NO token explode anywhere. The old spelling
-        # exploded the full token stream to count doc lengths (the
-        # IN-filter only pruned the tf branch), which at sf1 was 2.9 s
-        # of the 6.8 s events family. dl is just the split array's
-        # size, and per-term tf is size(filter(tokens, = term)) —
-        # both whole-stage-codegen array ops, zero generated rows;
-        # stack() turns the 4 per-doc counts into (word, tf) postings.
-        # tf/dl/df values are IDENTICAL to the exploded spelling
-        # (split keeps empty tokens in both engines), so the DuckDB
-        # oracle below is unchanged. Measured at sf1 (min-of-3):
-        # 2.92 s exploded -> 1.62 s.
-        stack_items = ", ".join(
-            f"{t}, size(filter(w, x -> x = {t}))" for t in _BM25_TERMS
+        # round 14: NO token explode and NO doc-cardinality join
+        # anywhere. The first r14 rewrite removed the token explode
+        # (dl = size(split), tf = size(filter)) but still shuffled
+        # per-doc posting rows through tf⋈dl⋈df joins — measured 6.6 s
+        # at sf10 while the raw split+filter work is only ~1.2 s. This
+        # spelling keeps dl and the four per-term tf counts IN ONE ROW
+        # per doc, folds df/n_docs/total_tokens into a single 1-row
+        # aggregate (broadcast, like the DSIR totals), and sums the
+        # per-term scores HORIZONTALLY — identical BIGINT micro-units
+        # in a different order of the same exact additions. Plan: two
+        # columnar scans (stats pass + scoring pass), a 1-row
+        # broadcast, and TakeOrderedAndProject — zero wide shuffles at
+        # any corpus size. tf/dl/df values are identical to the
+        # exploded spelling (split keeps empty tokens in both
+        # engines), so the DuckDB oracle below is unchanged.
+        tf_cols = ",\n         ".join(
+            f"size(filter(w, x -> x = {t})) AS tf{i}"
+            for i, t in enumerate(_BM25_TERMS)
         )
-        head = f"""
-WITH words AS (
-  SELECT doc_id, split(text, ' ') AS w FROM documents
-),
-dl AS (
-  SELECT doc_id, size(w) AS dl FROM words
+        df_cols = ",\n         ".join(
+            f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(_BM25_TERMS))
+        )
+        term_score = """CASE WHEN tf{i} > 0 THEN CAST(floor(1000000 * (
+      ln((CAST(n_docs AS DOUBLE) - df{i} + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))
+      * (CAST(tf{i} AS DOUBLE) * 2.2)
+      / (CAST(tf{i} AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / CAST(total_tokens AS DOUBLE))))
+    )) AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        score_sum = " + ".join(
+            term_score.format(i=i) for i in range(len(_BM25_TERMS))
+        )
+        any_tf = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+        return f"""
+WITH docs AS (
+  SELECT doc_id, size(w) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
 ),
 stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
-),
-tf AS (
-  SELECT doc_id, word, tf FROM (
-    SELECT doc_id, stack({len(_BM25_TERMS)}, {stack_items}) AS (word, tf)
-    FROM words
-  ) t WHERE tf > 0
-),"""
-    else:
-        head = f"""
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens,
+         {df_cols}
+  FROM docs
+)
+SELECT doc_id, CAST({score_sum} AS BIGINT) AS bm25_micro
+FROM docs CROSS JOIN stats
+WHERE {any_tf}
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {_BM25_K}
+"""
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ),
@@ -1170,8 +1189,7 @@ tf AS (
   SELECT doc_id, word, COUNT(*) AS tf
   FROM tok WHERE word IN ({', '.join(_BM25_TERMS)})
   GROUP BY doc_id, word
-),"""
-    return f"""{head}
+),
 df AS (
   SELECT word, COUNT(*) AS df FROM tf GROUP BY word
 ),
@@ -1207,17 +1225,19 @@ def text_bm25_topk(spark, sf_dir):
     the fixtures (the windowed driver run would catch a divergence),
     not guaranteed by IEEE.
 
-    Scale shape (round 14 rewrite): NO token explode anywhere — doc
-    length is size(split(text)) and per-term tf is
-    size(filter(tokens, = term)) + stack(), all whole-stage-codegen
-    array expressions producing O(terms) posting rows per doc instead
-    of O(tokens) generated rows (the moral equivalent of an
-    inverted-index lookup, one pass over each doc's token array per
-    term); corpus stats are a 1-row broadcast (allowlisted like the
-    DSIR totals); df is O(terms) rows. The final top-k is
-    TakeOrderedAndProject — k rows cross the wire, never a global
-    sort. The tf/dl/df VALUES are identical to the exploded spelling
-    (split keeps empty tokens in both engines), so the unchanged
-    DuckDB oracle still hash-matches."""
+    Scale shape (round 14 rewrite): NO token explode and NO
+    doc-cardinality join anywhere — doc length is size(split(text))
+    and per-term tf is size(filter(tokens, = term)), all
+    whole-stage-codegen array expressions kept IN ONE ROW per doc;
+    df/n_docs/total_tokens fold into a single 1-row aggregate
+    broadcast back (allowlisted like the DSIR totals), and the
+    per-term scores sum horizontally — the same exact BIGINT
+    micro-unit additions as the per-posting spelling, in a different
+    order. Plan: two columnar scans (stats pass + scoring pass), one
+    1-row broadcast, TakeOrderedAndProject — zero wide shuffles at
+    any corpus size (measured sf10: 6.6 s with tf⋈dl⋈df posting
+    joins → 1.98 s join-free). The tf/dl/df VALUES are identical to
+    the exploded spelling (split keeps empty tokens in both engines),
+    so the unchanged DuckDB oracle still hash-matches."""
     register_spread_views(spark, sf_dir, ("documents",))
     return spark.sql(_bm25_sql("spark"))

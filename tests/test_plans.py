@@ -89,13 +89,17 @@ def test_ohlc_single_shuffle(spark):
 def test_bm25_topk_is_take_ordered_with_no_token_explode(spark):
     """BM25 (round 14 rewrite): the final top-k must compile to
     TakeOrderedAndProject (k rows cross the wire, never a global
-    sort), and NO token explode may appear anywhere — doc length is
-    size(split(..)) and per-term tf is size(filter(..)) + stack(),
-    array expressions instead of O(tokens) generated rows (sf1
-    min-of-3: 2.92 s exploded -> 1.62 s)."""
+    sort), NO token explode may appear anywhere (doc length is
+    size(split(..)), per-term tf is size(filter(..)) — array
+    expressions instead of O(tokens) generated rows), and NO
+    doc-cardinality join either (dl + the four tf counts stay in one
+    row per doc; df/stats fold into the allowlisted 1-row broadcast) —
+    measured sf10: 6.6 s with posting joins -> 1.98 s join-free."""
     audit = audit_plan(REG["text_bm25_topk"].fn(spark, SF))
     assert "TakeOrderedAndProject" in audit.plan_text, audit.plan_text[:800]
     assert "Generate explode" not in audit.plan_text, audit.plan_text[:800]
+    assert "SortMergeJoin" not in audit.plan_text, audit.plan_text[:800]
+    assert "ShuffledHashJoin" not in audit.plan_text, audit.plan_text[:800]
 
 
 def test_funnel_joins_are_hash_not_range(spark):
