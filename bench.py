@@ -216,6 +216,29 @@ EVENTS_FAMILY = [
 ]
 
 
+def _slim_slope(slope):
+    """Compact-line copy of the scale slope: drops the dedup-sf10 cap
+    diagnostics (per-query partial walls, per-query measured walls,
+    the full cap-event sentence) that live verbatim in
+    bench_detail.json, keeping every verdict field."""
+    if not slope:
+        return slope
+    out: dict = {}
+    for fam, pts in slope.items():
+        out[fam] = {}
+        for s, entry in pts.items():
+            e = dict(entry)
+            e.pop("duckdb_partial_queries", None)
+            e.pop("duckdb_queries", None)
+            ce = e.pop("duckdb_cap_event", None)
+            if ce:
+                e["duckdb_cap"] = ce.replace("killed at ", ">").replace(
+                    " queries finished", " done"
+                )
+            out[fam][s] = e
+    return out
+
+
 def main() -> None:
     # the bench session lives through ~60 queries x multiple passes of
     # broadcast builds; at the stock 8g the old-gen fills late in the
@@ -1490,7 +1513,12 @@ def main() -> None:
             "asof": asof_family_wall,
             "events": events_family_wall,
         },
-        "scale_slope": scale_slope,
+        # compact slope: the dedup sf10 cap details (per-query partial
+        # walls, full cap-event sentence) live in bench_detail.json;
+        # the compact line keeps the verdict bits only — the round-14
+        # events + capped-dedup additions pushed the full slope past
+        # the driver's 1900-char tail budget
+        "scale_slope": _slim_slope(scale_slope),
         "loadavg": loadavg_start + loadavg_end,
         # per-section entry loadavg (compact: just the 1-min numbers;
         # waited seconds + threshold in the detail file)
@@ -1556,7 +1584,17 @@ def main() -> None:
         # duplicated in bench_detail.json and is diagnostic, while the
         # per-query numerator/denominator maps are the compact line's
         # primary evidence and must survive as long as possible
-        for drop in ("floor_breakdown", "load_sections", "duckdb_queries", "queries"):
+        # round 14: pace_reran + loadavg appended to the ladder — both
+        # fully duplicated in bench_detail.json; the events family +
+        # capped-dedup slope entries grew the line past the old ladder
+        for drop in (
+            "floor_breakdown",
+            "load_sections",
+            "duckdb_queries",
+            "queries",
+            "pace_reran",
+            "loadavg",
+        ):
             compact.pop(drop, None)
             line = json.dumps(compact)
             if len(line) <= 1900:
