@@ -16,6 +16,7 @@ note in ``_dialect_statements.py``).
 from __future__ import annotations
 
 import re
+from weakref import WeakKeyDictionary
 
 from arnab_spark.dialect import (
     _resolve_path,
@@ -371,10 +372,11 @@ def _dml_persist(spark, name: str, kind: str, df) -> None:
             spark.catalog.dropTempView(tmp)
 
 
-try:
-    _RETURNING_VIEWS_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _RETURNING_VIEWS_BY_SESSION = {}
+#: session -> (view_name, checkpointed DataFrame) for the ONE outstanding
+#: RETURNING result. Weak keys so a discarded SparkSession (plus its
+#: checkpoint) stays collectable (round 15, advice: the name was
+#: previously unimported, so this silently fell back to a strong dict).
+_RETURNING_VIEWS_BY_SESSION: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _freeze_returning_rows(spark, rows_df) -> str:
@@ -382,29 +384,44 @@ def _freeze_returning_rows(spark, rows_df) -> str:
     view BEFORE the mutation lands, reaping the PREVIOUS statement's
     returning view first (round 14, advice): its SELECT has executed by
     the time a later RETURNING statement reaches this point, so the
-    reap bounds a long-lived session to ONE outstanding view +
-    checkpoint instead of one per statement. (The reap cannot run at
+    reap bounds a long-lived session to ONE outstanding view per
+    session instead of one per statement. (The reap cannot run at
     statement entry: inner ``transpile_statement`` calls re-enter
     ``_rewrite_dml`` while the current statement's own view is still
-    pending consumption.)"""
+    pending consumption.)
+
+    The reap drops only the TEMP VIEW; the checkpoint itself is NOT
+    eagerly unpersisted (round 15, advice): a caller may still hold the
+    prior RETURNING DataFrame un-collected (``spark.sql`` is lazy), and
+    yanking its blocks would fail that later action. Dropping our
+    registry reference is enough — once the caller's own reference goes,
+    Python GC releases the py4j handle and Spark's ContextCleaner
+    reclaims the checkpoint blocks. Session teardown
+    (:meth:`arnab_spark.session.Session.run` epilogue) reaps the final
+    statement's view the same way."""
     import uuid
 
-    prev = _RETURNING_VIEWS_BY_SESSION.pop(spark, None)
-    if prev is not None:
-        view_name, ckpt = prev
-        try:
-            spark.catalog.dropTempView(view_name)
-        except Exception:
-            pass
-        try:
-            ckpt.unpersist()
-        except Exception:
-            pass
+    reap_returning_view(spark)
     view = f"__arnab_returning_{uuid.uuid4().hex[:10]}"
     ckpt = rows_df.localCheckpoint(eager=True)
     ckpt.createOrReplaceTempView(view)
     _RETURNING_VIEWS_BY_SESSION[spark] = (view, ckpt)
     return view
+
+
+def reap_returning_view(spark) -> None:
+    """Drop the session's outstanding RETURNING temp view (if any) and
+    release the registry's checkpoint reference. Safe to call when none
+    is outstanding. Called between RETURNING statements and from the
+    run-loop epilogue so no ``__arnab_returning_*`` view survives a
+    completed run."""
+    prev = _RETURNING_VIEWS_BY_SESSION.pop(spark, None)
+    if prev is not None:
+        view_name, _ckpt = prev
+        try:
+            spark.catalog.dropTempView(view_name)
+        except Exception:
+            pass
 
 
 def _plain_hive_value(v) -> bool:

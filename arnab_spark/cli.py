@@ -121,6 +121,11 @@ def cmd_run_file(args) -> int:
         from arnab_spark.dialect import _macros_for, dropped_macros_for
 
         record_macros(cfg.db_path, _macros_for(spark), dropped_macros_for(spark))
+    # CLI exit path: reap the final RETURNING view so a completed
+    # run-file leaves no __arnab_returning_* temp view behind (round 15)
+    from arnab_spark._dialect_dml import reap_returning_view
+
+    reap_returning_view(spark)
     return rc
 
 

