@@ -566,8 +566,25 @@ def _const_format(arg: str):
 #     month NAMES in either order, range-validated even where skipped,
 #     erroring beside any week-system field (stays loud there) — all
 #     probed, compiled in the token loop below
-#   * %z, %Z stay loud (they produce TIMESTAMP WITH TIME ZONE, a
-#     different result type)
+#   * %z (round 15, r14 verdict ask #5 — every rule probed): matches
+#     EXACTLY sign + HH / HHMM / HH:MM ('+5', '+053', '+05301', a
+#     missing sign: parse errors); NO range validation — minutes >= 60
+#     roll over (+0560 ≡ +06:00) and +9999 is 99h99m; the instant is
+#     the parsed wall time MINUS the offset, composing with every date
+#     system (%j, %G/%V/%u, %U/%W, %I/%p, fractions — all probed);
+#     duplicate %z does NOT error, LAST wins ('+0100 +0200' applies
+#     -2h). DuckDB's result TYPE is TIMESTAMP WITH TIME ZONE; both
+#     engines run UTC-pinned sessions here, where a TIMESTAMPTZ and a
+#     TIMESTAMP holding the UTC instant render and compare
+#     identically — the compiled expression yields the latter
+#     (documented divergence: downstream typeof()).
+#   * %Z stays loud: probed — DuckDB resolves ICU zone NAMES
+#     ('America/New_York' DST-aware, 'PST' via ICU's abbreviation
+#     table) but SILENTLY IGNORES unknown tokens ('XYZ' and '+0530'
+#     parse as offset 0). The JVM's zone table differs from ICU's on
+#     abbreviations, and "unknown -> ignored" needs the resolver at
+#     runtime over data-dependent names — not faithfully expressible,
+#     so abbreviation ambiguity stays loud.
 # Failure parity: strptime raises on a non-matching or out-of-range
 # input (raise_error), try_strptime yields NULL; a NULL input is NULL
 # through both. Invalid calendar dates (Feb 30) are rejected by an
@@ -646,8 +663,10 @@ def _strp_tokens(fmt: str) -> list[tuple] | None:
                 toks.append(("num", code))
             elif code in _STRP_NAME:
                 toks.append(("name", code))
+            elif code == "z":
+                toks.append(("tz",))
             else:
-                return None  # %z / %Z / unknown: loud
+                return None  # %Z / unknown: loud (see %Z probe note)
             i += 2
             continue
         if ch in " \t\n\r\f\v":
@@ -724,6 +743,23 @@ def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
             continue
         if tok[0] == "ws":
             rx_parts.append(r"\s+")
+            continue
+        if tok[0] == "tz":
+            # %z: sign + HH / HHMM / HH:MM exactly (probed shapes
+            # above); NO range check — minutes roll over; duplicates
+            # last-win via plain vals overwrite. Offset in seconds,
+            # applied to the final instant below.
+            gi += 1
+            rx_parts.append(r"([+-]\d{2}(?::?\d{2})?)")
+            s = f"regexp_extract({arg}, __RX__, {gi})"
+            hh = f"CAST(substring({s}, 2, 2) AS BIGINT)"
+            mm = (
+                f"CAST(coalesce(nullif(replace(substring({s}, 4), "
+                f"':', ''), ''), '0') AS BIGINT)"
+            )
+            sign = f"(CASE WHEN substring({s}, 1, 1) = '-' THEN -1 ELSE 1 END)"
+            vals["tzoff"] = f"({sign} * ({hh} * 3600 + {mm} * 60))"
+            roles_seen.add("tzoff")
             continue
         kind, code = tok
         gi += 1
@@ -876,6 +912,10 @@ def _c_parse_to_sql_expr(fmt: str, arg: str, fail_sql: str) -> str | None:
         time_terms.append(f"CAST({frac} AS BIGINT)")
     if time_terms:
         ts = f"timestampadd(MICROSECOND, {' + '.join(time_terms)}, {ts})"
+    if "tzoff" in roles_seen:
+        # instant = wall time minus the offset (probed: '+0530 10:00'
+        # -> 04:30 UTC); composes after every date-system branch
+        ts = f"timestampadd(SECOND, -({vals['tzoff']}), {ts})"
 
     branches = [
         f"WHEN {arg} IS NULL THEN CAST(NULL AS TIMESTAMP)",

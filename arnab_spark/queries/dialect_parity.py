@@ -359,6 +359,43 @@ def dialect_strptime_roundtrip(spark, sf_dir):
     return _run(spark, sf_dir, ("events",), _STRPTIME_ROUNDTRIP_SQL)
 
 
+_STRPTIME_TZ_SQL = """
+SELECT event_id,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') ||
+                     (CASE CAST(event_id % 4 AS INT)
+                           WHEN 0 THEN ' +0530' WHEN 1 THEN ' -08:00'
+                           WHEN 2 THEN ' +02' ELSE ' -0145' END),
+                     '%Y-%m-%d %H:%M:%S %z') AS TIMESTAMP) AS with_offset,
+       CAST(strptime('+0330 ' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M'),
+                     '%z %Y-%m-%d %H:%M') AS TIMESTAMP) AS offset_first,
+       CAST(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') || '+0560',
+                     '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP) AS rollover_minutes,
+       CAST(try_strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || ' +5',
+                         '%Y-%m-%d %H:%M:%S %z') AS TIMESTAMP) AS try_bad_offset
+FROM events
+WHERE event_id % 37 = 0
+"""
+
+
+@query("dialect_strptime_tz", oracle=_STRPTIME_TZ_SQL, tags=("dialect", "datetime"))
+def dialect_strptime_tz(spark, sf_dir):
+    """Round-15 %z lift (r14 verdict ask #5): timestamps rendered to
+    strings carrying per-row fixed offsets in all three probed token
+    shapes (HHMM / HH:MM / bare HH), parsed back through the %z-aware
+    PARSE compiler — offset-last, offset-FIRST, the attached (no-space)
+    form, the probed no-range-validation minute rollover (+0560 ≡
+    +06:00), and try_strptime NULL on a malformed offset ('+5').
+    DuckDB's %z yields TIMESTAMP WITH TIME ZONE; both sessions are
+    UTC-pinned, where CAST(… AS TIMESTAMP) lands both engines on the
+    identical naive UTC instant (the documented divergence is
+    downstream typeof() only — see the probe table in
+    ``_dialect_datetime.py``). Pure per-row JVM expressions on the
+    Spark side — no shuffle at any scale. Exact hash match.
+    Reachable through the reference's verbatim model passthrough
+    (reference: node.rs:176)."""
+    return _run(spark, sf_dir, ("events",), _STRPTIME_TZ_SQL)
+
+
 _LEN_SETOP_SQL = """
 SELECT CAST(len(w) AS BIGINT) AS n, 'words' AS kind
 FROM (SELECT string_split(text, ' ') AS w

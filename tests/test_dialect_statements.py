@@ -808,8 +808,7 @@ def test_try_strptime_and_strptime_loud_shapes(spark, con):
         "SELECT strptime(s, '%Y %U %w %j') FROM t",  # (DuckDB errors)
         "SELECT strptime(s, '%-Y-%m-%d') FROM t",  # %-Y: DuckDB bind error
         "SELECT strptime(s, '%Y-%-V') FROM t",  # %-V: DuckDB bind error
-        "SELECT strptime(s, '%Y-%m-%d %z') FROM t",
-        "SELECT strptime(s, '%Y-%m-%d %Z') FROM t",
+        "SELECT strptime(s, '%Y-%m-%d %Z') FROM t",  # %Z: see tz test
         "SELECT strptime(s, '%Y %U %W') FROM t",
         "SELECT strptime(s, '%G %U') FROM t",
         "SELECT strptime(s, '%G %Y') FROM t",
@@ -820,6 +819,73 @@ def test_try_strptime_and_strptime_loud_shapes(spark, con):
         "SELECT try_strptime(s, fmt) FROM t",
     ]:
         assert "strptime(" in transpile_statement(loud_sql), loud_sql
+
+
+#: %z matrix (round 15, r14 verdict ask #5 — every rule probed on the
+#: oracle DuckDB before implementation): token is sign + HH / HHMM /
+#: HH:MM exactly; NO range validation (minutes >= 60 roll over, +9999
+#: is 99h99m); instant = wall time minus offset; composes with %j, the
+#: ISO week system, %I/%p and %f; duplicate %z last-wins without
+#: erroring; date underflows below the 1900-01-01 default.
+_STRPTIME_TZ_OK_CASES = [
+    ("2021-03-05 10:00:00 +0530", "%Y-%m-%d %H:%M:%S %z"),
+    ("2021-03-05 10:00:00 +05:30", "%Y-%m-%d %H:%M:%S %z"),
+    ("2021-03-05 10:00:00 +05", "%Y-%m-%d %H:%M:%S %z"),
+    ("2021-03-05 10:00:00 -0800", "%Y-%m-%d %H:%M:%S %z"),
+    ("2021-03-05 10:00:00 -05:30", "%Y-%m-%d %H:%M:%S %z"),
+    ("2021-03-05T10:00:00+05:30", "%Y-%m-%dT%H:%M:%S%z"),
+    ("2021-03-05 +9999", "%Y-%m-%d %z"),
+    ("2021-03-05 +0560", "%Y-%m-%d %z"),
+    ("10:00 +0130", "%H:%M %z"),
+    ("00:30 +0100", "%H:%M %z"),
+    ("+0200 2021-03-05 10:00", "%z %Y-%m-%d %H:%M"),
+    ("060 2020 +0100", "%j %Y %z"),
+    ("2021 05 1 +0100", "%G %V %u %z"),
+    ("10 pm +0200", "%I %p %z"),
+    ("2021-03-05 10:00:00.123456 +0230", "%Y-%m-%d %H:%M:%S.%f %z"),
+    ("2021-03-05 10:00 +0100 +0200", "%Y-%m-%d %H:%M %z %z"),
+]
+_STRPTIME_TZ_ERR_CASES = [
+    ("2021-03-05 +5", "%Y-%m-%d %z"),
+    ("2021-03-05 +053", "%Y-%m-%d %z"),
+    ("2021-03-05 +05301", "%Y-%m-%d %z"),
+    ("2021-03-05 0530", "%Y-%m-%d %z"),
+    ("2021-03-05 +:30", "%Y-%m-%d %z"),
+    ("2021-03-05 +05:3", "%Y-%m-%d %z"),
+    ("2021-03-05 10:00:00 Z", "%Y-%m-%d %H:%M:%S %z"),
+]
+
+
+def test_strptime_tz_offset_differential(spark, con):
+    """Round-15 %z lift: DuckDB's result TYPE is TIMESTAMP WITH TIME
+    ZONE while the compiled expression yields TIMESTAMP — on the
+    UTC-pinned sessions both hold the same instant, which is what this
+    compares (the DuckDB value normalized to a naive UTC datetime).
+    The documented divergence is downstream typeof() only."""
+    from datetime import timezone
+
+    con.execute("SET TimeZone='UTC'")
+    for inp, fmt in _STRPTIME_TZ_OK_CASES:
+        duck_sql = f"SELECT strptime('{inp}', '{fmt}') AS v"
+        exp = con.execute(duck_sql).fetchone()[0]
+        exp = exp.astimezone(timezone.utc).replace(tzinfo=None)
+        t = transpile_statement(duck_sql)
+        assert "strptime(" not in t, f"stayed loud: {fmt!r}"
+        got = spark.sql(t).collect()[0][0]
+        assert got == exp, f"{inp!r} {fmt!r}: spark={got!r} duck={exp!r}"
+    for inp, fmt in _STRPTIME_TZ_ERR_CASES:
+        duck_sql = f"SELECT strptime('{inp}', '{fmt}') AS v"
+        with pytest.raises(Exception):
+            con.execute(duck_sql).fetchone()
+        t = transpile_statement(duck_sql)
+        assert "strptime(" not in t, f"stayed loud: {fmt!r}"
+        with pytest.raises(Exception):
+            spark.sql(t).collect()
+        try_sql = f"SELECT try_strptime('{inp}', '{fmt}') AS v"
+        assert con.execute(try_sql).fetchone()[0] is None
+        tt = transpile_statement(try_sql)
+        assert "strptime(" not in tt
+        assert spark.sql(tt).collect()[0][0] is None
 
 
 def test_epoch_and_datediff_day_parity(spark, con):
