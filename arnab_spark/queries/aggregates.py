@@ -780,7 +780,18 @@ def orders_retention_cohort(spark, sf_dir):
     over (cohort, offset) — Spark expands distinct-agg into a
     two-phase partial aggregate, so the shuffle carries
     (cohort, offset, custkey) triples deduplicated map-side. Output
-    cardinality is O(months^2), independent of row count."""
+    cardinality is O(months^2), independent of row count.
+
+    sf10 residual: TERMINAL (round 15, EVENTS_DECOMP_r15.json). Stage
+    walls: firsts agg 0.91 s, +join back 1.93 s, full 3.4-3.6 s vs
+    DuckDB 0.73 s. The pre-stated dedup-first rewrite (distinct
+    (custkey, month) before any join, COUNT(*) instead of distinct
+    agg) measured SLOWER in both measurement orders (0.89x / 0.79x
+    fresh-JVM reversed): the fixture's custkey-month pairs are nearly
+    as numerous as orders rows, so map-side dedup bought no shuffle
+    volume and added a window sort. The residual is the single-box
+    shuffle constant on two full-orders exchanges — the same class as
+    Q21's terminal verdict; not re-measured after r15."""
     from arnab_spark.spark_utils import register_views
 
     register_views(spark, sf_dir, ("orders",))

@@ -521,6 +521,10 @@ def main() -> None:
     duck_timings: dict[str, float] = {}
     duck_scale: dict[str, dict[str, float]] = {}
     duck_dedup_sf10: dict | None = None
+    #: per-query DuckDB walls for the events family, keyed by sf —
+    #: recorded in-band every run (r14 verdict ask #2) and landed in
+    #: bench_detail's scale_detail["events"]["duckdb_queries"]
+    duck_events_detail: dict[str, dict[str, float]] = {}
     try:
         from arnab_spark.oracle import duckdb_connection
 
@@ -553,7 +557,14 @@ def main() -> None:
             "duckdb_headline", _duck_headline, cap_sec=240, thresh=1.5
         )
 
-        def _duck_family(d: str, qs: list[str], passes: int) -> float:
+        def _duck_family(
+            d: str, qs: list[str], passes: int, detail: dict | None = None
+        ) -> float:
+            """Family wall (min over passes). When ``detail`` is given,
+            per-QUERY min walls land there too (round 15, r14 verdict
+            ask #2: the events family's DuckDB splits used to exist
+            only in SCALE.md prose — now they are recorded in-band
+            every run, in bench_detail.json)."""
             c = duckdb_connection(d)
             if cpus and cpus.isdigit():
                 c.execute(f"SET threads={cpus}")
@@ -561,7 +572,11 @@ def main() -> None:
             for _ in range(passes):
                 t0 = time.perf_counter()
                 for n in qs:
+                    q0 = time.perf_counter()
                     c.execute(registry[n].oracle).fetchall()
+                    if detail is not None:
+                        qw = round(time.perf_counter() - q0, 4)
+                        detail[n] = min(detail.get(n, qw), qw)
                 walls.append(time.perf_counter() - t0)
             c.close()
             return round(min(walls), 4)
@@ -593,14 +608,21 @@ def main() -> None:
                     out["asof"]["sf10"] = _duck_family(sf10_dir, ASOF_FAMILY, 2)
                 # single sf1 pass: BM25 tokenizes the whole sf1 corpus
                 out["events"] = {
-                    "sf0.1": _duck_family(sf_dir, EVENTS_FAMILY, 2),
-                    "sf1": _duck_family(sf1_dir, EVENTS_FAMILY, 1),
+                    "sf0.1": _duck_family(
+                        sf_dir, EVENTS_FAMILY, 2,
+                        detail=duck_events_detail.setdefault("sf0.1", {}),
+                    ),
+                    "sf1": _duck_family(
+                        sf1_dir, EVENTS_FAMILY, 1,
+                        detail=duck_events_detail.setdefault("sf1", {}),
+                    ),
                 }
                 if sf10_dir:
                     # third decade for the analytics family too —
                     # cheap on DuckDB (unlike dedup's sha256 wall)
                     out["events"]["sf10"] = _duck_family(
-                        sf10_dir, EVENTS_FAMILY, 1
+                        sf10_dir, EVENTS_FAMILY, 1,
+                        detail=duck_events_detail.setdefault("sf10", {}),
                     )
                 return out
 
@@ -1203,6 +1225,10 @@ def main() -> None:
             w1, d1 = _measured_section(f"spark_scale_sf1_{fam}", _scale_family)
             spark_scale[fam] = {"sf0.1": sf01_family_walls[fam], "sf1": w1}
             scale_detail[fam] = {"sf1_queries": d1}
+        if duck_events_detail and "events" in scale_detail:
+            # per-query DuckDB splits, every run (r14 verdict ask #2 —
+            # these lived only in SCALE.md prose before r15)
+            scale_detail["events"]["duckdb_queries"] = duck_events_detail
         if sf10_dir:
             # third decade: shuffle parallelism scales with the data
             # again (64 -> 128 — the same knob a real cluster turns);

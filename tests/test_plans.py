@@ -75,15 +75,19 @@ def test_pack_sequences_single_shuffle(spark):
     assert audit.n_exchanges == 1, audit.plan_text[:800]
 
 
-def test_ohlc_single_shuffle(spark):
-    """OHLC resample (round 13): both row_number windows AND the final
-    groupBy share the identical (event_type, bucket) attribute refs, so
-    the whole query runs on ONE Exchange — the bucket is computed
-    before the window precisely so the groupBy reuses the window's
-    partitioning (a CAST in the grouping key broke it, caught by this
-    pin's first run)."""
+def test_ohlc_single_shuffle_no_window(spark):
+    """OHLC resample (round 15 rewrite, EVENTS_DECOMP_r15.json): ONE
+    Exchange and NO WindowExec (the r13 plan's two row_number sorts
+    over the full event set were 1.9 s of its 2.4 s sf10 wall).
+    Open/close ride MIN/MAX(struct) PARTIAL aggregation — struct
+    buffers make it a SortAggregate, whose grouping-key sorts are
+    map-side over in-memory task partitions, and the shuffle now
+    carries O(buckets) combined rows instead of every event row
+    (adopted at 1.91x/1.18x both orders vs the window plan)."""
     audit = audit_plan(REG["time_resample_ohlc"].fn(spark, SF))
     assert audit.n_exchanges == 1, audit.plan_text[:800]
+    assert "Window" not in audit.plan_text, audit.plan_text[:800]
+    assert "partial_min" in audit.plan_text, audit.plan_text[:800]
 
 
 def test_bm25_topk_is_take_ordered_with_no_token_explode(spark):
@@ -102,14 +106,17 @@ def test_bm25_topk_is_take_ordered_with_no_token_explode(spark):
     assert "ShuffledHashJoin" not in audit.plan_text, audit.plan_text[:800]
 
 
-def test_funnel_joins_are_hash_not_range(spark):
-    """Funnel (round 13): each stage's strictly-after predicate must be
-    a RESIDUAL filter on a hash equi-join (user_id), never a range/NL
-    join — the time predicate rides the join for free."""
+def test_funnel_single_scan_no_joins(spark):
+    """Funnel (round 15 rewrite, EVENTS_DECOMP_r15.json): the join
+    spelling re-scanned events once per stage and re-shuffled each
+    stage's groupBy (~4-6x DuckDB at sf10); the array spelling is ONE
+    scan + ONE per-user shuffle + a single-row global count — NO joins
+    of any kind may appear, and no explode either (the funnel resolves
+    with array_min(filter(..)) expressions in-row; the only Generate
+    is the final stack() over the one-row counts)."""
     audit = audit_plan(REG["events_funnel"].fn(spark, SF))
-    assert not any("NestedLoop" in j or "Cartesian" in j for j in audit.joins), (
-        audit.joins
-    )
+    assert not audit.joins, audit.joins
+    assert "Generate explode" not in audit.plan_text, audit.plan_text[:800]
 
 
 def test_q5_broadcasts_dims(spark):
