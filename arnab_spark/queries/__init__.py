@@ -117,7 +117,63 @@ def davg(col: Column | str, alias: str) -> Column:
 #: ceiling is enforced by
 #: ``tests/test_registry_order.py::test_no_query_evidence_older_than_three_rounds``.
 #:
-#: ROUND-14 WINDOW: slots 1-2 are the round-14 additions — never
+#: ROUND-15 WINDOW: slot 1 is the round-15 addition — never
+#: driver-verified, so the never-run gate requires it windowed:
+#: `dialect_strptime_tz` (the %z lift, r14 verdict ask #5). Slots 2-3
+#: are the two queries whose SPARK-side source changed this round
+#: (EVENTS_DECOMP_r15.json adoptions — oracles unchanged, but changed
+#: queries must re-verify): `events_funnel` (array spelling, 1.86x)
+#: and `time_resample_ohlc` (struct-agg spelling, 1.91x). Slots 4-21
+#: are the eighteen `R14_DISPLACED` r11-cohort queries at the
+#: three-round staleness ceiling — mandatory, pre-announced in the r14
+#: header. Slots 22-50 are 29 of the 49-query
+#: round-12-latest-evidence cohort.
+#:
+#: DISPLACED (the twenty r12-cohort queries those mandatory slots push
+#: out; each is hash-pinned in EVIDENCE.json and names a same-family
+#: sibling with r13-or-newer evidence — or one verified in THIS
+#: round's window, giving it r15 evidence; all twenty reach the
+#: three-round ceiling after r15 and therefore take mandatory r16
+#: slots):
+#:   - `agg_important_part_value`, `agg_promo_revenue_share`,
+#:     `join_bracketed_discounts`, `join_majority_part_suppliers`,
+#:     `join_product_type_profit`, `join_top_supplier_revenue` (six
+#:     TPC-H composites; siblings: the six TPC-H composites windowed
+#:     THIS round — `agg_late_shipment_priority`,
+#:     `agg_priority_late_orders`, `agg_small_quantity_revenue`,
+#:     `join_national_market_share`, `join_returned_item_revenue`,
+#:     `join_shipping_priority` — plus `agg_pricing_summary` /
+#:     `agg_forecast_revenue` / `join_waiting_suppliers` /
+#:     `join_min_cost_supplier`, all r14; the whole 23-query suite is
+#:     additionally benched end-to-end every run),
+#:   - `dialect_unnest_star_window`, `dialect_unnest_zip_star`,
+#:     `fn_posexplode_ordinality` (unnest star/zip/ordinality lowering;
+#:     siblings `dialect_unnest_zip` + `fn_explode_unnest` windowed
+#:     r15, and the three r15-windowed unnest queries
+#:     `dialect_unnest_embedded`/`_qualified_star`/`_recursive`),
+#:   - `text_boilerplate_ngrams` (siblings `dedup_substring_windows`
+#:     windowed r15 — the same n-gram windowing — and
+#:     `text_decontaminate` windowed r15),
+#:   - `text_chunk_windows` (sibling `text_pack_sequences` windowed
+#:     r15 — the same sequence-segmentation operator family),
+#:   - `text_pii_scrub` + `text_quality_gopher` (sibling
+#:     `text_quality_score` windowed r15 — the same per-doc
+#:     expression-only scoring family),
+#:   - `sample_stratified` (sibling `table_sample` windowed r15 — the
+#:     same hash-Bernoulli sampling machinery),
+#:   - `agg_approx_count_distinct` (sibling `agg_percentile_approx`
+#:     windowed r15 — the same approx-sketch family),
+#:   - `agg_pivot` (sibling `agg_unpivot` r13 — the same
+#:     pivot/unpivot dialect pass),
+#:   - `agg_stats_native` (sibling `agg_stats_exact` r14),
+#:   - `sliding_window` (sibling `tumbling_window` windowed r15),
+#:   - `window_ranking` (sibling `window_navigation` windowed r15),
+#:   - `fn_math_native` (sibling `fn_math` r14).
+#: `tests/test_registry_order.py` pins the window, the never-run gate,
+#: the staleness ceiling, the NEW rotation-capacity closure (round 15,
+#: r14 verdict ask #4), and the source-hash freshness manifest.
+#:
+#: ROUND-14 WINDOW (historical): slots 1-2 were the round-14 additions — never
 #: driver-verified, so the never-run gate requires them windowed:
 #: `dml_update_from_script` / `dml_delete_using_script` (the joined-DML
 #: forms UPDATE … FROM and DELETE … USING, closing r13 "What's missing
@@ -181,63 +237,65 @@ def davg(col: Column | str, alias: str) -> Column:
 #: import reorder, an unrotated rewrite, or an unwindowed NEW query
 #: fails CI, not the judge.
 CURATED_FIRST: tuple[str, ...] = (
-    # --- slots 1-2: round-14 additions, never driver-verified ---
-    "dml_update_from_script",
-    "dml_delete_using_script",
-    # --- slot 3: source changed this round (explode-free tf/dl
-    #     rewrite — changed queries must re-verify) ---
-    "text_bm25_topk",
-    # --- slots 4-18: the fifteen R13_DISPLACED r10-cohort queries
+    # --- slot 1: round-15 addition, never driver-verified ---
+    "dialect_strptime_tz",
+    # --- slots 2-3: Spark-side source changed this round (the
+    #     EVENTS_DECOMP_r15 adoptions — changed queries must
+    #     re-verify; oracles unchanged) ---
+    "events_funnel",
+    "time_resample_ohlc",
+    # --- slots 4-21: the eighteen R14_DISPLACED r11-cohort queries
     #     (three rounds stale — mandatory per the staleness ceiling,
-    #     pre-announced in the r13 header) ---
-    "agg_cube",
-    "agg_count_star_zeroarg",
-    "agg_string_agg",
-    "agg_stats_exact",
-    "agg_percentile_exact",
-    "agg_forecast_revenue",
-    "join_right_outer",
-    "join_cross",
-    "join_using",
-    "fn_math",
-    "fn_string",
-    "fn_json",
-    "dialect_seq_comment",
-    "dialect_len_setop_arms",
-    "multimodal_metadata",
-    # --- slots 19-50: round-11-latest-evidence cohort (32 of 50) ---
-    "agg_pricing_summary",
-    "ann_lsh_bucketed",
-    "asof_join_bucketed",
-    "case_coalesce",
-    "cast_try_cast",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dialect_describe_layout",
-    "dialect_series_columns",
-    "distinct_on",
-    "filter_predicates",
-    "fn_array_higher_order",
-    "intersect_except",
-    "join_min_cost_supplier",
-    "join_waiting_suppliers",
-    "multimodal_decode_features",
-    "order_nulls_first_last",
-    "qualify_topn_per_group",
-    "range_generator",
-    "range_join_bucketed",
-    "recursive_cte",
-    "rollup_time_hierarchy",
-    "scalar_subquery_correlated",
-    "select_exclude_replace",
-    "session_window_native",
-    "stream_asof_enriched_materialized",
-    "text_dsir_weights",
-    "text_fingerprint",
-    "text_lang_id",
-    "union_distinct_by_name",
-    "window_range_frame",
+    #     pre-announced in the r14 header) ---
+    "agg_collect_set_array",
+    "cte_chain",
+    "dedup_substring_windows",
+    "dialect_datediff_week",
+    "dialect_unnest_embedded",
+    "dialect_unnest_qualified_star",
+    "dialect_unnest_recursive",
+    "distinct_rows",
+    "filter_ilike_nullsafe",
+    "fn_array",
+    "fn_nondeterministic",
+    "in_subquery",
+    "intersect_except_all",
+    "order_limit_offset",
+    "stream_session_counts_materialized",
+    "tumbling_window",
+    "values_inline",
+    "window_navigation",
+    # --- slots 22-50: round-12-latest-evidence cohort (29 of 49;
+    #     the 20 displaced are pinned + sibling-documented above) ---
+    "agg_late_shipment_priority",
+    "agg_mode_bool_bits",
+    "agg_percentile_approx",
+    "agg_priority_late_orders",
+    "agg_small_quantity_revenue",
+    "agg_supplier_part_counts",
+    "ann_ivf_cells",
+    "dedup_cluster_best",
+    "dedup_embedding_cosine",
+    "dialect_strftime_datetime",
+    "dialect_unnest_zip",
+    "dml_statement_script",
+    "fn_explode_unnest",
+    "join_national_market_share",
+    "join_returned_item_revenue",
+    "join_shipping_priority",
+    "join_star_revenue",
+    "multimodal_frame_sample",
+    "sessionize_gaps",
+    "stream_dedup_exact_materialized",
+    "table_sample",
+    "text_decontaminate",
+    "text_dsir_resample",
+    "text_pack_sequences",
+    "text_quality_score",
+    "text_token_count",
+    "text_train_split",
+    "time_weighted_avg",
+    "union_all",
 )
 
 

@@ -81,28 +81,6 @@ def test_every_query_is_oracled():
     assert rows_only == []
 
 
-#: The fifteen round-10-cohort queries the round-13 mandatory slots
-#: displaced. They sat at exactly three rounds stale after r13 — the
-#: ceiling — so all fifteen hold mandatory r14 window slots (pinned by
-#: test_r14_window_covers_stale_evidence_queries below).
-R13_DISPLACED = {
-    "agg_cube",
-    "agg_count_star_zeroarg",
-    "agg_string_agg",
-    "agg_stats_exact",
-    "agg_percentile_exact",
-    "agg_forecast_revenue",
-    "join_right_outer",
-    "join_cross",
-    "join_using",
-    "fn_math",
-    "fn_string",
-    "fn_json",
-    "dialect_seq_comment",
-    "dialect_len_setop_arms",
-    "multimodal_metadata",
-}
-
 #: The eighteen round-11-cohort queries the round-14 mandatory slots
 #: (two NEW joined-DML queries + the changed-source BM25 re-slot + the
 #: fifteen R13_DISPLACED ceiling queries) displace. Each is hash-pinned
@@ -133,6 +111,39 @@ R14_DISPLACED = {
 }
 
 
+#: The twenty round-12-cohort queries the round-15 mandatory slots (one
+#: NEW %z query + the two changed-source events adoptions + the
+#: eighteen R14_DISPLACED ceiling queries) displace. Each is
+#: hash-pinned in EVIDENCE.json and names a same-family sibling with
+#: r13-or-newer evidence or one verified in the r15 window itself (full
+#: sibling table: the CURATED_FIRST header in
+#: arnab_spark/queries/__init__.py). After r15 they sit at exactly
+#: three rounds stale — the ceiling — so ALL TWENTY take mandatory r16
+#: slots.
+R15_DISPLACED = {
+    "agg_important_part_value",
+    "agg_promo_revenue_share",
+    "join_bracketed_discounts",
+    "join_majority_part_suppliers",
+    "join_product_type_profit",
+    "join_top_supplier_revenue",
+    "dialect_unnest_star_window",
+    "dialect_unnest_zip_star",
+    "fn_posexplode_ordinality",
+    "text_boilerplate_ngrams",
+    "text_chunk_windows",
+    "text_pii_scrub",
+    "text_quality_gopher",
+    "sample_stratified",
+    "agg_approx_count_distinct",
+    "agg_pivot",
+    "agg_stats_native",
+    "sliding_window",
+    "window_ranking",
+    "fn_math_native",
+}
+
+
 def _latest_evidence(max_round: int | None = None) -> dict[str, int]:
     """Latest green driver-evidence round per query, computed from the
     committed CORRECTNESS_r*.json union — never hand-maintained."""
@@ -153,30 +164,74 @@ def _latest_evidence(max_round: int | None = None) -> dict[str, int]:
     return latest
 
 
-def test_r14_window_covers_stale_evidence_queries():
-    """The r14 window holds every query whose latest driver evidence is
-    r11 or older — computed from the committed CORRECTNESS_r{01..13}.json
-    union — minus the eighteen DOCUMENTED displaced queries, so after
-    the r14 run no registry query's driver evidence predates r11 (the
-    staleness ceiling holds at round 14). Slots 1-2 are the round-14
-    joined-DML additions (never-run gate); slot 3 is the changed-source
-    BM25 re-slot (explode-free rewrite); slots 4-18 are the fifteen
-    R13_DISPLACED ceiling queries (mandatory, pre-announced in the r13
-    header)."""
-    latest = _latest_evidence(max_round=13)  # r14 rotation input
+def test_r15_window_covers_stale_evidence_queries():
+    """The r15 window holds every query whose latest driver evidence is
+    r11 or older — computed from the committed CORRECTNESS_r{01..14}.json
+    union — so after the r15 run no registry query's driver evidence
+    predates r12 (the staleness ceiling holds at round 15). Slot 1 is
+    the round-15 %z addition (never-run gate); slots 2-3 are the two
+    changed-source EVENTS_DECOMP_r15 adoptions; slots 4-21 are the
+    eighteen R14_DISPLACED ceiling queries (mandatory, pre-announced in
+    the r14 header); the twenty r12-cohort queries displaced this round
+    (R15_DISPLACED) are pinned + sibling-documented and take mandatory
+    r16 slots."""
+    latest = _latest_evidence(max_round=14)  # r15 rotation input
     if not latest:
         pytest.skip("no correctness snapshot yet")
     stale = {n for n, r in latest.items() if r <= 11}
-    assert stale - R14_DISPLACED <= set(CURATED_FIRST), sorted(
-        stale - R14_DISPLACED - set(CURATED_FIRST)
+    assert stale <= set(CURATED_FIRST), sorted(stale - set(CURATED_FIRST))
+    displaced = {
+        n for n, r in latest.items()
+        if r == 12 and n in _REGISTRY and n not in CURATED_FIRST
+    }
+    assert displaced == R15_DISPLACED, (
+        sorted(displaced ^ R15_DISPLACED)
     )
-    assert R14_DISPLACED.isdisjoint(CURATED_FIRST)
     assert list(CURATED_FIRST[:3]) == [
-        "dml_update_from_script",
-        "dml_delete_using_script",
-        "text_bm25_topk",
+        "dialect_strptime_tz",
+        "events_funnel",
+        "time_resample_ohlc",
     ]
-    assert set(CURATED_FIRST[3:18]) == R13_DISPLACED
+    assert set(CURATED_FIRST[3:21]) == R14_DISPLACED
+
+
+def test_rotation_capacity_is_closed():
+    """Registry-sustainability rule (round 15, r14 verdict ask #4,
+    option b — a formal pin budget instead of a retire-to-add freeze):
+
+    1. HARD REGISTRY CAP 185. The 3-round staleness ceiling gives a
+       4-round evidence cycle over a 50-slot window = 200 query-slots;
+       each round also spends slots on never-run additions and
+       changed-source re-slots (3 this round, 3 in r14), so 185 leaves
+       ~15 slots/cycle of churn headroom. Adding query #186 requires
+       retiring one FIRST (record the retirement in this docstring and
+       delete its registration) — growth past the cap without a
+       retirement is exactly the unbounded-rotation debt the r14
+       verdict flagged.
+    2. PIN BUDGET 40. The exactly-3-stale unwindowed cohort (the set
+       that must be hash-pinned now and becomes MANDATORY next round)
+       stays <= 40, so the NEXT window provably has >= 10 free slots
+       for additions and changed-source re-slots. A breach means the
+       current window took too few of the aging cohort — fix the
+       window, not the budget.
+    """
+    assert len(_REGISTRY) <= 185, (
+        f"registry has {len(_REGISTRY)} queries — past the documented "
+        "cap; retire one before adding"
+    )
+    latest = _latest_evidence()
+    if not latest:
+        pytest.skip("no correctness snapshot yet")
+    newest = max(latest.values())
+    pinned = sorted(
+        n
+        for n, r in latest.items()
+        if n in _REGISTRY and r == newest - 3 and n not in CURATED_FIRST
+    )
+    assert len(pinned) <= 40, (
+        f"{len(pinned)} queries sit at exactly-3-stale without a window "
+        f"slot (pin budget 40): {pinned}"
+    )
 
 
 def test_no_query_evidence_older_than_three_rounds():
