@@ -912,6 +912,11 @@ def test_event_analytics_example_project(spark, tmp_path, monkeypatch):
         ("funnel_stages", "events_funnel"),
         ("ohlc_hourly", "time_resample_ohlc"),
         ("retention_cohorts", "orders_retention_cohort"),
+        # round 15 (r14 verdict ask #7): BM25 was the one analytics
+        # query without a model twin; the model is the DuckDB
+        # posting-list idiom, the registry query the join-free
+        # horizontal spelling — identical micro-unit BIGINT sums
+        ("bm25_topk", "text_bm25_topk"),
     ):
         got = sorted(tuple(r) for r in spark.table(model).collect())
         exp = sorted(tuple(r) for r in reg[qname].fn(spark, SF).collect())
