@@ -41,10 +41,10 @@ from arnab_spark._dialect_statements import _attached_for
 
 _BACKING_FALLBACK: dict = {}
 
-try:
-    _BACKING_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _BACKING_BY_SESSION = {}
+# weak keys so a discarded session's registry is collectable
+# (round 15: the name is now imported at module level — the old
+# try/except silently fell back to a strong dict on NameError)
+_BACKING_BY_SESSION: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def table_backing_for(spark) -> dict:
@@ -63,10 +63,10 @@ def table_backing_for(spark) -> dict:
     return reg
 
 
-try:
-    _WAREHOUSE_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _WAREHOUSE_BY_SESSION = {}
+# weak keys so a discarded session's registry is collectable
+# (round 15: the name is now imported at module level — the old
+# try/except silently fell back to a strong dict on NameError)
+_WAREHOUSE_BY_SESSION: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def set_warehouse_for(spark, db_path: str | None) -> None:
@@ -83,10 +83,10 @@ def warehouse_for(spark) -> str | None:
     return _WAREHOUSE_BY_SESSION.get(spark)
 
 
-try:
-    _SESSION_TABLES_BY_SESSION: "WeakKeyDictionary" = WeakKeyDictionary()
-except Exception:  # pragma: no cover
-    _SESSION_TABLES_BY_SESSION = {}
+# weak keys so a discarded session's registry is collectable
+# (round 15: the name is now imported at module level — the old
+# try/except silently fell back to a strong dict on NameError)
+_SESSION_TABLES_BY_SESSION: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def session_tables_for(spark) -> set:
