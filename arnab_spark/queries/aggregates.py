@@ -635,7 +635,16 @@ def agg_priority_late_orders(spark, sf_dir):
     (priority, orderkey) pairs. Past the broadcast threshold
     broadcast_if_small withholds the hint and Catalyst plans the
     co-hashed shuffle join — same two-shuffle plan as the semi form,
-    with the smaller distinct-pair stream."""
+    with the smaller distinct-pair stream.
+
+    sf10 residual: TERMINAL (round 15, TPCH8_DECOMP_r15.json). Stage
+    walls: the lineitem-through-orders probe is 2.2 s of the 4.0-4.8 s
+    total (DuckDB split 0.50 s) — the rest is the two-phase distinct.
+    The pre-stated max-shipdate pre-aggregation variant (EXISTS ==
+    max(l_shipdate) > o_orderdate+90, pair shuffle instead of the
+    probe) measured 1.00x / 1.12x — under the 1.15x adopt bar in both
+    orders; refuted. The residual is probe + distinct-agg codegen, the
+    single-box constant class; not re-measured after r15."""
     from arnab_spark.spark_utils import broadcast_if_small
 
     o = load_table(spark, sf_dir, "orders")

@@ -551,7 +551,16 @@ def join_local_supplier_volume(spark, sf_dir):
     already forces s_nationkey = c_nationkey. The date range pushes to
     the orders scan. Revenue uses the BIGINT-quantized contract
     (aggregates._qlong rationale). Result is nation-count-sized, so the
-    final sort is trivial at any SF."""
+    final sort is trivial at any SF.
+
+    sf10 residual: TERMINAL (round 15, TPCH8_DECOMP_r15.json). Stage
+    walls: the lineitem x (customer x orders) fact join alone is
+    3.8 s of the 4.4-4.8 s total (DuckDB split 0.35 s) — the scan +
+    probe IS the query. The pre-stated late-name variant (group by
+    the INT nationkey, attach n_name post-agg from the 25-row
+    broadcast, pruned supplier build) measured 0.96x / 0.99x —
+    refuted: the dictionary-encoded n_name payload costs nothing.
+    Single-box scan/probe constant; not re-measured after r15."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -617,10 +626,26 @@ def join_returned_item_revenue(spark, sf_dir):
     the most merchandise last quarter. The returnflag filter pushes to
     the lineitem scan (dictionary-encoded column → row-group pruning at
     scale) and the quarter filter to orders, so the join sees one
-    quarter x one flag. nation broadcasts; customer attributes ride the
-    group-by keys instead of a post-agg re-join — one shuffle total.
-    Top-20 compiles to TakeOrdered (per-partition heap, no global
-    sort); c_custkey breaks revenue ties so the cut is total-ordered."""
+    quarter x one flag.
+
+    Round-15 rewrite (TPCH8_DECOMP_r15.json — late attribute
+    materialization, the BM25/funnel move): the r13 spelling joined
+    customer BEFORE aggregating and carried (c_name, c_acctbal,
+    n_name) string payloads through the fact join and the group-by
+    shuffle — its isolated stage wall (the attribute-carrying join
+    output alone) measured 11.3 s at sf10, ~3x the entire rewritten
+    query. c_custkey is a KEY of customer, so grouping by (custkey,
+    name, acctbal, n_name) == grouping by custkey: aggregate revenue
+    per custkey first (compact (custkey, BIGINT) pairs, map-side
+    partial agg), cut to the top 20 via TakeOrderedAndProject (revenue
+    ties broken by custkey — the identical total order the old LIMIT
+    used), then attach customer + nation attributes to the 20-row
+    broadcast side. Adopted under the pre-stated both-orders rule:
+    1.23x / 1.88x (fresh-JVM reversed order) at sf10,
+    result-identical at sf0.1 and sf10; per-query DuckDB sf10 split
+    0.355 s. At 100 TB the fact-side shuffle carries 16 bytes/row
+    instead of the attribute strings, and the attribute join touches
+    exactly 20 rows."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -628,16 +653,26 @@ def join_returned_item_revenue(spark, sf_dir):
     lo = F.lit("1997-10-01 00:00:00").cast("timestamp")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
     rev_units = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    o_q = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    l_r = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev_units.alias("units")
+    )
+    per_cust = (
+        l_r.join(
+            broadcast_if_small(o_q, sf_dir, "orders"), l_r.l_orderkey == o_q.o_orderkey
+        )
+        .groupBy("o_custkey")
+        .agg((F.sum("units").cast("double") / 10_000.0).alias("revenue"))
+    )
+    top = per_cust.orderBy(F.col("revenue").desc(), "o_custkey").limit(20)
     return (
-        c.join(o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
-               c.c_custkey == o.o_custkey)
-        .join(l.filter(F.col("l_returnflag") == "R"), o.o_orderkey == l.l_orderkey)
+        F.broadcast(top)
+        .join(c, top.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg((F.sum(rev_units).cast("double") / 10_000.0).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
     )
 
 

@@ -119,6 +119,19 @@ def test_funnel_single_scan_no_joins(spark):
     assert "Generate explode" not in audit.plan_text, audit.plan_text[:800]
 
 
+def test_q10_aggregates_before_attribute_join(spark):
+    """Q10 (round 15 rewrite, TPCH8_DECOMP_r15.json): revenue must
+    aggregate per custkey BEFORE any customer-attribute join — the
+    top-20 cut compiles to TakeOrderedAndProject on compact
+    (custkey, revenue) pairs and the attribute joins are broadcasts of
+    the 20-row side (the r13 spelling's attribute-carrying join output
+    alone cost 11.3 s at sf10, ~3x the whole rewritten query)."""
+    audit = audit_plan(REG["join_returned_item_revenue"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in audit.plan_text, audit.plan_text[:800]
+    assert "SortMergeJoin" not in audit.plan_text, audit.plan_text[:800]
+    assert "ShuffledHashJoin" not in audit.plan_text, audit.plan_text[:800]
+
+
 def test_q5_broadcasts_dims(spark):
     """The Q5-shape composite must broadcast at least the constant dims
     (nation/region) — no shuffle for 25- and 5-row tables."""
