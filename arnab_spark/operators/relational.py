@@ -77,9 +77,35 @@ def connected_components(
     order-independent, overflow-free, never collects data); at fixpoint
     the graph is a forest of stars, each rooted at its component's
     minimum node (the paper's invariant), so labels read directly off
-    the edges. Every operation ``localCheckpoint``s its output: the
-    next operation's plan would otherwise embed the previous one's
-    TWICE (groupBy + join), doubling per round.
+    the edges. Every operation checkpoints its output: the next
+    operation's plan would otherwise embed the previous one's TWICE,
+    doubling per round.
+
+    Round-15 job-structure rewrite (CC_FUSE_r15.json — adopted under
+    the both-orders >=1.15x rule at 1.59x/1.88x sf10, 2.2x sf0.1,
+    result-identical at both scales; guide §1.2/§2.4/§5):
+
+    - **One upstream execution.** The raw (u, v) pair list is
+      materialized ONCE and both the canonical edge list and the node
+      set derive from the checkpointed blocks — previously ``nodes``
+      and ``e`` were checkpointed separately from the same
+      un-materialized upstream, so an expensive feeder (the dedup
+      pipeline's whole MinHash/LSH pair build) executed twice.
+      ``nodes`` itself stays lazy: it is consumed exactly once, by the
+      final singleton anti-join.
+    - **One job per star operation.** ``localCheckpoint(eager=False)``
+      truncates lineage identically (local checkpoint blocks persist
+      as a side effect of the first action), so the convergence
+      checksum is the materializing action — previously every op paid
+      two jobs (eager materialize + checksum), and the r10
+      decomposition measured per-op wall as FIXED driver overhead, so
+      job count is the lever. The reliable ``checkpoint_dir`` path
+      stays eager: a non-eager reliable checkpoint recomputes its RDD
+      to write the checkpoint file.
+    - **Window-min star ops.** Each star op's neighborhood minimum is
+      ``MIN() OVER (PARTITION BY key)`` instead of groupBy + self-join
+      — the partitioning is established once and the join (with its
+      second exchange of the same frame) disappears.
 
     ``checkpoint_dir`` selects checkpoint durability (round-3 verdict
     item 7): None (default) uses executor-local ``localCheckpoint`` —
@@ -95,29 +121,41 @@ def connected_components(
     """
     import time as _time
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt_eager(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
+    def ckpt_lazy(df: DataFrame) -> DataFrame:
+        # the convergence checksum right after is the materializing
+        # action (one job per op); reliable checkpoints stay eager —
+        # a non-eager RDD checkpoint recomputes to write the file
+        if checkpoint_dir is not None:
+            return df.checkpoint()
+        return df.localCheckpoint(eager=False)
+
     par = max(1, spark.sparkContext.defaultParallelism)
-    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # materialize the node set + canonical edge list ONCE: `edges` may
-    # be an arbitrarily expensive upstream plan (the dedup pipeline
-    # feeds the whole MinHash computation in here), and without this
-    # checkpoint every operation would re-execute it from the scan up.
-    # coalesce keeps the per-op scan one task-wave wide — the upstream
-    # frame arrives with 2x the shuffle partition count in micro-tasks.
-    nodes = ckpt(
+    # materialize the RAW pair list ONCE: `edges` may be an arbitrarily
+    # expensive upstream plan (the dedup pipeline feeds the whole
+    # MinHash/LSH pair build in here), and the node set + canonical
+    # edge list both derive from the checkpointed blocks instead of
+    # re-executing that plan (round 15 — previously each derivation
+    # was its own checkpoint ACTION over the un-materialized upstream).
+    base = ckpt_eager(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # lazy: consumed exactly once, by the final singleton anti-join
+    nodes = (
         base.select(F.col("u").alias("node"))
         .unionByName(base.select(F.col("v").alias("node")))
         .distinct()
     )
-    e = ckpt(
+    # coalesce keeps the per-op scan one task-wave wide — the upstream
+    # frame arrives with 2x the shuffle partition count in micro-tasks.
+    e = ckpt_lazy(
         base.where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("c"), F.least("u", "v").alias("p")
@@ -140,30 +178,33 @@ def connected_components(
         if _op % 2 == 0:
             # large-star: per node x, m = min(closed neighborhood);
             # every LARGER neighbor y re-attaches to m (y > x >= m, so
-            # the output stays canonically child > parent)
+            # the output stays canonically child > parent). The
+            # neighborhood min is a window over the same key the frame
+            # is already partitioned by for it — no agg + self-join.
             sym = e.select(F.col("c").alias("x"), F.col("p").alias("y")).unionByName(
                 e.select(F.col("p").alias("x"), F.col("c").alias("y"))
             )
-            mm = sym.groupBy("x").agg(F.min("y").alias("my"))
-            mm = mm.select("x", F.least("x", "my").alias("m"))
+            w = Window.partitionBy("x")
+            cand = sym.select(
+                "x", "y", F.least(F.col("x"), F.min("y").over(w)).alias("m")
+            )
             new_e = (
-                sym.join(mm, on="x")
-                .where(F.col("y") > F.col("x"))
+                cand.where(F.col("y") > F.col("x"))
                 .select(F.col("y").alias("c"), F.col("m").alias("p"))
                 .distinct()
             )
         else:
             # small-star: per node c, m = min of its SMALLER neighbors;
             # those neighbors (minus m itself) and c re-attach to m
-            mm = e.groupBy("c").agg(F.min("p").alias("m"))
+            w = Window.partitionBy("c")
+            we = e.select("c", "p", F.min("p").over(w).alias("m"))
             new_e = (
-                e.join(mm, on="c")
-                .where(F.col("p") != F.col("m"))
+                we.where(F.col("p") != F.col("m"))
                 .select(F.col("p").alias("c"), F.col("m").alias("p"))
-                .unionByName(mm.select(F.col("c"), F.col("m").alias("p")))
+                .unionByName(we.select("c", F.col("m").alias("p")))
                 .distinct()
             )
-        new_e = ckpt(new_e.coalesce(par))
+        new_e = ckpt_lazy(new_e.coalesce(par))
         new_sig = _checksum(new_e)
         if on_round is not None:
             on_round(_op, _time.monotonic() - _t0, new_sig[0])

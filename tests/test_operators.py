@@ -194,6 +194,45 @@ def test_connected_components_unconverged_max_iter_raises(spark):
     assert got == {(n, 1) for n in range(1, 9)}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Round-15 internals pin: the star operations were respelled as
+    window minima over a single-materialized edge base with lazy
+    (checksum-fused) local checkpoints (CC_FUSE_r15.json). Labels on
+    seeded random multigraphs — duplicate edges, self-loops, skewed
+    degrees, singleton self-loop nodes — must still equal the
+    component minimum computed by a plain union-find."""
+    import random
+
+    from arnab_spark.operators import connected_components
+
+    for seed, n_nodes, n_edges in ((7, 40, 30), (8, 60, 90), (9, 25, 80)):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        touched = sorted({x for p in pairs for x in p})
+        want = {(x, find(x)) for x in touched}
+        edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        got = {
+            (r.node, r.comp)
+            for r in connected_components(edges, "src", "dst").collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
 def test_hash_split_generic_bounds(spark):
     """Custom 2-way split: every row lands in exactly one named split,
     bucket in [0,256), and the assignment is stable across invocations
