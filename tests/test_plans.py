@@ -378,3 +378,14 @@ def test_demo_pipeline_runs_under_cluster_shaped_config(
         os.chdir(old)
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_decontaminate_joins_on_digest_via_broadcast(spark):
+    """The r15 digestjoin spelling: the gram stream explodes 16-byte
+    unhex(md5(...)) digests (never the ~48-char gram strings), and the
+    held-out side still broadcasts — no sort-merge join, no shuffle of
+    the raw n-gram text."""
+    audit = audit_plan(REG["text_decontaminate"].fn(spark, SF))
+    assert any("BroadcastHashJoin" in j for j in audit.joins), audit.joins
+    assert "SortMergeJoin" not in audit.plan_text, audit.plan_text[:800]
+    assert "unhex(md5(" in audit.plan_text, audit.plan_text[:1200]
