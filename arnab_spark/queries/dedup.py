@@ -420,8 +420,11 @@ def dedup_embedding_cosine(spark, sf_dir):
         f"transform(sequence(1, {DIM}), i -> CAST(floor(CAST(element_at(embedding, i)"
         f" AS DOUBLE) * {_Q}) AS BIGINT)) AS iv",
     )
+    # int32_tiles: quantized elements are bounded by _Q·|x| ≈ 1e7,
+    # three orders inside int32 — the tile shuffle halves its bytes
+    # with bit-identical output (COSINE_DECOMP_r15.json, 2.23x/1.87x)
     return bucketed_cosine_pairs(
-        q, bucket_col="label", threshold=_COSINE_THRESHOLD
+        q, bucket_col="label", threshold=_COSINE_THRESHOLD, int32_tiles=True
     )
 
 
@@ -715,7 +718,7 @@ def semantic_dedup_frame(spark, sf_dir, k: int):
     e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
     assign = ivf_assign(e, ivf_centroids(e, k=k))
     pairs = bucketed_cosine_pairs(
-        assign, bucket_col="cell", threshold=_COSINE_THRESHOLD
+        assign, bucket_col="cell", threshold=_COSINE_THRESHOLD, int32_tiles=True
     )
     drops = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_close_lower"),

@@ -407,6 +407,40 @@ def test_bucketed_cosine_pairs_tiling_exact(spark):
     assert c == a
 
 
+def test_bucketed_cosine_pairs_int32_tiles_bit_identical(spark):
+    """Round-15 adoption: ``int32_tiles=True`` ships the replicated
+    tile payload as array<int> (half the shuffle bytes) and must be
+    BIT-identical to the int64 path — the numpy panels upcast before
+    the matmul, so dots, norms and cosines go through the same
+    arithmetic. Exercised both on the fixture (elements ~1e7, the
+    quantize bound) and on a synthetic frame with elements pushed next
+    to the int32 boundary, where a lossy cast would corrupt the dot
+    products loudly."""
+    from arnab_spark.operators import bucketed_cosine_pairs, quantize_embeddings
+
+    e = quantize_embeddings(load_table(spark, SF, "embeddings"), "embedding", 64)
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    wide = sorted(map(tuple, bucketed_cosine_pairs(
+        e, "label", threshold=0.3, chunk_size=7).collect()), key=key)
+    narrow = sorted(map(tuple, bucketed_cosine_pairs(
+        e, "label", threshold=0.3, chunk_size=7, int32_tiles=True
+    ).collect()), key=key)
+    assert len(wide) > 0
+    assert wide == narrow  # incl. exact dot_int and bit-identical cosine
+
+    # boundary: elements at ±(2^31 - 1) survive the narrow cast intact
+    big = 2**31 - 1
+    rows = [(1, 0, [big, -big]), (2, 0, [big, -big]), (3, 0, [-big, big])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, iv array<long>")
+    out = sorted(map(tuple, bucketed_cosine_pairs(
+        df, "label", threshold=-2.0, int32_tiles=True).collect()))
+    ref = sorted(map(tuple, bucketed_cosine_pairs(
+        df, "label", threshold=-2.0).collect()))
+    assert out == ref
+    expect_dot = 2 * big * big  # exact: a lossy cast would corrupt it
+    assert [t[3] for t in out] == [expect_dot, -expect_dot, -expect_dot]
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the closure to reliable checkpoint():
     same fixpoint as the localCheckpoint default, and checkpoint files
