@@ -541,10 +541,14 @@ def bucketed_cosine_pairs(
     ships the tile payload as ``array<int>`` at half the bytes; the
     numpy panels upcast back to int64 before the matmul, so every dot
     product, norm and cosine is computed in exactly the same integer/
-    IEEE arithmetic and the output is bit-identical
-    (COSINE_DECOMP_r15.json: 2.23x/1.87x at sf10 in both measurement
-    orders, exact row-set identity at sf0.1+sf10). Opt-in because the
-    operator is a general API and cannot prove the caller's bound."""
+    IEEE arithmetic and the output is bit-identical. Opt-in because the
+    operator is a general API and cannot prove the caller's bound.
+    NOTE on when it pays: the local[32] registry adoption was REVERTED
+    after a clean interleaved confirm read 0.93x (COSINE_AB_r15.json —
+    the single-box tile shuffle is page-cache-bound, so halving bytes
+    only buys the upcast cost; the original 2.23x/1.87x readings in
+    COSINE_DECOMP_r15.json were load-degraded). The flag remains for
+    network-bound clusters where shuffle bytes are the actual wall."""
     import numpy as np
     import pandas as pd
 

@@ -420,12 +420,13 @@ def dedup_embedding_cosine(spark, sf_dir):
         f"transform(sequence(1, {DIM}), i -> CAST(floor(CAST(element_at(embedding, i)"
         f" AS DOUBLE) * {_Q}) AS BIGINT)) AS iv",
     )
-    # int32_tiles: quantized elements are bounded by _Q·|x| ≈ 1e7,
-    # three orders inside int32 — the tile shuffle halves its bytes
-    # with bit-identical output (COSINE_DECOMP_r15.json, 2.23x/1.87x)
-    return bucketed_cosine_pairs(
-        q, bucket_col="label", threshold=_COSINE_THRESHOLD, int32_tiles=True
-    )
+    # int32_tiles stays OFF here: the r15 decomposition read 2.23x/1.87x
+    # on a load-degraded box, but the clean-box interleaved confirm
+    # (COSINE_AB_r15.json) measured 0.93x — the local[32] tile shuffle is
+    # page-cache-bound, so halving its bytes only buys the int64 upcast
+    # cost. The flag (bit-identical output) remains available for
+    # network-bound clusters where shuffle bytes are the wall.
+    return bucketed_cosine_pairs(q, bucket_col="label", threshold=_COSINE_THRESHOLD)
 
 
 _CC_REACH_DUCK = f"""
@@ -717,9 +718,8 @@ def semantic_dedup_frame(spark, sf_dir, k: int):
 
     e = quantize_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding", DIM)
     assign = ivf_assign(e, ivf_centroids(e, k=k))
-    pairs = bucketed_cosine_pairs(
-        assign, bucket_col="cell", threshold=_COSINE_THRESHOLD, int32_tiles=True
-    )
+    # int32_tiles off: refuted on the clean-box confirm (COSINE_AB_r15.json).
+    pairs = bucketed_cosine_pairs(assign, bucket_col="cell", threshold=_COSINE_THRESHOLD)
     drops = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_close_lower"),
         F.max("cosine").alias("max_close_cosine"),

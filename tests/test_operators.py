@@ -408,11 +408,12 @@ def test_bucketed_cosine_pairs_tiling_exact(spark):
 
 
 def test_bucketed_cosine_pairs_int32_tiles_bit_identical(spark):
-    """Round-15 adoption: ``int32_tiles=True`` ships the replicated
-    tile payload as array<int> (half the shuffle bytes) and must be
-    BIT-identical to the int64 path — the numpy panels upcast before
-    the matmul, so dots, norms and cosines go through the same
-    arithmetic. Exercised both on the fixture (elements ~1e7, the
+    """Opt-in operator flag (round 15; not used by the registry
+    callers after the clean-box refutation in COSINE_AB_r15.json):
+    ``int32_tiles=True`` ships the replicated tile payload as
+    array<int> (half the shuffle bytes) and must be BIT-identical to
+    the int64 path — the numpy panels upcast before the matmul, so
+    dots, norms and cosines go through the same arithmetic. Exercised both on the fixture (elements ~1e7, the
     quantize bound) and on a synthetic frame with elements pushed next
     to the int32 boundary, where a lossy cast would corrupt the dot
     products loudly."""
