@@ -38,6 +38,7 @@ def connected_components(
     max_iter: int = 40,
     checkpoint_dir: str | None = None,
     on_round=None,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list via alternating
     LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
@@ -107,6 +108,34 @@ def connected_components(
       — the partitioning is established once and the join (with its
       second exchange of the same frame) disappears.
 
+    Round-16 small-graph fast path (CC_FUSE2_r16.json — the `combined`
+    variant adopted under the both-orders >=1.15x rule at 1.40x/1.22x
+    sf10, 2.3x sf0.1, result-identical at both scales; kept after the
+    clean interleaved confirm): the canonical edge list is already
+    materialized and COUNTED by the very first convergence checksum
+    (zero extra jobs), so when that count is at or under
+    ``small_graph_edges`` the whole O(log n) round structure — each
+    round a full driver planning/codegen/barrier cycle measured at
+    ~0.5-1 s regardless of data volume (CC_DECOMP_r10) — is replaced
+    by ONE single-task union-find (path-halving, exact min-id labels)
+    over the checkpointed blocks via ``mapInPandas``. This is the
+    broadcast-join decision applied to a fixpoint: when the data fits
+    one task, ship the computation once instead of paying ~22 global
+    synchronization barriers (guide §2.4 / §3.1). Above the threshold
+    the distributed star contraction below runs unchanged — at 100 TB
+    the LSH pair graph takes that path. The harness's fused
+    large+small-star rounds variant was REFUTED standalone
+    (0.96x/0.89x) and the >threshold branch therefore stays the r15
+    alternating-star spelling; the adopted `combined` runs only ever
+    exercised the small path at bench scale.
+
+    ``small_graph_edges`` — None (default) reads env
+    ``ARNAB_CC_SMALL_EDGES`` (default 2,000,000: ~32 MB of edge data
+    plus the union-find dict, comfortably inside one task's execution
+    memory on any sane executor; raise it on fat-memory clusters, set
+    0 to force the distributed path). The threshold compares the
+    DEDUPLICATED canonical edge count, not the raw pair volume.
+
     ``checkpoint_dir`` selects checkpoint durability (round-3 verdict
     item 7): None (default) uses executor-local ``localCheckpoint`` —
     fastest, fine on a reliable box — while a path switches to RELIABLE
@@ -172,6 +201,65 @@ def connected_components(
         return int(row["n"]), int(row["x"] or 0)
 
     sig = _checksum(e)
+
+    if small_graph_edges is None:
+        import os as _os
+
+        small_graph_edges = int(
+            _os.environ.get("ARNAB_CC_SMALL_EDGES", "2000000")
+        )
+    if small_graph_edges and sig[0] <= small_graph_edges:
+        # round-16 small-graph fast path (see docstring): one
+        # single-task union-find over the already-checkpointed edge
+        # blocks replaces the whole star-contraction round structure
+        node_ddl = e.schema["p"].dataType.simpleString()
+
+        def _union_find(batches):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    parent[r] = parent[parent[r]]  # path halving
+                    r = parent[r]
+                return r
+
+            for b in batches:
+                for c_val, p_val in zip(b["c"].tolist(), b["p"].tolist()):
+                    parent.setdefault(c_val, c_val)
+                    parent.setdefault(p_val, p_val)
+                    rc, rp = find(c_val), find(p_val)
+                    if rc != rp:
+                        parent[rc] = rp
+            if parent:
+                best: dict = {}
+                for n in parent:
+                    r = find(n)
+                    cur = best.get(r)
+                    if cur is None or n < cur:
+                        best[r] = n
+                yield pd.DataFrame(
+                    {
+                        "node": list(parent),
+                        "comp": [best[find(n)] for n in parent],
+                    }
+                )
+
+        # lazy-checkpointed: the final frame references labels twice
+        # (union arm + the singleton anti-join) — the blocks persist
+        # on first evaluation so the union-find task runs once/action
+        labels = ckpt_lazy(
+            e.coalesce(1).mapInPandas(
+                _union_find, f"node {node_ddl}, comp {node_ddl}"
+            )
+        )
+        singletons = nodes.join(
+            labels.select("node"), on="node", how="left_anti"
+        ).select("node", F.col("node").alias("comp"))
+        return labels.unionByName(singletons)
+
     stable = 0
     for _op in range(max_iter):
         _t0 = _time.monotonic()

@@ -117,24 +117,81 @@ def davg(col: Column | str, alias: str) -> Column:
 #: ceiling is enforced by
 #: ``tests/test_registry_order.py::test_no_query_evidence_older_than_three_rounds``.
 #:
-#: ROUND-15 WINDOW: slot 1 is the round-15 addition — never
-#: driver-verified, so the never-run gate requires it windowed:
+#: ROUND-16 WINDOW: slots 1-2 are the two queries whose Spark-side
+#: source changed this round (docstring-only honesty fixes — the OHLC
+#: "zero sorts" correction, r15 verdict ask #8, and the funnel
+#: skew-threshold documentation, ask #5 — but the source-hash gate is
+#: deliberately blind to comment-only edits, so they re-verify):
+#: `events_funnel` and `time_resample_ohlc`. Slot 3 is
+#: `dedup_cluster_best`: its results flow through the
+#: `connected_components` operator this round's CC_FUSE2_r16
+#: optimization touches, so it re-verifies alongside
+#: `dedup_connected_groups` (slot 23). Slots 4-23 are the twenty
+#: `R15_DISPLACED` r12-cohort queries at the three-round staleness
+#: ceiling — mandatory, pre-announced in the r15 header. Slots 24-50
+#: are 27 of the 47-query round-13-latest-evidence cohort, chosen to
+#: cover every module and to include the queries this round's
+#: optimizations touch (`orders_retention_cohort` — RETENTION_r16
+#: rework; the dedup family around the CC operator change).
+#:
+#: DISPLACED (the twenty r13-cohort queries those slots push out; each
+#: is hash-pinned in EVIDENCE.json and names a same-family sibling
+#: with r14-or-newer evidence — or one verified in THIS round's
+#: window, giving it r16 evidence; all twenty reach the three-round
+#: ceiling after r16 and therefore take mandatory r17 slots):
+#:   - `agg_arg_minmax` (sibling `agg_collect_set_array` r15 — the
+#:     same ordered-collect/lexicographic-struct-min family),
+#:   - `agg_count_distinct_multi` (sibling `orders_retention_cohort`
+#:     windowed THIS round — the same distinct-aggregate expansion),
+#:   - `agg_filter_clause` (sibling `agg_priority_late_orders` r15 —
+#:     the same conditional-aggregate family),
+#:   - `agg_grouping_sets` (sibling `agg_cube` r14 — the same
+#:     Expand-based grouping machinery),
+#:   - `agg_rollup` (sibling `rollup_time_hierarchy` r14),
+#:   - `agg_having` + `agg_orders_per_product` (sibling
+#:     `agg_supplier_part_counts` r15 — the same grouped-HAVING /
+#:     per-key count shapes),
+#:   - `fn_datetime` (siblings `dialect_strftime_datetime` r15 +
+#:     `dialect_epoch_datediff` windowed THIS round),
+#:   - `fn_map_higher_order` (sibling `fn_array_higher_order` r14 —
+#:     the same higher-order-function corpus),
+#:   - `fn_regex` (sibling `fn_string` r14 — the same string-fn
+#:     corpus),
+#:   - `fn_struct_map` (sibling `fn_array` r15 — the same container
+#:     pack/extract corpus),
+#:   - `join_anti` + `join_semi` (sibling `in_subquery` r15 — the
+#:     same EXISTS/NOT-EXISTS rewrite machinery),
+#:   - `join_full_outer` + `join_left_outer` (sibling
+#:     `join_right_outer` r14 — the same outer-join family),
+#:   - `join_idle_rich_customers` (sibling `join_waiting_suppliers`
+#:     r14 — the same TPC-H exists-composite family),
+#:   - `join_large_orders_customers` (sibling `join_shipping_priority`
+#:     r15 — the same TPC-H composite join family),
+#:   - `join_lateral` (sibling `fn_explode_unnest` r15 — the same
+#:     lateral/generate lowering),
+#:   - `join_theta_range` (sibling `range_join_bucketed` r14 — the
+#:     same range/theta join machinery),
+#:   - `join_volume_shipping` (sibling `join_national_market_share`
+#:     r15 — the same 6-table TPC-H composite family).
+#:
+#: ROUND-15 WINDOW (historical): slot 1 was the round-15 addition —
+#: never driver-verified, so the never-run gate required it windowed:
 #: `dialect_strptime_tz` (the %z lift, r14 verdict ask #5). Slots 2-3
-#: are the two queries whose SPARK-side source changed this round
+#: were the two queries whose SPARK-side source changed that round
 #: (EVENTS_DECOMP_r15.json adoptions — oracles unchanged, but changed
 #: queries must re-verify): `events_funnel` (array spelling, 1.86x)
 #: and `time_resample_ohlc` (struct-agg spelling, 1.91x). Slots 4-21
-#: are the eighteen `R14_DISPLACED` r11-cohort queries at the
+#: were the eighteen `R14_DISPLACED` r11-cohort queries at the
 #: three-round staleness ceiling — mandatory, pre-announced in the r14
-#: header. Slots 22-50 are 29 of the 49-query
+#: header. Slots 22-50 were 29 of the 49-query
 #: round-12-latest-evidence cohort.
 #:
-#: DISPLACED (the twenty r12-cohort queries those mandatory slots push
-#: out; each is hash-pinned in EVIDENCE.json and names a same-family
-#: sibling with r13-or-newer evidence — or one verified in THIS
-#: round's window, giving it r15 evidence; all twenty reach the
+#: R15-DISPLACED (the twenty r12-cohort queries the r15 mandatory
+#: slots pushed out; each is hash-pinned in EVIDENCE.json and names a
+#: same-family sibling with r13-or-newer evidence — or one verified in
+#: the r15 window, giving it r15 evidence; all twenty reached the
 #: three-round ceiling after r15 and therefore take mandatory r16
-#: slots):
+#: slots — honored above, slots 4-23):
 #:   - `agg_important_part_value`, `agg_promo_revenue_share`,
 #:     `join_bracketed_discounts`, `join_majority_part_suppliers`,
 #:     `join_product_type_profit`, `join_top_supplier_revenue` (six
@@ -237,65 +294,68 @@ def davg(col: Column | str, alias: str) -> Column:
 #: import reorder, an unrotated rewrite, or an unwindowed NEW query
 #: fails CI, not the judge.
 CURATED_FIRST: tuple[str, ...] = (
-    # --- slot 1: round-15 addition, never driver-verified ---
-    "dialect_strptime_tz",
-    # --- slots 2-3: Spark-side source changed this round (the
-    #     EVENTS_DECOMP_r15 adoptions — changed queries must
-    #     re-verify; oracles unchanged) ---
+    # --- slots 1-2: Spark-side source changed this round (docstring
+    #     honesty fixes — r15 verdict asks #5/#8; the hash gate is
+    #     blind to comment-only edits, so they re-verify) ---
     "events_funnel",
     "time_resample_ohlc",
-    # --- slots 4-21: the eighteen R14_DISPLACED r11-cohort queries
-    #     (three rounds stale — mandatory per the staleness ceiling,
-    #     pre-announced in the r14 header) ---
-    "agg_collect_set_array",
-    "cte_chain",
-    "dedup_substring_windows",
-    "dialect_datediff_week",
-    "dialect_unnest_embedded",
-    "dialect_unnest_qualified_star",
-    "dialect_unnest_recursive",
-    "distinct_rows",
-    "filter_ilike_nullsafe",
-    "fn_array",
-    "fn_nondeterministic",
-    "in_subquery",
-    "intersect_except_all",
-    "order_limit_offset",
-    "stream_session_counts_materialized",
-    "tumbling_window",
-    "values_inline",
-    "window_navigation",
-    # --- slots 22-50: round-12-latest-evidence cohort (29 of 49;
-    #     the 20 displaced are pinned + sibling-documented above) ---
-    "agg_late_shipment_priority",
-    "agg_mode_bool_bits",
-    "agg_percentile_approx",
-    "agg_priority_late_orders",
-    "agg_small_quantity_revenue",
-    "agg_supplier_part_counts",
-    "ann_ivf_cells",
+    # --- slot 3: results flow through the connected_components
+    #     operator this round's CC_FUSE2_r16 change touches ---
     "dedup_cluster_best",
-    "dedup_embedding_cosine",
-    "dialect_strftime_datetime",
-    "dialect_unnest_zip",
-    "dml_statement_script",
-    "fn_explode_unnest",
-    "join_national_market_share",
-    "join_returned_item_revenue",
-    "join_shipping_priority",
-    "join_star_revenue",
-    "multimodal_frame_sample",
-    "sessionize_gaps",
-    "stream_dedup_exact_materialized",
-    "table_sample",
-    "text_decontaminate",
-    "text_dsir_resample",
-    "text_pack_sequences",
-    "text_quality_score",
-    "text_token_count",
-    "text_train_split",
-    "time_weighted_avg",
-    "union_all",
+    # --- slots 4-23: the twenty R15_DISPLACED r12-cohort queries
+    #     (three rounds stale — mandatory per the staleness ceiling,
+    #     pre-announced in the r15 header) ---
+    "agg_approx_count_distinct",
+    "agg_important_part_value",
+    "agg_pivot",
+    "agg_promo_revenue_share",
+    "agg_stats_native",
+    "dialect_unnest_star_window",
+    "dialect_unnest_zip_star",
+    "fn_math_native",
+    "fn_posexplode_ordinality",
+    "join_bracketed_discounts",
+    "join_majority_part_suppliers",
+    "join_product_type_profit",
+    "join_top_supplier_revenue",
+    "sample_stratified",
+    "sliding_window",
+    "text_boilerplate_ngrams",
+    "text_chunk_windows",
+    "text_pii_scrub",
+    "text_quality_gopher",
+    "window_ranking",
+    # --- slots 24-50: round-13-latest-evidence cohort (27 of 47;
+    #     the 20 displaced are pinned + sibling-documented above;
+    #     includes this round's optimization targets
+    #     orders_retention_cohort + the CC-fed dedup family) ---
+    "agg_salted_skew",
+    "agg_unpivot",
+    "ann_ivf_recall",
+    "ann_ivf_refined",
+    "ann_pq_adc",
+    "asof_join",
+    "asof_join_pandas",
+    "dedup_connected_groups",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dialect_epoch_datediff",
+    "dialect_list_scalar_parity",
+    "dialect_strptime_roundtrip",
+    "fn_hash",
+    "join_customer_distribution",
+    "join_local_supplier_volume",
+    "join_salted_skew",
+    "knn_cosine_brute",
+    "multimodal_resize",
+    "orders_retention_cohort",
+    "scan_project_filter",
+    "stream_tumbling_counts_materialized",
+    "text_decontaminate_bloom",
+    "text_tfidf_top_terms",
+    "text_vocab_topk",
+    "window_running_frame",
 )
 
 

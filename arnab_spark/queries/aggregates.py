@@ -773,6 +773,41 @@ GROUP BY CAST(date_trunc('month', f.first_dt) AS TIMESTAMP),
 """
 
 
+#: Spark-side spelling (round 16, RETENTION_r16.json — the oracle above
+#: is unchanged): ONE groupBy(o_custkey) computes MIN(month) and
+#: collect_set(month) TOGETHER (partial aggregation dedupes months
+#: map-side), the month offsets resolve in-row by exploding the
+#: per-customer set, and COUNT(DISTINCT custkey) degenerates to
+#: COUNT(*) because each customer contributes each of its distinct
+#: offsets exactly once — the join and the second full-orders exchange
+#: of the r13 spelling disappear outright (guide §2.4/§2.3). Exactness:
+#: date_trunc('month', d) is monotone, so MIN(trunc(d)) = trunc(MIN(d));
+#: year()/month() of the truncated month equal those of the raw date;
+#: collect_set makes per-customer offsets distinct. Adopted under the
+#: pre-stated both-orders rule: 1.26x (quiet-box order A) / 1.94x
+#: (fresh-JVM reversed order, drift-inflated baseline — the 1.26x is
+#: the conservative read), result-identical at sf0.1 and sf10; the
+#: winfirst window variant also passed (1.16x/1.59x) but lost to this.
+_RETENTION_SPARK_SQL = """
+WITH m AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mth
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, MIN(mth) AS first_m, collect_set(mth) AS months
+  FROM m GROUP BY o_custkey
+)
+SELECT first_m AS cohort_month,
+       CAST((year(mth) - year(first_m)) * 12
+            + (month(mth) - month(first_m)) AS BIGINT) AS month_offset,
+       COUNT(*) AS n_customers
+FROM g LATERAL VIEW explode(months) t AS mth
+GROUP BY first_m,
+         CAST((year(mth) - year(first_m)) * 12
+              + (month(mth) - month(first_m)) AS BIGINT)
+"""
+
+
 @query("orders_retention_cohort", oracle=_RETENTION_SQL, tags=("agg", "retention"))
 def orders_retention_cohort(spark, sf_dir):
     """Cohort retention matrix: customers grouped by the month of their
@@ -782,26 +817,21 @@ def orders_retention_cohort(spark, sf_dir):
     ((Δyear)*12 + Δmonth), never a float day-difference, so both
     engines bucket identically across month-length boundaries.
 
-    Scale shape: one partial-aggregated MIN groupBy on o_custkey, one
-    equi-join back to orders on the same key (the first agg's output
-    is already hash-partitioned by o_custkey, so AQE plans the join
-    without re-shuffling that side), then a COUNT(DISTINCT custkey)
-    over (cohort, offset) — Spark expands distinct-agg into a
-    two-phase partial aggregate, so the shuffle carries
-    (cohort, offset, custkey) triples deduplicated map-side. Output
-    cardinality is O(months^2), independent of row count.
-
-    sf10 residual: TERMINAL (round 15, EVENTS_DECOMP_r15.json). Stage
-    walls: firsts agg 0.91 s, +join back 1.93 s, full 3.4-3.6 s vs
-    DuckDB 0.73 s. The pre-stated dedup-first rewrite (distinct
-    (custkey, month) before any join, COUNT(*) instead of distinct
-    agg) measured SLOWER in both measurement orders (0.89x / 0.79x
-    fresh-JVM reversed): the fixture's custkey-month pairs are nearly
-    as numerous as orders rows, so map-side dedup bought no shuffle
-    volume and added a window sort. The residual is the single-box
-    shuffle constant on two full-orders exchanges — the same class as
-    Q21's terminal verdict; not re-measured after r15."""
+    Scale shape (round 16 rewrite — decomposition and adopt protocol
+    in ``_RETENTION_SPARK_SQL``'s header note and RETENTION_r16.json;
+    the r15 terminal note invited exactly this structural rework): ONE
+    exchange of (custkey, month) rows establishes everything — first
+    month and the distinct-month set come out of the same partial
+    aggregate — then a second exchange of only O(customers × months)
+    exploded offset rows. The r13 spelling paid two full-orders
+    exchanges plus an equi-join (stage walls: firsts agg 0.91 s, +join
+    back 1.93 s of the 3.4-3.6 s sf10 total); the r15 dedup-first
+    variant was refuted (0.89x/0.79x) because its window sort cost more
+    than the dedup saved — this spelling dedupes in the aggregate
+    WITHOUT a window. Per-customer state is O(distinct months), bounded
+    by the calendar (84 months in the fixture's range), so the
+    aggregation buffer is skew-safe at any scale."""
     from arnab_spark.spark_utils import register_views
 
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_RETENTION_SQL)
+    return spark.sql(_RETENTION_SPARK_SQL)

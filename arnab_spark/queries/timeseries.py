@@ -660,10 +660,21 @@ def events_funnel(spark, sf_dir):
     shuffle (the per-user groupBy; collect_list partial-merges
     map-side), funnel resolution as per-row array expressions, and a
     single-row global count — no joins anywhere. Per-user state is
-    O(events-per-user): bounded in real user streams (and in the
-    fixtures); under adversarial single-user skew the r13 join
-    spelling — kept verbatim as the oracle — remains the documented
-    O(1)-per-row fallback."""
+    O(events-per-user): the hot-user aggregation buffer holds that
+    user's click+purchase timestamps (~16 B/event in the collect_list
+    buffers, which do NOT spill intra-group).
+
+    Skew guard (round 16, r15 verdict ask #5): the adversarial
+    single-user fixture test
+    (tests/test_operators.py::test_events_funnel_adversarial_single_user_skew)
+    pins completion + join-spelling parity with 150k events on one
+    user. SPELLING-SWITCH THRESHOLD: keep the array spelling while
+    max(events per user) stays under ~1e7 (≈160 MB per-group buffer
+    against per-task execution memory); past that — bot traffic at
+    100 TB — run the r13 join spelling, kept verbatim as the oracle
+    string above, whose per-row state is O(1) and whose shuffles AQE
+    skew-splits (the guide §2.5 escape hatch the array aggregate does
+    not have)."""
     from arnab_spark.spark_utils import register_views
 
     register_views(spark, sf_dir, ("events",))
@@ -731,12 +742,18 @@ def time_resample_ohlc(spark, sf_dir):
 
     Scale shape (round 15 rewrite — decomposition and adopt protocol
     in ``_OHLC_SPARK_SQL``'s header note and EVENTS_DECOMP_r15.json):
-    ONE hash-aggregate Exchange, zero sorts — open/close ride
-    MIN/MAX(struct) partial aggregation, so each map task emits
-    O(buckets) rows and the shuffle no longer carries event rows at
-    all. State per bucket is O(1); buckets grow with time span, not
-    volume, so at 100 TB this is an embarrassingly parallel
-    per-bucket fold."""
+    ONE aggregate Exchange — open/close ride MIN/MAX(struct) partial
+    aggregation, so each map task emits O(buckets) rows and the
+    shuffle no longer carries event rows at all. min/max over a
+    struct is not hash-aggregable, so the physical plan is a
+    SortAggregate with an in-partition sort on each side of the
+    Exchange (see plans/r15/time_resample_ohlc_after.txt): the
+    map-side sort streams the scanned rows by group key (no shuffle,
+    spillable), the reduce-side sort sees only the O(buckets)
+    combined rows — the shuffle-volume claim is what matters at
+    scale, not sort count. State per bucket is O(1); buckets
+    grow with time span, not volume, so at 100 TB this is an
+    embarrassingly parallel per-bucket fold."""
     from arnab_spark.spark_utils import register_views
 
     register_views(spark, sf_dir, ("events",))

@@ -184,23 +184,36 @@ def test_connected_components_unconverged_max_iter_raises(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8)],
         "src bigint, dst bigint",
     )
+    # small_graph_edges=0 forces the distributed star contraction (the
+    # round-16 single-task fast path has no rounds to exhaust)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, "src", "dst", max_iter=1)
+        connected_components(
+            edges, "src", "dst", max_iter=1, small_graph_edges=0
+        )
     # a max_iter that allows convergence still succeeds on this graph
     got = {
         (r.node, r.comp)
-        for r in connected_components(edges, "src", "dst").collect()
+        for r in connected_components(
+            edges, "src", "dst", small_graph_edges=0
+        ).collect()
     }
     assert got == {(n, 1) for n in range(1, 9)}
 
 
-def test_connected_components_random_graphs_match_union_find(spark):
+def test_connected_components_random_multigraphs_match_union_find(spark):
     """Round-15 internals pin: the star operations were respelled as
     window minima over a single-materialized edge base with lazy
     (checksum-fused) local checkpoints (CC_FUSE_r15.json). Labels on
     seeded random multigraphs — duplicate edges, self-loops, skewed
     degrees, singleton self-loop nodes — must still equal the
-    component minimum computed by a plain union-find."""
+    component minimum computed by a plain union-find.
+
+    Round 16: renamed — this function was silently SHADOWED by the
+    same-named r10 differential test later in the module (Python keeps
+    the last definition; pytest never collected this one) — and now
+    exercises BOTH operator paths: the round-16 single-task union-find
+    fast path (the default at these edge counts, CC_FUSE2_r16.json)
+    and the distributed star contraction (``small_graph_edges=0``)."""
     import random
 
     from arnab_spark.operators import connected_components
@@ -226,11 +239,14 @@ def test_connected_components_random_graphs_match_union_find(spark):
         touched = sorted({x for p in pairs for x in p})
         want = {(x, find(x)) for x in touched}
         edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
-        got = {
-            (r.node, r.comp)
-            for r in connected_components(edges, "src", "dst").collect()
-        }
-        assert got == want, f"seed={seed}"
+        for small in (None, 0):  # fast path (default) + distributed
+            got = {
+                (r.node, r.comp)
+                for r in connected_components(
+                    edges, "src", "dst", small_graph_edges=small
+                ).collect()
+            }
+            assert got == want, f"seed={seed} small_graph_edges={small}"
 
 
 def test_hash_split_generic_bounds(spark):
@@ -458,13 +474,25 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         (r.node, r.comp) for r in connected_components(edges).collect()
     }
     ckdir = str(tmp_path / "ck")
+    # small_graph_edges=0: keep the DISTRIBUTED contraction under
+    # reliable checkpointing covered (the r16 fast path would otherwise
+    # swallow this tiny graph); the fast path x reliable combination is
+    # asserted right after
     reliable = {
         (r.node, r.comp)
-        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            edges, checkpoint_dir=ckdir, small_graph_edges=0
+        ).collect()
     }
     assert reliable == local
     assert {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)} == reliable
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"
+    ckdir2 = str(tmp_path / "ck2")
+    fast_reliable = {
+        (r.node, r.comp)
+        for r in connected_components(edges, checkpoint_dir=ckdir2).collect()
+    }
+    assert fast_reliable == reliable
 
 
 def test_pq_encode_generic_subspaces_match_numpy(spark):
@@ -543,14 +571,22 @@ def test_connected_components_random_graphs_match_union_find(spark):
         cases.append(
             [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
         )
+    # round 16: both operator paths — the single-task union-find fast
+    # path (default at these sizes) and the star contraction forced
+    # via small_graph_edges=0 (CC_FUSE2_r16.json)
     for i, es in enumerate(cases):
         df = spark.createDataFrame(es, "src bigint, dst bigint")
-        got = {
-            (r.node, r.comp)
-            for r in connected_components(df, "src", "dst").collect()
-        }
         want = set(union_find(es).items())
-        assert got == want, f"case {i}: {sorted(got ^ want)[:10]}"
+        for small in (None, 0):
+            got = {
+                (r.node, r.comp)
+                for r in connected_components(
+                    df, "src", "dst", small_graph_edges=small
+                ).collect()
+            }
+            assert got == want, (
+                f"case {i} small_graph_edges={small}: {sorted(got ^ want)[:10]}"
+            )
 
 
 def test_asof_bucketed_matches_plain_across_widths(spark):
@@ -664,3 +700,65 @@ def test_ivf_assign_coarse_low_probe_agreement(spark):
     # Chance level is 1/16; anything structurally broken (wrong group
     # routing, wrong tie rule) lands near it.
     assert agree >= 0.3, f"n_probe=1 agreement at chance level: {agree}"
+
+
+def test_events_funnel_adversarial_single_user_skew(spark):
+    """Funnel skew guard (round 16, r15 verdict "What's wrong #2" /
+    "Next round #5"): the r15 array spelling's per-user state is
+    O(events-per-user) — a collect_list of the user's click/purchase
+    timestamps — so a hot user (bot traffic, the EXPECTED case at
+    100 TB, not the corner) is the spelling's worst case where the
+    join spelling (kept verbatim as the oracle) stays O(1)/row. This
+    fixture concentrates 150,000 events on ONE user, with half of the
+    clicks/purchases placed adversarially BEFORE the user's first view
+    so the in-row array filters do real work, plus control users
+    covering every stage-miss pattern. Pins (a) the spelling completes
+    under single-user skew at test scale (aggregation buffer ~1.2 MB
+    for the hot user — memory behavior, not just correctness) and (b)
+    the result matches the join spelling run over the same frame. The
+    documented spelling-switch threshold lives in the query docstring
+    (arnab_spark/queries/timeseries.py::events_funnel)."""
+    from arnab_spark.queries.timeseries import _FUNNEL_SPARK_SQL, _FUNNEL_SQL
+
+    n = 150_000
+    hot = spark.range(n).selectExpr(
+        "id AS event_id",
+        "CAST(1 AS BIGINT) AS user_id",
+        "timestamp_seconds(1600000000 + id) AS ts",
+        # ids below n/2: clicks/purchases BEFORE the first view;
+        # the single view sits exactly at n/2; above it, alternating
+        # clicks/purchases (first click n/2+2, first purchase n/2+3)
+        f"CASE WHEN id = {n // 2} THEN 'view' "
+        "WHEN id % 2 = 0 THEN 'click' ELSE 'purchase' END AS event_type",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    controls = spark.createDataFrame(
+        [
+            # user 2: view -> click after it, purchase only BEFORE the
+            # click -> reaches view+click, not purchase
+            (n + 1, 2, 100, "view", 0.0),
+            (n + 2, 2, 200, "click", 0.0),
+            (n + 3, 2, 150, "purchase", 0.0),
+            # user 3: view only
+            (n + 4, 3, 100, "view", 0.0),
+            # user 4: click+purchase but NO view -> counted nowhere
+            (n + 5, 4, 100, "click", 0.0),
+            (n + 6, 4, 200, "purchase", 0.0),
+            # user 5: click strictly before its only view -> view only
+            (n + 7, 5, 100, "click", 0.0),
+            (n + 8, 5, 200, "view", 0.0),
+        ],
+        "event_id bigint, user_id bigint, off bigint, event_type string, value double",
+    ).selectExpr(
+        "event_id", "user_id",
+        "timestamp_seconds(1600000000 + off) AS ts", "event_type", "value",
+    )
+    hot.unionByName(controls).createOrReplaceTempView("events")
+    got = sorted(
+        tuple(r) for r in spark.sql(_FUNNEL_SPARK_SQL).collect()
+    )
+    want = sorted(tuple(r) for r in spark.sql(_FUNNEL_SQL).collect())
+    assert got == want, (got, want)
+    # hand-computed: views = users {1,2,3,5}; clicks-after-view = {1,2};
+    # purchases-after-click = {1}
+    assert dict(got) == {"view": 4, "click": 2, "purchase": 1}, got

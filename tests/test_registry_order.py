@@ -164,35 +164,68 @@ def _latest_evidence(max_round: int | None = None) -> dict[str, int]:
     return latest
 
 
-def test_r15_window_covers_stale_evidence_queries():
-    """The r15 window holds every query whose latest driver evidence is
-    r11 or older — computed from the committed CORRECTNESS_r{01..14}.json
-    union — so after the r15 run no registry query's driver evidence
-    predates r12 (the staleness ceiling holds at round 15). Slot 1 is
-    the round-15 %z addition (never-run gate); slots 2-3 are the two
-    changed-source EVENTS_DECOMP_r15 adoptions; slots 4-21 are the
-    eighteen R14_DISPLACED ceiling queries (mandatory, pre-announced in
-    the r14 header); the twenty r12-cohort queries displaced this round
-    (R15_DISPLACED) are pinned + sibling-documented and take mandatory
-    r16 slots."""
-    latest = _latest_evidence(max_round=14)  # r15 rotation input
+#: The twenty round-13-cohort queries the round-16 mandatory slots (two
+#: changed-source docstring re-slots + the CC-operator consumer
+#: dedup_cluster_best + the twenty R15_DISPLACED ceiling queries)
+#: displace. Each is hash-pinned in EVIDENCE.json and names a
+#: same-family sibling with r14-or-newer evidence or one verified in
+#: the r16 window itself (full sibling table: the CURATED_FIRST header
+#: in arnab_spark/queries/__init__.py). After r16 they sit at exactly
+#: three rounds stale — the ceiling — so ALL TWENTY take mandatory r17
+#: slots.
+R16_DISPLACED = {
+    "agg_arg_minmax",
+    "agg_count_distinct_multi",
+    "agg_filter_clause",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_orders_per_product",
+    "agg_rollup",
+    "fn_datetime",
+    "fn_map_higher_order",
+    "fn_regex",
+    "fn_struct_map",
+    "join_anti",
+    "join_full_outer",
+    "join_idle_rich_customers",
+    "join_large_orders_customers",
+    "join_lateral",
+    "join_left_outer",
+    "join_semi",
+    "join_theta_range",
+    "join_volume_shipping",
+}
+
+
+def test_r16_window_covers_stale_evidence_queries():
+    """The r16 window holds every query whose latest driver evidence is
+    r12 or older — computed from the committed CORRECTNESS_r{01..15}.json
+    union — so after the r16 run no registry query's driver evidence
+    predates r13 (the staleness ceiling holds at round 16). Slots 1-2
+    are the changed-source docstring re-slots (r15 verdict asks #5/#8);
+    slot 3 is dedup_cluster_best (CC-operator consumer); slots 4-23 are
+    the twenty R15_DISPLACED ceiling queries (mandatory, pre-announced
+    in the r15 header); the twenty r13-cohort queries displaced this
+    round (R16_DISPLACED) are pinned + sibling-documented and take
+    mandatory r17 slots."""
+    latest = _latest_evidence(max_round=15)  # r16 rotation input
     if not latest:
         pytest.skip("no correctness snapshot yet")
-    stale = {n for n, r in latest.items() if r <= 11}
+    stale = {n for n, r in latest.items() if r <= 12}
     assert stale <= set(CURATED_FIRST), sorted(stale - set(CURATED_FIRST))
     displaced = {
         n for n, r in latest.items()
-        if r == 12 and n in _REGISTRY and n not in CURATED_FIRST
+        if r == 13 and n in _REGISTRY and n not in CURATED_FIRST
     }
-    assert displaced == R15_DISPLACED, (
-        sorted(displaced ^ R15_DISPLACED)
+    assert displaced == R16_DISPLACED, (
+        sorted(displaced ^ R16_DISPLACED)
     )
     assert list(CURATED_FIRST[:3]) == [
-        "dialect_strptime_tz",
         "events_funnel",
         "time_resample_ohlc",
+        "dedup_cluster_best",
     ]
-    assert set(CURATED_FIRST[3:21]) == R14_DISPLACED
+    assert set(CURATED_FIRST[3:23]) == R15_DISPLACED
 
 
 def test_rotation_capacity_is_closed():
